@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+  - loads each <outDir>/<name> parquet result (Spark output),
+  - runs the matching oracle SQL from <outDir>/oracle_sql.json in DuckDB
+    with views over the same sfDir parquet tables,
+  - sorts columns by name, sorts rows, compares cell-by-cell.
+
+Reports EXACT (bit-identical), CLOSE (within 1e-9 relative — would survive
+a rounding-normalized hash), or MISMATCH with a diff sample. The goal is
+EXACT everywhere; CLOSE is a warning to tighten the numeric discipline.
+
+Usage: python3 tools/check_oracle.py [sfDir] [outDir]
+"""
+import sys, json, math, glob
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import pyarrow.dataset as pads
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def load_result(path):
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet under {path}")
+    return pads.dataset(files).to_table().to_pandas()
+
+def norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            # decimals / bytes / lists -> canonical
+            df[c] = s.map(lambda v: repr(v) if isinstance(v, (list, bytes)) else v)
+    # row sort on stringified values for full determinism
+    key = df.astype(str)
+    idx = key.sort_values(by=list(df.columns), kind="mergesort").index
+    return df.loc[idx].reset_index(drop=True)
+
+def cmp_cell(a, b):
+    if a is None and b is None:
+        return "exact"
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return "mismatch"
+        if (math.isnan(fa) and math.isnan(fb)) or fa == fb:
+            return "exact"
+        if fa == 0 or fb == 0:
+            return "close" if abs(fa - fb) < 1e-9 else "mismatch"
+        return "close" if abs(fa - fb) / max(abs(fa), abs(fb)) < 1e-9 else "mismatch"
+    if pd.isna(a) and pd.isna(b):
+        return "exact"
+    return "exact" if a == b else "mismatch"
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = norm(load_result(f"{out}/{name}"))
+            exp = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL  {name}: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL  {name}: columns spark={list(got.columns)} oracle={list(exp.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL  {name}: rows spark={len(got)} oracle={len(exp)}")
+            failures += 1
+            continue
+        worst, bad = "exact", None
+        for c in got.columns:
+            for i in range(len(got)):
+                r = cmp_cell(got[c].iat[i], exp[c].iat[i])
+                if r == "mismatch":
+                    worst, bad = "mismatch", (c, i, got[c].iat[i], exp[c].iat[i])
+                    break
+                if r == "close" and worst == "exact":
+                    worst, bad = "close", (c, i, got[c].iat[i], exp[c].iat[i])
+            if worst == "mismatch":
+                break
+        if worst == "exact":
+            print(f"OK    {name}: {len(got)} rows exact")
+        elif worst == "close":
+            c, i, a, b = bad
+            print(f"CLOSE {name}: {c}[{i}] spark={a!r} oracle={b!r} (within 1e-9)")
+        else:
+            c, i, a, b = bad
+            print(f"FAIL  {name}: {c}[{i}] spark={a!r} oracle={b!r}")
+            failures += 1
+    print(f"--- {len(oracle)} queries, {failures} failures")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main()
