@@ -12,11 +12,13 @@ import graft.queries._
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    Relational)
+    Relational, EventFeatures, EventAnalytics)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the end-to-end fraud pipeline (anchored features -> score -> risk
+    * bands/action). */
   def entry(spark: SparkSession): DataFrame =
-    queries("rel_q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("evt_fraud_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

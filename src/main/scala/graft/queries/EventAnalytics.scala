@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.AsOfJoin
+import Exact._
+
+/** Lookup/join/serving-side operators over the events stream stand-in:
+  * point-in-time (as-of) join (J5), interval (stream-stream) join (J2),
+  * online-store latest snapshot + freshness (S9/J4), watermark & late-event
+  * accounting (W6-W8), JSON decode (S5), dedup, top-k, confusion-matrix
+  * accounting (M16) and the rule-based fraud scoring pipeline (M13-M15).
+  */
+object EventAnalytics extends QueryModule {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("ems", epochMs(col("ts")))
+
+  // ------------------------------------------------------------------- J5
+  /** As-of join: each purchase gets the user's latest signup at-or-before
+    * its timestamp (Feast get_historical_features semantics,
+    * ref feast/feature_utils.py:151-232). Uses the scalable union-sort
+    * AsOfJoin operator — no row explosion, one shuffle on the key. */
+  private def asOfJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("ems").as("purchase_ts_ms"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+              col("ems").as("signup_ts_ms"), col("value").as("signup_value"))
+    AsOfJoin.asOf(purchases, signups, Seq("user_id"),
+        leftTs = "purchase_ts_ms", rightTs = "signup_ts_ms",
+        rightCols = Seq("signup_id", "signup_ts_ms", "signup_value"),
+        tieBreak = "signup_id")
+      .withColumn("mins_since_signup",
+        (col("purchase_ts_ms") - col("signup_ts_ms")) / 60000.0)
+      .orderBy(col("purchase_id"))
+  }
+
+  private val asOfJoinSql =
+    """WITH l AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ts_ms
+      |  FROM events WHERE event_type = 'purchase'
+      |), r AS (
+      |  SELECT user_id, event_id AS signup_id, epoch_ms(ts) AS signup_ts_ms,
+      |         value AS signup_value
+      |  FROM events WHERE event_type = 'signup'
+      |), j AS (
+      |  SELECT l.purchase_id, l.user_id, l.purchase_ts_ms,
+      |         r.signup_id, r.signup_ts_ms, r.signup_value,
+      |         row_number() OVER (PARTITION BY l.purchase_id
+      |           ORDER BY r.signup_ts_ms DESC, r.signup_id DESC) AS rn
+      |  FROM l LEFT JOIN r
+      |    ON l.user_id = r.user_id AND r.signup_ts_ms <= l.purchase_ts_ms
+      |)
+      |SELECT purchase_id, user_id, purchase_ts_ms, signup_id, signup_ts_ms,
+      |  signup_value,
+      |  (purchase_ts_ms - signup_ts_ms) / 60000.0 AS mins_since_signup
+      |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
+  // ------------------------------------------------------------------- J2
+  /** Interval join (stream-stream enrichment shape, DesignDoc.md:81):
+    * count each purchase's same-user clicks in the preceding hour. */
+  private def intervalJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ems").as("p_ems"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ems").as("c_ems"))
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+        col("c_ems") >= col("p_ems") - 3600000L && col("c_ems") < col("p_ems"),
+        "left")
+      .groupBy(col("purchase_id"), col("p_user"), col("p_ems"))
+      .agg(count(col("c_ems")).as("clicks_prev_1h"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+              col("p_ems").as("ts_ms"), col("clicks_prev_1h"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val intervalJoinSql =
+    """SELECT p.event_id AS purchase_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+      |  (SELECT count(*) FROM events c
+      |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |     AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 3600000
+      |     AND epoch_ms(c.ts) < epoch_ms(p.ts)) AS clicks_prev_1h
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
+  // -------------------------------------------------------------- S9 / J4
+  /** Online-store read path: latest feature row per entity + freshness
+    * versus the global max event time (ref inference/features.py:199-221,
+    * redis latest-pointer redis_sink.py:145-151). The global max is a
+    * broadcast scalar, not a single-partition window. */
+  private def latestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ems").desc, col("event_id").desc)
+    val latest = e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val globalMax = e.agg(max(col("ems")).as("gmax"))
+    latest.crossJoin(broadcast(globalMax))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ems").as("last_ts_ms"), col("event_type").as("last_type"),
+        col("value").as("last_value"),
+        ((col("gmax") - col("ems")) / 60000.0).as("freshness_min"))
+      .orderBy(col("user_id"))
+  }
+
+  private val latestSnapshotSql =
+    """WITH ranked AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ems, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn,
+      |    MAX(epoch_ms(ts)) OVER () AS gmax
+      |  FROM events)
+      |SELECT user_id, event_id AS last_event_id, ems AS last_ts_ms,
+      |  event_type AS last_type, value AS last_value,
+      |  (gmax - ems) / 60000.0 AS freshness_min
+      |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- W6-W8
+  /** Watermark generation + late-event accounting in arrival order
+    * (event_id = arrival sequence): watermark = max-seen event time minus
+    * 5 s out-of-orderness bound; an event is late if it arrives below the
+    * watermark (ref utils/watermarks.py:67-105, metrics.py:38-43).
+    * Emits per-event-type counters, the observability the reference keeps
+    * in Prometheus counters. */
+  private def watermarkLate(spark: SparkSession, dir: String): DataFrame = {
+    val arrival = Window.orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = max(col("ems")).over(arrival) - 5000L
+    ev(spark, dir)
+      .withColumn("wm", wm)
+      .withColumn("is_late", col("wm").isNotNull && col("ems") < col("wm"))
+      .withColumn("delay_ms",
+        when(col("is_late"), col("wm") - col("ems")).otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("is_late"), 1).otherwise(0)).as("n_late"),
+        max(col("delay_ms")).as("max_delay_ms"),
+        (sum(when(col("is_late"), 1).otherwise(0)) / count(lit(1)))
+          .as("late_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  private val watermarkLateSql =
+    """WITH seq AS (
+      |  SELECT event_type, epoch_ms(ts) AS ems,
+      |    MAX(epoch_ms(ts)) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 5000 AS wm
+      |  FROM events
+      |), flagged AS (
+      |  SELECT event_type,
+      |    (wm IS NOT NULL AND ems < wm) AS is_late,
+      |    CASE WHEN wm IS NOT NULL AND ems < wm THEN wm - ems ELSE 0 END AS delay_ms
+      |  FROM seq)
+      |SELECT event_type, count(*) AS n_events,
+      |  SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS n_late,
+      |  MAX(delay_ms) AS max_delay_ms,
+      |  SUM(CASE WHEN is_late THEN 1 ELSE 0 END) / count(*) AS late_rate
+      |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------- S5
+  /** JSON decode + aggregation (ref feature_job.py:72-105 deserialization;
+    * metadata map access): parse props, aggregate the extracted key. */
+  private def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, dir)
+      .withColumn("k", k)
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")) / count(col("k"))).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val jsonExtractSql =
+    """SELECT event_type,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------- dedup/O1
+  /** Keep-first dedup per (user, event_type) — watermark-scoped
+    * dropDuplicates in the streaming path; row_number form in batch. */
+  private def dedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ems"), col("event_id"))
+    ev(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ems"))
+      .orderBy(col("event_id"))
+  }
+
+  private val dedupFirstSql =
+    """SELECT event_id, user_id, event_type, ems FROM (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ems,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_ms(ts), event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------- O2-O4
+  /** Top-5 users by activity (top-k + tie-break; ref inference/models.py:537
+    * top-5 truncation, app.py:485 batch limit). */
+  private def topUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           max(col("value")).as("max_value"),
+           sum(when(col("event_type") === "purchase", 1).otherwise(0))
+             .as("n_purchases"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(5)
+
+  private val topUsersSql =
+    """SELECT user_id, count(*) AS n_events, MAX(value) AS max_value,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+      |FROM events GROUP BY user_id
+      |ORDER BY n_events DESC, user_id LIMIT 5""".stripMargin
+
+  // ------------------------------------------------------------------ M16
+  /** Confusion-matrix accounting against ground truth (threshold 0.3 on a
+    * normalized score; ref fraud_detector.py:184-205, inference/config.py:51).
+    * "Fraud" proxy label = error events; score = value / 200 clamped. */
+  private def confusion(spark: SparkSession, dir: String): DataFrame = {
+    val score = least(col("value") / 200.0, lit(1.0))
+    val pred = score > 0.3
+    val label = col("event_type") === "error"
+    val tp = sum(when(pred && label, 1).otherwise(0))
+    val fp = sum(when(pred && !label, 1).otherwise(0))
+    val tn = sum(when(!pred && !label, 1).otherwise(0))
+    val fn = sum(when(!pred && label, 1).otherwise(0))
+    Tables.events(spark, dir).agg(
+      tp.as("tp"), fp.as("fp"), tn.as("tn"), fn.as("fn"),
+      when(tp + fp > 0, tp / (tp + fp)).otherwise(0.0).as("precision"),
+      when(tp + fn > 0, tp / (tp + fn)).otherwise(0.0).as("recall"),
+      ((tp + tn) / count(lit(1))).as("accuracy"))
+  }
+
+  private val confusionSql =
+    """WITH f AS (
+      |  SELECT LEAST(value / 200.0, 1.0) > 0.3 AS pred,
+      |         event_type = 'error' AS label
+      |  FROM events)
+      |SELECT
+      |  SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS tp,
+      |  SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
+      |  SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS tn,
+      |  SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS fn,
+      |  CASE WHEN SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+      |          + SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) > 0
+      |    THEN SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+      |       / (SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+      |          + SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END))
+      |    ELSE 0.0 END AS precision,
+      |  CASE WHEN SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+      |          + SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) > 0
+      |    THEN SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+      |       / (SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+      |          + SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END))
+      |    ELSE 0.0 END AS recall,
+      |  (SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+      |   + SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END)) / count(*) AS accuracy
+      |FROM f""".stripMargin
+
+  // ------------------------------------------------------------ M13-M15
+  /** Rule-based fraud scoring pipeline, per event: anchored features ->
+    * weighted score -> risk bands/action (exact reference thresholds,
+    * inference/models.py:493-508: >=0.7 critical/block, >=0.4 high/review,
+    * >=0.15 medium/review, else low/approve) + risk factors. */
+  private def fraudPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val w5m = Window.partitionBy(col("user_id")).orderBy(col("ems"))
+      .rangeBetween(-299999L, 0)
+    val w24 = Window.partitionBy(col("user_id")).orderBy(col("ems"))
+      .rangeBetween(-86399999L, 0)
+    val cnt5m = count(lit(1)).over(w5m)
+    val cnt24 = count(lit(1)).over(w24)
+    val spanH = (col("ems") - min(col("ems")).over(w24)) / 3600000.0
+    val velocity = when(spanH > 0, least((cnt24 / spanH) / 10.0, lit(1.0)))
+      .otherwise(0.0)
+    val score =
+      lit(0.3) * least(cnt5m / 5.0, lit(1.0)) +
+      lit(0.3) * velocity +
+      lit(0.2) * when(col("event_type") === "error", 1.0).otherwise(0.0) +
+      lit(0.2) * when(col("value") < 5.0, 1.0).otherwise(0.0)
+    ev(spark, dir)
+      .withColumn("score", score)
+      .withColumn("velocity_score", velocity)
+      .withColumn("risk_level",
+        when(col("score") >= 0.7, "critical")
+          .when(col("score") >= 0.4, "high")
+          .when(col("score") >= 0.15, "medium")
+          .otherwise("low"))
+      .withColumn("recommended_action",
+        when(col("score") >= 0.7, "block")
+          .when(col("score") >= 0.4, "review")
+          .when(col("score") >= 0.15, "review")
+          .otherwise("approve"))
+      .withColumn("n_risk_factors",
+        when(col("velocity_score") > 0.7, 1).otherwise(0) +
+        when(col("score") >= 0.4, 1).otherwise(0) +
+        when(col("value") < 5.0, 1).otherwise(0))
+      .select(col("event_id"), col("user_id"), col("score"),
+        col("velocity_score"), col("risk_level"), col("recommended_action"),
+        col("n_risk_factors"))
+      .orderBy(col("event_id"))
+  }
+
+  private val fraudPipelineSql =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ems
+      |  FROM events
+      |), feats AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    count(*) OVER w5 AS cnt5m,
+      |    count(*) OVER w24 AS cnt24,
+      |    (ems - MIN(ems) OVER w24) / 3600000.0 AS span_h
+      |  FROM base
+      |  WINDOW w5 AS (PARTITION BY user_id ORDER BY ems
+      |                RANGE BETWEEN 299999 PRECEDING AND CURRENT ROW),
+      |         w24 AS (PARTITION BY user_id ORDER BY ems
+      |                RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW)
+      |), scored AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN span_h > 0 THEN LEAST((cnt24 / span_h) / 10.0, 1.0)
+      |         ELSE 0.0 END AS velocity_score,
+      |    0.3 * LEAST(cnt5m / 5.0, 1.0) +
+      |    0.3 * (CASE WHEN span_h > 0 THEN LEAST((cnt24 / span_h) / 10.0, 1.0)
+      |                ELSE 0.0 END) +
+      |    0.2 * (CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) +
+      |    0.2 * (CASE WHEN value < 5.0 THEN 1.0 ELSE 0.0 END) AS score,
+      |    value
+      |  FROM feats)
+      |SELECT event_id, user_id, score, velocity_score,
+      |  CASE WHEN score >= 0.7 THEN 'critical' WHEN score >= 0.4 THEN 'high'
+      |       WHEN score >= 0.15 THEN 'medium' ELSE 'low' END AS risk_level,
+      |  CASE WHEN score >= 0.7 THEN 'block' WHEN score >= 0.4 THEN 'review'
+      |       WHEN score >= 0.15 THEN 'review' ELSE 'approve' END AS recommended_action,
+      |  (CASE WHEN velocity_score > 0.7 THEN 1 ELSE 0 END +
+      |   CASE WHEN score >= 0.4 THEN 1 ELSE 0 END +
+      |   CASE WHEN value < 5.0 THEN 1 ELSE 0 END) AS n_risk_factors
+      |FROM scored ORDER BY event_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_asof_join" -> (asOfJoinQ _),
+    "evt_interval_join" -> (intervalJoinQ _),
+    "evt_latest_snapshot" -> (latestSnapshot _),
+    "evt_watermark_late" -> (watermarkLate _),
+    "evt_json_extract" -> (jsonExtract _),
+    "evt_dedup_first" -> (dedupFirst _),
+    "evt_top_users" -> (topUsers _),
+    "evt_confusion_matrix" -> (confusion _),
+    "evt_fraud_pipeline" -> (fraudPipeline _))
+
+  override def oracles: Map[String, String] = Map(
+    "evt_asof_join" -> asOfJoinSql,
+    "evt_interval_join" -> intervalJoinSql,
+    "evt_latest_snapshot" -> latestSnapshotSql,
+    "evt_watermark_late" -> watermarkLateSql,
+    "evt_json_extract" -> jsonExtractSql,
+    "evt_dedup_first" -> dedupFirstSql,
+    "evt_top_users" -> topUsersSql,
+    "evt_confusion_matrix" -> confusionSql,
+    "evt_fraud_pipeline" -> fraudPipelineSql)
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+
+/** Ports of the reference's canonical unit fixtures (FIXTURES.md §1/§2,
+  * ref streaming/simple/test_stream_processor.py) onto the batch operators,
+  * plus AsOfJoin edge cases. */
+class OperatorSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // Canonical 3-event fixture (test_stream_processor.py:78-127): same card,
+  // +1s/+2s/+3s, amounts 50/150/25, countries US/CA/US.
+  private val txnFixture = Seq(
+    ("card_1", 1000L, 50.0, "5411", "US"),
+    ("card_1", 2000L, 150.0, "6011", "CA"),
+    ("card_1", 3000L, 25.0, "5812", "US")
+  ).toDF("card_id", "ems", "amount", "mcc", "geo_country")
+
+  test("txn fixture: count/unique-countries/high-risk ratio in 5m window") {
+    val agg = txnFixture.groupBy($"card_id").agg(
+      count(lit(1)).as("txn_count_5m"),
+      size(collect_set($"geo_country")).as("unique_countries_5m"),
+      (sum(when($"mcc".isin("6011", "5967", "7011", "7995"), 1).otherwise(0)) /
+        count(lit(1))).as("high_risk_txn_ratio"))
+      .head()
+    assert(agg.getAs[Long]("txn_count_5m") == 3L)
+    assert(agg.getAs[Int]("unique_countries_5m") == 2)
+    assert(agg.getAs[Double]("high_risk_txn_ratio") > 0.0)
+  }
+
+  // Canonical 4-event session funnel (test_stream_processor.py:145-214):
+  // HOME/VIEW -> CATEGORY/CLICK -> PRODUCT/ADD_TO_CART -> CART/PURCHASE.
+  private val clickFixture = Seq(
+    ("user_1", "s1", 1000L, "HOME", "VIEW", None: Option[String]),
+    ("user_1", "s1", 2000L, "CATEGORY", "CLICK", Some("electronics")),
+    ("user_1", "s1", 3000L, "PRODUCT", "ADD_TO_CART", Some("electronics")),
+    ("user_1", "s1", 4000L, "CART", "PURCHASE", Some("electronics"))
+  ).toDF("user_id", "session_id", "ems", "page_type", "action_type", "category_id")
+
+  test("click fixture: session funnel counters and conversion") {
+    val agg = clickFixture.groupBy($"user_id", $"session_id").agg(
+      count(lit(1)).as("pages_per_session"),
+      size(collect_set($"category_id")).as("unique_categories_session"),
+      sum(when($"action_type" === "ADD_TO_CART", 1).otherwise(0)).as("cart_adds"),
+      sum(when($"action_type" === "PURCHASE", 1).otherwise(0)).as("purchases"))
+      .withColumn("conversion_rate_session",
+        $"purchases" / greatest($"cart_adds", lit(1L)))
+      .head()
+    assert(agg.getAs[Long]("pages_per_session") == 4L)
+    assert(agg.getAs[Int]("unique_categories_session") == 1)
+    assert(agg.getAs[Long]("cart_adds") == 1L)
+    assert(agg.getAs[Long]("purchases") == 1L)
+    assert(agg.getAs[Double]("conversion_rate_session") == 1.0)
+  }
+
+  test("asOfJoin: latest right at-or-before left ts; null when none") {
+    val left = Seq(
+      (1L, "u1", 100L), // before any right row -> null
+      (2L, "u1", 200L), // exactly at right ts 200 -> visible (<=)
+      (3L, "u1", 350L), // between 300 and future -> 300
+      (4L, "u2", 500L)  // key with no right rows at all -> null
+    ).toDF("qid", "user", "qts")
+    val right = Seq(
+      ("u1", 200L, 20.0),
+      ("u1", 300L, 30.0),
+      ("u1", 300L, 31.0), // tie at 300: greater tieBreak (rv) wins
+      ("u1", 400L, 40.0)
+    ).toDF("user", "rts", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("user"), "qts", "rts",
+      rightCols = Seq("rts", "rv"), tieBreak = "rv")
+      .orderBy($"qid").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("rv")))
+    assert(out(1).getAs[Double]("rv") == 20.0)
+    assert(out(2).getAs[Double]("rv") == 31.0)
+    assert(out(3).isNullAt(out(3).fieldIndex("rv")))
+  }
+
+  test("asOfJoin result timestamps never exceed query timestamps (PIT invariant)") {
+    val left = Seq((1L, "u1", 250L), (2L, "u1", 450L)).toDF("qid", "user", "qts")
+    val right = Seq(("u1", 200L, 1.0), ("u1", 300L, 2.0), ("u1", 400L, 3.0))
+      .toDF("user", "rts", "rv")
+    val bad = AsOfJoin.asOf(left, right, Seq("user"), "qts", "rts",
+      Seq("rts", "rv"), "rts")
+      .filter($"rts" > $"qts").count()
+    assert(bad == 0L)
+  }
+}
