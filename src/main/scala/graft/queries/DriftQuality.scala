@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Exact._
+
+/** Drift detection and data-quality operators (SURVEY.md §2.8 M2/M3/M4/
+  * M9/M10/M11): KS two-sample statistic, PSI with quantile buckets,
+  * chi-square categorical drift, exact quantile summaries, IQR outlier
+  * accounting, and a deterministic (hash-based) stratified split.
+  *
+  * Reference window = events before 2024-01-16 UTC; current window = the
+  * rest (the reference's drift_check.py compares a reference dataset
+  * against current data the same way, drift_check.py:80-99, 138-169).
+  *
+  * Scale notes: the KS ECDF is a prefix-sum over a global sort — at
+  * 100 TB this is a distributed sort (range partitioning) plus per-
+  * partition offsets; here it is a window over the value order. PSI/chi2
+  * reduce to two grouped counts joined on bucket id — partial-aggregated,
+  * shuffle of |buckets| rows only. Quantiles: exact `percentile` here for
+  * oracle parity; `approx_percentile` (KLL/GK sketch) is the 100 TB path.
+  */
+object DriftQuality extends QueryModule {
+
+  /** 2024-01-16T00:00:00Z — midpoint of the 30-day event range. */
+  private val cutoffMs = 1705363200000L
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ems", epochMs(col("ts")))
+      .withColumn("is_ref", (col("ems") < cutoffMs).cast("int"))
+
+  // ------------------------------------------------------------------- M9
+  /** Kolmogorov-Smirnov two-sample statistic on `value` (drift_check.py:
+    * 80-83): D = max |ECDF_ref - ECDF_cur| via a prefix sum over the value
+    * order (default window frame includes peers in both engines, which is
+    * exactly ECDF's "count <= v"). */
+  private def ks(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.orderBy(col("value"))
+    val all = Window.partitionBy()
+    val d = ev(spark, dir)
+      .select(col("value"), col("is_ref"))
+      .withColumn("c1", sum(col("is_ref")).over(ord))
+      .withColumn("c2", sum(lit(1) - col("is_ref")).over(ord))
+      .withColumn("n1", sum(col("is_ref")).over(all))
+      .withColumn("n2", sum(lit(1) - col("is_ref")).over(all))
+    d.agg(
+      max(abs(col("c1") / col("n1") - col("c2") / col("n2"))).as("ks_stat"),
+      max(col("n1")).as("n_ref"),
+      max(col("n2")).as("n_cur"))
+      .withColumn("ks_critical",
+        lit(1.36) * sqrt((col("n_ref") + col("n_cur")) / (col("n_ref") * col("n_cur"))))
+      .withColumn("drifted", col("ks_stat") > col("ks_critical"))
+  }
+
+  private val ksSql =
+    s"""WITH s AS (
+       |  SELECT value,
+       |    CASE WHEN epoch_ms(ts) < $cutoffMs THEN 1 ELSE 0 END AS is_ref
+       |  FROM events
+       |), c AS (
+       |  SELECT value,
+       |    SUM(is_ref) OVER (ORDER BY value) AS c1,
+       |    SUM(1 - is_ref) OVER (ORDER BY value) AS c2,
+       |    SUM(is_ref) OVER () AS n1,
+       |    SUM(1 - is_ref) OVER () AS n2
+       |  FROM s
+       |), agg AS (
+       |  SELECT MAX(ABS(c1/n1 - c2/n2)) AS ks_stat,
+       |    CAST(MAX(n1) AS BIGINT) AS n_ref, CAST(MAX(n2) AS BIGINT) AS n_cur
+       |  FROM c)
+       |SELECT ks_stat, n_ref, n_cur,
+       |  1.36 * SQRT((n_ref + n_cur) / (n_ref * n_cur)) AS ks_critical,
+       |  ks_stat > 1.36 * SQRT((n_ref + n_cur) / (n_ref * n_cur)) AS drifted
+       |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------ M11
+  /** Population Stability Index with 10 quantile buckets from the reference
+    * window, epsilon 1e-6 (drift_check.py:138-169, thresholds 0.1/0.2).
+    * Edges are rounded to 6 dp so both engines' interpolation agrees
+    * bit-for-bit; values equal to an edge fall in the lower bucket. */
+  private def psi(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val edges = e.filter(col("is_ref") === 1).agg(
+      expr("transform(percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), x -> round(x, 6))")
+        .as("edges"))
+    val bucketed = e.crossJoin(broadcast(edges))
+      .withColumn("bucket", expr("size(filter(edges, e -> e < value))"))
+    val refC = bucketed.filter(col("is_ref") === 1)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ref_n"))
+    val curC = bucketed.filter(col("is_ref") === 0)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cur_n"))
+    val joined = refC.join(curC, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val tot = Window.partitionBy()
+    val withPct = joined
+      .withColumn("e_pct", greatest(col("ref_n") / sum(col("ref_n")).over(tot), lit(1e-6)))
+      .withColumn("a_pct", greatest(col("cur_n") / sum(col("cur_n")).over(tot), lit(1e-6)))
+      .withColumn("contrib", (col("a_pct") - col("e_pct")) * log(col("a_pct") / col("e_pct")))
+    withPct.agg(dsumRaw("contrib").as("psi"))
+      .withColumn("drift_status",
+        when(col("psi") >= 0.2, "major")
+          .when(col("psi") >= 0.1, "moderate")
+          .otherwise("stable"))
+  }
+
+  /** Exact double sum over few rows: plain sum is order-dependent, but with
+    * <=10 buckets both engines sum sequentially over the same sorted merge;
+    * to stay safe we sort contributions via collect+sort in SQL semantics.
+    * Here: sum after sorting by bucket via aggregate over sorted array. */
+  private def dsumRaw(colName: String) =
+    expr(s"aggregate(array_sort(collect_list($colName)), 0D, (acc, x) -> acc + x)")
+
+  private val psiSql =
+    s"""WITH s AS (
+       |  SELECT value,
+       |    CASE WHEN epoch_ms(ts) < $cutoffMs THEN 1 ELSE 0 END AS is_ref
+       |  FROM events
+       |), edges AS (
+       |  SELECT list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+       |                        x -> round(x, 6)) AS edges
+       |  FROM s WHERE is_ref = 1
+       |), bucketed AS (
+       |  SELECT s.is_ref, len(list_filter(edges.edges, e -> e < s.value)) AS bucket
+       |  FROM s CROSS JOIN edges
+       |), counts AS (
+       |  SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+       |    COALESCE(r.ref_n, 0) AS ref_n, COALESCE(c.cur_n, 0) AS cur_n
+       |  FROM (SELECT bucket, count(*) AS ref_n FROM bucketed WHERE is_ref = 1 GROUP BY bucket) r
+       |  FULL OUTER JOIN (SELECT bucket, count(*) AS cur_n FROM bucketed WHERE is_ref = 0 GROUP BY bucket) c
+       |    ON r.bucket = c.bucket
+       |), pct AS (
+       |  SELECT bucket,
+       |    GREATEST(ref_n / SUM(ref_n) OVER (), 1e-6) AS e_pct,
+       |    GREATEST(cur_n / SUM(cur_n) OVER (), 1e-6) AS a_pct
+       |  FROM counts
+       |), contribs AS (
+       |  SELECT (a_pct - e_pct) * LN(a_pct / e_pct) AS contrib FROM pct
+       |), summed AS (
+       |  SELECT list_reduce(list_prepend(0.0, list_sort(list(contrib))), (acc, x) -> acc + x) AS psi
+       |  FROM contribs)
+       |SELECT psi,
+       |  CASE WHEN psi >= 0.2 THEN 'major' WHEN psi >= 0.1 THEN 'moderate'
+       |       ELSE 'stable' END AS drift_status
+       |FROM summed""".stripMargin
+
+  // ------------------------------------------------------------------ M10
+  /** Chi-square categorical drift on event_type (drift_check.py:84-99):
+    * expected = reference distribution scaled to the current sample size. */
+  private def chi2(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val counts = e.groupBy(col("event_type")).agg(
+      sum(col("is_ref")).as("ref_n"),
+      sum(lit(1) - col("is_ref")).as("cur_n"))
+    val tot = Window.partitionBy()
+    val contrib = counts
+      .withColumn("exp_n",
+        (col("ref_n") / sum(col("ref_n")).over(tot)) * sum(col("cur_n")).over(tot))
+      .withColumn("contrib",
+        (col("cur_n") - col("exp_n")) * (col("cur_n") - col("exp_n")) / col("exp_n"))
+    contrib.agg(
+      dsumRaw("contrib").as("chi2_stat"),
+      (count(lit(1)) - 1).as("dof"))
+  }
+
+  private val chi2Sql =
+    s"""WITH counts AS (
+       |  SELECT event_type,
+       |    SUM(CASE WHEN epoch_ms(ts) < $cutoffMs THEN 1 ELSE 0 END) AS ref_n,
+       |    SUM(CASE WHEN epoch_ms(ts) < $cutoffMs THEN 0 ELSE 1 END) AS cur_n
+       |  FROM events GROUP BY event_type
+       |), c AS (
+       |  SELECT (cur_n - (ref_n / SUM(ref_n) OVER ()) * SUM(cur_n) OVER ())
+       |       * (cur_n - (ref_n / SUM(ref_n) OVER ()) * SUM(cur_n) OVER ())
+       |       / ((ref_n / SUM(ref_n) OVER ()) * SUM(cur_n) OVER ()) AS contrib
+       |  FROM counts
+       |), summed AS (
+       |  SELECT list_reduce(list_prepend(0.0, list_sort(list(contrib))), (acc, x) -> acc + x) AS chi2_stat,
+       |    count(*) - 1 AS dof
+       |  FROM c)
+       |SELECT chi2_stat, CAST(dof AS BIGINT) AS dof FROM summed""".stripMargin
+
+  // -------------------------------------------------------------- M2 / M3
+  /** Exact quantile summary per event_type (the median/mode imputation and
+    * IQR machinery of datasets.py:151-214). Rounded to 6 dp for cross-
+    * engine interpolation agreement. */
+  private def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("round(percentile(value, 0.25), 6)").as("q1"),
+        expr("round(percentile(value, 0.5), 6)").as("median"),
+        expr("round(percentile(value, 0.75), 6)").as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .orderBy(col("event_type"))
+
+  private val quantilesSql =
+    """SELECT event_type, count(*) AS n,
+      |  ROUND(quantile_cont(value, 0.25), 6) AS q1,
+      |  ROUND(quantile_cont(value, 0.5), 6) AS median,
+      |  ROUND(quantile_cont(value, 0.75), 6) AS q3,
+      |  ROUND(quantile_cont(value, 0.75), 6) - ROUND(quantile_cont(value, 0.25), 6) AS iqr
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** IQR outlier accounting (1.5x fences, datasets.py:171-214): count rows
+    * outside the fences per event_type. */
+  private def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantiles(spark, dir)
+      .select(col("event_type"), col("q1"), col("q3"), col("iqr"))
+    Tables.events(spark, dir).join(broadcast(q), Seq("event_type"))
+      .withColumn("is_outlier",
+        col("value") < col("q1") - lit(1.5) * col("iqr") ||
+        col("value") > col("q3") + lit(1.5) * col("iqr"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("is_outlier"), 1).otherwise(0)).as("n_outliers"),
+        (sum(when(col("is_outlier"), 1).otherwise(0)) / count(lit(1)))
+          .as("outlier_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  private val iqrOutliersSql =
+    """WITH q AS (
+      |  SELECT event_type,
+      |    ROUND(quantile_cont(value, 0.25), 6) AS q1,
+      |    ROUND(quantile_cont(value, 0.75), 6) AS q3,
+      |    ROUND(quantile_cont(value, 0.75), 6) - ROUND(quantile_cont(value, 0.25), 6) AS iqr
+      |  FROM events GROUP BY event_type
+      |), flagged AS (
+      |  SELECT e.event_type,
+      |    (e.value < q.q1 - 1.5 * q.iqr OR e.value > q.q3 + 1.5 * q.iqr) AS is_outlier
+      |  FROM events e JOIN q ON e.event_type = q.event_type
+      |)
+      |SELECT event_type, count(*) AS n,
+      |  SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS n_outliers,
+      |  SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) / count(*) AS outlier_rate
+      |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------- M4
+  /** Deterministic stratified split (datasets.py:220-246 uses seeded
+    * sampling; at scale a content-hash split is reproducible across
+    * engines and reruns — md5 of the row id, 5 folds). */
+  private def stratifiedSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("fold",
+        conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 8),
+             16, 10).cast("long") % 5)
+      .groupBy(col("event_type"), col("fold"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"), col("fold"))
+
+  private val stratifiedSplitSql =
+    """SELECT event_type,
+      |  CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type, fold
+      |ORDER BY event_type, fold""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "drift_ks_statistic" -> (ks _),
+    "drift_psi" -> (psi _),
+    "drift_chi2" -> (chi2 _),
+    "quality_quantiles" -> (quantiles _),
+    "quality_iqr_outliers" -> (iqrOutliers _),
+    "ml_stratified_split" -> (stratifiedSplit _))
+
+  override def oracles: Map[String, String] = Map(
+    "drift_ks_statistic" -> ksSql,
+    "drift_psi" -> psiSql,
+    "drift_chi2" -> chi2Sql,
+    "quality_quantiles" -> quantilesSql,
+    "quality_iqr_outliers" -> iqrOutliersSql,
+    "ml_stratified_split" -> stratifiedSplitSql)
+}
