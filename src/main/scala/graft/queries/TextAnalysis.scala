@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis and deduplication operators for large-scale training-data
+  * pipelines over the `documents` table: token statistics, quality scoring,
+  * heuristic language ID, content fingerprinting, exact dedup, n-gram
+  * Jaccard near-dup, MinHash+LSH and SimHash.
+  *
+  * Cross-engine determinism: every hash is md5-derived (identical in Spark
+  * and DuckDB), folds over arrays are explicit sequential reduces, and all
+  * integer arithmetic stays in BIGINT range.
+  *
+  * Scale notes: all per-doc operators are embarrassingly parallel
+  * (no shuffle). Near-dup candidate generation is bucketed — n-gram
+  * Jaccard buckets by (lang, length band), MinHash by LSH band value — so
+  * the pair join is a shuffle on the bucket key, never an all-pairs cross
+  * join; that is the property that survives 100 TB. The brute-force pair
+  * scoring inside a bucket is bounded by bucket size (tune bands/rows at
+  * scale).
+  */
+object TextAnalysis extends QueryModule {
+
+  /** tokens = whitespace split of trimmed text (documents are single-space
+    * separated; \s+ for robustness). */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+
+  // --------------------------------------------------------- token stats
+  /** Token counting per document: whitespace tokens, distinct tokens,
+    * type-token ratio, average token length. */
+  private def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      col("n_chars"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_unique_tokens"),
+      (size(array_distinct(col("toks"))) / size(col("toks")).cast("double"))
+        .as("type_token_ratio"),
+      (length(regexp_replace(col("text"), "\\s", "")) /
+        size(col("toks")).cast("double")).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  private val tokenStatsSql =
+    """SELECT doc_id, n_chars,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_unique_tokens,
+      |  len(list_distinct(string_split_regex(trim(text), '\s+')))
+      |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS type_token_ratio,
+      |  length(regexp_replace(text, '\s', '', 'g'))
+      |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ quality scoring
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality scoring per document: length score, stopword ratio, repetition
+    * (1 - type/token), composite quality score + keep flag — the classic
+    * pretraining-corpus quality gate. */
+  private def quality(spark: SparkSession, dir: String): DataFrame = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    docs(spark, dir)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_cnt",
+        expr(s"size(filter(toks, t -> t in ($sw)))"))
+      .withColumn("stopword_ratio", col("stop_cnt") / col("n_tokens").cast("double"))
+      .withColumn("repetition", lit(1.0) -
+        size(array_distinct(col("toks"))) / col("n_tokens").cast("double"))
+      .withColumn("length_score", least(col("n_chars") / 500.0, lit(1.0)))
+      .withColumn("quality_score",
+        lit(0.4) * col("length_score") +
+        lit(0.3) * (lit(1.0) - col("repetition")) +
+        lit(0.3) * (lit(1.0) - col("stopword_ratio")))
+      .withColumn("keep", col("quality_score") > 0.5)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+        col("repetition"), col("length_score"), col("quality_score"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualitySql = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    len(list_filter(toks, t -> t IN ($sw))) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+       |    1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS repetition,
+       |    LEAST(n_chars / 500.0, 1.0) AS length_score
+       |  FROM t)
+       |SELECT doc_id, n_tokens, stopword_ratio, repetition, length_score,
+       |  0.4 * length_score + 0.3 * (1.0 - repetition) + 0.3 * (1.0 - stopword_ratio) AS quality_score,
+       |  (0.4 * length_score + 0.3 * (1.0 - repetition) + 0.3 * (1.0 - stopword_ratio)) > 0.5 AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------- language ID
+  /** Heuristic language ID by marker-token scoring (n-gram-profile family;
+    * deterministic fixed-order argmax) + agreement with the labeled lang. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "hash", "agg"),
+    "en" -> Seq("the", "a", "is", "fast", "slow"),
+    "es" -> Seq("el", "la", "de", "data", "query"),
+    "fr" -> Seq("le", "la", "et", "window", "line"),
+    "zh" -> Seq("de", "shi", "le", "join", "merge"))
+
+  private def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = markers.foldLeft(docs(spark, dir)) { case (df, (lg, ws)) =>
+      val list = ws.map(s => s"'$s'").mkString(", ")
+      df.withColumn(s"s_$lg", expr(s"size(filter(toks, t -> t in ($list)))"))
+    }
+    val langs = markers.map(_._1)
+    val pred = langs.foldRight(lit(langs.last)) { case (lg, acc) =>
+      val isMax = langs.filter(_ != lg)
+        .map(o => col(s"s_$lg") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(isMax, lit(lg)).otherwise(acc)
+    }
+    scored
+      .withColumn("predicted_lang", pred)
+      .withColumn("agrees", col("predicted_lang") === col("lang"))
+      .select(col("doc_id"), col("lang"), col("predicted_lang"), col("agrees"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langIdSql = {
+    def cnt(lg: String) = {
+      val list = markers.toMap.apply(lg).map(s => s"'$s'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($list)))"
+    }
+    val langs = markers.map(_._1)
+    val pred = langs.foldRight(s"'${langs.last}'") { case (lg, acc) =>
+      val cond = langs.filter(_ != lg).map(o => s"s_$lg >= s_$o").mkString(" AND ")
+      s"CASE WHEN $cond THEN '$lg' ELSE $acc END"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang,
+       |    ${langs.map(lg => s"${cnt(lg)} AS s_$lg").mkString(",\n       |    ")}
+       |  FROM t)
+       |SELECT doc_id, lang, $pred AS predicted_lang,
+       |  ($pred) = lang AS agrees
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------- fingerprinting
+  /** Document fingerprinting: md5 content fingerprint + order-sensitive
+    * rolling polynomial hash over md5-derived token ints (mod 1e9+7). */
+  private def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      substring(md5(col("text").cast("binary")), 1, 16).as("md5_fp"),
+      expr("""aggregate(
+        transform(toks, t -> cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint)),
+        0L, (acc, x) -> (acc * 31 + x) % 1000000007)""").as("rolling_fp"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  substr(md5(text), 1, 16) AS md5_fp,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split_regex(trim(text), '\s+'),
+      |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ exact dedup
+  /** Exact dedup by content hash: group size and canonical (min doc_id)
+    * membership per document — the hash-groupBy dedup that scales to any
+    * corpus (shuffle on the 128-bit hash only). */
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("text").cast("binary"))
+    val w = Window.partitionBy(col("fp"))
+    Tables.documents(spark, dir)
+      .withColumn("fp", h)
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_doc", min(col("doc_id")).over(w))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_doc"))
+      .select(col("doc_id"), col("fp"), col("group_size"),
+        col("canonical_doc"), col("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupExactSql =
+    """SELECT doc_id, md5(text) AS fp,
+      |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
+      |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- n-gram Jaccard
+  /** Near-dup candidates by 3-token-shingle Jaccard within (lang, length
+    * band) buckets; top-50 pairs. The bucket key bounds the pair join. */
+  private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir).select(
+      col("doc_id"), col("lang"),
+      expr("size(toks) div 10").as("band"),
+      expr("""array_distinct(transform(sequence(1, size(toks) - 2),
+        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                       element_at(toks, i + 2))))""").as("sh"))
+    val a = sh.select(col("lang"), col("band"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val b = sh.select(col("lang"), col("band"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jaccard",
+        round(col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  private val ngramJaccardSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, lang, len(toks) // 10 AS band,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+      |    len(a.sh) AS na, len(b.sh) AS nb
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  ROUND(inter / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+      |FROM pairs
+      |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------- MinHash + LSH
+  /** MinHash (k=8) + LSH (4 bands x 2 rows): per-doc signatures, banded
+    * bucket join for candidates, estimated Jaccard = matching-minhash
+    * fraction; top-50 candidate pairs. spark.ml's MinHashLSH is the
+    * library path; this formulation is engine-checkable cross-engine. */
+  private def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = docs(spark, dir).select(
+      col("doc_id"),
+      expr("""transform(sequence(0, 7), j -> array_min(transform(
+          array_distinct(transform(sequence(1, size(toks) - 2),
+            i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                           element_at(toks, i + 2)))),
+          s -> ((2*j + 1) * cast(conv(substr(md5(cast(s as binary)), 1, 8), 16, 10) as bigint)
+                + 97*j + 13) % 2147483647)))""").as("mh"))
+    val bands = sig.select(col("doc_id"), col("mh"),
+      explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("band_val",
+        concat_ws(":", col("b"),
+          expr("element_at(mh, 2*b + 1)"), expr("element_at(mh, 2*b + 2)")))
+    val l = bands.select(col("band_val"), col("doc_id").as("doc_a"), col("mh").as("mh_a"))
+    val r = bands.select(col("band_val"), col("doc_id").as("doc_b"), col("mh").as("mh_b"))
+    l.join(r, Seq("band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("mh_a"), col("mh_b")).distinct()
+      .withColumn("est_jaccard",
+        expr("size(filter(sequence(1, 8), j -> element_at(mh_a, j) = element_at(mh_b, j)))") / 8.0)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  private val minHashLshSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), mh AS (
+      |  SELECT doc_id, list_transform(range(8), j -> list_min(list_transform(sh,
+      |    s -> ((2*j + 1) * CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+      |          + 97*j + 13) % 2147483647))) AS mh
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id, mh,
+      |    b || ':' || mh[2*b + 1] || ':' || mh[2*b + 2] AS band_val
+      |  FROM mh, (SELECT unnest(range(4)) AS b)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.mh AS mh_a, b.mh AS mh_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_val = b.band_val AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  len(list_filter(range(1, 9), j -> mh_a[j] = mh_b[j])) / 8.0 AS est_jaccard
+      |FROM pairs
+      |ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------------- SimHash
+  /** 32-bit SimHash per document over md5-derived token hashes: majority
+    * vote per bit position. Near-dup docs differ in few bits (Hamming). */
+  private def simHash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      expr("""aggregate(transform(sequence(0, 31), b ->
+          case when 2 * size(filter(
+                 transform(toks, t -> cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint)),
+                 x -> (x div cast(pow(2, b) as bigint)) % 2 = 1)) > size(toks)
+               then cast(pow(2, b) as bigint) else 0L end),
+        0L, (acc, x) -> acc + x)""").as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private val simHashSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+      |    s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS si
+      |  FROM documents)
+      |SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32), b ->
+      |    CASE WHEN 2 * len(list_filter(si, x -> (x // CAST(power(2, b) AS BIGINT)) % 2 = 1)) > len(si)
+      |         THEN CAST(power(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |    (acc, x) -> acc + x) AS simhash
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (tokenStats _),
+    "text_quality_score" -> (quality _),
+    "text_lang_id" -> (langId _),
+    "text_fingerprint" -> (fingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minHashLsh _),
+    "dedup_simhash" -> (simHash _))
+
+  override def oracles: Map[String, String] = Map(
+    "text_token_stats" -> tokenStatsSql,
+    "text_quality_score" -> qualitySql,
+    "text_lang_id" -> langIdSql,
+    "text_fingerprint" -> fingerprintSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh" -> minHashLshSql,
+    "dedup_simhash" -> simHashSql)
+}
