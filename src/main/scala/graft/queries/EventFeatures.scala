@@ -53,7 +53,7 @@ object EventFeatures extends QueryModule {
       count(lit(1)).over(rangeW(86400000L)).as("cnt_24h"))
       .orderBy(col("event_id"))
 
-  private val anchoredCountsSql =
+  private[queries] val anchoredCountsSql =
     """SELECT event_id, user_id, epoch_ms(ts) AS ems,
       |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
       |    RANGE BETWEEN 299999 PRECEDING AND CURRENT ROW) AS cnt_5m,
@@ -137,7 +137,7 @@ object EventFeatures extends QueryModule {
               col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("win_start_ms"))
 
-  private val alignedSlidingSql =
+  private[queries] val alignedSlidingSql =
     """SELECT user_id,
       |  (epoch_ms(ts) // 10800000 - i) * 10800000 AS win_start_ms,
       |  count(*) AS n_events,

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingPipelines
+
+/** SparkEntry exposure of the Structured-Streaming pipelines: each query
+  * runs a REAL streaming query (file source -> memory sink, synchronously
+  * to completion) and is checked against the same DuckDB oracle as its
+  * batch twin — the offline/online parity gate.
+  *
+  * Also hosts the deterministic synthetic generator (S12): the reference
+  * seeds Faker(42) for reproducible event synthesis (generators/txgen.py:
+  * 47); our generator derives every field from md5(id) arithmetic so the
+  * oracle can reproduce it engine-independently.
+  */
+object StreamingQueries extends QueryModule {
+
+  /** W5+W6 oracle: sessionize in MICROsecond precision (session_window's
+    * internal unit after parquet-nanos truncation), emit only sessions
+    * sealed by the final watermark (last + 30 min gap <= max - 1 h). New
+    * session when gap >= 30 min exactly: session_window's end bound is
+    * exclusive, so an event exactly at prev + gap starts a new session. */
+  private val sessionStreamSql =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS eus,
+      |    CASE WHEN lag(epoch_us(ts)) OVER uw IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER uw >= 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW uw AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), sess AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY eus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM seq
+      |), agged AS (
+      |  SELECT user_id,
+      |    MIN(eus) AS start_us, MAX(eus) AS end_us,
+      |    count(*) AS n_events,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+      |    MAX(MAX(eus)) OVER () AS gmax_us
+      |  FROM sess GROUP BY user_id, sess_id)
+      |SELECT user_id, start_us // 1000 AS session_start_ms, n_events,
+      |  purchases, sum_value
+      |FROM agged
+      |WHERE end_us + 1800000000 <= gmax_us - 3600000000
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
+  // ------------------------------------------------------------------ S12
+  /** Deterministic synthetic transaction generator: every field is md5(id)
+    * arithmetic, so replays are exact (the rate-source streaming variant
+    * shares this row function). */
+  private def syntheticTxns(spark: SparkSession, dir: String): DataFrame = {
+    val n = 10000L
+    spark.range(0, n)
+      .withColumn("h",
+        conv(substring(md5(col("id").cast("string").cast("binary")), 1, 8),
+             16, 10).cast("long"))
+      .withColumn("h2",
+        conv(substring(md5(col("id").cast("string").cast("binary")), 9, 8),
+             16, 10).cast("long"))
+      .select(
+        concat(lit("txn_"), col("id")).as("txn_id"),
+        concat(lit("card_"), pmod(col("h"), lit(50L))).as("card_id"),
+        (pmod(col("h2"), lit(1000000L)) / 100.0).as("amount"),
+        (lit(1704067200000L) + col("id") * 60000L).as("ems"),
+        (pmod(col("h") + col("h2"), lit(100L)) < 5).as("is_fraud"))
+      .orderBy(col("txn_id"))
+  }
+
+  private val syntheticTxnsSql =
+    """SELECT 'txn_' || i AS txn_id,
+      |  'card_' || (CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 50) AS card_id,
+      |  (CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 9, 8)) AS BIGINT) % 1000000) / 100.0 AS amount,
+      |  1704067200000 + i * 60000 AS ems,
+      |  (CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+      |   + CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 9, 8)) AS BIGINT)) % 100 < 5 AS is_fraud
+      |FROM range(10000) t(i)
+      |ORDER BY txn_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_aligned_window" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.alignedWindowAgg(s, d)),
+    "stream_session_window" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.sessionWindowAgg(s, d)),
+    "stream_anchored_stateful" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.anchoredStateful(s, d)),
+    "gen_synthetic_txns" -> (syntheticTxns _))
+
+  override def oracles: Map[String, String] = Map(
+    "stream_aligned_window" -> EventFeatures.alignedSlidingSql,
+    "stream_session_window" -> sessionStreamSql,
+    "stream_anchored_stateful" -> EventFeatures.anchoredCountsSql,
+    "gen_synthetic_txns" -> syntheticTxnsSql)
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Exact._
+
+/** Structured-Streaming pipelines over the events parquet, driven as REAL
+  * streaming queries (file source -> transforms -> memory sink, run to
+  * completion synchronously). These back the `stream_*` entries in
+  * SparkEntry: the same oracle SQL that checks the batch formulations
+  * checks that the streaming execution produces identical results —
+  * offline/online parity, the property the reference's feature store cares
+  * about most (feast/feature_utils.py:170-232).
+  *
+  * Streaming semantics (SURVEY.md §2.4): W1 aligned sliding windows via
+  * `window()`, W5 session windows via `session_window`, W3 per-event
+  * stateful emission via flatMapGroupsWithState, W6 watermarks. In
+  * production these run continuously against Kafka with checkpoints; the
+  * memory sink + processAllAvailable form is the test/verify harness.
+  */
+object StreamingPipelines {
+
+  private val nameCounter = new AtomicLong(0)
+  private def freshName(prefix: String): String =
+    s"${prefix}_${nameCounter.incrementAndGet()}"
+
+  /** Streaming read of the events parquet: same normalization as
+    * Tables.events (nanos -> microsecond timestamps). The file source
+    * wants a directory; stage a symlink dir under java.io.tmpdir (a real
+    * deployment points this at the landing directory / Kafka topic). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_" + Integer.toHexString(path.hashCode))
+    Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!Files.exists(link)) {
+      try Files.createSymbolicLink(link, Paths.get(path))
+      catch { case _: Exception => Files.copy(Paths.get(path), link) }
+    }
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(stage.toString)
+    (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+     else raw)
+      .withColumn("ems", unix_millis(col("ts").cast("timestamp")))
+  }
+
+  /** Runs a streaming DataFrame to completion into a memory sink and
+    * returns the sink table. */
+  def runToMemory(spark: SparkSession, out: DataFrame, mode: String): DataFrame = {
+    val name = freshName("graft_sink")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  /** W1: aligned sliding-window aggregation (6 h / 3 h) as a streaming
+    * query, complete mode (all windows emitted on completion). */
+  def alignedWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .groupBy(window(col("ts").cast("timestamp"), "6 hours", "3 hours"),
+               col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_millis(col("window.start")).as("win_start_ms"),
+              col("n_events"), col("sum_value"))
+    runToMemory(spark, agg, "complete")
+      .orderBy(col("user_id"), col("win_start_ms"))
+  }
+
+  /** W5 + W6: session windows (30 min gap) with a 1 h watermark, append
+    * mode — only sessions sealed by the final watermark are emitted,
+    * exactly the condition the oracle mirrors (last event + gap <=
+    * global max - 1 h). */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "purchase", 1).otherwise(0))
+             .as("purchases"),
+           dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n_events"), col("purchases"), col("sum_value"))
+    runToMemory(spark, agg, "append")
+      .orderBy(col("user_id"), col("session_start_ms"))
+  }
+
+  /** W3: event-anchored per-event stateful emission via
+    * flatMapGroupsWithState (StatefulFeatures.anchoredCounts) as a
+    * streaming query. Oracle = the same RANGE-frame SQL as the batch
+    * anchored query: streaming state machine == declarative window. */
+  def anchoredStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = eventStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"), col("value"))
+      .as[StatefulFeatures.EventIn]
+    val out = StatefulFeatures.anchoredCounts(in).toDF()
+    runToMemory(spark, out, "append").orderBy(col("event_id"))
+  }
+}

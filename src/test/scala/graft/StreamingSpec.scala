@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{DlqSplit, StatefulFeatures}
+import graft.streaming.StatefulFeatures.EventIn
+
+/** Streaming semantics: stateful per-event emission across micro-batches
+  * (incl. late arrival), watermark-driven late-event dropping (W6/W7
+  * fixture, FIXTURES.md §7), and the DLQ split (S5). */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("stateful anchored counts across micro-batches, including a late arrival") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[EventIn]
+    val q = StatefulFeatures.anchoredCounts(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("anchored_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: three events within 5m of each other
+      in.addData(
+        EventIn(1, 7, 1000L, 1.0),
+        EventIn(2, 7, 61000L, 2.0),
+        EventIn(3, 7, 121000L, 3.0))
+      q.processAllAvailable()
+      // batch 2: one in-order event + one LATE event (ems between 1 and 2)
+      in.addData(EventIn(4, 7, 181000L, 4.0), EventIn(5, 7, 30000L, 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("anchored_test")
+      .orderBy($"event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("cnt_5m"))).toMap
+    assert(rows(1) == 1L && rows(2) == 2L && rows(3) == 3L)
+    // in-order event 4 (ems 181000, window > -119000) sees 1,2,3, the late
+    // event 5 (sorted before it within the batch), and itself — matching
+    // the batch RANGE-frame semantics over the full event set
+    assert(rows(4) == 5L)
+    // late event anchors at its own ts: sees only event 1 (1000) + itself,
+    // NOT the newer events already in state
+    assert(rows(5) == 2L)
+  }
+
+  test("watermark drops events below the watermark (allowed-lateness mapping)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "30 seconds"), $"k")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      in.addData((t(5), "a"), (t(100), "a")) // wm after batch: 90s
+      q.processAllAvailable()
+      in.addData((t(6), "a"))                // below wm -> dropped
+      in.addData((t(101), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("wm_test")
+      .select(unix_timestamp($"window.start").as("ws"), $"n").collect()
+      .map(r => (r.getAs[Long]("ws"), r.getAs[Long]("n"))).toMap
+    // window [0,30) sealed with only the first event; late (6,"a") dropped
+    assert(emitted(0L) == 1L)
+  }
+
+  test("DLQ split routes malformed JSON to the dead-letter branch") {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val df = Seq(
+      ("""{"k": 1}""", "ok1"),
+      ("""not json at all""", "bad1"),
+      ("""{"k": 2}""", "ok2"),
+      ("""{"wrong": true}""", "empty_struct")).toDF("payload", "tag")
+    val (valid, dlq) = DlqSplit.split(df, col("payload"), schema)
+    val validTags = valid.select($"tag").as[String].collect().toSet
+    val dlqTags = dlq.select($"tag").as[String].collect().toSet
+    assert(dlqTags == Set("bad1"))
+    assert(validTags == Set("ok1", "ok2", "empty_struct"))
+    assert(dlq.columns.contains("dlq_reason") && dlq.columns.contains("dlq_payload"))
+  }
+}
