@@ -1,0 +1,150 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.store._
+import Exact._
+
+/** End-to-end feature-store queries: these drive the actual OnlineStore /
+  * HistoricalStore machinery (upsert-merge, idempotent batches, TTL,
+  * point-in-time retrieval) against a per-invocation temp store, and the
+  * final read-back is oracle-checked — so the store's MERGE/PIT semantics
+  * themselves are under the correctness gate, not just the expressions.
+  */
+object FeatureStoreQueries extends QueryModule {
+
+  /** Daily per-user feature rows (feature_timestamp = end of day,
+    * the materialization granularity of the offline store). */
+  private def dailyFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ems", epochMs(col("ts")))
+      .withColumn("day", expr("ems div 86400000"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .withColumn("feature_timestamp", (col("day") + 1) * 86400000L - 1)
+      .withColumn("computation_timestamp", col("feature_timestamp"))
+
+  private val userDailyView = FeatureView(
+    "user_daily", Seq(Registry.user), ttlMs = 24L * 3600 * 1000,
+    schema = StructType(Seq(
+      StructField("n_events", LongType), StructField("sum_value", DoubleType))))
+
+  private def tempStore(spark: SparkSession): OnlineStore =
+    new OnlineStore(spark,
+      Files.createTempDirectory("graft_store_").toString)
+
+  private val dailySqlCte =
+    """daily AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, count(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+      |    (epoch_ms(ts) // 86400000 + 1) * 86400000 - 1 AS feature_timestamp
+      |  FROM events GROUP BY user_id, day
+      |)""".stripMargin
+
+  // ------------------------------------------------------- S7/S9 roundtrip
+  /** Online-store roundtrip: materialize daily features in two upsert
+    * batches (split mid-range, second batch replayed to prove
+    * idempotence), then read the online snapshot — latest day per user
+    * must match the oracle's row_number view of the same aggregation. */
+  private def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val store = tempStore(spark)
+    val feats = dailyFeatures(spark, dir)
+    val b1 = feats.filter(col("day") < 19746L) // 2024-01-16 cutoff
+    val b2 = feats.filter(col("day") >= 19746L)
+    store.upsert(userDailyView, b1, batchId = 0L)
+    store.upsert(userDailyView, b2, batchId = 1L)
+    store.upsert(userDailyView, b2, batchId = 1L) // replay: must be a no-op
+    store.getOnlineFeatures(userDailyView,
+        feats.select(col("user_id")).distinct())
+      .select(col("user_id"), col("feature_timestamp"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val roundtripSql =
+    s"""WITH $dailySqlCte,
+       | latest AS (
+       |  SELECT user_id, feature_timestamp, n_events, sum_value,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+       |  FROM daily)
+       |SELECT user_id, feature_timestamp, n_events, sum_value
+       |FROM latest WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------- J5
+  /** get_historical_features through the store's history table: each
+    * purchase gets the latest daily feature row at-or-before its
+    * timestamp (training-set construction with no label leakage). */
+  private def pit(spark: SparkSession, dir: String): DataFrame = {
+    val store = tempStore(spark)
+    store.upsert(userDailyView, dailyFeatures(spark, dir), batchId = 0L)
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        epochMs(col("ts")).as("purchase_ts_ms"))
+    HistoricalStore.getHistoricalFeatures(
+        purchases, store.history(userDailyView), userDailyView,
+        eventTsCol = "purchase_ts_ms",
+        featureCols = Seq("n_events", "sum_value"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts_ms"),
+        col("feature_timestamp"), col("n_events"), col("sum_value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val pitSql =
+    s"""WITH $dailySqlCte,
+       | l AS (
+       |  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ts_ms
+       |  FROM events WHERE event_type = 'purchase'
+       |), j AS (
+       |  SELECT l.purchase_id, l.user_id, l.purchase_ts_ms,
+       |    d.feature_timestamp, d.n_events, d.sum_value,
+       |    row_number() OVER (PARTITION BY l.purchase_id
+       |      ORDER BY d.feature_timestamp DESC) AS rn
+       |  FROM l LEFT JOIN daily d
+       |    ON l.user_id = d.user_id AND d.feature_timestamp <= l.purchase_ts_ms)
+       |SELECT purchase_id, user_id, purchase_ts_ms, feature_timestamp,
+       |  n_events, sum_value
+       |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
+  // ------------------------------------------------------------------ TTL
+  /** TTL retention on the online table: materialize, expire against the
+    * global max event time, read back the surviving rows. */
+  private def ttl(spark: SparkSession, dir: String): DataFrame = {
+    val store = tempStore(spark)
+    val feats = dailyFeatures(spark, dir)
+    store.upsert(userDailyView, feats, batchId = 0L)
+    val gmax = Tables.events(spark, dir)
+      .agg(max(epochMs(col("ts")))).head().getLong(0)
+    store.applyTtl(userDailyView, gmax)
+    store.getOnlineFeatures(userDailyView,
+        feats.select(col("user_id")).distinct())
+      .filter(col("feature_timestamp").isNotNull)
+      .select(col("user_id"), col("feature_timestamp"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val ttlSql =
+    s"""WITH $dailySqlCte,
+       | latest AS (
+       |  SELECT user_id, feature_timestamp, n_events,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+       |  FROM daily),
+       | gmax AS (SELECT MAX(epoch_ms(ts)) AS g FROM events)
+       |SELECT user_id, feature_timestamp, n_events
+       |FROM latest, gmax
+       |WHERE rn = 1 AND feature_timestamp >= g - 86400000
+       |ORDER BY user_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_online_roundtrip" -> (roundtrip _),
+    "fs_historical_pit" -> (pit _),
+    "fs_ttl_retention" -> (ttl _))
+
+  override def oracles: Map[String, String] = Map(
+    "fs_online_roundtrip" -> roundtripSql,
+    "fs_historical_pit" -> pitSql,
+    "fs_ttl_retention" -> ttlSql)
+}
