@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, EventFeatures, EventAnalytics, DriftQuality, TextAnalysis,
-    Embeddings, StreamingQueries, FeatureStoreQueries)
+    Embeddings, StreamingQueries, FeatureStoreQueries, ServingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the end-to-end fraud pipeline (anchored features -> score -> risk
