@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{AvroCodec, Timestamps}
+import graft.pipeline.Multimodal
+import graft.model.TransactionEvent
+
+/** Sources layer: Avro roundtrip + v1->v2 schema evolution, timestamp
+  * extraction, multimodal frame sampling, typed event contracts. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("avro roundtrip and v1->v2 reader-schema evolution fills defaults") {
+    val v1 = AvroCodec.parse(AvroCodec.txnV1Json)
+    val v2 = AvroCodec.parse(AvroCodec.txnV2Json)
+    val bytes = AvroCodec.encode(v1, Map(
+      "txn_id" -> "t1", "card_id" -> "c1", "amount" -> 42.5,
+      "currency" -> "EUR", "mcc" -> "6011", "geo_country" -> "US",
+      "timestamp" -> 1704067200000L, "is_fraud" -> true))
+    // same-schema roundtrip
+    val r1 = AvroCodec.decode(v1, v1, bytes)
+    assert(r1.get("txn_id").toString == "t1" &&
+      r1.get("amount") == 42.5 && r1.get("is_fraud") == true)
+    // evolution: v1 bytes read with v2 reader -> defaults materialize
+    val r2 = AvroCodec.decode(v1, v2, bytes)
+    assert(r2.get("merchant_id") == null && r2.get("risk_score") == 0.0)
+    assert(r2.get("currency").toString == "EUR")
+  }
+
+  test("avro encode of decoded record is stable (deterministic bytes)") {
+    val v1 = AvroCodec.parse(AvroCodec.txnV1Json)
+    val fields = Map[String, Any]("txn_id" -> "t2", "card_id" -> "c2",
+      "amount" -> 1.0, "currency" -> "USD", "mcc" -> "5411",
+      "geo_country" -> null, "timestamp" -> 0L, "is_fraud" -> false)
+    val a = AvroCodec.encode(v1, fields)
+    val b = AvroCodec.encode(v1, fields)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("timestamp extraction: iso strings, unix seconds, unix millis, fallback") {
+    val df = Seq("2024-01-01 00:00:00", "1704067200", "1704067200000", "junk")
+      .toDF("raw")
+      .withColumn("ts", Timestamps.extract($"raw"))
+    val out = df.select(unix_millis($"ts")).as[Long].collect()
+    assert(out(0) == 1704067200000L)
+    assert(out(1) == 1704067200000L)
+    assert(out(2) == 1704067200000L)
+    assert(out(3) > 1704067200000L) // fell back to processing time
+  }
+
+  test("multimodal frame sampling slices payloads deterministically") {
+    val media = Multimodal.fromDocuments(spark,
+      graft.core.Tables.documents(spark, sf0001)).limit(3)
+    val frames = Multimodal.frameSample(media, frameBytes = 100, everyK = 2)
+    val byDoc = frames.groupBy($"media_id").count().collect()
+    assert(byDoc.nonEmpty)
+    // every sampled frame index is even
+    assert(frames.filter($"frame_idx" % 2 =!= 0).count() == 0)
+  }
+
+  test("transaction event model: risk domains match the reference lists") {
+    assert(TransactionEvent.highRiskMcc.contains("6011"))
+    assert(TransactionEvent.highRiskCountries.contains("RU"))
+    val e = TransactionEvent("t", "c", "u", 1.0, "USD", "5411", "d", "ip",
+      None, None, None, None, 0L, None)
+    assert(!e.is_fraud && e.risk_score == 0.0 && e.merchant_id.isEmpty)
+  }
+}
