@@ -245,24 +245,39 @@ object TextAnalysis extends QueryModule {
     * fraction; top-50 candidate pairs. spark.ml's MinHashLSH is the
     * library path; this formulation is engine-checkable cross-engine. */
   private def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = docs(spark, dir).select(
-      col("doc_id"),
-      expr("""transform(sequence(0, 7), j -> array_min(transform(
-          array_distinct(transform(sequence(1, size(toks) - 2),
+    // shingle -> md5-int once, THEN the 8 permutation hashes over the int
+    // array: md5 is the expensive part and must not run per hash function
+    val sig = docs(spark, dir)
+      .select(col("doc_id"),
+        expr("""array_distinct(transform(sequence(1, size(toks) - 2),
             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-                           element_at(toks, i + 2)))),
-          s -> ((2*j + 1) * cast(conv(substr(md5(cast(s as binary)), 1, 8), 16, 10) as bigint)
-                + 97*j + 13) % 2147483647)))""").as("mh"))
-    val bands = sig.select(col("doc_id"), col("mh"),
-      explode(expr("sequence(0, 3)")).as("b"))
-      .withColumn("band_val",
+                           element_at(toks, i + 2))))""").as("sh"))
+      .select(col("doc_id"),
+        expr("transform(sh, s -> cast(conv(substr(md5(cast(s as binary)), 1, 8), 16, 10) as bigint))")
+          .as("si"))
+      .select(col("doc_id"),
+        expr("""transform(sequence(0, 7), j -> array_min(transform(si,
+          x -> ((2*j + 1) * x + 97*j + 13) % 2147483647)))""").as("mh"))
+      // signatures are reused by both sides of the candidate self-join and
+      // by the final estimate join — materialize once, not three times
+      .persist()
+    val bands = sig.select(col("doc_id"),
+      explode(expr("sequence(0, 3)")).as("b"),
+      col("mh"))
+      .select(col("doc_id"),
         concat_ws(":", col("b"),
-          expr("element_at(mh, 2*b + 1)"), expr("element_at(mh, 2*b + 2)")))
-    val l = bands.select(col("band_val"), col("doc_id").as("doc_a"), col("mh").as("mh_a"))
-    val r = bands.select(col("band_val"), col("doc_id").as("doc_b"), col("mh").as("mh_b"))
-    l.join(r, Seq("band_val"))
+          expr("element_at(mh, 2*b + 1)"), expr("element_at(mh, 2*b + 2)"))
+          .as("band_val"))
+    // candidate pairs carry only ids through the shuffle; signatures are
+    // re-attached from the cached sig table afterwards
+    val pairs = bands.select(col("band_val"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band_val"), col("doc_id").as("doc_b")),
+        Seq("band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("mh_a"), col("mh_b")).distinct()
+      .select(col("doc_a"), col("doc_b")).distinct()
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), Seq("doc_b"))
       .withColumn("est_jaccard",
         expr("size(filter(sequence(1, 8), j -> element_at(mh_a, j) = element_at(mh_b, j)))") / 8.0)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))

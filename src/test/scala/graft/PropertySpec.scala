@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+import graft.streaming.StatefulFeatures
+import graft.streaming.StatefulFeatures.EventIn
+
+/** Property-based invariants (ScalaCheck): window-eviction correctness of
+  * the stateful op vs a naive reference, PIT-join correctness vs a naive
+  * per-row maximum, and decomposable-aggregate equivalence (tumbling
+  * partials rolled up == direct sliding windows — the partial+final
+  * aggregation pattern the 24h/1m horizon relies on at scale). */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 8): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n).withInitialSeed(42L), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val eventsGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 30)
+    ts <- Gen.listOfN(n, Gen.choose(0L, 200000L))
+    keys <- Gen.listOfN(n, Gen.choose(1L, 3L))
+  } yield ts.zip(keys)
+
+  test("stateful anchored counts equal the naive per-event window count") {
+    check(Prop.forAll(eventsGen) { evs =>
+      val in = evs.zipWithIndex.map { case ((t, k), i) =>
+        EventIn(i.toLong, k, t, 0.0) }
+      val got = StatefulFeatures.anchoredCounts(in.toDS())
+        .collect().map(r => r.event_id -> r.cnt_5m).toMap
+      in.forall { e =>
+        val naive = in.count(o => o.user_id == e.user_id &&
+          o.ems > e.ems - 300000L && o.ems <= e.ems)
+        got(e.event_id) == naive
+      }
+    })
+  }
+
+  private val pitGen: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] =
+    for {
+      ln <- Gen.choose(1, 10)
+      rn <- Gen.choose(0, 10)
+      l <- Gen.listOfN(ln, Gen.zip(Gen.choose(1L, 2L), Gen.choose(0L, 1000L)))
+      r <- Gen.listOfN(rn, Gen.zip(Gen.choose(1L, 2L), Gen.choose(0L, 1000L),
+        Gen.choose(0.0, 9.0)))
+    } yield (l, r)
+
+  test("asOfJoin equals the naive latest-at-or-before per row") {
+    check(Prop.forAll(pitGen) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("qid", "k", "qts")
+      val right = rs.zipWithIndex.map { case ((k, t, v), i) =>
+        (k, t, v, i.toLong) }.toDF("k", "rts", "rv", "rid")
+      val got = AsOfJoin.asOf(left, right, Seq("k"), "qts", "rts",
+          Seq("rts", "rv"), "rid")
+        .collect().map(r => r.getAs[Long]("qid") ->
+          (if (r.isNullAt(r.fieldIndex("rts"))) None
+           else Some(r.getAs[Long]("rts")))).toMap
+      ls.zipWithIndex.forall { case ((k, t), i) =>
+        val naive = rs.filter(r => r._1 == k && r._2 <= t)
+          .map(_._2).maxOption
+        got(i.toLong) == naive
+      }
+    })
+  }
+
+  test("tumbling 1m partials rolled up equal direct 5m sliding windows") {
+    check(Prop.forAll(eventsGen) { evs =>
+      val df = evs.map { case (t, k) => (t, k) }.toDF("ems", "k")
+        .withColumn("ts", timestamp_millis($"ems"))
+      val direct = df
+        .groupBy(window($"ts", "5 minutes", "1 minute"), $"k")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis($"window.start").as("ws"), $"k", $"n")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // partial: 1m tumbling counts; final: each 5m sliding window is the
+      // sum of its 5 member buckets
+      val partial = df
+        .groupBy(window($"ts", "1 minute"), $"k")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis($"window.start").as("bs"), $"k", $"n")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      direct.forall { case ((ws, k), n) =>
+        val rolled = (0 until 5).map(i => partial.getOrElse((ws + i * 60000L, k), 0L)).sum
+        rolled == n
+      }
+    }, n = 5)
+  }
+
+  test("watermark sequence is monotone non-decreasing") {
+    check(Prop.forAll(Gen.listOfN(20, Gen.choose(0L, 100000L))) { ts =>
+      val wms = ts.scanLeft(Long.MinValue)((wm, t) => math.max(wm, t - 5000L)).tail
+      wms.sliding(2).forall {
+        case Seq(a, b) => a <= b
+        case _ => true
+      }
+    }, n = 20)
+  }
+}
