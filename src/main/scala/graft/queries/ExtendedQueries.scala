@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.sources.AvroCodec
+import Exact._
+
+/** Remaining SURVEY.md §2 inventory items, each under the oracle gate:
+  * O7 rolling last-N gauges, J3 cross-entity features, §1.2 schema
+  * evolution (v1/v2 superset read), S3/S4 Avro encode/decode roundtrip,
+  * §2.7 validation/coalesce defaults, and additional relational breadth
+  * (HAVING, returned-revenue top-k). */
+object ExtendedQueries extends QueryModule {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("ems", epochMs(col("ts")))
+
+  // ------------------------------------------------------------------- O7
+  /** Rolling last-100-events gauges per user (the fraud-rate/accuracy ring
+    * buffer, ref streaming/core/fraud_detector.py:241-265, 419-443):
+    * ROWS-frame windows keep running partials, not buffered rows. */
+  private def rollingGauges(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ems"), col("event_id")).rowsBetween(-99, 0)
+    ev(spark, dir).select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_last100"),
+      (sum(when(col("event_type") === "error", 1).otherwise(0)).over(w) /
+        count(lit(1)).over(w)).as("error_rate_last100"),
+      max(col("value")).over(w).as("max_value_last100"))
+      .orderBy(col("event_id"))
+  }
+
+  private val rollingGaugesSql =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_last100,
+      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w
+      |    / count(*) OVER w AS error_rate_last100,
+      |  MAX(value) OVER w AS max_value_last100
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------- J3
+  /** Cross-entity (user x pseudo-device) feature view (ref
+    * feast/feature_views.py:187-205): composite-key aggregation plus the
+    * per-user device-diversity rollup. Pseudo-device = props.k mod 5. */
+  private def crossEntity(spark: SparkSession, dir: String): DataFrame = {
+    val withDev = ev(spark, dir)
+      .withColumn("device_id",
+        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(5L)))
+    val perPair = withDev.groupBy(col("user_id"), col("device_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    val perUser = Window.partitionBy(col("user_id"))
+    perPair
+      .withColumn("device_count", count(lit(1)).over(perUser))
+      .withColumn("primary_device_ratio",
+        max(col("n_events")).over(perUser) / sum(col("n_events")).over(perUser))
+      .orderBy(col("user_id"), col("device_id"))
+  }
+
+  private val crossEntitySql =
+    """WITH pairs AS (
+      |  SELECT user_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS device_id,
+      |    count(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY user_id, device_id)
+      |SELECT user_id, device_id, n_events, sum_value,
+      |  count(*) OVER (PARTITION BY user_id) AS device_count,
+      |  MAX(n_events) OVER (PARTITION BY user_id)
+      |    / SUM(n_events) OVER (PARTITION BY user_id) AS primary_device_ratio
+      |FROM pairs ORDER BY user_id, device_id""".stripMargin
+
+  // --------------------------------------------------- §1.2 schema evolution
+  /** Schema evolution: v1-shaped rows (no risk_score/payment_method) and
+    * v2-shaped rows unioned under the superset schema; nulls filled with
+    * the v2 declared defaults (risk_score 0.0 — transactions.v2.avsc),
+    * then aggregated per version. */
+  private def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val v1 = e.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lit(null).cast("double").as("risk_score"),
+        lit(null).cast("string").as("payment_method"),
+        lit("v1").as("schema_version"))
+    val v2 = e.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("value") / 1000.0).as("risk_score"),
+        when(col("event_id") % 3 === 0, "CONTACTLESS").otherwise("CARD_PRESENT")
+          .as("payment_method"),
+        lit("v2").as("schema_version"))
+    v1.unionByName(v2)
+      .withColumn("risk_score", coalesce(col("risk_score"), lit(0.0)))
+      .withColumn("payment_method",
+        coalesce(col("payment_method"), lit("CARD_PRESENT")))
+      .groupBy(col("schema_version"), col("payment_method"))
+      .agg(count(lit(1)).as("n"), dsum(col("risk_score")).as("sum_risk"))
+      .orderBy(col("schema_version"), col("payment_method"))
+  }
+
+  private val schemaEvolutionSql =
+    """WITH unioned AS (
+      |  SELECT event_id, value, CAST(NULL AS DOUBLE) AS risk_score,
+      |    CAST(NULL AS VARCHAR) AS payment_method, 'v1' AS schema_version
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT event_id, value, value / 1000.0 AS risk_score,
+      |    CASE WHEN event_id % 3 = 0 THEN 'CONTACTLESS'
+      |         ELSE 'CARD_PRESENT' END AS payment_method,
+      |    'v2' AS schema_version
+      |  FROM events WHERE event_id % 2 = 1
+      |), filled AS (
+      |  SELECT schema_version,
+      |    COALESCE(payment_method, 'CARD_PRESENT') AS payment_method,
+      |    COALESCE(risk_score, 0.0) AS risk_score
+      |  FROM unioned)
+      |SELECT schema_version, payment_method, count(*) AS n,
+      |  CAST(SUM(CAST(risk_score AS DECIMAL(25,6))) AS DOUBLE) AS sum_risk
+      |FROM filled GROUP BY schema_version, payment_method
+      |ORDER BY schema_version, payment_method""".stripMargin
+
+  // -------------------------------------------------------------- S3 / S4
+  /** Avro roundtrip under the gate: encode per partition (writer schema
+    * v1), decode with the v2 reader schema (evolution defaults), aggregate
+    * the surviving typed fields. Oracle = the same aggregation on the raw
+    * rows (roundtrip is identity + defaulted v2 fields). */
+  private def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = ev(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("ems"))
+      .as[(Long, Long, Double, Long)]
+    val decoded = rows.mapPartitions { it =>
+      // schemas parsed once per partition (Schema is not serializable-cheap)
+      val v1 = AvroCodec.parse(AvroCodec.txnV1Json)
+      val v2 = AvroCodec.parse(AvroCodec.txnV2Json)
+      it.map { case (id, uid, v, ems) =>
+        val bytes = AvroCodec.encode(v1, Map(
+          "txn_id" -> s"txn_$id", "card_id" -> s"card_$uid", "amount" -> v,
+          "currency" -> "USD", "mcc" -> "5411", "geo_country" -> null,
+          "timestamp" -> ems, "is_fraud" -> false))
+        val rec = AvroCodec.decode(v1, v2, bytes)
+        (rec.get("card_id").toString, rec.get("amount").asInstanceOf[Double],
+         rec.get("risk_score").asInstanceOf[Double],
+         bytes.length.toLong)
+      }
+    }.toDF("card_id", "amount", "risk_score", "n_bytes")
+    decoded.groupBy(col("card_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("amount")).as("sum_amount"),
+        dsum(col("risk_score")).as("sum_risk_defaulted"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .orderBy(col("card_id"))
+  }
+
+  /** Oracle reproduces the Avro binary size arithmetic: zigzag-varint
+    * length prefixes for the two strings + enum 0 (1 byte) + mcc(5) +
+    * null-union geo (1 byte) + double amount (8) + varint timestamp +
+    * boolean (1). Timestamp varint length for the data's epoch-ms range
+    * (2024, >= 2^40) is 6 bytes zigzagged -> computed from the value. */
+  private val avroRoundtripSql =
+    """WITH enc AS (
+      |  SELECT 'card_' || user_id AS card_id, value AS amount,
+      |    -- txn_id: len prefix(1) + 'txn_'+id; card_id: len prefix(1) + text
+      |    1 + length('txn_' || event_id)
+      |    + 1 + length('card_' || user_id)
+      |    + 8  -- amount double
+      |    + 1  -- currency enum index varint
+      |    + 1 + 4  -- mcc len prefix + '5411'
+      |    + 1  -- geo_country union null branch
+      |    + CAST(CEIL((FLOOR(LOG2(epoch_ms(ts) * 2 + 1)) + 1) / 7.0) AS BIGINT)
+      |    + 1  -- is_fraud
+      |    AS n_bytes
+      |  FROM events)
+      |SELECT card_id, count(*) AS n,
+      |  CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS DOUBLE) AS sum_amount,
+      |  CAST(SUM(CAST(0.0 AS DECIMAL(25,6))) AS DOUBLE) AS sum_risk_defaulted,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+      |FROM enc GROUP BY card_id ORDER BY card_id""".stripMargin
+
+  // ------------------------------------------------- §2.7 validation funcs
+  /** Validation / default handling (ref inference/features.py:423-460):
+    * NaN/Inf -> default, null -> per-feature default, clamp to bounds. */
+  private def validation(spark: SparkSession, dir: String): DataFrame = {
+    val raw = ev(spark, dir).select(
+      col("event_id"),
+      // synthesize pathological values deterministically
+      when(col("event_id") % 7 === 0, lit(Double.NaN))
+        .when(col("event_id") % 11 === 0, lit(null).cast("double"))
+        .otherwise(col("value")).as("raw_value"))
+    raw.select(
+      col("event_id"),
+      coalesce(nanvl(col("raw_value"), lit(null).cast("double")), lit(25.0))
+        .as("cleaned"),
+      least(greatest(
+        coalesce(nanvl(col("raw_value"), lit(null).cast("double")), lit(25.0)),
+        lit(0.0)), lit(500.0)).as("clamped"),
+      (isnan(col("raw_value")) || col("raw_value").isNull).as("was_invalid"))
+      .orderBy(col("event_id"))
+  }
+
+  private val validationSql =
+    """WITH raw AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN CAST('nan' AS DOUBLE)
+      |         WHEN event_id % 11 = 0 THEN CAST(NULL AS DOUBLE)
+      |         ELSE value END AS raw_value
+      |  FROM events)
+      |SELECT event_id,
+      |  COALESCE(CASE WHEN isnan(raw_value) THEN NULL ELSE raw_value END, 25.0)
+      |    AS cleaned,
+      |  LEAST(GREATEST(
+      |    COALESCE(CASE WHEN isnan(raw_value) THEN NULL ELSE raw_value END, 25.0),
+      |    0.0), 500.0) AS clamped,
+      |  (isnan(raw_value) OR raw_value IS NULL) AS was_invalid
+      |FROM raw ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------ relational extras
+  /** HAVING-style post-aggregation filter: suppliers shipping more than
+    * 400 items (group filter after agg). */
+  private def having(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("n_items") > 400)
+      .orderBy(col("l_suppkey"))
+
+  private val havingSql =
+    """SELECT l_suppkey, count(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_suppkey
+      |HAVING count(*) > 400
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** TPC-H Q10 shape: top-20 customers by returned-item revenue. */
+  private def returned(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val returnedSql =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_rolling_gauges" -> (rollingGauges _),
+    "evt_cross_entity" -> (crossEntity _),
+    "evt_schema_evolution" -> (schemaEvolution _),
+    "avro_roundtrip" -> (avroRoundtrip _),
+    "evt_validation_defaults" -> (validation _),
+    "rel_having" -> (having _),
+    "rel_q10_returned_topk" -> (returned _))
+
+  override def oracles: Map[String, String] = Map(
+    "evt_rolling_gauges" -> rollingGaugesSql,
+    "evt_cross_entity" -> crossEntitySql,
+    "evt_schema_evolution" -> schemaEvolutionSql,
+    "avro_roundtrip" -> avroRoundtripSql,
+    "evt_validation_defaults" -> validationSql,
+    "rel_having" -> havingSql,
+    "rel_q10_returned_topk" -> returnedSql)
+}
