@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted two-phase aggregation for skewed keys (SURVEY.md §4 / Phase 5:
+  * the reference's generator deliberately concentrates 40% of fraud on the
+  * top-200 cards, txgen.py:117-123 — a hot-key pattern that dies on a
+  * plain groupBy at scale because one reducer owns the hot key).
+  *
+  * Phase 1 shuffles on (key, salt) — the hot key spreads over `salts`
+  * reducers computing partial aggregates; phase 2 shuffles the tiny
+  * partial-row set on the key alone. Works for any decomposable aggregate
+  * (here: count/sum/min/max; avg = sum/count at the end).
+  *
+  * AQE's skew-join handling covers JOIN skew automatically; aggregation
+  * skew still wants the explicit salt when a single group's input is too
+  * big for one task. The salt is derived from a row hash, so replays are
+  * deterministic.
+  */
+object SkewedAggregate {
+
+  case class Agg(name: String, of: String)
+
+  /** Supported: count, sum, min, max (+ derived avg via sum/count). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
+                aggs: Seq[Agg]): DataFrame = {
+    require(salts > 0)
+    val salted = df.withColumn("_salt",
+      pmod(hash(df.columns.map(col): _*), lit(salts)))
+    val partialExprs = aggs.zipWithIndex.map { case (a, i) =>
+      val c = s"_p$i"
+      a.name match {
+        case "count" => count(lit(1)).as(c)
+        case "sum" => sum(col(a.of)).as(c)
+        case "min" => min(col(a.of)).as(c)
+        case "max" => max(col(a.of)).as(c)
+        case other => throw new IllegalArgumentException(
+          s"non-decomposable aggregate $other")
+      }
+    }
+    val partial = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(partialExprs.head, partialExprs.tail: _*)
+    val finalExprs = aggs.zipWithIndex.map { case (a, i) =>
+      val c = col(s"_p$i")
+      val out = s"${a.name}${if (a.of.nonEmpty) "_" + a.of else ""}"
+      a.name match {
+        case "count" => sum(c).as(out)
+        case "sum" => sum(c).as(out)
+        case "min" => min(c).as(out)
+        case "max" => max(c).as(out)
+      }
+    }
+    partial.groupBy(keys.map(col): _*)
+      .agg(finalExprs.head, finalExprs.tail: _*)
+  }
+}

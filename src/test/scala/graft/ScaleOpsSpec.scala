@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.operators.{ApproxOps, SkewedAggregate}
+import graft.sources.KafkaConfig
+
+/** Scale-path operators: salted aggregation equals direct aggregation,
+  * sketches stay within their error bounds, Kafka option surface. */
+class ScaleOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("salted two-phase aggregation equals direct groupBy on skewed data") {
+    // hot key: 90% of rows on one key (the reference's hot-card shape)
+    val df = (1 to 2000).map { i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toDouble)
+    }.toDF("k", "v")
+    val direct = df.groupBy($"k").agg(
+      count(lit(1)).as("count"), sum($"v").as("sum_v"),
+      min($"v").as("min_v"), max($"v").as("max_v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val salted = SkewedAggregate.saltedAgg(df, Seq("k"), salts = 8, Seq(
+      SkewedAggregate.Agg("count", ""), SkewedAggregate.Agg("sum", "v"),
+      SkewedAggregate.Agg("min", "v"), SkewedAggregate.Agg("max", "v")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(salted == direct)
+  }
+
+  test("approx distinct within rsd of exact; approx quantiles near exact") {
+    val e = Tables.events(spark, sf0001)
+    val exact = e.select(countDistinct($"event_id")).head().getLong(0)
+    val approx = e.select(ApproxOps.approxDistinct($"event_id"))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+    val Array(q) = e.select(ApproxOps.approxQuantiles($"value", Seq(0.5)))
+      .head().getSeq[Double](0).toArray
+    val exactQ = e.stat.approxQuantile("value", Array(0.5), 0.0).head
+    assert(math.abs(q - exactQ) / math.max(exactQ, 1.0) < 0.05)
+  }
+
+  test("kafka option surface mirrors the reference configuration") {
+    val src = KafkaConfig.source("b:9092", Seq("txn.events", "click.events"))
+    assert(src("subscribe") == "txn.events,click.events")
+    assert(src("startingOffsets") == "latest")
+    val snk = KafkaConfig.sink("b:9092", "features.out")
+    assert(snk("kafka.acks") == "all" && snk("kafka.linger.ms") == "10")
+    assert(KafkaConfig.dlqTopic("txn.events") == "txn.events.dlq")
+  }
+}
