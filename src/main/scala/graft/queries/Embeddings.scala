@@ -147,13 +147,64 @@ object Embeddings extends QueryModule {
       |  COUNT(DISTINCT label) AS n_labels
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------- embedding-cosine near-dup
+  /** Embedding near-duplicate detection: candidate pairs from the same LSH
+    * bucket, scored by exact cosine, ranked — the embedding-space dedup
+    * pass of a training pipeline (production would apply a threshold like
+    * cos >= 0.95; this corpus has no planted dups, max pairwise cos ~0.51,
+    * so the query reports the top candidates instead of an empty set).
+    * The bucket join bounds candidate generation (never all-pairs). */
+  private def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.embeddings(spark, dir)
+      .withColumn("bucket", expr(bucketExpr))
+      .persist()
+    val pairs = b.select(col("bucket"), col("vec_id").as("id_a"),
+        col("embedding").as("qv"))
+      .join(b.select(col("bucket"), col("vec_id").as("id_b"),
+        col("embedding")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+    pairs
+      .withColumn("cos", round(expr(cosExpr), 6))
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  private val cosineNearDupSql =
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(8), j ->
+      |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, 65), i ->
+      |             CAST(embedding[i] AS DOUBLE)
+      |               * CAST(((7*j + 3) * i + 11*j + 5) % 97 - 48 AS DOUBLE))), (acc, x) -> acc + x) > 0
+      |           THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |      (acc, x) -> acc + x) AS bucket
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS qv,
+      |         b.embedding AS ev
+      |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b,
+      |  ROUND(
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+      |      i -> CAST(qv[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE))), (acc, x) -> acc + x)
+      |    / (SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+      |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (acc, x) -> acc + x))
+      |       * SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+      |         i -> CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE))), (acc, x) -> acc + x)))
+      |  , 6) AS cos
+      |FROM pairs
+      |ORDER BY cos DESC, id_a, id_b LIMIT 50""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_knn_bruteforce" -> (knnBrute _),
     "emb_centroids" -> (centroids _),
-    "emb_lsh_buckets" -> (lshBuckets _))
+    "emb_lsh_buckets" -> (lshBuckets _),
+    "dedup_embedding_cosine" -> (cosineNearDup _))
 
   override def oracles: Map[String, String] = Map(
     "emb_knn_bruteforce" -> knnBruteSql,
     "emb_centroids" -> centroidsSql,
-    "emb_lsh_buckets" -> lshBucketsSql)
+    "emb_lsh_buckets" -> lshBucketsSql,
+    "dedup_embedding_cosine" -> cosineNearDupSql)
 }

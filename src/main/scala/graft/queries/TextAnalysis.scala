@@ -346,7 +346,32 @@ object TextAnalysis extends QueryModule {
       |    (acc, x) -> acc + x) AS simhash
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- BPE-ish tokenization
+  /** Sub-word ("BPE-ish") tokenization via greedy regex chunking: both
+    * engines chunk [a-z]{1,4} left-to-right identically. Reports sub-token
+    * counts and the subword fan-out per whitespace token. */
+  private def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))").as("n_subtokens"),
+      expr("size(array_distinct(regexp_extract_all(text, '[a-z]{1,4}', 0)))")
+        .as("n_unique_subtokens"),
+      (expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))") /
+        size(col("toks")).cast("double")).as("subtokens_per_token"))
+      .orderBy(col("doc_id"))
+
+  private val bpeTokensSql =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subtokens,
+      |  len(list_distinct(regexp_extract_all(text, '[a-z]{1,4}'))) AS n_unique_subtokens,
+      |  len(regexp_extract_all(text, '[a-z]{1,4}'))
+      |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS subtokens_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_tokens" -> (bpeTokens _),
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (quality _),
     "text_lang_id" -> (langId _),
@@ -357,6 +382,7 @@ object TextAnalysis extends QueryModule {
     "dedup_simhash" -> (simHash _))
 
   override def oracles: Map[String, String] = Map(
+    "text_bpe_tokens" -> bpeTokensSql,
     "text_token_stats" -> tokenStatsSql,
     "text_quality_score" -> qualitySql,
     "text_lang_id" -> langIdSql,

@@ -84,3 +84,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(dlq.columns.contains("dlq_reason") && dlq.columns.contains("dlq_payload"))
   }
 }
+
+/** observe()-based pipeline metrics (W7/W8) and the FIXTURES.md §7
+  * watermark fixture. */
+class ObservabilitySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.Observation
+  import org.apache.spark.sql.functions._
+
+  test("event metrics ride the query: totals, late counts, max delay") {
+    val obs = Observation()
+    // FIXTURES.md §7 fixture: ts offsets with 2s out-of-orderness bound
+    val base = 1704067200000L
+    val df = Seq(1000L, 2000L, 1500L, 3000L, 500L, 4000L)
+      .zipWithIndex.map { case (off, i) => (i.toLong, base + off) }
+      .toDF("event_id", "ems")
+    // watermark per arrival order: max seen so far - 2000
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withWm = df.withColumn("wm", max($"ems").over(w) - 2000L)
+      .filter($"wm".isNotNull)
+    val out = graft.streaming.Observability.withEventMetrics(
+      withWm, obs, $"ems", $"wm")
+    out.collect()
+    val m = obs.get
+    assert(m("n_events") == 5L)
+    assert(m("n_late").asInstanceOf[Long] >= 1L) // 500-offset event is late
+    assert(m("max_delay_ms").asInstanceOf[Long] >= 500L)
+  }
+
+  test("score metrics: alert rate at the 0.3 operating threshold") {
+    val obs = Observation()
+    val df = Seq(0.1, 0.2, 0.5, 0.9).toDF("score")
+    graft.streaming.Observability.withScoreMetrics(df, obs, $"score", 0.3)
+      .collect()
+    val m = obs.get
+    assert(m("n_scored") == 4L && m("n_alerts") == 2L)
+  }
+}
