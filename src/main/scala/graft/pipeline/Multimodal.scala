@@ -19,8 +19,8 @@ object Multimodal {
       declared_w: Int, declared_h: Int)
 
   /** Extracted features; `decoded` would be the pixel/sample tensor. */
-  case class MediaFeatures(media_id: Long, n_bytes: Int, checksum: Long,
-      n_frames: Int, mime: String)
+  case class MediaFeatures(media_id: Long, n_bytes: Long, checksum: Long,
+      n_frames: Long, mime: String)
 
   /** Deterministic stand-in for a real decoder. The marked line is where
     * an image/audio library call goes (one codec instance per partition). */
@@ -31,8 +31,8 @@ object Multimodal {
       rows.map { r =>
         // REAL DECODE STUBBED: pixels = codec.decode(r.payload)
         val checksum = r.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
-        MediaFeatures(r.media_id, r.payload.length, checksum,
-          n_frames = (r.payload.length + 255) / 256, r.mime)
+        MediaFeatures(r.media_id, r.payload.length.toLong, checksum,
+          n_frames = ((r.payload.length + 255) / 256).toLong, r.mime)
       }
     }
   }

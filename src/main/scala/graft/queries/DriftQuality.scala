@@ -238,7 +238,7 @@ object DriftQuality extends QueryModule {
       |  FROM events e JOIN q ON e.event_type = q.event_type
       |)
       |SELECT event_type, count(*) AS n,
-      |  SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS n_outliers,
+      |  CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
       |  SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) / count(*) AS outlier_rate
       |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
 

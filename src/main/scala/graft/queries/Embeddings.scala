@@ -43,7 +43,7 @@ object Embeddings extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("cos"), col("label"))

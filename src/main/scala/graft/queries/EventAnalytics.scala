@@ -160,7 +160,7 @@ object EventAnalytics extends QueryModule {
       |    CASE WHEN wm IS NOT NULL AND ems < wm THEN wm - ems ELSE 0 END AS delay_ms
       |  FROM seq)
       |SELECT event_type, count(*) AS n_events,
-      |  SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS n_late,
+      |  CAST(SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
       |  MAX(delay_ms) AS max_delay_ms,
       |  SUM(CASE WHEN is_late THEN 1 ELSE 0 END) / count(*) AS late_rate
       |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -226,7 +226,7 @@ object EventAnalytics extends QueryModule {
 
   private val topUsersSql =
     """SELECT user_id, count(*) AS n_events, MAX(value) AS max_value,
-      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
       |FROM events GROUP BY user_id
       |ORDER BY n_events DESC, user_id LIMIT 5""".stripMargin
 
@@ -255,10 +255,10 @@ object EventAnalytics extends QueryModule {
       |         event_type = 'error' AS label
       |  FROM events)
       |SELECT
-      |  SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS tp,
-      |  SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
-      |  SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS tn,
-      |  SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS fn,
+      |  CAST(SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |  CAST(SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |  CAST(SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      |  CAST(SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
       |  CASE WHEN SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END)
       |          + SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) > 0
       |    THEN SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END)

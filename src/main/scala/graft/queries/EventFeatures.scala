@@ -213,10 +213,10 @@ object EventFeatures extends QueryModule {
       |    count(*) AS events_per_session,
       |    COUNT(DISTINCT event_type) AS unique_types_session,
       |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value) AS avg_value_session,
-      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases_session,
-      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks_session,
-      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views_session,
-      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors_session
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases_session,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks_session,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views_session,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors_session
       |  FROM sess GROUP BY user_id, sess_id
       |)
       |SELECT *,
@@ -265,7 +265,7 @@ object EventFeatures extends QueryModule {
       |  FROM events
       |), per_user AS (
       |  SELECT user_id, count(*) AS n_events,
-      |    SUM(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) AS weekend_events
+      |    CAST(SUM(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS weekend_events
       |  FROM base GROUP BY user_id
       |), hour_counts AS (
       |  SELECT user_id, hour_of_day, count(*) AS cnt FROM base
@@ -315,10 +315,10 @@ object EventFeatures extends QueryModule {
       |    SUM(CASE WHEN event_type IN ('error','signup') THEN 1 ELSE 0 END) / count(*) AS risky_type_ratio,
       |    SUM(CASE WHEN value < 5.0 THEN 1 ELSE 0 END) / count(*) AS small_value_ratio,
       |    SUM(CASE WHEN value % 50.0 = 0.0 AND value >= 50.0 THEN 1 ELSE 0 END) / count(*) AS round_value_ratio,
-      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |    SUM(CASE WHEN event_type LIKE 'c%' THEN 1 ELSE 0 END) AS n_prefix_c
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |    CAST(SUM(CASE WHEN event_type LIKE 'c%' THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_c
       |  FROM events GROUP BY user_id
       |)
       |SELECT *, risky_type_ratio > 0.0 AS has_risky_types,

@@ -37,7 +37,7 @@ object StreamingQueries extends QueryModule {
       |  SELECT user_id,
       |    MIN(eus) AS start_us, MAX(eus) AS end_us,
       |    count(*) AS n_events,
-      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
       |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
       |    MAX(MAX(eus)) OVER () AS gmax_us
       |  FROM sess GROUP BY user_id, sess_id)

@@ -37,8 +37,8 @@ object TextAnalysis extends QueryModule {
     docs(spark, dir).select(
       col("doc_id"),
       col("n_chars"),
-      size(col("toks")).as("n_tokens"),
-      size(array_distinct(col("toks"))).as("n_unique_tokens"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_unique_tokens"),
       (size(array_distinct(col("toks"))) / size(col("toks")).cast("double"))
         .as("type_token_ratio"),
       (length(regexp_replace(col("text"), "\\s", "")) /
@@ -64,7 +64,7 @@ object TextAnalysis extends QueryModule {
   private def quality(spark: SparkSession, dir: String): DataFrame = {
     val sw = stopwords.map(s => s"'$s'").mkString(", ")
     docs(spark, dir)
-      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("stop_cnt",
         expr(s"size(filter(toks, t -> t in ($sw)))"))
       .withColumn("stopword_ratio", col("stop_cnt") / col("n_tokens").cast("double"))
@@ -353,10 +353,10 @@ object TextAnalysis extends QueryModule {
   private def bpeTokens(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
-      size(col("toks")).as("n_tokens"),
-      expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))").as("n_subtokens"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))").cast("long").as("n_subtokens"),
       expr("size(array_distinct(regexp_extract_all(text, '[a-z]{1,4}', 0)))")
-        .as("n_unique_subtokens"),
+        .cast("long").as("n_unique_subtokens"),
       (expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))") /
         size(col("toks")).cast("double")).as("subtokens_per_token"))
       .orderBy(col("doc_id"))
