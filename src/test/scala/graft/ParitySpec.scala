@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.store.Registry
+
+/** Ports of the reference's remaining test-file assertions (SURVEY.md §5):
+  * generator data-quality checks (test_generators.py:223-272) against our
+  * deterministic generator, and the Feast definitions-import counts
+  * (test_feast_integration.py:55-121) against the registry. */
+class ParitySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("generator data quality: domains, uniqueness, rates") {
+    val txns = SparkEntry.queries("gen_synthetic_txns")(spark, sf0001)
+    val n = txns.count()
+    assert(n == 10000L)
+    // unique ids (schema conformance / no collisions)
+    assert(txns.select($"txn_id").distinct().count() == n)
+    // card pool bounded (50 cards, reference uses a fixed card pool)
+    val cards = txns.select($"card_id").distinct().count()
+    assert(cards == 50L)
+    // amounts in range, non-negative
+    assert(txns.filter($"amount" < 0.0 || $"amount" > 10000.0).count() == 0)
+    // fraud rate ~5% (md5-uniform % 100 < 5)
+    val fraudRate = txns.filter($"is_fraud").count().toDouble / n
+    assert(fraudRate > 0.03 && fraudRate < 0.07, s"fraud rate $fraudRate")
+    // event times strictly increasing (generation order)
+    val ts = txns.orderBy($"ems").select($"ems").as[Long].collect()
+    assert(ts.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
+  }
+
+  test("registry: entity/view/service definitions match the reference counts") {
+    // feast/entities.py defines 4 entities with these join keys
+    assert(Registry.entities.map(_.joinKey).toSet ==
+      Set("card_id", "user_id", "device_id", "session_id"))
+    // feature views with the reference TTLs
+    assert(Registry.transactionFeatures.ttlMs == 24L * 3600 * 1000)
+    assert(Registry.userEngagementFeatures.ttlMs == 12L * 3600 * 1000)
+    assert(Registry.deviceRiskFeatures.ttlMs == 7L * 24 * 3600 * 1000)
+    assert(Registry.views.size == 4)
+    // services bundle the right views with SLA tags
+    assert(Registry.fraudDetectionService.views
+      .contains(Registry.transactionFeatures))
+    assert(Registry.fraudDetectionService.tags("sla_p95_ms") == "50")
+    assert(Registry.personalizationService.tags("sla_p95_ms") == "100")
+    // cross-entity view is keyed by (user, device)
+    assert(Registry.userDeviceFeatures.entities.map(_.name) ==
+      Seq("user", "device"))
+  }
+
+  test("transaction feature-row schema covers the reference's field list") {
+    import org.apache.spark.sql.Encoders
+    val cols = Encoders.product[graft.model.TransactionFeatures].schema
+      .fieldNames.toSet
+    val required = Set("txn_count_5m", "txn_count_30m", "txn_count_24h",
+      "amount_sum_5m", "amount_std_5m", "unique_countries_5m",
+      "geo_diversity_score", "velocity_score", "high_risk_txn_ratio",
+      "amount_zscore", "device_reuse_ratio", "actual_fraud",
+      "feature_timestamp", "computation_timestamp", "window_event_count")
+    assert(required.subsetOf(cols))
+  }
+}
