@@ -97,7 +97,7 @@ object EventFeatures extends QueryModule {
       .orderBy(col("event_id"))
   }
 
-  private val anchoredStatsSql =
+  private[queries] val anchoredStatsSql =
     """WITH base AS (
       |  SELECT event_id, user_id, value, epoch_ms(ts) AS ems FROM events
       |), stats AS (

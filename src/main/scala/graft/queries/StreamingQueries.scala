@@ -86,11 +86,14 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.sessionWindowAgg(s, d)),
     "stream_anchored_stateful" ->
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredStateful(s, d)),
+    "stream_anchored_stats" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.anchoredStatsStateful(s, d)),
     "gen_synthetic_txns" -> (syntheticTxns _))
 
   override def oracles: Map[String, String] = Map(
     "stream_aligned_window" -> EventFeatures.alignedSlidingSql,
     "stream_session_window" -> sessionStreamSql,
     "stream_anchored_stateful" -> EventFeatures.anchoredCountsSql,
+    "stream_anchored_stats" -> EventFeatures.anchoredStatsSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)
 }

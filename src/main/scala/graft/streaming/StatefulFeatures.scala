@@ -31,6 +31,18 @@ object StatefulFeatures {
   /** Buffer of events within the trailing 24 h, ascending by ems. */
   case class Buf(ems: Seq[Long])
 
+  /** Buffer carrying (ems, value) pairs for the full stat set. */
+  case class StatBuf(ems: Seq[Long], values: Seq[Double])
+
+  /** Full per-event anchored 24 h stats — mirrors the batch RANGE-frame
+    * formulation column for column (same oracle SQL). */
+  case class AnchoredStats(
+      event_id: Long, user_id: Long, value: Double,
+      n_24h: Long, sum_24h: Double, avg_24h: Double,
+      min_24h: Double, max_24h: Double, std_24h: Option[Double],
+      mins_since_last: Option[Double], avg_mins_between: Option[Double],
+      zscore: Double, is_outlier: Boolean)
+
   val H5M = 300000L
   val H30M = 1800000L
   val H24H = 86400000L
@@ -60,6 +72,57 @@ object StatefulFeatures {
               cnt_5m = cnt(H5M), cnt_30m = cnt(H30M), cnt_24h = cnt(H24H))
           }
           state.update(Buf(buf))
+          out.iterator
+      }
+  }
+
+  /** Per-event full stat emission (A2/A3/A6/A7/A12 in the reference's
+    * per-event mode, transaction.py:33-207). Numeric discipline matches
+    * the batch/oracle formulation exactly: values accumulate as
+    * scale-6 BigDecimals (the DECIMAL(25,6) cast is exact for this data),
+    * the variance/z-score arithmetic runs in double with the same
+    * operation order — so the streaming state machine is bit-identical to
+    * the declarative RANGE frame. */
+  def anchoredStats(ds: Dataset[EventIn]): Dataset[AnchoredStats] = {
+    implicit val outEnc = Encoders.product[AnchoredStats]
+    implicit val stateEnc = Encoders.product[StatBuf]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[EventIn], state: GroupState[StatBuf]) =>
+          var buf = state.getOption
+            .map(b => b.ems.zip(b.values).toVector).getOrElse(Vector.empty)
+          var lastEms = Option.empty[Long] // per-key previous event (rowW lag)
+          state.getOption.foreach(b => lastEms = b.ems.lastOption)
+          val out = events.toVector.sortBy(e => (e.ems, e.event_id)).map { e =>
+            val at = buf.indexWhere(_._1 > e.ems)
+            val entry = (e.ems, e.value)
+            buf = if (at < 0) buf :+ entry
+                  else (buf.take(at) :+ entry) ++ buf.drop(at)
+            buf = buf.dropWhile(_._1 <= e.ems - H24H)
+            val win = buf.filter(p => p._1 > e.ems - H24H && p._1 <= e.ems)
+            val n = win.size.toLong
+            def dec(v: Double) = BigDecimal.valueOf(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            val sx = win.map(p => dec(p._2)).sum.toDouble
+            val sxx = win.map(p => dec(p._2 * p._2)).sum.toDouble
+            val mean = sx / n
+            val variance =
+              if (n > 1) Some((sxx - sx * sx / n) / (n - 1)) else None
+            val std = variance.map(math.sqrt)
+            val z = std.filter(_ > 0).map(s => (e.value - mean) / s).getOrElse(0.0)
+            val minE = win.map(_._1).min
+            val prev = lastEms
+            lastEms = Some(math.max(e.ems, lastEms.getOrElse(Long.MinValue)))
+            AnchoredStats(e.event_id, uid, e.value,
+              n_24h = n, sum_24h = sx, avg_24h = mean,
+              min_24h = win.map(_._2).min, max_24h = win.map(_._2).max,
+              std_24h = std,
+              mins_since_last = prev.map(p => (e.ems - p) / 60000.0),
+              avg_mins_between =
+                if (n > 1) Some((e.ems - minE).toDouble / (n - 1) / 60000.0)
+                else None,
+              zscore = z, is_outlier = math.abs(z) > 2.0)
+          }
+          state.update(StatBuf(buf.map(_._1), buf.map(_._2)))
           out.iterator
       }
   }

@@ -106,4 +106,17 @@ object StreamingPipelines {
     val out = StatefulFeatures.anchoredCounts(in).toDF()
     runToMemory(spark, out, "append").orderBy(col("event_id"))
   }
+
+  /** W3 full stat set (A2/A3/A6/A7/A12 per-event): same oracle as the
+    * batch evt_anchored_stats_24h query — the streaming computation of
+    * the reference's core feature vector, bit-identical to the
+    * declarative form. */
+  def anchoredStatsStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = eventStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"), col("value"))
+      .as[StatefulFeatures.EventIn]
+    val out = StatefulFeatures.anchoredStats(in).toDF()
+    runToMemory(spark, out, "append").orderBy(col("event_id"))
+  }
 }
