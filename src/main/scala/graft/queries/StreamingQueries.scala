@@ -47,6 +47,35 @@ object StreamingQueries extends QueryModule {
       |WHERE end_us + 1800000000 <= gmax_us - 3600000000
       |ORDER BY user_id, session_start_ms""".stripMargin
 
+  /** Per-event session-step oracle: running counters within the
+    * sessionized partition (> 30 min gap starts a session, matching the
+    * stateful op's strict-> reset). */
+  private val sessionStepsSql =
+    """WITH seq AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ems,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER uw IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER uw > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW uw AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), sess AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ems, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM seq
+      |), steps AS (
+      |  SELECT event_id, user_id, ems,
+      |    count(*) OVER w AS session_events,
+      |    (ems - MIN(ems) OVER w) / 60000.0 AS session_duration_min,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS purchases_so_far,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS clicks_so_far
+      |  FROM sess
+      |  WINDOW w AS (PARTITION BY user_id, sess_id ORDER BY ems, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, ems, session_events, session_duration_min,
+      |  purchases_so_far, clicks_so_far,
+      |  purchases_so_far / GREATEST(clicks_so_far, 1) AS conversion_so_far
+      |FROM steps ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------------ S12
   /** Deterministic synthetic transaction generator: every field is md5(id)
     * arithmetic, so replays are exact (the rate-source streaming variant
@@ -88,6 +117,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredStateful(s, d)),
     "stream_anchored_stats" ->
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredStatsStateful(s, d)),
+    "stream_session_steps" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.sessionStepsStateful(s, d)),
     "gen_synthetic_txns" -> (syntheticTxns _))
 
   override def oracles: Map[String, String] = Map(
@@ -95,5 +126,6 @@ object StreamingQueries extends QueryModule {
     "stream_session_window" -> sessionStreamSql,
     "stream_anchored_stateful" -> EventFeatures.anchoredCountsSql,
     "stream_anchored_stats" -> EventFeatures.anchoredStatsSql,
+    "stream_session_steps" -> sessionStepsSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)
 }

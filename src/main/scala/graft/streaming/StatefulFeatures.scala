@@ -76,6 +76,56 @@ object StatefulFeatures {
       }
   }
 
+  case class SessEventIn(event_id: Long, user_id: Long, ems: Long,
+      event_type: String)
+
+  /** Running state of the CURRENT session only — the decomposable-state
+    * form (contrast with the buffer-carrying stats op): constant-size per
+    * key, the shape the reference's Flink MapState sessions keep
+    * (feature_job.py:207-308). */
+  case class SessState(startEms: Long, lastEms: Long, n: Long,
+      purchases: Long, clicks: Long)
+
+  case class SessionStep(event_id: Long, user_id: Long, ems: Long,
+      session_events: Long, session_duration_min: Double,
+      purchases_so_far: Long, clicks_so_far: Long, conversion_so_far: Double)
+
+  val SessionGapMs = 1800000L // 30 min inactivity gap
+
+  /** Per-event session-feature emission (the reference's clickstream
+    * per-event path, processors/clickstream.py:33-153): every event gets
+    * the running counters of its session; a >30 min gap starts a new
+    * session and resets the state. State is O(1) per key. */
+  def sessionSteps(ds: Dataset[SessEventIn]): Dataset[SessionStep] = {
+    implicit val outEnc = Encoders.product[SessionStep]
+    implicit val stateEnc = Encoders.product[SessState]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[SessEventIn], state: GroupState[SessState]) =>
+          var st = state.getOption.orNull
+          val out = events.toVector.sortBy(e => (e.ems, e.event_id)).map { e =>
+            st =
+              if (st == null || e.ems - st.lastEms > SessionGapMs)
+                SessState(e.ems, e.ems, 0L, 0L, 0L)
+              else st
+            st = st.copy(
+              lastEms = e.ems,
+              n = st.n + 1,
+              purchases = st.purchases + (if (e.event_type == "purchase") 1 else 0),
+              clicks = st.clicks + (if (e.event_type == "click") 1 else 0))
+            SessionStep(e.event_id, uid, e.ems,
+              session_events = st.n,
+              session_duration_min = (e.ems - st.startEms) / 60000.0,
+              purchases_so_far = st.purchases,
+              clicks_so_far = st.clicks,
+              conversion_so_far =
+                st.purchases.toDouble / math.max(st.clicks, 1L))
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-event full stat emission (A2/A3/A6/A7/A12 in the reference's
     * per-event mode, transaction.py:33-207). Numeric discipline matches
     * the batch/oracle formulation exactly: values accumulate as

@@ -107,6 +107,18 @@ object StreamingPipelines {
     runToMemory(spark, out, "append").orderBy(col("event_id"))
   }
 
+  /** W5 per-event session steps (the Flink MapState clickstream path):
+    * constant-size running session state per key, one output row per
+    * event. */
+  def sessionStepsStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = eventStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"), col("event_type"))
+      .as[StatefulFeatures.SessEventIn]
+    val out = StatefulFeatures.sessionSteps(in).toDF()
+    runToMemory(spark, out, "append").orderBy(col("event_id"))
+  }
+
   /** W3 full stat set (A2/A3/A6/A7/A12 per-event): same oracle as the
     * batch evt_anchored_stats_24h query — the streaming computation of
     * the reference's core feature vector, bit-identical to the
