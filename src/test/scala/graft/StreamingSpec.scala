@@ -123,3 +123,44 @@ class ObservabilitySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(m("n_scored") == 4L && m("n_alerts") == 2L)
   }
 }
+
+/** Watermarked stream-stream enrichment join (J2): bounded state, interval
+  * condition, left-outer emission after watermark passes. */
+class StreamJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("txn stream enriched with device rows within 60s lookback") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val txns = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val devs = MemoryStream[(String, java.sql.Timestamp, Boolean)]
+    val l = txns.toDF().toDF("device_id", "t_ts", "amount")
+      .withWatermark("t_ts", "10 seconds")
+    val r = devs.toDF().toDF("device_id", "d_ts", "is_proxy")
+      .withWatermark("d_ts", "10 seconds")
+    val joined = graft.streaming.StreamJoins.enrichLeft(
+      l, r, "device_id", "t_ts", "d_ts", lookbackMs = 60000L)
+      .select(col("l.device_id"), col("amount"), col("is_proxy"), col("d_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      devs.addData(("d1", ts(100), true), ("d2", ts(90), false))
+      txns.addData(("d1", ts(110), 50.0),   // d1 seen 10s before -> matches
+                   ("d3", ts(115), 70.0))   // no device info -> null row
+      q.processAllAvailable()
+      // advance both watermarks far enough to close the left-outer state
+      devs.addData(("dx", ts(400), false))
+      txns.addData(("dx", ts(400), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssjoin")
+      .filter($"amount".isin(50.0, 70.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toSet
+    assert(rows.contains(("d1", 50.0, Some(true))))
+    assert(rows.contains(("d3", 70.0, None))) // left-outer null after WM close
+  }
+}
