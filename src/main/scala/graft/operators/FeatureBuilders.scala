@@ -17,9 +17,7 @@ import graft.model.{ClickEvent, TransactionEvent}
   */
 object FeatureBuilders {
 
-  private val H5M = 300000L
-  private val H30M = 1800000L
-  private val H24H = 86400000L
+  import graft.core.Horizons.{H5M, H30M, H24H}
 
   /** Per-event TransactionFeatures (A1-A17). One output row per event,
     * windows anchored at the event's timestamp. */
@@ -84,8 +82,9 @@ object FeatureBuilders {
       (small5 / n5).as("small_amount_ratio"),
       (round5 / n5).as("round_amount_ratio"),
       zscore.as("amount_zscore"),
-      col("geo_country").isin(
-        TransactionEvent.highRiskCountries.toSeq: _*).as("is_high_risk_country"),
+      coalesce(col("geo_country").isin(
+        TransactionEvent.highRiskCountries.toSeq: _*), lit(false))
+        .as("is_high_risk_country"),
       col("ip_address").rlike("^(tor_exit_|proxy_|vpn_)").as("is_suspicious_ip"),
       (sameDevice / n5).as("device_reuse_ratio"),
       (abs(zscore) > 2.0).as("is_amount_outlier"),
@@ -119,8 +118,10 @@ object FeatureBuilders {
     val conversion = purchases / greatest(cartAdds, lit(1L))
     val abandonment = cartRemoves / greatest(cartAdds, lit(1L))
     val durationMin = (col("ems") - min(col("ems")).over(sess)) / 60000.0
-    val dwellAvgSec = (avg(col("dwell_time_ms")).over(sess) / 1000.0)
-    val scrollAvg = avg(col("scroll_depth")).over(sess)
+    // reference computes dwell/scroll means over the trailing 5m window,
+    // not the whole session (clickstream.py:79-83)
+    val dwellAvgSec = (avg(col("dwell_time_ms")).over(w5) / 1000.0)
+    val scrollAvg = avg(col("scroll_depth")).over(w5)
     val clicks5 = sum(when(col("action_type") === "CLICK", 1).otherwise(0))
       .over(w5)
     val n5 = count(lit(1)).over(w5)

@@ -31,8 +31,12 @@ object StatefulFeatures {
   /** Buffer of events within the trailing 24 h, ascending by ems. */
   case class Buf(ems: Seq[Long])
 
-  /** Buffer carrying (ems, value) pairs for the full stat set. */
-  case class StatBuf(ems: Seq[Long], values: Seq[Double])
+  /** Buffer carrying (ems, value) pairs for the full stat set, plus the
+    * newest evicted timestamp (so the lag emulation can reference an
+    * immediately-preceding event that already aged out of the 24 h
+    * window). */
+  case class StatBuf(ems: Seq[Long], values: Seq[Double],
+      evictedMax: Option[Long])
 
   /** Full per-event anchored 24 h stats — mirrors the batch RANGE-frame
     * formulation column for column (same oracle SQL). */
@@ -43,9 +47,19 @@ object StatefulFeatures {
       mins_since_last: Option[Double], avg_mins_between: Option[Double],
       zscore: Double, is_outlier: Boolean)
 
-  val H5M = 300000L
-  val H30M = 1800000L
-  val H24H = 86400000L
+  import graft.core.Horizons.{H5M, H30M, H24H, SessionGapMs}
+
+  /** Groups a sorted event batch into runs of equal timestamps: RANGE
+    * frames treat tied peers symmetrically (every tie sees every other),
+    * so all events of a run must enter the buffer BEFORE any of them is
+    * computed. (Ties that span micro-batches cannot be reconciled in
+    * append mode — the earlier row is already emitted; same-batch ties,
+    * the realistic case, are exact.) */
+  private def tieRuns[E](sorted: Vector[E])(ems: E => Long): Vector[Vector[E]] =
+    sorted.foldLeft(Vector.empty[Vector[E]]) { (acc, e) =>
+      if (acc.nonEmpty && ems(acc.last.head) == ems(e)) acc.init :+ (acc.last :+ e)
+      else acc :+ Vector(e)
+    }
 
   /** Per-event multi-horizon counts, emitted on every arrival. Events are
     * processed in (ems, event_id) order within each group/micro-batch;
@@ -58,18 +72,23 @@ object StatefulFeatures {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, events: Iterator[EventIn], state: GroupState[Buf]) =>
           var buf = state.getOption.map(_.ems.toVector).getOrElse(Vector.empty)
-          val out = events.toVector.sortBy(e => (e.ems, e.event_id)).map { e =>
-            // insert (keeps order even for cross-batch late arrivals)
-            val at = buf.indexWhere(_ > e.ems)
-            buf = if (at < 0) buf :+ e.ems
-                  else (buf.take(at) :+ e.ems) ++ buf.drop(at)
-            buf = buf.dropWhile(_ <= e.ems - H24H) // evict beyond 24 h
-            // upper bound <= e.ems matters for late arrivals: the buffer may
-            // already hold newer events, which the event-anchored window of
-            // a late event must not see (RANGE-frame parity)
-            def cnt(h: Long) = buf.count(t => t > e.ems - h && t <= e.ems)
-            AnchoredCounts(e.event_id, uid, e.ems,
-              cnt_5m = cnt(H5M), cnt_30m = cnt(H30M), cnt_24h = cnt(H24H))
+          val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
+          val out = tieRuns(sorted)(_.ems).flatMap { run =>
+            run.foreach { e =>
+              // insert (keeps order even for cross-batch late arrivals)
+              val at = buf.indexWhere(_ > e.ems)
+              buf = if (at < 0) buf :+ e.ems
+                    else (buf.take(at) :+ e.ems) ++ buf.drop(at)
+            }
+            buf = buf.dropWhile(_ <= run.head.ems - H24H) // evict beyond 24 h
+            run.map { e =>
+              // upper bound <= e.ems matters for late arrivals: the buffer
+              // may already hold newer events, which the event-anchored
+              // window of a late event must not see (RANGE-frame parity)
+              def cnt(h: Long) = buf.count(t => t > e.ems - h && t <= e.ems)
+              AnchoredCounts(e.event_id, uid, e.ems,
+                cnt_5m = cnt(H5M), cnt_30m = cnt(H30M), cnt_24h = cnt(H24H))
+            }
           }
           state.update(Buf(buf))
           out.iterator
@@ -89,8 +108,6 @@ object StatefulFeatures {
   case class SessionStep(event_id: Long, user_id: Long, ems: Long,
       session_events: Long, session_duration_min: Double,
       purchases_so_far: Long, clicks_so_far: Long, conversion_so_far: Double)
-
-  val SessionGapMs = 1800000L // 30 min inactivity gap
 
   /** Per-event session-feature emission (the reference's clickstream
     * per-event path, processors/clickstream.py:33-153): every event gets
@@ -141,38 +158,56 @@ object StatefulFeatures {
         (uid: Long, events: Iterator[EventIn], state: GroupState[StatBuf]) =>
           var buf = state.getOption
             .map(b => b.ems.zip(b.values).toVector).getOrElse(Vector.empty)
-          var lastEms = Option.empty[Long] // per-key previous event (rowW lag)
-          state.getOption.foreach(b => lastEms = b.ems.lastOption)
-          val out = events.toVector.sortBy(e => (e.ems, e.event_id)).map { e =>
-            val at = buf.indexWhere(_._1 > e.ems)
-            val entry = (e.ems, e.value)
-            buf = if (at < 0) buf :+ entry
-                  else (buf.take(at) :+ entry) ++ buf.drop(at)
-            buf = buf.dropWhile(_._1 <= e.ems - H24H)
-            val win = buf.filter(p => p._1 > e.ems - H24H && p._1 <= e.ems)
-            val n = win.size.toLong
-            def dec(v: Double) = BigDecimal.valueOf(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-            val sx = win.map(p => dec(p._2)).sum.toDouble
-            val sxx = win.map(p => dec(p._2 * p._2)).sum.toDouble
-            val mean = sx / n
-            val variance =
-              if (n > 1) Some((sxx - sx * sx / n) / (n - 1)) else None
-            val std = variance.map(math.sqrt)
-            val z = std.filter(_ > 0).map(s => (e.value - mean) / s).getOrElse(0.0)
-            val minE = win.map(_._1).min
-            val prev = lastEms
-            lastEms = Some(math.max(e.ems, lastEms.getOrElse(Long.MinValue)))
-            AnchoredStats(e.event_id, uid, e.value,
-              n_24h = n, sum_24h = sx, avg_24h = mean,
-              min_24h = win.map(_._2).min, max_24h = win.map(_._2).max,
-              std_24h = std,
-              mins_since_last = prev.map(p => (e.ems - p) / 60000.0),
-              avg_mins_between =
-                if (n > 1) Some((e.ems - minE).toDouble / (n - 1) / 60000.0)
-                else None,
-              zscore = z, is_outlier = math.abs(z) > 2.0)
+          var evictedMax = state.getOption.flatMap(_.evictedMax)
+          val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
+          val out = tieRuns(sorted)(_.ems).flatMap { run =>
+            // lag (rowW order) for the run's FIRST event: the greatest
+            // earlier timestamp — in the buffer if still inside 24 h,
+            // otherwise the newest evicted one (handles >24 h gaps AND
+            // cross-batch late arrivals, where plain "last seen" would go
+            // negative)
+            val beforeRun = buf.filter(_._1 < run.head.ems).lastOption.map(_._1)
+              .orElse(evictedMax.filter(_ < run.head.ems))
+            run.foreach { e =>
+              val at = buf.indexWhere(_._1 > e.ems)
+              val entry = (e.ems, e.value)
+              buf = if (at < 0) buf :+ entry
+                    else (buf.take(at) :+ entry) ++ buf.drop(at)
+            }
+            val (dropped, kept) = buf.span(_._1 <= run.head.ems - H24H)
+            if (dropped.nonEmpty)
+              evictedMax = Some(math.max(dropped.last._1,
+                evictedMax.getOrElse(Long.MinValue)))
+            buf = kept
+            run.zipWithIndex.map { case (e, k) =>
+              val win = buf.filter(p => p._1 > e.ems - H24H && p._1 <= e.ems)
+              val n = win.size.toLong
+              def dec(v: Double) =
+                BigDecimal.valueOf(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              val sx = win.map(p => dec(p._2)).sum.toDouble
+              val sxx = win.map(p => dec(p._2 * p._2)).sum.toDouble
+              val mean = sx / n
+              val variance =
+                if (n > 1) Some((sxx - sx * sx / n) / (n - 1)) else None
+              val std = variance.map(math.sqrt)
+              val z = std.filter(_ > 0).map(s => (e.value - mean) / s)
+                .getOrElse(0.0)
+              val minE = win.map(_._1).min
+              // lag: tie-mates after the first see their predecessor's ems
+              // (zero minutes), matching LAG over (ems, event_id)
+              val prev = if (k > 0) Some(e.ems) else beforeRun
+              AnchoredStats(e.event_id, uid, e.value,
+                n_24h = n, sum_24h = sx, avg_24h = mean,
+                min_24h = win.map(_._2).min, max_24h = win.map(_._2).max,
+                std_24h = std,
+                mins_since_last = prev.map(p => (e.ems - p) / 60000.0),
+                avg_mins_between =
+                  if (n > 1) Some((e.ems - minE).toDouble / (n - 1) / 60000.0)
+                  else None,
+                zscore = z, is_outlier = math.abs(z) > 2.0)
+            }
           }
-          state.update(StatBuf(buf.map(_._1), buf.map(_._2)))
+          state.update(StatBuf(buf.map(_._1), buf.map(_._2), evictedMax))
           out.iterator
       }
   }

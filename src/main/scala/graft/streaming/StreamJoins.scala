@@ -4,11 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Stream-stream enrichment join (SURVEY.md J2; the designed-but-unbuilt
-  * device-enrichment join of docs/DesignDoc.md:81): left events enriched
-  * with the latest-known right-side row within a trailing time window,
-  * both sides watermarked so the join state is bounded — Spark evicts
-  * right-side rows once the watermark passes the interval, which is the
-  * "state TTL" the reference design asks for.
+  * device-enrichment join of docs/DesignDoc.md:81): INTERVAL-join
+  * semantics — each left event pairs with EVERY right row inside the
+  * trailing window (one output row per qualifying match; a device that
+  * updated three times in the window yields three enriched rows). Reduce
+  * to latest-wins downstream when a single enrichment is wanted
+  * (max_by/row_number on the right timestamp). Both sides are
+  * watermarked, so Spark evicts right-side state once the watermark
+  * passes the interval — the "state TTL" the reference design asks for.
   */
 object StreamJoins {
 
@@ -23,7 +26,7 @@ object StreamJoins {
     val r = right.alias("r")
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
-        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL ${lookbackMs / 1000} SECONDS") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookbackMs MILLISECONDS") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs"),
       "leftOuter")
   }

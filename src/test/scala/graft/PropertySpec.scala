@@ -22,9 +22,11 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // coarse timestamp grid (x20000) so tied timestamps are common — RANGE
+  // frames treat tie peers symmetrically and the stateful op must agree
   private val eventsGen: Gen[List[(Long, Long)]] = for {
     n <- Gen.choose(1, 30)
-    ts <- Gen.listOfN(n, Gen.choose(0L, 200000L))
+    ts <- Gen.listOfN(n, Gen.choose(0L, 40L).map(_ * 20000L))
     keys <- Gen.listOfN(n, Gen.choose(1L, 3L))
   } yield ts.zip(keys)
 

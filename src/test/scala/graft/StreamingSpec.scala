@@ -164,3 +164,45 @@ class StreamJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows.contains(("d3", 70.0, None))) // left-outer null after WM close
   }
 }
+
+/** Tie-peer and lag semantics of the full stateful stat op vs the
+  * RANGE-frame/LAG batch formulation. */
+class StatefulStatsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.streaming.StatefulFeatures
+  import graft.streaming.StatefulFeatures.EventIn
+
+  test("tied timestamps: both peers see each other (RANGE-frame parity)") {
+    val in = Seq(
+      EventIn(1, 7, 1000L, 10.0),
+      EventIn(2, 7, 5000L, 20.0), // tie pair at 5000
+      EventIn(3, 7, 5000L, 30.0))
+    val rows = StatefulFeatures.anchoredStats(in.toDS())
+      .collect().map(r => r.event_id -> r).toMap
+    assert(rows(2).n_24h == 3 && rows(3).n_24h == 3) // peers symmetric
+    assert(rows(2).sum_24h == 60.0 && rows(3).sum_24h == 60.0)
+    // lag: first tie sees the 1000 event; second tie sees its tie-mate
+    assert(rows(2).mins_since_last.contains(4000 / 60000.0))
+    assert(rows(3).mins_since_last.contains(0.0))
+  }
+
+  test("late arrival gets a positive lag from the buffer, not max-seen") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[EventIn]
+    val q = StatefulFeatures.anchoredStats(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("stats_late")
+      .outputMode("append").start()
+    try {
+      in.addData(EventIn(1, 7, 1000L, 1.0), EventIn(2, 7, 200000L, 2.0))
+      q.processAllAvailable()
+      in.addData(EventIn(3, 7, 1500L, 3.0)) // late: between 1 and 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val late = spark.table("stats_late").filter($"event_id" === 3).head()
+    // predecessor by event time is event 1 (ems 1000), not the max-seen
+    assert(late.getAs[Double]("mins_since_last") == 500 / 60000.0)
+    assert(late.getAs[Long]("n_24h") == 2) // events 1 and 3 (not 2)
+  }
+}
