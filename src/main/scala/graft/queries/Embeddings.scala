@@ -196,15 +196,108 @@ object Embeddings extends QueryModule {
       |FROM pairs
       |ORDER BY cos DESC, id_a, id_b LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------- ANN recall metric
+  /** Approximate-NN quality gate: top-10 within the query's LSH bucket vs
+    * exact brute-force top-10, recall@10 per query. This is how the scale
+    * path is tuned (more hyperplanes / multi-probe until recall clears the
+    * product bar) — the measurement itself is part of the engine. */
+  private def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", expr(bucketExpr)).persist()
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("q_bucket"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(expr(cosExpr), 6))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val brute = scored.withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val inBucket = scored.filter(col("bucket") === col("q_bucket"))
+    val lsh = inBucket.withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val hits = brute.join(lsh, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val cand = inBucket.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    q.select(col("query_id"))
+      .join(cand, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"))
+      .orderBy(col("query_id"))
+  }
+
+  private val annRecallSql = {
+    val cosFrag =
+      """ROUND(
+        |      list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)
+        |      / (SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (acc, x) -> acc + x))
+        |         * SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (acc, x) -> acc + x)))
+        |    , 6)""".stripMargin
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(8), j ->
+       |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, 65), i ->
+       |             CAST(embedding[i] AS DOUBLE)
+       |               * CAST(((7*j + 3) * i + 11*j + 5) % 97 - 48 AS DOUBLE))), (acc, x) -> acc + x) > 0
+       |           THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |      (acc, x) -> acc + x) AS bucket
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, bucket AS q_bucket
+       |  FROM b WHERE vec_id < 20
+       |), scored AS (
+       |  SELECT q.query_id, q.q_bucket, e.vec_id, e.bucket,
+       |    $cosFrag AS cos
+       |  FROM b e CROSS JOIN q WHERE e.vec_id <> q.query_id
+       |), brute AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= 10
+       |), lsh AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |    FROM scored WHERE bucket = q_bucket) WHERE rn <= 10
+       |), hits AS (
+       |  SELECT b.query_id, count(*) AS n_hits
+       |  FROM brute b JOIN lsh l ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+       |  GROUP BY b.query_id
+       |), cand AS (
+       |  SELECT query_id, count(*) AS n_candidates FROM scored
+       |  WHERE bucket = q_bucket GROUP BY query_id
+       |)
+       |SELECT q.query_id,
+       |  COALESCE(c.n_candidates, 0) AS n_candidates,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) / 10.0 AS recall_at_10
+       |FROM q LEFT JOIN cand c ON q.query_id = c.query_id
+       |LEFT JOIN hits h ON q.query_id = h.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_knn_bruteforce" -> (knnBrute _),
     "emb_centroids" -> (centroids _),
     "emb_lsh_buckets" -> (lshBuckets _),
-    "dedup_embedding_cosine" -> (cosineNearDup _))
+    "dedup_embedding_cosine" -> (cosineNearDup _),
+    "emb_ann_recall" -> (annRecall _))
 
   override def oracles: Map[String, String] = Map(
     "emb_knn_bruteforce" -> knnBruteSql,
     "emb_centroids" -> centroidsSql,
     "emb_lsh_buckets" -> lshBucketsSql,
-    "dedup_embedding_cosine" -> cosineNearDupSql)
+    "dedup_embedding_cosine" -> cosineNearDupSql,
+    "emb_ann_recall" -> annRecallSql)
 }
