@@ -77,7 +77,9 @@ object EventFeatures extends QueryModule {
     val sxx = sum((col("value") * col("value")).cast(DecimalType(25, 6)))
       .over(w).cast("double")
     val mean = sx / n
-    val variance = when(n > 1, (sxx - sx * sx / n) / (n - 1))
+    // clamp: catastrophic cancellation can push a ~0 variance a few ulps
+    // negative; sqrt would be NaN in Spark and an ERROR in DuckDB
+    val variance = when(n > 1, greatest((sxx - sx * sx / n) / (n - 1), lit(0.0)))
     val std = sqrt(variance)
     val zscore = when(std > 0, (col("value") - mean) / std).otherwise(lit(0.0))
     ev(spark, dir).select(
@@ -115,13 +117,13 @@ object EventFeatures extends QueryModule {
       |)
       |SELECT event_id, user_id, value, n AS n_24h, sx AS sum_24h,
       |  sx / n AS avg_24h, min_24h, max_24h,
-      |  CASE WHEN n > 1 THEN SQRT((sxx - sx*sx/n) / (n-1)) END AS std_24h,
+      |  CASE WHEN n > 1 THEN SQRT(GREATEST((sxx - sx*sx/n) / (n-1), 0.0)) END AS std_24h,
       |  (ems - prev_ems) / 60000.0 AS mins_since_last,
       |  CASE WHEN n > 1 THEN (ems - min_ems) / (n-1) / 60000.0 END AS avg_mins_between,
-      |  CASE WHEN n > 1 AND SQRT((sxx - sx*sx/n) / (n-1)) > 0
-      |       THEN (value - sx/n) / SQRT((sxx - sx*sx/n) / (n-1)) ELSE 0.0 END AS zscore,
-      |  ABS(CASE WHEN n > 1 AND SQRT((sxx - sx*sx/n) / (n-1)) > 0
-      |       THEN (value - sx/n) / SQRT((sxx - sx*sx/n) / (n-1)) ELSE 0.0 END) > 2.0 AS is_outlier
+      |  CASE WHEN n > 1 AND SQRT(GREATEST((sxx - sx*sx/n) / (n-1), 0.0)) > 0
+      |       THEN (value - sx/n) / SQRT(GREATEST((sxx - sx*sx/n) / (n-1), 0.0)) ELSE 0.0 END AS zscore,
+      |  ABS(CASE WHEN n > 1 AND SQRT(GREATEST((sxx - sx*sx/n) / (n-1), 0.0)) > 0
+      |       THEN (value - sx/n) / SQRT(GREATEST((sxx - sx*sx/n) / (n-1), 0.0)) ELSE 0.0 END) > 2.0 AS is_outlier
       |FROM stats ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------------ W1

@@ -187,8 +187,11 @@ object StatefulFeatures {
               val sx = win.map(p => dec(p._2)).sum.toDouble
               val sxx = win.map(p => dec(p._2 * p._2)).sum.toDouble
               val mean = sx / n
+              // same clamp as the batch/oracle form: ~0 variance can go a
+              // few ulps negative under cancellation
               val variance =
-                if (n > 1) Some((sxx - sx * sx / n) / (n - 1)) else None
+                if (n > 1) Some(math.max((sxx - sx * sx / n) / (n - 1), 0.0))
+                else None
               val std = variance.map(math.sqrt)
               val z = std.filter(_ > 0).map(s => (e.value - mean) / s)
                 .getOrElse(0.0)
