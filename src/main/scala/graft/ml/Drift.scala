@@ -48,7 +48,10 @@ object Drift {
   def ksStatistic(df: DataFrame, valueCol: String, isRefCol: String): Double = {
     import df.sparkSession.implicits._
     val agg = new KsAggregator().toColumn
+    // null samples carry no distributional information; dropping them also
+    // keeps the primitive tuple encoder from throwing on nullable features
     df.select(col(valueCol).cast("double"), col(isRefCol).cast("boolean"))
+      .na.drop()
       .as[(Double, Boolean)]
       .select(agg).head()
   }

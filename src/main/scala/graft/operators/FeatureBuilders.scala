@@ -46,7 +46,8 @@ object FeatureBuilders {
     val small5 = sum(when(col("amount") < 5.0, 1).otherwise(0)).over(w5)
     val round5 = sum(when(pmod(col("amount"), lit(50.0)) === 0.0 &&
       col("amount") >= 50.0, 1).otherwise(0)).over(w5)
-    val zscore = when(std5 > 0, (col("amount") - avg5) / std5).otherwise(0.0)
+    // reference emits ABSOLUTE deviation (transaction.py:122-125)
+    val zscore = when(std5 > 0, abs(col("amount") - avg5) / std5).otherwise(0.0)
     val sameDevice = sum(lit(1)).over(
       Window.partitionBy(col("card_id"), col("device_id")).orderBy(col("ems"))
         .rangeBetween(-(H5M - 1), 0))
@@ -86,8 +87,9 @@ object FeatureBuilders {
         TransactionEvent.highRiskCountries.toSeq: _*), lit(false))
         .as("is_high_risk_country"),
       col("ip_address").rlike("^(tor_exit_|proxy_|vpn_)").as("is_suspicious_ip"),
-      (sameDevice / n5).as("device_reuse_ratio"),
-      (abs(zscore) > 2.0).as("is_amount_outlier"),
+      // reference: 0 (not 1.0) for a single-event window (transaction.py:136-139)
+      when(n5 > 1, sameDevice / n5).otherwise(0.0).as("device_reuse_ratio"),
+      (zscore > 2.0).as("is_amount_outlier"),
       ((small5 / n5) > 0.2).as("has_small_amounts"),
       ((round5 / n5) > 0.3).as("has_round_amounts"),
       col("is_fraud").as("actual_fraud"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Salted two-phase aggregation for skewed keys (SURVEY.md §4 / Phase 5:
   * the reference's generator deliberately concentrates 40% of fraud on the
@@ -32,6 +33,10 @@ object SkewedAggregate {
       val c = s"_p$i"
       a.name match {
         case "count" => count(lit(1)).as(c)
+        case "sum" if df.schema(a.of).dataType == DoubleType =>
+          // decimal accumulation: a two-phase double sum would depend on
+          // the salt-induced addition order (CLAUDE.md numeric discipline)
+          sum(col(a.of).cast(DecimalType(25, 6))).as(c)
         case "sum" => sum(col(a.of)).as(c)
         case "min" => min(col(a.of)).as(c)
         case "max" => max(col(a.of)).as(c)
@@ -46,6 +51,8 @@ object SkewedAggregate {
       val out = s"${a.name}${if (a.of.nonEmpty) "_" + a.of else ""}"
       a.name match {
         case "count" => sum(c).as(out)
+        case "sum" if df.schema(a.of).dataType == DoubleType =>
+          sum(c).cast("double").as(out)
         case "sum" => sum(c).as(out)
         case "min" => min(c).as(out)
         case "max" => max(c).as(out)

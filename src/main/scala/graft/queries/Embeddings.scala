@@ -155,6 +155,8 @@ object Embeddings extends QueryModule {
     * so the query reports the top candidates instead of an empty set).
     * The bucket join bounds candidate generation (never all-pairs). */
   private def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // session-lifetime cache, deliberate: both join sides + the estimate
+    // need the bucketed table, and at most a few thousand rows are pinned
     val b = Tables.embeddings(spark, dir)
       .withColumn("bucket", expr(bucketExpr))
       .persist()

@@ -58,11 +58,16 @@ object Scoring {
     * failing the batch. */
   def scoreFraudBatch(requests: DataFrame, features: DataFrame,
                       model: PipelineModel, keys: Seq[String]): DataFrame = {
+    // the reference REJECTS oversized batches (app.py:485-486) rather than
+    // silently truncating; limit() would also drop a nondeterministic subset
+    val nReq = requests.count()
+    require(nReq <= MaxBatch, s"batch of $nReq exceeds $MaxBatch requests")
     val featureCols = features.columns.filterNot(keys.contains).toSeq
-    val joined = requests.limit(MaxBatch).join(features, keys, "left")
-      // capture missing-ness BEFORE default-filling: per-item error flag
-      .withColumn("_has_features",
-        featureCols.map(col(_).isNotNull).reduce(_ && _))
+    // lookup success = a feature ROW exists, independent of legitimately
+    // null feature values (e.g. time_since_last on a first transaction)
+    val joined = requests
+      .join(features.withColumn("_has_features", lit(true)), keys, "left")
+      .withColumn("_has_features", coalesce(col("_has_features"), lit(false)))
     val scored = model.transform(joined.na.fill(0.0, featureCols))
       .withColumn("score", vectorElement(col("probability"), 1))
     val interpreted = interpretFraud(col("score"))

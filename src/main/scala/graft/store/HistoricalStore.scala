@@ -46,6 +46,9 @@ object HistoricalStore {
       .withColumnRenamed(view.timestampField, "_pit_matched_ts")
       .withColumnRenamed("_query_ts", view.timestampField)
     online.join(pit, keys :+ view.timestampField)
-      .filter(abs(col(featureCol) - col(s"${featureCol}_pit")) > tolerance)
+      // a missing historical match (null pit value) is itself a violation:
+      // abs(x - null) is null and a bare > filter would silently pass it
+      .filter(col(s"${featureCol}_pit").isNull ||
+        abs(col(featureCol) - col(s"${featureCol}_pit")) > tolerance)
   }
 }

@@ -49,8 +49,7 @@ class StoreSpec extends AnyFunSuite {
     val store = newStore()
     store.upsert(view, rows((1L, 100L, 1.0), (1L, 200L, 2.0)), 0L)
     val ok = HistoricalStore.validateConsistency(
-      spark.read.parquet(s"${storeRoot(store)}/online/${view.name}"),
-      store.history(view), view, "v")
+      store.online(view), store.history(view), view, "v")
     assert(ok.count() == 0L)
     // corrupt the online value -> violation surfaces
     val bad = store.history(view).filter($"feature_timestamp" === 200L)
@@ -58,12 +57,27 @@ class StoreSpec extends AnyFunSuite {
     val viol = HistoricalStore.validateConsistency(
       bad, store.history(view), view, "v")
     assert(viol.count() == 1L)
+    // online row with NO historical match at its timestamp is a violation,
+    // not a silent pass
+    val orphan = rows((9L, 50L, 7.0))
+    val viol2 = HistoricalStore.validateConsistency(
+      orphan, store.history(view), view, "v")
+    assert(viol2.count() == 1L)
   }
 
-  private def storeRoot(s: OnlineStore): String = {
-    val f = s.getClass.getDeclaredField("root")
-    f.setAccessible(true)
-    f.get(s).asInstanceOf[String]
+  test("service-level read joins multiple views without column collisions") {
+    val store = newStore()
+    val view2 = FeatureView("spec_view2", Seq(Registry.user), ttlMs = 1000L,
+      schema = view.schema)
+    store.upsert(view, rows((1L, 100L, 1.0)), 0L)
+    store.upsert(view2, rows((1L, 100L, 2.0))
+      .withColumnRenamed("v", "w"), 0L)
+    val svc = FeatureService("svc", Seq(view, view2))
+    val out = store.getOnlineFeatures(svc, Seq(1L).toDF("user_id"))
+    assert(out.columns.count(_.contains("feature_timestamp")) == 2)
+    assert(out.columns.distinct.length == out.columns.length)
+    val row = out.head()
+    assert(row.getAs[Double]("v") == 1.0 && row.getAs[Double]("w") == 2.0)
   }
 
   test("streaming foreachBatch sink upserts micro-batches into the store") {
