@@ -23,8 +23,14 @@ object SparkEntry {
     queries("evt_fraud_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_.queries)
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    // toMap would silently last-win, potentially pairing one module's
+    // query with another module's oracle
+    require(dups.isEmpty, s"duplicate query names across modules: $dups")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

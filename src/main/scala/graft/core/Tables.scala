@@ -25,13 +25,17 @@ object Tables {
 
   /** The events table carries TIMESTAMP(NANOS) parquet, which Spark rejects
     * by default; read nanos as long and truncate to a microsecond
-    * TimestampType (NTZ-free), the same instant DuckDB's epoch_ms sees. */
-  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, sfDir, "events")
+    * TimestampType (NTZ-free), the same instant DuckDB's epoch_ms sees.
+    * Shared by the batch and streaming read paths so the normalization can
+    * never diverge between twins that share an oracle. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
+
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(load(spark, sfDir, "events"))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -16,7 +16,9 @@ object Timestamps {
     * instead of raising. */
   def extract(c: Column): Column = {
     val s = c.cast("string")
-    val isNum = s.rlike("^\\d+(\\.\\d+)?$")
+    // <=14 integer digits: beyond that the long/timestamp casts would
+    // overflow under ANSI instead of falling through
+    val isNum = s.rlike("^\\d{1,14}(\\.\\d+)?$")
     val asNum = when(isNum, s).cast("double")
     coalesce(
       // numeric epoch (seconds or millis)

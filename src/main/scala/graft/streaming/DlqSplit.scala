@@ -30,7 +30,9 @@ object DlqSplit {
     val schemaC = schema.add(corrupt, org.apache.spark.sql.types.StringType)
     val parsed = df.withColumn(parsedCol,
       from_json(payload, schemaC, Map("columnNameOfCorruptRecord" -> corrupt)))
-    val isBad = col(s"$parsedCol.$corrupt").isNotNull
+    // a NULL payload parses to a null struct (no corrupt record), but it is
+    // still undecodable input -> dead-letter, not a phantom all-null event
+    val isBad = payload.isNull || col(s"$parsedCol.$corrupt").isNotNull
     val valid = parsed.filter(!isBad)
       .withColumn(parsedCol, col(parsedCol).dropFields(corrupt))
     val dlq = parsed.filter(isBad)

@@ -19,6 +19,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * per horizon (strictly smaller state); the buffer form is chosen because
   * it also serves the non-decomposable per-event features (z-score vs the
   * anchored window, A12/A13) and stays bounded by events-per-key-per-24 h.
+  *
+  * Bounded-state limits (inherent, not bugs — production runs bound
+  * lateness with a watermark BEFORE these ops, so none of these cases
+  * reach them):
+  *  - an event arriving later than 24 h behind the key's frontier finds
+  *    its older window-mates already evicted (undercounted window);
+  *  - a timestamp tie split across micro-batches cannot be reconciled
+  *    (the earlier row is already emitted);
+  *  - sessionSteps assigns a cross-batch late event to the current
+  *    session (the oracle's global sort would place it earlier).
+  * Keys are never dropped (GroupStateTimeout.NoTimeout) because the
+  * verify harness runs without watermarks; a continuous deployment adds
+  * `withWatermark` + EventTimeTimeout so idle keys age out of the store.
   */
 object StatefulFeatures {
 

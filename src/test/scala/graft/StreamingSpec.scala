@@ -75,11 +75,12 @@ class StreamingSpec extends AnyFunSuite {
       ("""{"k": 1}""", "ok1"),
       ("""not json at all""", "bad1"),
       ("""{"k": 2}""", "ok2"),
+      (null: String, "null_payload"),
       ("""{"wrong": true}""", "empty_struct")).toDF("payload", "tag")
     val (valid, dlq) = DlqSplit.split(df, col("payload"), schema)
     val validTags = valid.select($"tag").as[String].collect().toSet
     val dlqTags = dlq.select($"tag").as[String].collect().toSet
-    assert(dlqTags == Set("bad1"))
+    assert(dlqTags == Set("bad1", "null_payload"))
     assert(validTags == Set("ok1", "ok2", "empty_struct"))
     assert(dlq.columns.contains("dlq_reason") && dlq.columns.contains("dlq_payload"))
   }
