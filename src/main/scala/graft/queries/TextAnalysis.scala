@@ -323,16 +323,59 @@ object TextAnalysis extends QueryModule {
   // -------------------------------------------------------------- SimHash
   /** 32-bit SimHash per document over md5-derived token hashes: majority
     * vote per bit position. Near-dup docs differ in few bits (Hamming). */
-  private def simHash(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
-      col("doc_id"),
-      expr("""aggregate(transform(sequence(0, 31), b ->
+  private[queries] val simhashExpr =
+    """aggregate(transform(sequence(0, 31), b ->
           case when 2 * size(filter(
                  transform(toks, t -> cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint)),
                  x -> (x div cast(pow(2, b) as bigint)) % 2 = 1)) > size(toks)
                then cast(pow(2, b) as bigint) else 0L end),
-        0L, (acc, x) -> acc + x)""").as("simhash"))
+        0L, (acc, x) -> acc + x)"""
+
+  private def simHash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      expr(simhashExpr).as("simhash"))
       .orderBy(col("doc_id"))
+
+  /** SimHash candidate pairs: bucket on the top 8 signature bits, rank by
+    * Hamming distance computed with the NATIVE codegen'd
+    * [[graft.functions.HammingDistance]] expression (popcount of xor stays
+    * inside whole-stage codegen; a UDF would box per pair). */
+  private def simHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HammingDistance.register(spark)
+    val sims = docs(spark, dir)
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .withColumn("bucket", expr("simhash div 16777216"))
+    val a = sims.select(col("bucket"), col("doc_id").as("doc_a"),
+      col("simhash").as("sh_a"))
+    val b = sims.select(col("bucket"), col("doc_id").as("doc_b"),
+      col("simhash").as("sh_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("hamming_distance(sh_a, sh_b)").cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  private val simHashPairsSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+      |    s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS si
+      |  FROM documents
+      |), sim AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32), b ->
+      |      CASE WHEN 2 * len(list_filter(si, x -> (x // CAST(power(2, b) AS BIGINT)) % 2 = 1)) > len(si)
+      |           THEN CAST(power(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |      (acc, x) -> acc + x) AS simhash
+      |  FROM t
+      |), b AS (
+      |  SELECT doc_id, simhash, simhash // 16777216 AS bucket FROM sim)
+      |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+      |FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+      |ORDER BY hamming, doc_a, doc_b LIMIT 50""".stripMargin
 
   private val simHashSql =
     """WITH t AS (
@@ -379,7 +422,8 @@ object TextAnalysis extends QueryModule {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minHashLsh _),
-    "dedup_simhash" -> (simHash _))
+    "dedup_simhash" -> (simHash _),
+    "dedup_simhash_pairs" -> (simHashPairs _))
 
   override def oracles: Map[String, String] = Map(
     "text_bpe_tokens" -> bpeTokensSql,
@@ -390,5 +434,6 @@ object TextAnalysis extends QueryModule {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minHashLshSql,
-    "dedup_simhash" -> simHashSql)
+    "dedup_simhash" -> simHashSql,
+    "dedup_simhash_pairs" -> simHashPairsSql)
 }
