@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.{TrainingPipeline => TP}
+import graft.operators.FeatureBuilders
+import graft.model.TransactionEvent
+import graft.serving.Scoring
+import graft.store._
+
+/** End-to-end pipeline (the reference's full integration test shape,
+  * test_stream_processor.py:317-419): synthetic transactions -> per-event
+  * feature computation -> online store materialization -> model training
+  * on the feature history -> batch scoring with rule interpretation. */
+class EndToEndSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def syntheticTxns(n: Int): Seq[TransactionEvent] = {
+    val base = 1704067200000L
+    (0 until n).map { i =>
+      val fraud = i % 17 == 0
+      TransactionEvent(
+        txn_id = s"t$i",
+        card_id = s"card_${i % 25}",
+        user_id = s"user_${i % 40}",
+        amount = if (fraud) 3.0 else 20.0 + (i % 50) * 3.0,
+        currency = "USD",
+        mcc = if (fraud) "6011" else "5411",
+        device_id = s"dev_${i % 10}",
+        ip_address = if (fraud) s"tor_exit_$i" else "10.0.0.1",
+        geo_country = Some(if (fraud) "RU" else "US"),
+        geo_city = None, geo_lat = None, geo_lon = None,
+        timestamp = base + i * 30000L,
+        processing_time = None,
+        is_fraud = fraud)
+    }
+  }
+
+  test("generate -> features -> store -> train -> score, end to end") {
+    val events = syntheticTxns(400).toDS()
+    // 1. per-event wide feature rows (the streaming path's batch twin)
+    val feats = FeatureBuilders.transactionFeatures(events)
+      .withColumn("computation_timestamp", col("feature_timestamp"))
+
+    // 2. materialize into the online store (latest row per card wins)
+    val store = new OnlineStore(spark,
+      Files.createTempDirectory("graft_e2e_").toString)
+    val view = Registry.transactionFeatures.copy(entities = Seq(
+      Entity("card", "entity_id")))
+    store.upsert(view, feats, batchId = 0L)
+    val online = store.online(view)
+    assert(online.count() == 25) // one latest row per card
+
+    // 3. train on the feature history with the fraud label
+    val trainCols = Seq("txn_count_5m", "amount_avg_5m", "high_risk_txn_ratio",
+      "small_amount_ratio", "velocity_score")
+    val history = store.history(view)
+      .withColumn("label", col("actual_fraud").cast("double"))
+      .na.fill(0.0, trainCols)
+    val model = TP.makePipeline("logistic_regression", trainCols)
+      .fit(TP.withBalancedWeight(history, "label"))
+
+    // 4. score a batch of requests against the online store
+    val requests = (0 until 25).map(i => s"card_$i").toDF("entity_id")
+    val featureCols = online.select(
+      (Seq("entity_id") ++ trainCols).map(col): _*)
+    val scored = Scoring.scoreFraudBatch(requests, featureCols, model,
+      Seq("entity_id"))
+    assert(scored.count() == 25)
+    assert(scored.filter(!$"ok").count() == 0)
+    val rows = scored.select($"entity_id", $"score", $"risk_level",
+      $"recommended_action").collect()
+    assert(rows.forall { r =>
+      val s = r.getAs[Double]("score"); s >= 0.0 && s <= 1.0 })
+    assert(rows.forall(r => Set("low", "medium", "high", "critical")
+      .contains(r.getAs[String]("risk_level"))))
+    // fraud-pattern cards (high-risk mcc, tor ip, small amounts) should
+    // score above the clean majority on average
+    val labeled = scored.join(
+      history.groupBy($"entity_id")
+        .agg(max($"label").as("had_fraud")), Seq("entity_id"))
+    val avgFraud = labeled.filter($"had_fraud" === 1.0)
+      .agg(avg($"score")).head().getDouble(0)
+    val avgClean = labeled.filter($"had_fraud" === 0.0)
+      .agg(avg($"score")).head().getDouble(0)
+    assert(avgFraud > avgClean,
+      s"fraud cards avg=$avgFraud vs clean avg=$avgClean")
+  }
+}
