@@ -80,13 +80,73 @@ object SourceFormats extends QueryModule {
       |  MIN(epoch_ms(ts)) AS min_ems, MAX(epoch_ms(ts)) AS max_ems
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** ROLLUP hierarchy totals (OLAP surface): per (returnflag, linestatus),
+    * per returnflag subtotal, and grand total in one pass. Grouping-null
+    * markers are coalesced to 'ALL' so cross-engine null ordering never
+    * matters. */
+  private def rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n", $"sum_qty")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  private val rollupSql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Window ranking family over suppliers by shipped quantity: rank,
+    * dense_rank, percent_rank, ntile(4), cumulative share. Exact-decimal
+    * totals keep the ordering cross-engine deterministic. */
+  private def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perSupp = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(dsum($"l_quantity").as("sum_qty"))
+    val w = Window.orderBy($"sum_qty".desc, $"l_suppkey")
+    perSupp
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("dense_rnk", dense_rank().over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .orderBy($"rnk")
+  }
+
+  private val windowRanksSql =
+    """WITH per_supp AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT l_suppkey, sum_qty,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+      |  percent_rank() OVER w AS pct_rank,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM per_supp
+      |WINDOW w AS (ORDER BY sum_qty DESC, l_suppkey)
+      |ORDER BY rnk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_rollup_totals" -> (rollup _),
+    "rel_window_ranks" -> (windowRanks _),
     "rel_q06_predicate_agg" -> (q06 _),
     "rel_q12_priority_classes" -> (q12 _),
     "src_csv_roundtrip" -> ((s: SparkSession, d: String) => roundtrip(s, d, "csv")),
     "src_json_roundtrip" -> ((s: SparkSession, d: String) => roundtrip(s, d, "json")))
 
   override def oracles: Map[String, String] = Map(
+    "rel_rollup_totals" -> rollupSql,
+    "rel_window_ranks" -> windowRanksSql,
     "rel_q06_predicate_agg" -> q06Sql,
     "rel_q12_priority_classes" -> q12Sql,
     "src_csv_roundtrip" -> roundtripSql,
