@@ -105,3 +105,32 @@ class PropertySpec extends AnyFunSuite {
     }, n = 20)
   }
 }
+
+/** SURVEY §5 parity property: the event-anchored mode evaluated at an
+  * aligned window's last instant equals the aligned window's aggregate —
+  * the formal bridge between the reference's per-event semantics and
+  * Spark's bucketed window() mode for decomposable features. */
+class WindowParitySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("anchored count at window close == aligned tumbling window count") {
+    val rnd = new scala.util.Random(42)
+    val events = List.fill(200)((rnd.nextInt(40).toLong * 7919L % 600000L,
+      rnd.nextInt(3).toLong + 1L))
+    val df = events.toDF("ems", "k").withColumn("ts", timestamp_millis($"ems"))
+    val aligned = df.groupBy(window($"ts", "5 minutes"), $"k")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"window.start").as("ws"), $"k", $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // probe each nonempty aligned window at its last millisecond with the
+    // anchored formulation: events in (probe-300000, probe]
+    aligned.foreach { case ((ws, k), n) =>
+      val probe = ws + 300000L - 1
+      val anchored = events.count { case (t, kk) =>
+        kk == k && t > probe - 300000L && t <= probe }
+      assert(anchored == n, s"window ($ws,$k): aligned=$n anchored=$anchored")
+    }
+  }
+}
