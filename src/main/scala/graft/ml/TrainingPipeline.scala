@@ -123,9 +123,8 @@ object TrainingPipeline {
       "accuracy" -> agg.getAs[Long]("correct").toDouble / agg.getAs[Long]("n"))
   }
 
-  /** Element i of an ML vector column (probability of the positive class). */
-  def vectorElement(c: org.apache.spark.sql.Column, i: Int) = {
-    val toArr = udf((v: org.apache.spark.ml.linalg.Vector) => v.toArray)
-    element_at(toArr(c), i + 1)
-  }
+  /** Element i of an ML vector column (probability of the positive class).
+    * `vector_to_array` is the vectorized built-in — no Scala UDF boundary. */
+  def vectorElement(c: org.apache.spark.sql.Column, i: Int) =
+    element_at(org.apache.spark.ml.functions.vector_to_array(c), i + 1)
 }

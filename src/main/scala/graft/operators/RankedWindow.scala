@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global ranking family (rank / dense_rank / percent_rank / ntile /
+  * row_number) over `ORDER BY value DESC, tie` WITHOUT a single-partition
+  * global sort (the scale-killer in a naive `Window.orderBy`).
+  *
+  * Two-phase plan, the classic distributed ranking construction
+  * (reference semantics: the ranking family the feature store exposes for
+  * supplier/league tables — see SourceFormats.windowRanks):
+  *
+  *   1. bucket rows by collected approximate cut points on `value`
+  *      (eagerly collected, so all phases see identical boundaries).
+  *      bucket = |{cuts c : c > value}| is a pure, monotone function of
+  *      value: a peer group (equal values) can never straddle buckets, so
+  *      local ranks are exact within their bucket.
+  *   2. per-bucket row / distinct-value counts (|buckets| rows) are
+  *      collected and prefix-summed into exclusive offsets on the driver.
+  *   3. each bucket sorts only its own slice in parallel
+  *      (Window.partitionBy(bucket)); global functions are reconstructed:
+  *        rank         = local rank + rows-before-bucket
+  *        dense_rank   = local dense_rank + distinct-values-before-bucket
+  *        row_number   = local row_number + rows-before-bucket
+  *        percent_rank = (rank - 1) / (N - 1)
+  *        ntile(k)     = closed-form over global row_number
+  *
+  * All reconstruction is integer arithmetic, so results are bit-identical
+  * to the single-partition form at any bucket count.
+  */
+object RankedWindow {
+
+  /** Adds rnk / dense_rnk / pct_rank / quartile (ntile(tiles)) columns
+    * ranked by `value` DESC with `tie` as the deterministic tie-break.
+    * `tie` must be unique per row (row_number determinism). */
+  def rankDesc(df: DataFrame, value: Column, tie: Column,
+               tiles: Int = 4, nBuckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val cuts = RangeBuckets.cuts(df, value, nBuckets)
+    val bucketed = df.withColumn("__bucket", RangeBuckets.descBucket(cuts, value))
+
+    // Peers are (value, tie) pairs — the full window ordering — so the
+    // dense_rank offset counts distinct peer groups, not distinct values.
+    val stats = bucketed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(value, tie).as("d"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = stats.map(_._2).sum
+    val cumN = stats.map(_._2).scanLeft(0L)(_ + _)
+    val cumD = stats.map(_._3).scanLeft(0L)(_ + _)
+    val offsets = stats.zipWithIndex
+      .map { case ((b, _, _), i) => (b, cumN(i), cumD(i)) }.toSeq
+    val offsetsDf = spark.createDataFrame(offsets)
+      .toDF("__bucket", "__on", "__od")
+
+    val local = Window.partitionBy(col("__bucket")).orderBy(value.desc, tie)
+    val withRanks = bucketed
+      .withColumn("__lrank", rank().over(local).cast("long"))
+      .withColumn("__ldense", dense_rank().over(local).cast("long"))
+      .withColumn("__lrn", row_number().over(local).cast("long"))
+      .join(broadcast(offsetsDf), Seq("__bucket"))
+      .withColumn("rnk", col("__lrank") + col("__on"))
+      .withColumn("dense_rnk", col("__ldense") + col("__od"))
+      .withColumn("__rn", col("__lrn") + col("__on"))
+      .withColumn("pct_rank",
+        if (total <= 1) lit(0.0)
+        else (col("rnk") - lit(1L)) / lit((total - 1).toDouble))
+
+    // ntile(k) in closed form over the global row number: the first N%k
+    // tiles get N/k+1 rows, the rest N/k (SQL-standard distribution).
+    // `div` keeps the arithmetic in exact integers.
+    val q = total / tiles
+    val r = total % tiles
+    val tiled =
+      if (q == 0) withRanks.withColumn("quartile", col("__rn"))
+      else withRanks.withColumn("quartile",
+        when(col("__rn") <= lit(r * (q + 1)),
+          expr(s"(__rn - 1) div ${q + 1}") + lit(1L))
+          .otherwise(lit(r) + expr(s"(__rn - ${r * (q + 1)} - 1) div $q") + lit(1L)))
+
+    tiled.drop("__bucket", "__lrank", "__ldense", "__lrn", "__rn", "__on", "__od")
+  }
+}

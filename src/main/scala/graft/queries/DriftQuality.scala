@@ -34,22 +34,56 @@ object DriftQuality extends QueryModule {
 
   // ------------------------------------------------------------------- M9
   /** Kolmogorov-Smirnov two-sample statistic on `value` (drift_check.py:
-    * 80-83): D = max |ECDF_ref - ECDF_cur| via a prefix sum over the value
-    * order (default window frame includes peers in both engines, which is
-    * exactly ECDF's "count <= v"). */
+    * 80-83): D = max |ECDF_ref - ECDF_cur|, i.e. a prefix sum over the
+    * global value order — but computed WITHOUT a single-partition global
+    * sort. Three phases, all parallel over the big table:
+    *
+    *   1. approximate value cut points (approx_percentile, collected to the
+    *      driver eagerly — tiny, and eager so every later phase sees the
+    *      SAME boundaries). Accuracy only affects load balance, never the
+    *      statistic: bucket = "how many cuts < value" is a pure function of
+    *      value, so ECDF peers (equal values) can never split across
+    *      buckets.
+    *   2. per-bucket (ref, cur) counts — a grouped agg, |buckets| rows —
+    *      collected and turned into exclusive prefix offsets on the driver.
+    *   3. per-bucket prefix sums (Window.partitionBy(bucket) — each task
+    *      sorts only its value range) + broadcast offset join; then a
+    *      plain max-agg for D.
+    *
+    * Prefix counts are integers, so the distributed form is bit-identical
+    * to the global-sort form; the same DuckDB oracle (a true global-order
+    * window) stays green. */
   private def ks(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Window.orderBy(col("value"))
-    val all = Window.partitionBy()
-    val d = ev(spark, dir)
-      .select(col("value"), col("is_ref"))
-      .withColumn("c1", sum(col("is_ref")).over(ord))
-      .withColumn("c2", sum(lit(1) - col("is_ref")).over(ord))
-      .withColumn("n1", sum(col("is_ref")).over(all))
-      .withColumn("n2", sum(lit(1) - col("is_ref")).over(all))
-    d.agg(
-      max(abs(col("c1") / col("n1") - col("c2") / col("n2"))).as("ks_stat"),
-      max(col("n1")).as("n_ref"),
-      max(col("n2")).as("n_cur"))
+    import graft.operators.RangeBuckets
+    val base = ev(spark, dir).select(col("value"), col("is_ref"))
+    val cuts = RangeBuckets.cuts(base, col("value"))
+    val bucketed = base.withColumn("bucket",
+      RangeBuckets.ascBucket(cuts, col("value")))
+
+    val totals = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("is_ref")).as("t1"), sum(lit(1) - col("is_ref")).as("t2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n1 = totals.map(_._2).sum
+    val n2 = totals.map(_._3).sum
+    // Exclusive running offsets per bucket, shipped back as a broadcast join.
+    val cum1 = totals.map(_._2).scanLeft(0L)(_ + _)
+    val cum2 = totals.map(_._3).scanLeft(0L)(_ + _)
+    val offsets = totals.zipWithIndex
+      .map { case ((b, _, _), i) => (b, cum1(i), cum2(i)) }.toSeq
+    val offsetsDf = spark.createDataFrame(offsets).toDF("bucket", "o1", "o2")
+
+    val local = Window.partitionBy(col("bucket")).orderBy(col("value"))
+    val d = bucketed
+      .withColumn("l1", sum(col("is_ref")).over(local))
+      .withColumn("l2", sum(lit(1) - col("is_ref")).over(local))
+      .join(broadcast(offsetsDf), Seq("bucket"))
+      .select((((col("l1") + col("o1")) / lit(n1.toDouble)) -
+               ((col("l2") + col("o2")) / lit(n2.toDouble))).as("diff"))
+    d.agg(max(abs(col("diff"))).as("ks_stat"))
+      .withColumn("n_ref", lit(n1))
+      .withColumn("n_cur", lit(n2))
       .withColumn("ks_critical",
         lit(1.36) * sqrt((col("n_ref") + col("n_cur")) / (col("n_ref") * col("n_cur"))))
       .withColumn("drifted", col("ks_stat") > col("ks_critical"))

@@ -128,13 +128,40 @@ object EventAnalytics extends QueryModule {
     * 5 s out-of-orderness bound; an event is late if it arrives below the
     * watermark (ref utils/watermarks.py:67-105, metrics.py:38-43).
     * Emits per-event-type counters, the observability the reference keeps
-    * in Prometheus counters. */
+    * in Prometheus counters.
+    *
+    * Watermark accounting is sequential by nature, but the exclusive
+    * prefix-max decomposes: bucket the arrival sequence by collected
+    * event_id cut points, take the per-bucket running max in parallel,
+    * then merge with the (collected, tiny) running max of earlier buckets
+    * — no single-partition global sort (the streaming path gets the same
+    * number incrementally via `observe()`, Observability.scala). */
   private def watermarkLate(spark: SparkSession, dir: String): DataFrame = {
-    val arrival = Window.orderBy(col("event_id"))
+    import graft.operators.RangeBuckets
+    val base = ev(spark, dir)
+    val cuts = RangeBuckets.cuts(base, col("event_id"))
+    val bucketed = base.withColumn("bucket",
+      RangeBuckets.ascBucket(cuts, col("event_id")))
+    // Per-bucket max event time -> exclusive running max of earlier buckets
+    // (None for the first bucket; tiny driver-side fold).
+    val bmax = bucketed.groupBy(col("bucket")).agg(max(col("ems")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val priorMax = bmax.map(_._2).scanLeft(Option.empty[Long]) {
+      case (acc, m) => Some(acc.fold(m)(math.max(_, m)))
+    }
+    val offsets = bmax.zipWithIndex.map { case ((b, _), i) => (b, priorMax(i)) }.toSeq
+    val offsetsDf = {
+      import spark.implicits._
+      offsets.toDF("bucket", "omax")
+    }
+    val local = Window.partitionBy(col("bucket")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wm = max(col("ems")).over(arrival) - 5000L
-    ev(spark, dir)
-      .withColumn("wm", wm)
+    bucketed
+      .withColumn("lmax", max(col("ems")).over(local))
+      .join(broadcast(offsetsDf), Seq("bucket"))
+      // greatest() skips nulls in both engines; null only when both are
+      // null, i.e. the very first arrival, which has no watermark yet.
+      .withColumn("wm", greatest(col("lmax"), col("omax")) - 5000L)
       .withColumn("is_late", col("wm").isNotNull && col("ems") < col("wm"))
       .withColumn("delay_ms",
         when(col("is_late"), col("wm") - col("ems")).otherwise(lit(0L)))

@@ -105,20 +105,17 @@ object SourceFormats extends QueryModule {
       |ORDER BY returnflag, linestatus""".stripMargin
 
   /** Window ranking family over suppliers by shipped quantity: rank,
-    * dense_rank, percent_rank, ntile(4), cumulative share. Exact-decimal
-    * totals keep the ordering cross-engine deterministic. */
+    * dense_rank, percent_rank, ntile(4). Exact-decimal totals keep the
+    * ordering cross-engine deterministic. Ranked via the two-phase
+    * distributed construction (graft.operators.RankedWindow) — no
+    * single-partition global sort even when the dimension grows 100×. */
   private def windowRanks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val perSupp = Tables.lineitem(spark, dir)
       .groupBy($"l_suppkey")
       .agg(dsum($"l_quantity").as("sum_qty"))
-    val w = Window.orderBy($"sum_qty".desc, $"l_suppkey")
-    perSupp
-      .withColumn("rnk", rank().over(w).cast("long"))
-      .withColumn("dense_rnk", dense_rank().over(w).cast("long"))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    graft.operators.RankedWindow
+      .rankDesc(perSupp, $"sum_qty", $"l_suppkey", tiles = 4)
       .orderBy($"rnk")
   }
 

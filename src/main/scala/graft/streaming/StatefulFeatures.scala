@@ -29,13 +29,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    (the earlier row is already emitted);
   *  - sessionSteps assigns a cross-batch late event to the current
   *    session (the oracle's global sort would place it earlier).
-  * Keys are never dropped (GroupStateTimeout.NoTimeout) because the
-  * verify harness runs without watermarks; a continuous deployment adds
-  * `withWatermark` + EventTimeTimeout so idle keys age out of the store.
+  * Each op has two timeout variants: a NoTimeout form (state never
+  * dropped — for unwatermarked ad-hoc runs) and an `*Expiring` form
+  * (EventTimeTimeout: the watermark passing a key's frontier + idle
+  * horizon evicts its state, W4/W11). The expiring forms are the
+  * production default wired into StreamingPipelines — eviction at the
+  * buffer horizon is output-equivalent, because a key idle past the
+  * horizon re-opens with an empty buffer anyway (sole exception:
+  * anchoredStatsExpiring loses the evictedMax lag anchor, documented
+  * there).
   */
 object StatefulFeatures {
 
   case class EventIn(event_id: Long, user_id: Long, ems: Long, value: Double)
+
+  /** EventIn + the watermarked event-time column: EventTimeTimeout needs
+    * the watermark attribute to survive into the stateful operator's
+    * input, so the expiring variants carry `ts` alongside the epoch-ms
+    * the arithmetic uses. */
+  case class EventInTs(event_id: Long, user_id: Long, ems: Long,
+      value: Double, ts: java.sql.Timestamp)
 
   case class AnchoredCounts(
       event_id: Long, user_id: Long, ems: Long,
@@ -74,6 +87,32 @@ object StatefulFeatures {
       else acc :+ Vector(e)
     }
 
+  /** Shared per-group body of anchoredCounts (both timeout variants). */
+  private def processCounts(uid: Long, events: Iterator[EventIn],
+      state: GroupState[Buf]): Iterator[AnchoredCounts] = {
+    var buf = state.getOption.map(_.ems.toVector).getOrElse(Vector.empty)
+    val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
+    val out = tieRuns(sorted)(_.ems).flatMap { run =>
+      run.foreach { e =>
+        // insert (keeps order even for cross-batch late arrivals)
+        val at = buf.indexWhere(_ > e.ems)
+        buf = if (at < 0) buf :+ e.ems
+              else (buf.take(at) :+ e.ems) ++ buf.drop(at)
+      }
+      buf = buf.dropWhile(_ <= run.head.ems - H24H) // evict beyond 24 h
+      run.map { e =>
+        // upper bound <= e.ems matters for late arrivals: the buffer
+        // may already hold newer events, which the event-anchored
+        // window of a late event must not see (RANGE-frame parity)
+        def cnt(h: Long) = buf.count(t => t > e.ems - h && t <= e.ems)
+        AnchoredCounts(e.event_id, uid, e.ems,
+          cnt_5m = cnt(H5M), cnt_30m = cnt(H30M), cnt_24h = cnt(H24H))
+      }
+    }
+    state.update(Buf(buf))
+    out.iterator
+  }
+
   /** Per-event multi-horizon counts, emitted on every arrival. Events are
     * processed in (ems, event_id) order within each group/micro-batch;
     * a window covers (ts - horizon, ts] — identical to the RANGE-frame
@@ -82,34 +121,55 @@ object StatefulFeatures {
     implicit val outEnc = Encoders.product[AnchoredCounts]
     implicit val stateEnc = Encoders.product[Buf]
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, events: Iterator[EventIn], state: GroupState[Buf]) =>
-          var buf = state.getOption.map(_.ems.toVector).getOrElse(Vector.empty)
-          val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
-          val out = tieRuns(sorted)(_.ems).flatMap { run =>
-            run.foreach { e =>
-              // insert (keeps order even for cross-batch late arrivals)
-              val at = buf.indexWhere(_ > e.ems)
-              buf = if (at < 0) buf :+ e.ems
-                    else (buf.take(at) :+ e.ems) ++ buf.drop(at)
-            }
-            buf = buf.dropWhile(_ <= run.head.ems - H24H) // evict beyond 24 h
-            run.map { e =>
-              // upper bound <= e.ems matters for late arrivals: the buffer
-              // may already hold newer events, which the event-anchored
-              // window of a late event must not see (RANGE-frame parity)
-              def cnt(h: Long) = buf.count(t => t > e.ems - h && t <= e.ems)
-              AnchoredCounts(e.event_id, uid, e.ems,
-                cnt_5m = cnt(H5M), cnt_30m = cnt(H30M), cnt_24h = cnt(H24H))
-            }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        processCounts _)
+  }
+
+  /** Sets the key's event-time timeout to its frontier + idle horizon,
+    * clamped above the current watermark (setTimeoutTimestamp rejects
+    * values at or below it — reachable when a key's frontier lags the
+    * stream). */
+  private def armTimeout[S](state: GroupState[S], frontier: Option[Long],
+      idleMs: Long): Unit =
+    frontier.foreach { f =>
+      state.setTimeoutTimestamp(
+        math.max(f + idleMs, state.getCurrentWatermarkMs + 1))
+    }
+
+  /** anchoredCounts with W4/W11 state eviction: requires a watermarked
+    * input (`withWatermark` upstream), and drops a key's state once the
+    * watermark passes its frontier + 24 h (ref session/state expiry:
+    * streaming/flink/feature_job.py:282-305). Exactly output-equivalent
+    * to anchoredCounts: a key idle for >= 24 h would re-open with an
+    * empty buffer anyway, so evicting it changes nothing but the state
+    * store size — which becomes bounded by ACTIVE keys instead of
+    * all-keys-ever, the difference between a state store that survives
+    * 100 TB streams and one that doesn't. */
+  def anchoredCountsExpiring(ds: Dataset[EventInTs],
+      idleMs: Long = H24H): Dataset[AnchoredCounts] = {
+    implicit val outEnc = Encoders.product[AnchoredCounts]
+    implicit val stateEnc = Encoders.product[Buf]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[EventInTs], state: GroupState[Buf]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = processCounts(uid,
+              events.map(e => EventIn(e.event_id, e.user_id, e.ems, e.value)),
+              state)
+            armTimeout(state, state.getOption.flatMap(_.ems.lastOption), idleMs)
+            out
           }
-          state.update(Buf(buf))
-          out.iterator
       }
   }
 
   case class SessEventIn(event_id: Long, user_id: Long, ems: Long,
       event_type: String)
+
+  /** SessEventIn + watermarked event time (see EventInTs). */
+  case class SessEventInTs(event_id: Long, user_id: Long, ems: Long,
+      event_type: String, ts: java.sql.Timestamp)
 
   /** Running state of the CURRENT session only — the decomposable-state
     * form (contrast with the buffer-carrying stats op): constant-size per
@@ -130,29 +190,58 @@ object StatefulFeatures {
     implicit val outEnc = Encoders.product[SessionStep]
     implicit val stateEnc = Encoders.product[SessState]
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, events: Iterator[SessEventIn], state: GroupState[SessState]) =>
-          var st = state.getOption.orNull
-          val out = events.toVector.sortBy(e => (e.ems, e.event_id)).map { e =>
-            st =
-              if (st == null || e.ems - st.lastEms > SessionGapMs)
-                SessState(e.ems, e.ems, 0L, 0L, 0L)
-              else st
-            st = st.copy(
-              lastEms = e.ems,
-              n = st.n + 1,
-              purchases = st.purchases + (if (e.event_type == "purchase") 1 else 0),
-              clicks = st.clicks + (if (e.event_type == "click") 1 else 0))
-            SessionStep(e.event_id, uid, e.ems,
-              session_events = st.n,
-              session_duration_min = (e.ems - st.startEms) / 60000.0,
-              purchases_so_far = st.purchases,
-              clicks_so_far = st.clicks,
-              conversion_so_far =
-                st.purchases.toDouble / math.max(st.clicks, 1L))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        processSession _)
+  }
+
+  /** Shared per-group body of sessionSteps (both timeout variants). */
+  private def processSession(uid: Long, events: Iterator[SessEventIn],
+      state: GroupState[SessState]): Iterator[SessionStep] = {
+    var st = state.getOption.orNull
+    val out = events.toVector.sortBy(e => (e.ems, e.event_id)).map { e =>
+      st =
+        if (st == null || e.ems - st.lastEms > SessionGapMs)
+          SessState(e.ems, e.ems, 0L, 0L, 0L)
+        else st
+      st = st.copy(
+        lastEms = e.ems,
+        n = st.n + 1,
+        purchases = st.purchases + (if (e.event_type == "purchase") 1 else 0),
+        clicks = st.clicks + (if (e.event_type == "click") 1 else 0))
+      SessionStep(e.event_id, uid, e.ems,
+        session_events = st.n,
+        session_duration_min = (e.ems - st.startEms) / 60000.0,
+        purchases_so_far = st.purchases,
+        clicks_so_far = st.clicks,
+        conversion_so_far =
+          st.purchases.toDouble / math.max(st.clicks, 1L))
+    }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  /** sessionSteps with session-gap state eviction (the reference's Flink
+    * session expiry, feature_job.py:282-305): once the watermark passes a
+    * key's last event + gap, its session can never continue (any later
+    * event starts a new one), so the state is dropped. Output-equivalent
+    * to sessionSteps — the next event would reset the state anyway. */
+  def sessionStepsExpiring(ds: Dataset[SessEventInTs],
+      idleMs: Long = SessionGapMs): Dataset[SessionStep] = {
+    implicit val outEnc = Encoders.product[SessionStep]
+    implicit val stateEnc = Encoders.product[SessState]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[SessEventInTs], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = processSession(uid,
+              events.map(e =>
+                SessEventIn(e.event_id, e.user_id, e.ems, e.event_type)),
+              state)
+            armTimeout(state, state.getOption.map(_.lastEms), idleMs)
+            out
           }
-          if (st != null) state.update(st)
-          out.iterator
       }
   }
 
@@ -167,8 +256,38 @@ object StatefulFeatures {
     implicit val outEnc = Encoders.product[AnchoredStats]
     implicit val stateEnc = Encoders.product[StatBuf]
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, events: Iterator[EventIn], state: GroupState[StatBuf]) =>
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        processStats _)
+  }
+
+  /** anchoredStats with 24 h-idle state eviction. One documented semantic
+    * narrowing vs the unbounded form: `evictedMax` (the lag anchor for
+    * events arriving after a > 24 h gap) is dropped with the state, so the
+    * first event after an expiry reports mins_since_last = None instead of
+    * the true gap — the price of state bounded by active keys. All other
+    * columns are equivalent (an idle key's buffer would be empty anyway). */
+  def anchoredStatsExpiring(ds: Dataset[EventInTs],
+      idleMs: Long = H24H): Dataset[AnchoredStats] = {
+    implicit val outEnc = Encoders.product[AnchoredStats]
+    implicit val stateEnc = Encoders.product[StatBuf]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[EventInTs], state: GroupState[StatBuf]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = processStats(uid,
+              events.map(e => EventIn(e.event_id, e.user_id, e.ems, e.value)),
+              state)
+            armTimeout(state, state.getOption.flatMap(_.ems.lastOption), idleMs)
+            out
+          }
+      }
+  }
+
+  /** Shared per-group body of anchoredStats (both timeout variants). */
+  private def processStats(uid: Long, events: Iterator[EventIn],
+      state: GroupState[StatBuf]): Iterator[AnchoredStats] = {
           var buf = state.getOption
             .map(b => b.ems.zip(b.values).toVector).getOrElse(Vector.empty)
           var evictedMax = state.getOption.flatMap(_.evictedMax)
@@ -223,8 +342,7 @@ object StatefulFeatures {
                 zscore = z, is_outlier = math.abs(z) > 2.0)
             }
           }
-          state.update(StatBuf(buf.map(_._1), buf.map(_._2), evictedMax))
-          out.iterator
-      }
+    state.update(StatBuf(buf.map(_._1), buf.map(_._2), evictedMax))
+    out.iterator
   }
 }

@@ -116,11 +116,23 @@ object StreamingPipelines {
     * anchored query: streaming state machine == declarative window. */
   def anchoredStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val in = eventStream(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ems"), col("value"))
-      .as[StatefulFeatures.EventIn]
-    val out = StatefulFeatures.anchoredCounts(in).toDF()
+    val in = watermarkedEvents(spark, dir)
+    val out = StatefulFeatures.anchoredCountsExpiring(in).toDF()
     runToMemory(spark, out, "append", "anchored").orderBy(col("event_id"))
+  }
+
+  /** Typed event stream with the production watermark (1 h out-of-
+    * orderness bound) on the event timestamp, kept as a field so the
+    * watermark attribute reaches the stateful operator — the precondition
+    * for event-time state timeouts (W4/W11: idle keys age out). */
+  private def watermarkedEvents(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    eventStream(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), col("ems"), col("value"),
+        col("ts"))
+      .as[StatefulFeatures.EventInTs]
+      .withWatermark("ts", "1 hour")
   }
 
   /** W5 per-event session steps (the Flink MapState clickstream path):
@@ -129,9 +141,12 @@ object StreamingPipelines {
   def sessionStepsStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val in = eventStream(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ems"), col("event_type"))
-      .as[StatefulFeatures.SessEventIn]
-    val out = StatefulFeatures.sessionSteps(in).toDF()
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), col("ems"), col("event_type"),
+        col("ts"))
+      .as[StatefulFeatures.SessEventInTs]
+      .withWatermark("ts", "1 hour")
+    val out = StatefulFeatures.sessionStepsExpiring(in).toDF()
     runToMemory(spark, out, "append", "sessionsteps").orderBy(col("event_id"))
   }
 
@@ -141,10 +156,8 @@ object StreamingPipelines {
     * declarative form. */
   def anchoredStatsStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val in = eventStream(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ems"), col("value"))
-      .as[StatefulFeatures.EventIn]
-    val out = StatefulFeatures.anchoredStats(in).toDF()
+    val in = watermarkedEvents(spark, dir)
+    val out = StatefulFeatures.anchoredStatsExpiring(in).toDF()
     runToMemory(spark, out, "append", "anchoredstats").orderBy(col("event_id"))
   }
 }

@@ -31,6 +31,35 @@ class ParitySpec extends AnyFunSuite {
     assert(ts.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
   }
 
+  test("cross-batch timestamp tie: the documented append-mode boundary") {
+    // StatefulFeatures.scala: a RANGE-frame peer group (equal timestamps)
+    // split across micro-batches CANNOT match the batch oracle — the
+    // earlier row was already emitted when its tie-mate arrived, and
+    // append mode has no retraction. Pin the exact divergence so the
+    // limitation is held by a test, not only a comment: the first
+    // tie-mate keeps its pre-tie count (1), while the oracle's RANGE
+    // frame would give both rows 2. Same-batch ties ARE exact (see the
+    // tie-run handling test in StreamingSpec).
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulFeatures
+    import graft.streaming.StatefulFeatures.EventIn
+    val in = MemoryStream[EventIn]
+    val q = StatefulFeatures.anchoredCounts(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("tie_split_test")
+      .outputMode("append").start()
+    try {
+      in.addData(EventIn(1, 7, 1000L, 1.0))
+      q.processAllAvailable()
+      in.addData(EventIn(2, 7, 1000L, 2.0)) // tie-mate in a LATER batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val cnt = spark.table("tie_split_test").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("cnt_5m"))).toMap
+    assert(cnt(1) == 1L) // expected divergence: oracle would say 2
+    assert(cnt(2) == 2L) // the later tie-mate sees its peer (<= anchor)
+  }
+
   test("registry: entity/view/service definitions match the reference counts") {
     // feast/entities.py defines 4 entities with these join keys
     assert(Registry.entities.map(_.joinKey).toSet ==

@@ -36,6 +36,25 @@ class StoreSpec extends AnyFunSuite {
     assert(store.history(view).count() == 3L) // replay not double-appended
   }
 
+  test("bucketed upsert rewrites only touched buckets (cost ∝ batch, not store)") {
+    val root = Files.createTempDirectory("graft_bucket_store_").toString
+    val store = new OnlineStore(spark, root)
+    store.upsert(view, rows((1L to 200L).map(i => (i, 100L, i.toDouble)): _*), 0L)
+    store.upsert(view, rows((1L, 200L, 9.0)), 1L) // one key -> one bucket
+    def bucketDirs(version: String) = {
+      val d = new java.io.File(s"$root/online/spec_view/$version")
+      d.listFiles().count(_.getName.startsWith("gbucket="))
+    }
+    assert(bucketDirs("v0") > 1)   // 200 keys spread over many buckets
+    assert(bucketDirs("v1") == 1)  // batch 2 rewrote exactly its bucket
+    // the mixed-version snapshot still reads back complete and correct
+    val online = store
+      .getOnlineFeatures(view, (1L to 200L).toDF("user_id"))
+      .select($"user_id", $"v").as[(Long, Double)].collect().toMap
+    assert(online.size == 200)
+    assert(online(1L) == 9.0 && online(2L) == 2.0 && online(200L) == 200.0)
+  }
+
   test("TTL expires stale online rows") {
     val store = newStore()
     store.upsert(view, rows((1L, 100L, 1.0), (2L, 5000L, 2.0)), 0L)

@@ -45,6 +45,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(5) == 2L)
   }
 
+  test("EventTimeTimeout evicts idle keys from the state store (W4/W11)") {
+    implicit val ctx = spark.sqlContext
+    val day = 86400000L
+    def ev(id: Long, uid: Long, ms: Long) =
+      StatefulFeatures.EventInTs(id, uid, ms, 1.0, new java.sql.Timestamp(ms))
+    val in = MemoryStream[StatefulFeatures.EventInTs]
+    val ds = in.toDS().withWatermark("ts", "0 seconds")
+    val q = StatefulFeatures.anchoredCountsExpiring(ds).toDF()
+      .writeStream.format("memory").queryName("evict_test")
+      .outputMode("append").start()
+    def stateRows: Long = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      // batch 1: two keys -> two state rows
+      in.addData(ev(1, 1, 1000L), ev(2, 2, 1000L))
+      q.processAllAvailable()
+      assert(stateRows == 2L)
+      // batch 2: key 2 advances the watermark past key 1's frontier + 24 h
+      // -> key 1's event-time timeout fires (in the trailing no-data
+      // micro-batch) and its state row is dropped; key 2 re-armed
+      in.addData(ev(3, 2, 2 * day))
+      q.processAllAvailable()
+      assert(stateRows == 1L)
+      // key 1 re-opens with an empty buffer — exactly what the 24 h
+      // eviction would have produced anyway (output equivalence)
+      in.addData(ev(4, 1, 2 * day + 1000L))
+      q.processAllAvailable()
+      assert(stateRows == 2L)
+    } finally q.stop()
+    val cnt = spark.table("evict_test").orderBy($"event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("cnt_24h"))).toMap
+    assert(cnt(4) == 1L) // fresh state: sees only itself
+    assert(cnt.size == 4) // timeouts emitted nothing
+  }
+
   test("watermark drops events below the watermark (allowed-lateness mapping)") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
