@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale note: KsAggregator buffers both samples (fine up to millions of
   * rows per comparison — drift checks run on sampled feature windows, as
-  * the reference caps samples at 1000, drift_check.py:223-225). The
-  * distributed-sort window formulation in DriftQuality.ks is the
-  * unbounded-cardinality path.
+  * the reference caps samples at 1000, drift_check.py:223-225). For
+  * unbounded cardinality use KsSketchAggregator (KLL sketches, O(k log n)
+  * state) or the bucketed-prefix-sum formulation in DriftQuality.ks.
   */
 object Drift {
 
@@ -41,6 +41,105 @@ object Drift {
       d
     }
     override def bufferEncoder: Encoder[KsBuf] = Encoders.product[KsBuf]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  // ----------------------------------------------- sketch-based KS (M9 at scale)
+  /** KLL-style mergeable quantile sketch (Karnin-Lang-Liberty, FOCS'16)
+    * with DETERMINISTIC alternating compaction: level h holds items of
+    * weight 2^h; when a level overflows `k` items it is sorted, an odd
+    * leftover stays, and every other item (offset alternating per level)
+    * is promoted one level up. Space is O(k log(n/k)) regardless of
+    * cardinality — the unbounded-data form of the KS ECDF (the exact
+    * KsAggregator buffers both samples; see the scale note above).
+    * Determinism trades the randomized-compaction error guarantee for
+    * reproducibility; with no compaction (n <= k) the sketch is EXACT,
+    * which the MlSpec property pins against KsAggregator. */
+  case class KllSketch(k: Int, levels: Seq[Seq[Double]], alt: Seq[Boolean],
+      n: Long) {
+
+    def add(x: Double): KllSketch =
+      compacted(copy(levels = levels.updated(0, levels.head :+ x), n = n + 1))
+
+    def merge(o: KllSketch): KllSketch = {
+      val h = math.max(levels.size, o.levels.size)
+      val ls = (0 until h).map { i =>
+        levels.lift(i).getOrElse(Seq.empty) ++
+          o.levels.lift(i).getOrElse(Seq.empty)
+      }
+      compacted(copy(levels = ls, n = n + o.n))
+    }
+
+    /** One upward pass restores every level to <= k items; a compaction's
+      * promotions land on the next level, which the pass visits next, so
+      * cascades resolve in the same sweep. Weight is conserved: 2m items
+      * of weight 2^h become m items of weight 2^(h+1) (+ odd leftover). */
+    private def compacted(s: KllSketch): KllSketch = {
+      var ls = s.levels.toVector
+      var flags = s.alt.toVector
+      var h = 0
+      while (h < ls.size) {
+        if (ls(h).size > k) {
+          val sorted = ls(h).sorted
+          val (stay, rest) =
+            if (sorted.size % 2 == 1) (Vector(sorted.head), sorted.tail)
+            else (Vector.empty[Double], sorted)
+          while (flags.size <= h) flags = flags :+ false
+          val off = if (flags(h)) 1 else 0
+          flags = flags.updated(h, !flags(h))
+          val promoted = rest.zipWithIndex
+            .collect { case (x, i) if i % 2 == off => x }
+          ls = ls.updated(h, stay)
+          if (h + 1 >= ls.size) ls = ls :+ Vector.empty
+          ls = ls.updated(h + 1, ls(h + 1) ++ promoted)
+        }
+        h += 1
+      }
+      s.copy(levels = ls, alt = flags)
+    }
+
+    /** Retained items with their weights. */
+    def weightedItems: Seq[(Double, Long)] = levels.zipWithIndex
+      .flatMap { case (v, h) => v.map(x => (x, 1L << h)) }
+
+    /** Estimated count of values <= x (exact if never compacted). */
+    def rank(x: Double): Long =
+      weightedItems.collect { case (v, w) if v <= x => w }.sum
+  }
+
+  object KllSketch {
+    def empty(k: Int = 200): KllSketch =
+      KllSketch(k, Seq(Seq.empty), Seq.empty, 0L)
+  }
+
+  /** sup |ECDF_ref - ECDF_cur| over two sketches, evaluated at every
+    * retained point of either (the supremum of a pair of step functions
+    * is attained at a step). */
+  def ksFromSketches(ref: KllSketch, cur: KllSketch): Double = {
+    if (ref.n == 0 || cur.n == 0) return 0.0
+    val pts = (ref.weightedItems.map(_._1) ++ cur.weightedItems.map(_._1))
+      .distinct
+    pts.map { x =>
+      math.abs(ref.rank(x).toDouble / ref.n - cur.rank(x).toDouble / cur.n)
+    }.max
+  }
+
+  case class KsSketchBuf(ref: KllSketch, cur: KllSketch)
+
+  /** KS statistic over (value, isReference) pairs in O(k log n) state —
+    * the drop-in unbounded-cardinality replacement for KsAggregator. */
+  class KsSketchAggregator(k: Int = 200)
+      extends Aggregator[(Double, Boolean), KsSketchBuf, Double] {
+    override def zero: KsSketchBuf =
+      KsSketchBuf(KllSketch.empty(k), KllSketch.empty(k))
+    override def reduce(b: KsSketchBuf, a: (Double, Boolean)): KsSketchBuf =
+      if (a._2) b.copy(ref = b.ref.add(a._1))
+      else b.copy(cur = b.cur.add(a._1))
+    override def merge(x: KsSketchBuf, y: KsSketchBuf): KsSketchBuf =
+      KsSketchBuf(x.ref.merge(y.ref), x.cur.merge(y.cur))
+    override def finish(b: KsSketchBuf): Double = ksFromSketches(b.ref, b.cur)
+    override def bufferEncoder: Encoder[KsSketchBuf] =
+      Encoders.product[KsSketchBuf]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 

@@ -61,4 +61,42 @@ object SkewedAggregate {
     partial.groupBy(keys.map(col): _*)
       .agg(finalExprs.head, finalExprs.tail: _*)
   }
+
+  /** Plain one-phase groupBy with the same output names/types as
+    * saltedAgg (the two are interchangeable execution strategies). */
+  def plainAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Agg]): DataFrame = {
+    val exprs = aggs.map { a =>
+      val out = s"${a.name}${if (a.of.nonEmpty) "_" + a.of else ""}"
+      a.name match {
+        case "count" => count(lit(1)).as(out)
+        case "sum" if df.schema(a.of).dataType == DoubleType =>
+          sum(col(a.of).cast(DecimalType(25, 6))).cast("double").as(out)
+        case "sum" => sum(col(a.of)).as(out)
+        case "min" => min(col(a.of)).as(out)
+        case "max" => max(col(a.of)).as(out)
+        case other => throw new IllegalArgumentException(
+          s"non-decomposable aggregate $other")
+      }
+    }
+    df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Salts only when a cheap sampled probe sees a hot key above
+    * `threshold` fraction of rows — the automatic wiring for hot-key
+    * query paths (the generator's top-card concentration, txgen.py:
+    * 117-123, is the motivating shape). The output is IDENTICAL either
+    * way; salting is an execution strategy, so the probe's sampling only
+    * decides plan shape, never results. */
+  def aggWithSkewGuard(df: DataFrame, keys: Seq[String], aggs: Seq[Agg],
+      salts: Int = 8, threshold: Double = 0.05,
+      sampleFraction: Double = 0.01): DataFrame = {
+    val probe = df.sample(withReplacement = false, sampleFraction, seed = 7)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("hot"), sum(col("n")).as("tot"))
+      .head()
+    val skewed = !probe.isNullAt(1) && probe.getAs[Long]("tot") > 0 &&
+      probe.getAs[Long]("hot").toDouble / probe.getAs[Long]("tot") >= threshold
+    if (skewed) saltedAgg(df, keys, salts, aggs)
+    else plainAgg(df, keys, aggs)
+  }
 }

@@ -22,12 +22,25 @@ import graft.core.Tables
   */
 object Embeddings extends QueryModule {
 
-  /** Sequential-fold cosine between two float vectors, in double. */
-  private val cosExpr =
-    """aggregate(zip_with(qv, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)
-      | / (sqrt(aggregate(transform(qv, x -> cast(x as double) * cast(x as double)), 0D, (acc, x) -> acc + x))
-      |    * sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), 0D, (acc, x) -> acc + x)))"""
+  /** Sequential-fold cosine between two vector columns, in double —
+    * identical fold order in both engines, so the raw doubles agree
+    * bit-for-bit. */
+  private def cosOf(a: String, b: String) =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)
+       | / (sqrt(aggregate(transform($a, x -> cast(x as double) * cast(x as double)), 0D, (acc, x) -> acc + x))
+       |    * sqrt(aggregate(transform($b, x -> cast(x as double) * cast(x as double)), 0D, (acc, x) -> acc + x)))"""
       .stripMargin.replaceAll("\n", "")
+
+  private val cosExpr = cosOf("qv", "embedding")
+
+  /** DuckDB twin of cosOf (range-indexed lists, same fold order). */
+  private def duckCos(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)
+       |      / (SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |           i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), (acc, x) -> acc + x))
+       |         * SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |           i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)))""".stripMargin
 
   // ------------------------------------------------------- brute-force kNN
   /** Top-10 cosine neighbours for each query vector (vec_id < 5), exact
@@ -289,14 +302,149 @@ object Embeddings extends QueryModule {
        |ORDER BY q.query_id""".stripMargin
   }
 
+  // ------------------------------------------------------- IVF ANN variant
+  /** IVF (inverted-file) ANN: the per-label centroids act as the coarse
+    * quantizer — every vector is assigned to its nearest-centroid CELL
+    * (one scan x broadcast of 10 centroids), a query probes its top-3
+    * cells, and only those cells' vectors are exact-scored. Multi-probe
+    * is what lifts recall over the single-probe LSH path (emb_ann_recall)
+    * while still bounding candidates to ~3/10ths of the corpus; at 100 TB
+    * the cell assignment is the partition key, so a probe reads only its
+    * cells' files. (A production IVF trains k-means cells; the label
+    * centroids keep the quantizer deterministic and oracle-expressible —
+    * the reference has no ANN at all, this is north-star scope.)
+    * Same query set and schema as emb_ann_recall for direct comparison. */
+  private def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir).persist()
+    val perDim = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"))
+          .as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("mean_dim", col("sq") / 1000000.0 / col("n"))
+    val cent = perDim.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean_dim))), s -> s.mean_dim)")
+        .as("cv"))
+      .select(col("label").as("cell"), col("cv"))
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(cosOf("embedding", "cv")))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val cells = assigned.withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cell"))
+    val probes = assigned.filter(col("vec_id") < 20)
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") <= 3)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val qv = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val candIds = probes.join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val ivfTop = candIds
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", round(expr(cosExpr), 6))
+      .withColumn("rn", row_number().over(rankW)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val brute = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(expr(cosExpr), 6))
+      .withColumn("rn", row_number().over(rankW)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val hits = brute.join(ivfTop, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val nc = candIds.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    qv.select(col("query_id"))
+      .join(nc, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"))
+      .orderBy(col("query_id"))
+  }
+
+  private val ivfRecallSql =
+    s"""WITH per_dim AS (
+       |  SELECT label, i AS pos,
+       |    SUM(CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS BIGINT))
+       |      / 1000000.0 / count(*) AS mean_dim
+       |  FROM embeddings, (SELECT unnest(range(64)) AS i)
+       |  GROUP BY label, pos
+       |), cent AS (
+       |  SELECT label AS cell, list(mean_dim ORDER BY pos) AS cv
+       |  FROM per_dim GROUP BY label
+       |), assigned AS (
+       |  SELECT e.vec_id, c.cell,
+       |    ${duckCos("e.embedding", "c.cv")} AS ccos
+       |  FROM embeddings e CROSS JOIN cent c
+       |), cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM assigned) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM assigned WHERE vec_id < 20) WHERE rn <= 3
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+       |), cand_ids AS (
+       |  SELECT p.query_id, c.vec_id FROM probes p JOIN cells c ON p.cell = c.cell
+       |  WHERE c.vec_id <> p.query_id
+       |), cand AS (
+       |  SELECT ci.query_id, ci.vec_id,
+       |    ROUND(${duckCos("q.qv", "e.embedding")}, 6) AS cos
+       |  FROM cand_ids ci
+       |  JOIN embeddings e ON ci.vec_id = e.vec_id
+       |  JOIN q ON ci.query_id = q.query_id
+       |), ivf AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn <= 10
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    ROUND(${duckCos("q.qv", "e.embedding")}, 6) AS cos
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+       |), brute AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= 10
+       |), hits AS (
+       |  SELECT b.query_id, count(*) AS n_hits
+       |  FROM brute b JOIN ivf l ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+       |  GROUP BY b.query_id
+       |), nc AS (
+       |  SELECT query_id, count(*) AS n_candidates FROM cand_ids GROUP BY query_id
+       |)
+       |SELECT q.query_id,
+       |  CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  COALESCE(h.n_hits, 0) / 10.0 AS recall_at_10
+       |FROM q LEFT JOIN nc ON q.query_id = nc.query_id
+       |LEFT JOIN hits h ON q.query_id = h.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_knn_bruteforce" -> (knnBrute _),
     "emb_centroids" -> (centroids _),
     "emb_lsh_buckets" -> (lshBuckets _),
     "dedup_embedding_cosine" -> (cosineNearDup _),
-    "emb_ann_recall" -> (annRecall _))
+    "emb_ann_recall" -> (annRecall _),
+    "emb_ivf_recall" -> (ivfRecall _))
 
   override def oracles: Map[String, String] = Map(
+    "emb_ivf_recall" -> ivfRecallSql,
     "emb_knn_bruteforce" -> knnBruteSql,
     "emb_centroids" -> centroidsSql,
     "emb_lsh_buckets" -> lshBucketsSql,

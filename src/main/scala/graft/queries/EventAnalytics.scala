@@ -257,6 +257,26 @@ object EventAnalytics extends QueryModule {
       |FROM events GROUP BY user_id
       |ORDER BY n_events DESC, user_id LIMIT 5""".stripMargin
 
+  /** topUsers through the salted two-phase aggregation (SkewedAggregate):
+    * the hot-key-safe execution of the same query — the generator
+    * concentrates activity on top entities (txgen.py:117-123), the shape
+    * that makes one reducer own a hot key at 100 TB. Same oracle as
+    * evt_top_users: salting is an execution strategy, results identical. */
+  private def topUsersSalted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SkewedAggregate
+    import graft.operators.SkewedAggregate.Agg
+    val pre = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("is_purchase"))
+    SkewedAggregate.saltedAgg(pre, Seq("user_id"), salts = 8,
+        Seq(Agg("count", ""), Agg("max", "value"), Agg("sum", "is_purchase")))
+      .select(col("user_id"), col("count").as("n_events"),
+        col("max_value"), col("sum_is_purchase").as("n_purchases"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(5)
+  }
+
   // ------------------------------------------------------------------ M16
   /** Confusion-matrix accounting against ground truth (threshold 0.3 on a
     * normalized score; ref fraud_detector.py:184-205, inference/config.py:51).
@@ -388,6 +408,7 @@ object EventAnalytics extends QueryModule {
     "evt_json_extract" -> (jsonExtract _),
     "evt_dedup_first" -> (dedupFirst _),
     "evt_top_users" -> (topUsers _),
+    "evt_top_users_salted" -> (topUsersSalted _),
     "evt_confusion_matrix" -> (confusion _),
     "evt_fraud_pipeline" -> (fraudPipeline _))
 
@@ -399,6 +420,7 @@ object EventAnalytics extends QueryModule {
     "evt_json_extract" -> jsonExtractSql,
     "evt_dedup_first" -> dedupFirstSql,
     "evt_top_users" -> topUsersSql,
+    "evt_top_users_salted" -> topUsersSql,
     "evt_confusion_matrix" -> confusionSql,
     "evt_fraud_pipeline" -> fraudPipelineSql)
 }

@@ -23,6 +23,57 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(fromAgg - fromQuery) < 1e-12)
   }
 
+  test("KLL sketch KS: exact below capacity, bounded error under compaction") {
+    import graft.ml.Drift
+    def exact(ref: Seq[Double], cur: Seq[Double]): Double = {
+      val agg = new Drift.KsAggregator()
+      val b = (ref.map((_, true)) ++ cur.map((_, false)))
+        .foldLeft(agg.zero)(agg.reduce)
+      agg.finish(b)
+    }
+    def sketched(ref: Seq[Double], cur: Seq[Double], k: Int): Double = {
+      val r = ref.foldLeft(Drift.KllSketch.empty(k))(_.add(_))
+      val c = cur.foldLeft(Drift.KllSketch.empty(k))(_.add(_))
+      Drift.ksFromSketches(r, c)
+    }
+    val rnd = new scala.util.Random(42)
+    // property: n <= k -> no compaction -> sketch is EXACT
+    (1 to 25).foreach { trial =>
+      val nRef = 1 + rnd.nextInt(200)
+      val nCur = 1 + rnd.nextInt(200)
+      val ref = Seq.fill(nRef)(rnd.nextGaussian())
+      val cur = Seq.fill(nCur)(rnd.nextGaussian() + trial * 0.1)
+      assert(sketched(ref, cur, k = 200) == exact(ref, cur),
+        s"trial $trial: exactness below capacity")
+    }
+    // property: compacting sketches stay within a loose rank-error band
+    (1 to 5).foreach { trial =>
+      val ref = Seq.fill(5000)(rnd.nextGaussian())
+      val cur = Seq.fill(5000)(rnd.nextGaussian() + trial * 0.2)
+      val d = math.abs(sketched(ref, cur, k = 256) - exact(ref, cur))
+      assert(d <= 0.1, s"trial $trial: sketch error $d")
+    }
+    // merge path (the distributed combine) preserves the bound
+    val ref = Seq.fill(4000)(rnd.nextGaussian())
+    val cur = Seq.fill(4000)(rnd.nextGaussian() + 0.5)
+    val (r1, r2) = ref.splitAt(1500)
+    val (c1, c2) = cur.splitAt(2500)
+    val rs = r1.foldLeft(Drift.KllSketch.empty(256))(_.add(_))
+      .merge(r2.foldLeft(Drift.KllSketch.empty(256))(_.add(_)))
+    val cs = c1.foldLeft(Drift.KllSketch.empty(256))(_.add(_))
+      .merge(c2.foldLeft(Drift.KllSketch.empty(256))(_.add(_)))
+    assert(rs.n == 4000 && cs.n == 4000)
+    assert(rs.weightedItems.map(_._2).sum == 4000) // weight conservation
+    val dm = math.abs(Drift.ksFromSketches(rs, cs) - exact(ref, cur))
+    assert(dm <= 0.1, s"merged sketch error $dm")
+    // the Spark aggregation path (typed column over a partitioned dataset)
+    val df = (ref.map((_, true)) ++ cur.map((_, false))).toDF("v", "is_ref")
+      .repartition(8)
+    val viaSpark = df.as[(Double, Boolean)]
+      .select(new Drift.KsSketchAggregator(256).toColumn).head()
+    assert(math.abs(viaSpark - exact(ref, cur)) <= 0.1)
+  }
+
   test("psi helper is finite and small on an undrifted split") {
     val p = Drift.psi(events, "value", "is_ref")
     assert(p >= 0.0 && p < 0.25, s"psi=$p")

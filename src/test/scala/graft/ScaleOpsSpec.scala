@@ -30,6 +30,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("skew guard salts hot-key data, stays plain on uniform, same results") {
+    val skewed = (1 to 2000).map { i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toDouble)
+    }.toDF("k", "v")
+    val uniform = (1 to 2000).map(i => (s"k${i % 500}", i.toDouble))
+      .toDF("k", "v")
+    val aggs = Seq(SkewedAggregate.Agg("count", ""),
+      SkewedAggregate.Agg("sum", "v"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // results identical on both data shapes regardless of chosen strategy
+    assert(asMap(SkewedAggregate.aggWithSkewGuard(skewed, Seq("k"), aggs)) ==
+      asMap(SkewedAggregate.plainAgg(skewed, Seq("k"), aggs)))
+    assert(asMap(SkewedAggregate.aggWithSkewGuard(uniform, Seq("k"), aggs)) ==
+      asMap(SkewedAggregate.plainAgg(uniform, Seq("k"), aggs)))
+    // the probe's decision: hot key >= threshold -> salted plan (an extra
+    // shuffle stage on (k, salt)); uniform -> single-shuffle plain plan
+    def nExchanges(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+    assert(nExchanges(SkewedAggregate.aggWithSkewGuard(skewed, Seq("k"), aggs)) >
+      nExchanges(SkewedAggregate.aggWithSkewGuard(uniform, Seq("k"), aggs)))
+  }
+
   test("approx distinct within rsd of exact; approx quantiles near exact") {
     val e = Tables.events(spark, sf0001)
     val exact = e.select(countDistinct($"event_id")).head().getLong(0)
