@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step that
+  * turns near-duplicate PAIRS (MinHash/SimHash/embedding candidates) into
+  * dedup GROUPS, so a training pipeline can keep one canonical document
+  * per cluster.
+  *
+  * Min-label propagation: every node starts labeled with its own id and
+  * repeatedly takes the minimum label among itself and its neighbors
+  * until a fixpoint — the label is then the smallest node id in the
+  * component (a deterministic canonical representative, which is exactly
+  * the "keep the first/smallest doc" dedup rule). Each round is one
+  * shuffle-join of the edge list against the label table, so the plan is
+  * fully parallel; rounds ∝ graph diameter, and dedup graphs are
+  * near-clique clusters with tiny diameters. For adversarial
+  * long-diameter graphs swap in the large-star/small-star contraction
+  * (O(log n) rounds, same join shape).
+  */
+object ConnectedComponents {
+
+  /** edges: two columns (src, dst), undirected. Returns (id, comp) for
+    * every node appearing in an edge, comp = min node id reachable.
+    *
+    * Each round ends in an EAGER localCheckpoint: iterative DataFrame
+    * algorithms grow their logical plan every round (persist caches data
+    * but not the plan), and by ~20 rounds analysis/explain of the nested
+    * plan OOMs the driver — checkpointing truncates the lineage so every
+    * round plans against a flat scan. The label table is O(|nodes in
+    * edges|), far smaller than the corpus. */
+  def components(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var it = 0
+    var done = sym.isEmpty
+    while (!done && it < maxIter) {
+      val upd = labels
+        .join(
+          sym.join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+            .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+            .withColumnRenamed("src", "id"),
+          Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = upd
+        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .filter(col("comp") < col("old")).count()
+      labels = upd
+      done = changed == 0
+      it += 1
+    }
+    labels
+  }
+}

@@ -206,19 +206,29 @@ object TextAnalysis extends QueryModule {
     // docs and the join squares them (16.8s vs 4.8s here). Per-pair
     // intersects bound the work by bucket size instead; at 100 TB pick by
     // shingle-frequency profile and cap bucket/shingle frequency.
+    // The per-pair intersect is the hot loop: each shingle is hashed ONCE
+    // per document to a 60-bit md5-derived int (both engines derive the
+    // same hashes, so any collision is identical cross-engine and the
+    // compare stays bit-exact; semantically this is the standard hashed-
+    // shingle approximation, collision odds ~1e-13 per pair), the arrays
+    // are sorted once, and pairs are scored by the codegen'd two-pointer
+    // merge (functions/SortedIntersectCount) — 8-byte primitive compares,
+    // no per-pair hash set.
+    graft.functions.SortedIntersectCount.register(spark)
     val sh = docs(spark, dir).select(
       col("doc_id"), col("lang"),
       expr("size(toks) div 10").as("band"),
-      expr("""array_distinct(transform(sequence(1, size(toks) - 2),
-        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-                       element_at(toks, i + 2))))""").as("sh"))
+      expr("""array_sort(array_distinct(transform(sequence(1, size(toks) - 2),
+        i -> cast(conv(substring(md5(cast(concat_ws(' ', element_at(toks, i),
+               element_at(toks, i + 1), element_at(toks, i + 2)) as binary)),
+               1, 15), 16, 10) as bigint))))""").as("sh"))
     val a = sh.select(col("lang"), col("band"), col("doc_id").as("doc_a"),
       col("sh").as("sh_a"))
     val b = sh.select(col("lang"), col("band"), col("doc_id").as("doc_b"),
       col("sh").as("sh_b"))
     a.join(b, Seq("lang", "band"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
       .filter(col("inter") >= 1)
       .withColumn("jaccard",
         round(col("inter") /
@@ -235,7 +245,7 @@ object TextAnalysis extends QueryModule {
       |), sh AS (
       |  SELECT doc_id, lang, len(toks) // 10 AS band,
       |    list_distinct(list_transform(range(1, len(toks) - 1),
-      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |      i -> CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT))) AS sh
       |  FROM t
       |), pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -384,6 +394,68 @@ object TextAnalysis extends QueryModule {
       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
       |ORDER BY hamming, doc_a, doc_b LIMIT 50""".stripMargin
 
+  /** Near-dup CLUSTERS: SimHash candidate edges (same top-8-bit bucket,
+    * hamming <= 6) merged into connected components
+    * (operators/ConnectedComponents, min-label propagation), sized — the
+    * pairs->groups step of a dedup pipeline, where the component label
+    * (smallest doc_id) is the canonical survivor. The DuckDB oracle
+    * computes the same fixpoint with a recursive CTE. */
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HammingDistance.register(spark)
+    val sims = docs(spark, dir)
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .withColumn("bucket", expr("simhash div 16777216"))
+      .persist()
+    val a = sims.select(col("bucket"), col("doc_id").as("src"),
+      col("simhash").as("sh_a"))
+    val b = sims.select(col("bucket"), col("doc_id").as("dst"),
+      col("simhash").as("sh_b"))
+    val edges = a.join(b, Seq("bucket"))
+      .filter(col("src") < col("dst"))
+      .filter(expr("hamming_distance(sh_a, sh_b)") <= 6)
+      .select(col("src"), col("dst"))
+    val comp = graft.operators.ConnectedComponents.components(edges)
+    val sizes = comp.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("comp"))
+      .select(col("comp").as("cluster_id"), col("id").as("doc_id"),
+        col("cluster_size"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+      |    s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS si
+      |  FROM documents
+      |), sim AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32), b ->
+      |      CASE WHEN 2 * len(list_filter(si, x -> (x // CAST(power(2, b) AS BIGINT)) % 2 = 1)) > len(si)
+      |           THEN CAST(power(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |      (acc, x) -> acc + x) AS simhash
+      |  FROM t
+      |), bkt AS (
+      |  SELECT doc_id, simhash, simhash // 16777216 AS bucket FROM sim
+      |), edges AS (
+      |  SELECT a.doc_id AS src, c.doc_id AS dst
+      |  FROM bkt a JOIN bkt c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+      |  WHERE bit_count(xor(a.simhash, c.simhash)) <= 6
+      |), sym AS (
+      |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+      |), reach AS (
+      |  SELECT DISTINCT src AS id, src AS comp FROM sym
+      |  UNION
+      |  SELECT s.src AS id, r.comp FROM sym s JOIN reach r ON s.dst = r.id
+      |), comp AS (
+      |  SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+      |)
+      |SELECT c.comp AS cluster_id, c.id AS doc_id, n.cluster_size
+      |FROM comp c JOIN (
+      |  SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp) n
+      |  ON c.comp = n.comp
+      |ORDER BY cluster_id, doc_id""".stripMargin
+
   private val simHashSql =
     """WITH t AS (
       |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
@@ -430,7 +502,8 @@ object TextAnalysis extends QueryModule {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minHashLsh _),
     "dedup_simhash" -> (simHash _),
-    "dedup_simhash_pairs" -> (simHashPairs _))
+    "dedup_simhash_pairs" -> (simHashPairs _),
+    "dedup_clusters" -> (dedupClusters _))
 
   override def oracles: Map[String, String] = Map(
     "text_bpe_tokens" -> bpeTokensSql,
@@ -442,5 +515,6 @@ object TextAnalysis extends QueryModule {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minHashLshSql,
     "dedup_simhash" -> simHashSql,
-    "dedup_simhash_pairs" -> simHashPairsSql)
+    "dedup_simhash_pairs" -> simHashPairsSql,
+    "dedup_clusters" -> dedupClustersSql)
 }

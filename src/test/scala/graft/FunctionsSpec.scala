@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.HammingDistance
+import graft.functions.{HammingDistance, SortedIntersectCount}
 
 /** Native Catalyst expression: correctness, nulls, SQL registration, and
   * codegen (the expression must not fall back to interpreted eval). */
@@ -33,5 +33,36 @@ class FunctionsSpec extends AnyFunSuite {
     // "*(1) Project [hammingdistance(...)]" — the * prefix is the
     // WholeStageCodegen marker in the simple plan string
     assert(plan.contains("*(1) Project [hammingdistance"), plan)
+  }
+
+  test("sorted_intersect_count: equals array_intersect size, nulls, codegen") {
+    SortedIntersectCount.register(spark)
+    // randomized cross-check against the built-in on sorted distinct arrays
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      def arr() = (0 until rnd.nextInt(20))
+        .map(_ => s"w${rnd.nextInt(30)}").distinct.sorted
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val diff = df.selectExpr(
+        "sorted_intersect_count(a, b) AS fast",
+        "size(array_intersect(a, b)) AS ref")
+      .filter("fast <> ref").count()
+    assert(diff == 0L)
+    // empty and null handling
+    val edge = Seq((Seq.empty[String], Seq("x"))).toDF("a", "b")
+    assert(edge.selectExpr("sorted_intersect_count(a, b)").head().getInt(0) == 0)
+    val nulls = Seq((null: Seq[String], Seq("x"))).toDF("a", "b")
+    assert(nulls.selectExpr("sorted_intersect_count(a, b)").head().isNullAt(0))
+    // stays inside whole-stage codegen over a real scan
+    val plan = graft.core.Tables.documents(spark, sf0001)
+      .selectExpr("split(trim(text), '\\\\s+') AS toks")
+      .selectExpr("sorted_intersect_count(toks, toks) AS n")
+      .queryExecution.executedPlan.toString
+    // the * prefix marks the WholeStageCodegen stage containing the project
+    assert(plan.contains("sortedintersectcount"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("sortedintersectcount") && l.trim.startsWith("*")), plan)
   }
 }

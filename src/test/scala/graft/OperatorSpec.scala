@@ -87,4 +87,25 @@ class OperatorSpec extends AnyFunSuite {
       .filter($"rts" > $"qts").count()
     assert(bad == 0L)
   }
+
+  test("connected components: chains, cliques, isolates-in-edges, determinism") {
+    import graft.operators.ConnectedComponents
+    // two components: a 4-chain (1-2-3-4) and a triangle (10,11,12),
+    // plus a self-contained pair (20-21)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("src", "dst")
+    val comp = ConnectedComponents.components(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a long chain exercises multi-round propagation (diameter 9)
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val chainComp = ConnectedComponents.components(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainComp.size == 10 && chainComp.values.forall(_ == 1L))
+    // empty edge set -> empty result, no hang
+    val none = ConnectedComponents.components(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(none.count() == 0L)
+  }
 }
