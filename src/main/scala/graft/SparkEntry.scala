@@ -14,7 +14,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, EventFeatures, EventAnalytics, DriftQuality, TextAnalysis,
     Embeddings, StreamingQueries, FeatureStoreQueries, ServingQueries,
-    MultimodalQueries, ExtendedQueries, SourceFormats)
+    MultimodalQueries, ExtendedQueries, SourceFormats, CorpusPipeline)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the end-to-end fraud pipeline (anchored features -> score -> risk

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Corpus-preparation operators beyond cleaning/dedup — the steps between
+  * a deduplicated document set and a training run: PII scrubbing,
+  * mixture-weight computation with deterministic sampling, and sequence
+  * packing into fixed context windows.
+  *
+  * Scale notes: scrubbing is per-doc (no shuffle). Mixture weights are a
+  * |langs|-row aggregate broadcast back. Packing is a running sum inside
+  * each lang partition (Window.partitionBy(lang)) — parallel across
+  * langs; at 100 TB you sub-shard the running sum with the same
+  * RangeBuckets prefix construction the KS query uses.
+  */
+object CorpusPipeline extends QueryModule {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+
+  // --------------------------------------------------------- PII scrubbing
+  /** PII detection/redaction counts per document: email, phone-like, and
+    * long-digit-run (card/account) patterns, plus an md5 fingerprint of
+    * the scrubbed text proving both engines redact identically. The
+    * pattern set is the standard pre-training scrub list; swap in the
+    * full policy regexes in production. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+  private val digitRunRe = "[0-9]{9,}"
+
+  // regex patterns go through lit(), NOT expr-string literals — Spark SQL
+  // string literals treat backslash as an escape, silently mangling '\.'
+  private def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_emails",
+        regexp_count(col("text"), lit(emailRe)).cast("long"))
+      .withColumn("n_phones",
+        regexp_count(col("text"), lit(phoneRe)).cast("long"))
+      .withColumn("n_digit_runs",
+        regexp_count(col("text"), lit(digitRunRe)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          digitRunRe, "<NUM>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        col("n_digit_runs"),
+        substring(md5(col("scrubbed").cast("binary")), 1, 16).as("scrub_fp"))
+      .orderBy(col("doc_id"))
+
+  private val piiScrubSql =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(text, '$digitRunRe')) AS BIGINT) AS n_digit_runs,
+       |  substr(md5(
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$emailRe', '<EMAIL>', 'g'),
+       |      '$phoneRe', '<PHONE>', 'g'),
+       |      '$digitRunRe', '<NUM>', 'g')), 1, 16) AS scrub_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- mixture weights + sampling
+  /** Per-language mixture balancing: actual share vs a uniform target,
+    * upsample/downsample weight, and a DETERMINISTIC content-hash sample
+    * at the capped weight (md5(doc_id) % 1e6 < keep_rate * 1e6) — the
+    * reproducible-across-engines/reruns form of mixture sampling. */
+  private def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_toks"))
+    val tot = Window.partitionBy() // |langs| rows after the agg — tiny
+    val shares = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("n_langs", count(lit(1)).over(tot))
+      .withColumn("actual_share",
+        col("n_docs") / sum(col("n_docs")).over(tot))
+      .withColumn("weight", lit(1.0) / col("n_langs") / col("actual_share"))
+      .withColumn("keep_rate", least(col("weight"), lit(1.0)))
+    val sampled = d.join(broadcast(shares.select(col("lang"), col("keep_rate"))),
+        Seq("lang"))
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 1000000 <
+          (col("keep_rate") * 1000000).cast("long"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    shares.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("actual_share"), col("weight"), col("keep_rate"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  private val mixtureWeightsSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_toks
+      |  FROM documents
+      |), shares AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |    COUNT(*) OVER () AS n_langs,
+      |    count(*) / CAST(SUM(count(*)) OVER () AS DOUBLE) AS actual_share
+      |  FROM d GROUP BY lang
+      |), w AS (
+      |  SELECT lang, n_docs, n_tokens, actual_share,
+      |    1.0 / n_langs / actual_share AS weight,
+      |    LEAST(1.0 / n_langs / actual_share, 1.0) AS keep_rate
+      |  FROM shares
+      |), sampled AS (
+      |  SELECT d.lang, count(*) AS n_sampled
+      |  FROM d JOIN w ON d.lang = w.lang
+      |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      |        < CAST(FLOOR(w.keep_rate * 1000000) AS BIGINT)
+      |  GROUP BY d.lang)
+      |SELECT w.lang, CAST(w.n_docs AS BIGINT) AS n_docs, w.n_tokens,
+      |  w.actual_share, w.weight, w.keep_rate,
+      |  CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+      |FROM w LEFT JOIN sampled s ON w.lang = s.lang
+      |ORDER BY w.lang""".stripMargin
+
+  // --------------------------------------------------- sequence packing
+  /** Greedy sequence packing: concatenate each language's documents in
+    * doc_id order and cut every 4096 tokens; a document's bin is where
+    * its first token lands. Reports per-bin document count, token count,
+    * and fill ratio — the packing-efficiency accounting of a training
+    * data loader. Runs as a running sum per lang partition. */
+  private val binTokens = 4096L
+
+  private def packBins(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(byLang))
+      .withColumn("bin", expr(s"(cum - n_toks) div $binTokens"))
+    d.groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("fill_ratio", col("n_tokens") / lit(binTokens.toDouble))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  private val packBinsSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_toks
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, n_toks,
+       |    SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT lang, (cum - n_toks) // $binTokens AS bin,
+       |  count(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_toks) AS BIGINT) / ${binTokens.toDouble} AS fill_ratio
+       |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> (piiScrub _),
+    "ml_mixture_weights" -> (mixtureWeights _),
+    "doc_pack_bins" -> (packBins _))
+
+  override def oracles: Map[String, String] = Map(
+    "text_pii_scrub" -> piiScrubSql,
+    "ml_mixture_weights" -> mixtureWeightsSql,
+    "doc_pack_bins" -> packBinsSql)
+}

@@ -82,7 +82,7 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("purchase_id"))
   }
 
-  private val intervalJoinSql =
+  private[queries] val intervalJoinSql =
     """SELECT p.event_id AS purchase_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
       |  (SELECT count(*) FROM events c
       |   WHERE c.user_id = p.user_id AND c.event_type = 'click'

@@ -108,9 +108,25 @@ object StreamingQueries extends QueryModule {
       |FROM range(10000) t(i)
       |ORDER BY txn_id""".stripMargin
 
+  /** Append-mode aligned windows: only windows sealed by the final
+    * watermark (max event time - 1 h) are in the sink. */
+  private val alignedAppendSql =
+    """SELECT user_id,
+      |  (epoch_ms(ts) // 10800000 - i) * 10800000 AS win_start_ms,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |FROM events CROSS JOIN (VALUES (0),(1)) offs(i)
+      |GROUP BY user_id, win_start_ms
+      |HAVING win_start_ms + 21600000 <= (SELECT MAX(epoch_ms(ts)) FROM events) - 3600000
+      |ORDER BY user_id, win_start_ms""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_aligned_window" ->
       ((s: SparkSession, d: String) => StreamingPipelines.alignedWindowAgg(s, d)),
+    "stream_aligned_append" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.alignedWindowAppend(s, d)),
+    "stream_interval_join" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.intervalJoinStream(s, d)),
     "stream_session_window" ->
       ((s: SparkSession, d: String) => StreamingPipelines.sessionWindowAgg(s, d)),
     "stream_anchored_stateful" ->
@@ -123,6 +139,8 @@ object StreamingQueries extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "stream_aligned_window" -> EventFeatures.alignedSlidingSql,
+    "stream_aligned_append" -> alignedAppendSql,
+    "stream_interval_join" -> EventAnalytics.intervalJoinSql,
     "stream_session_window" -> sessionStreamSql,
     "stream_anchored_stateful" -> EventFeatures.anchoredCountsSql,
     "stream_anchored_stats" -> EventFeatures.anchoredStatsSql,

@@ -90,6 +90,58 @@ object StreamingPipelines {
       .orderBy(col("user_id"), col("win_start_ms"))
   }
 
+  /** W1 + W6 in PRODUCTION form: the aligned sliding window in append
+    * mode under a 1 h watermark — a window row is emitted exactly once,
+    * when the watermark passes its end (no complete-mode re-emission, no
+    * driver-side window table). The oracle mirrors the sealing rule:
+    * windows with end <= final watermark (max event time - 1 h). */
+  def alignedWindowAppend(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_millis(col("window.start")).as("win_start_ms"),
+              col("n_events"), col("sum_value"))
+    runToMemory(spark, agg, "append", "alignedappend")
+      .orderBy(col("user_id"), col("win_start_ms"))
+  }
+
+  /** J2 as a REAL stream-stream join: purchases x clicks inner-joined on
+    * user with the [-1 h, 0) event-time interval condition, both sides
+    * watermarked (Spark evicts right state once the watermark passes the
+    * interval — bounded join state). Matches emit eagerly (inner join),
+    * so the sink holds the complete pair set; the left-outer count rollup
+    * runs as a batch over the sink + the static purchase list, giving the
+    * SAME oracle as the batch interval join. */
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val es = eventStream(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val purchases = es.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = es.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"))
+    val matches = runToMemory(spark, joined, "append", "ivjoin")
+    val counts = matches.groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n"))
+    graft.core.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        epochMs(col("ts")).as("ts_ms"))
+      .join(counts, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("ts_ms"),
+        coalesce(col("n"), lit(0L)).as("clicks_prev_1h"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** W5 + W6: session windows (30 min gap) with a 1 h watermark, append
     * mode — only sessions sealed by the final watermark are emitted,
     * exactly the condition the oracle mirrors (last event + gap <=
