@@ -39,20 +39,21 @@ object ConnectedComponents {
     var it = 0
     var done = sym.isEmpty
     while (!done && it < maxIter) {
+      // convergence flag is computed inside the update row (new < old)
+      // rather than by re-joining against the previous labels — one fewer
+      // shuffle join per round, and the count lands on checkpointed data
+      val newComp = least(col("comp"), coalesce(col("ncomp"), col("comp")))
       val upd = labels
         .join(
           sym.join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
             .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
             .withColumnRenamed("src", "id"),
           Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .select(col("id"), newComp.as("comp"),
+          (newComp < col("comp")).as("chg"))
         .localCheckpoint(true)
-      val changed = upd
-        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .filter(col("comp") < col("old")).count()
-      labels = upd
-      done = changed == 0
+      done = upd.filter(col("chg")).isEmpty
+      labels = upd.drop("chg")
       it += 1
     }
     labels

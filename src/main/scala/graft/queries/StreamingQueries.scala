@@ -131,6 +131,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.sessionWindowAgg(s, d)),
     "stream_anchored_stateful" ->
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredStateful(s, d)),
+    "stream_anchored_update" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.anchoredUpdateStateful(s, d)),
     "stream_anchored_stats" ->
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredStatsStateful(s, d)),
     "stream_session_steps" ->
@@ -143,6 +145,7 @@ object StreamingQueries extends QueryModule {
     "stream_interval_join" -> EventAnalytics.intervalJoinSql,
     "stream_session_window" -> sessionStreamSql,
     "stream_anchored_stateful" -> EventFeatures.anchoredCountsSql,
+    "stream_anchored_update" -> EventFeatures.anchoredCountsSql,
     "stream_anchored_stats" -> EventFeatures.anchoredStatsSql,
     "stream_session_steps" -> sessionStepsSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)

@@ -164,6 +164,69 @@ object StatefulFeatures {
       }
   }
 
+  /** One buffered event with its EMITTED counts — counts ride along in
+    * state so late corrections are exact increments, never lossy
+    * recomputations over a partially-evicted buffer. */
+  case class Emitted(ems: Long, id: Long, c5: Long, c30: Long, c24: Long)
+
+  /** State for the update-mode (retraction) variant. */
+  case class BufEmitted(rows: Seq[Emitted])
+
+  /** anchoredCounts with RETRACTION (OutputMode.Update): when an event
+    * arrives late or tied relative to rows already emitted, every
+    * buffered event whose anchored window absorbs it gets its stored
+    * counts incremented and is RE-EMITTED — closing the cross-batch
+    * tie/late-arrival boundary that append mode cannot reconcile
+    * (ParitySpec pins the append-mode divergence; StreamingSpec proves
+    * this variant matches the RANGE-frame oracle across batches).
+    *
+    * Counts are carried IN STATE and corrected by exact increments
+    * ("+1 per absorbed arrival inside the horizon"): a recomputation over
+    * the current buffer would silently undercount old anchors whose
+    * window reaches past the eviction threshold. Each correction strictly
+    * increases cnt_24h, so consumers keep the max-cnt_24h row per
+    * event_id — what an upsert sink (the online store) does with
+    * last-write-wins. In-order streams re-emit nothing (the affected set
+    * of an in-order arrival is empty); cost is bounded by events within
+    * one horizon of the disorder — the inherent price of retraction. */
+  def anchoredCountsUpdate(ds: Dataset[EventIn]): Dataset[AnchoredCounts] = {
+    implicit val outEnc = Encoders.product[AnchoredCounts]
+    implicit val stateEnc = Encoders.product[BufEmitted]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[EventIn], state: GroupState[BufEmitted]) =>
+          var buf = state.getOption.map(_.rows.toVector).getOrElse(Vector.empty)
+          val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
+          val out = tieRuns(sorted)(_.ems).flatMap { run =>
+            val t = run.head.ems
+            val k = run.size
+            // corrections: pre-existing rows whose window (xe-h, xe]
+            // contains t gain k tie-run arrivals in horizon h
+            val (unaffected, affected) = buf.partition(x =>
+              x.ems < t || x.ems - t >= H24H)
+            val corrected = affected.map { x =>
+              def bump(h: Long, c: Long) = if (t > x.ems - h) c + k else c
+              x.copy(c5 = bump(H5M, x.c5), c30 = bump(H30M, x.c30),
+                c24 = bump(H24H, x.c24))
+            }
+            // the run's own rows: pre-existing events in (t-h, t] + the
+            // run itself (entries newer than t are outside the <= t bound)
+            def cnt(h: Long) =
+              buf.count(x => x.ems > t - h && x.ems <= t) + k
+            val runRows = run.map(e =>
+              Emitted(e.ems, e.event_id, cnt(H5M), cnt(H30M), cnt(H24H)))
+            buf = (unaffected ++ corrected ++ runRows)
+              .sortBy(x => (x.ems, x.id))
+              .dropWhile(_.ems <= t - H24H)
+            (corrected ++ runRows).map(x =>
+              AnchoredCounts(x.id, uid, x.ems,
+                cnt_5m = x.c5, cnt_30m = x.c30, cnt_24h = x.c24))
+          }
+          state.update(BufEmitted(buf))
+          out.iterator
+      }
+  }
+
   case class SessEventIn(event_id: Long, user_id: Long, ems: Long,
       event_type: String)
 

@@ -173,6 +173,25 @@ object StreamingPipelines {
     runToMemory(spark, out, "append", "anchored").orderBy(col("event_id"))
   }
 
+  /** W3 with RETRACTION: update-mode per-event counts
+    * (StatefulFeatures.anchoredCountsUpdate) — late/tied arrivals re-emit
+    * corrected rows for already-output events, so cross-batch disorder
+    * converges to the RANGE-frame oracle. The sink keeps every emission;
+    * read-back takes the final row per event (max cnt_24h — corrections
+    * only grow it), which is what an upsert sink stores last-write-wins. */
+  def anchoredUpdateStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val in = eventStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"), col("value"))
+      .as[StatefulFeatures.EventIn]
+    val out = StatefulFeatures.anchoredCountsUpdate(in).toDF()
+    val sink = runToMemory(spark, out, "update", "anchoredupdate")
+    val w = Window.partitionBy(col("event_id")).orderBy(col("cnt_24h").desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn").orderBy(col("event_id"))
+  }
+
   /** Typed event stream with the production watermark (1 h out-of-
     * orderness bound) on the event timestamp, kept as a field so the
     * watermark attribute reaches the stateful operator — the precondition

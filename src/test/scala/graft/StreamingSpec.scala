@@ -45,6 +45,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(5) == 2L)
   }
 
+  test("update-mode retraction closes the cross-batch tie/late boundary") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[EventIn]
+    val q = StatefulFeatures.anchoredCountsUpdate(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("upd_test")
+      .outputMode("update").start()
+    try {
+      in.addData(EventIn(1, 7, 1000L, 1.0), EventIn(2, 7, 400000L, 2.0))
+      q.processAllAvailable()
+      // batch 2: a TIE-mate of event 1 and a LATE event inside event 2's
+      // 5m window — both force corrections of already-emitted rows
+      in.addData(EventIn(3, 7, 1000L, 3.0), EventIn(4, 7, 300000L, 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // final row per event = the one with max cnt_24h (corrections only
+    // ever increase it)
+    val fin = spark.table("upd_test").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        (r.getAs[Long]("cnt_5m"), r.getAs[Long]("cnt_24h"))))
+      .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).maxBy(_._2) }
+    // RANGE-frame oracle over the full set (5m window = (t-300000, t]):
+    //   ev1@1000: ties with ev3 -> 2/2 (corrected from 1/1)
+    //   ev3@1000: sees tie-mate ev1 -> 2/2
+    //   ev4@300000: 5m window (0, 300000] holds the tie pair -> 3/3
+    //   ev2@400000: gains late ev4 within 5m -> 2/4 (corrected from 1/2)
+    assert(fin(1L) == (2L, 2L))
+    assert(fin(3L) == (2L, 2L))
+    assert(fin(4L) == (3L, 3L))
+    assert(fin(2L) == (2L, 4L))
+  }
+
   test("EventTimeTimeout evicts idle keys from the state store (W4/W11)") {
     implicit val ctx = spark.sqlContext
     val day = 86400000L
