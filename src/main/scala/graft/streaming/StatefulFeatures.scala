@@ -348,6 +348,138 @@ object StatefulFeatures {
       }
   }
 
+  /** One buffered anchor with its emitted aggregates, carried in state so
+    * late/tied arrivals correct it by EXACT increments (decimal sums are
+    * exact, so addition order cannot drift; min/max/minE only improve;
+    * the lag anchor only moves closer). */
+  case class StatRowU(ems: Long, id: Long, value: Double,
+      n: Long, sx: BigDecimal, sxx: BigDecimal,
+      minV: Double, maxV: Double, minE: Long, prevEms: Option[Long])
+
+  /** State for the update-mode stats variant: buffered anchors + the
+    * newest evicted timestamp (lag fallback) + the per-key emission
+    * revision counter. */
+  case class StatUBuf(rows: Seq[StatRowU], evictedMax: Option[Long],
+      rev: Long)
+
+  /** AnchoredStats + the per-key emission revision: stats corrections are
+    * not monotone in any output column (std can move either way), so the
+    * consumer keeps the max-rev row per event — the generic last-write-
+    * wins key for any retraction stream. */
+  case class AnchoredStatsRev(
+      event_id: Long, user_id: Long, value: Double,
+      n_24h: Long, sum_24h: Double, avg_24h: Double,
+      min_24h: Double, max_24h: Double, std_24h: Option[Double],
+      mins_since_last: Option[Double], avg_mins_between: Option[Double],
+      zscore: Double, is_outlier: Boolean, rev: Long)
+
+  /** anchoredStats with RETRACTION (OutputMode.Update) — the stats twin
+    * of anchoredCountsUpdate: a late or tied arrival re-emits corrected
+    * rows for every buffered anchor it affects, with the aggregates
+    * updated by exact increments over the carried state (never
+    * recomputed over a partially-evicted buffer). Tie lag corrections
+    * honor the full (ems, event_id) LAG order: a pre-existing anchor
+    * gains a zero-minute lag only from a tie-mate with a smaller id.
+    * Anchors already evicted (> 24 h behind the frontier) cannot be
+    * corrected — the inherent state-bound boundary, same as append. */
+  def anchoredStatsUpdate(ds: Dataset[EventIn]): Dataset[AnchoredStatsRev] = {
+    implicit val outEnc = Encoders.product[AnchoredStatsRev]
+    implicit val stateEnc = Encoders.product[StatUBuf]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[EventIn], state: GroupState[StatUBuf]) =>
+          val st0 = state.getOption.getOrElse(StatUBuf(Seq.empty, None, 0L))
+          var buf = st0.rows.toVector
+          var evictedMax = st0.evictedMax
+          var rev = st0.rev
+          def dec(v: Double) =
+            BigDecimal.valueOf(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          // same double-arithmetic order as the batch/oracle formulation
+          def emit(x: StatRowU): AnchoredStatsRev = {
+            rev += 1
+            val sxD = x.sx.toDouble
+            val sxxD = x.sxx.toDouble
+            val mean = sxD / x.n
+            val variance =
+              if (x.n > 1) Some(math.max((sxxD - sxD * sxD / x.n) / (x.n - 1), 0.0))
+              else None
+            val std = variance.map(math.sqrt)
+            val z = std.filter(_ > 0).map(s => (x.value - mean) / s)
+              .getOrElse(0.0)
+            AnchoredStatsRev(x.id, uid, x.value,
+              n_24h = x.n, sum_24h = sxD, avg_24h = mean,
+              min_24h = x.minV, max_24h = x.maxV, std_24h = std,
+              mins_since_last = x.prevEms.map(p => (x.ems - p) / 60000.0),
+              avg_mins_between =
+                if (x.n > 1) Some((x.ems - x.minE).toDouble / (x.n - 1) / 60000.0)
+                else None,
+              zscore = z, is_outlier = math.abs(z) > 2.0, rev = rev)
+          }
+          val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
+          val out = tieRuns(sorted)(_.ems).flatMap { run =>
+            val t = run.head.ems
+            val k = run.size
+            val runSx = run.map(e => dec(e.value)).sum
+            val runSxx = run.map(e => dec(e.value * e.value)).sum
+            val runMinV = run.map(_.value).min
+            val runMaxV = run.map(_.value).max
+            val runMinId = run.map(_.event_id).min
+            val beforeRun = buf.filter(_.ems < t).lastOption.map(_.ems)
+              .orElse(evictedMax.filter(_ < t))
+            // corrections to pre-existing anchors at or after t
+            val corrected = Vector.newBuilder[StatRowU]
+            buf = buf.map { x =>
+              if (x.ems < t) x
+              else {
+                val inWin = t > x.ems - H24H
+                // LAG order is (ems, id): a tie-mate precedes x only with
+                // a smaller id; later anchors are preceded by any arrival
+                val lagImproves =
+                  (x.ems > t || runMinId < x.id) && x.prevEms.forall(_ < t)
+                if (!inWin && !lagImproves) x
+                else {
+                  var y = x
+                  if (inWin) y = y.copy(
+                    n = y.n + k, sx = y.sx + runSx, sxx = y.sxx + runSxx,
+                    minV = math.min(y.minV, runMinV),
+                    maxV = math.max(y.maxV, runMaxV),
+                    minE = math.min(y.minE, t))
+                  if (lagImproves) y = y.copy(prevEms = Some(t))
+                  corrected += y
+                  y
+                }
+              }
+            }
+            // the run's own anchors: pre-existing window + the run itself
+            val winPre = buf.filter(p => p.ems > t - H24H && p.ems <= t)
+            val n = winPre.size.toLong + k
+            val sx = winPre.map(p => dec(p.value)).sum + runSx
+            val sxx = winPre.map(p => dec(p.value * p.value)).sum + runSxx
+            val minV = (winPre.map(_.value) ++ run.map(_.value)).min
+            val maxV = (winPre.map(_.value) ++ run.map(_.value)).max
+            val minE = (winPre.map(_.ems) :+ t).min
+            val runRows = run.zipWithIndex.map { case (e, i) =>
+              val prev =
+                if (i > 0) Some(t)
+                else if (winPre.exists(x => x.ems == t && x.id < e.event_id))
+                  Some(t)
+                else beforeRun
+              StatRowU(e.ems, e.event_id, e.value, n, sx, sxx,
+                minV, maxV, minE, prev)
+            }
+            buf = (buf ++ runRows).sortBy(x => (x.ems, x.id))
+            val (droppedRows, keptRows) = buf.span(_.ems <= t - H24H)
+            if (droppedRows.nonEmpty)
+              evictedMax = Some(math.max(droppedRows.last.ems,
+                evictedMax.getOrElse(Long.MinValue)))
+            buf = keptRows
+            (corrected.result() ++ runRows).map(emit)
+          }
+          state.update(StatUBuf(buf, evictedMax, rev))
+          out.iterator
+      }
+  }
+
   /** Shared per-group body of anchoredStats (both timeout variants). */
   private def processStats(uid: Long, events: Iterator[EventIn],
       state: GroupState[StatBuf]): Iterator[AnchoredStats] = {

@@ -192,6 +192,23 @@ object StreamingPipelines {
       .drop("rn").orderBy(col("event_id"))
   }
 
+  /** The stats twin of anchoredUpdateStateful: update-mode per-event
+    * stats with retraction. Corrections are not monotone in any stat
+    * column, so emissions carry a per-key revision and read-back keeps
+    * the max-rev row per event before dropping it. */
+  def anchoredStatsUpdateStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val in = eventStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"), col("value"))
+      .as[StatefulFeatures.EventIn]
+    val out = StatefulFeatures.anchoredStatsUpdate(in).toDF()
+    val sink = runToMemory(spark, out, "update", "anchoredstatsupdate")
+    val w = Window.partitionBy(col("event_id")).orderBy(col("rev").desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn", "rev").orderBy(col("event_id"))
+  }
+
   /** Typed event stream with the production watermark (1 h out-of-
     * orderness bound) on the event timestamp, kept as a field so the
     * watermark attribute reaches the stateful operator — the precondition

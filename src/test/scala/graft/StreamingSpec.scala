@@ -76,6 +76,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin(2L) == (2L, 4L))
   }
 
+  test("update-mode stats retraction: tie and late arrival correct aggregates") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[EventIn]
+    val q = StatefulFeatures.anchoredStatsUpdate(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("stats_upd_test")
+      .outputMode("update").start()
+    try {
+      in.addData(EventIn(1, 7, 1000L, 2.0), EventIn(2, 7, 121000L, 4.0))
+      q.processAllAvailable()
+      // tie-mate of ev1 (smaller anchor) + late event between 1 and 2
+      in.addData(EventIn(3, 7, 1000L, 6.0), EventIn(4, 7, 61000L, 8.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("stats_upd_test").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("rev"), r.getAs[Long]("n_24h"),
+          r.getAs[Double]("sum_24h"),
+          Option(r.getAs[Any]("mins_since_last")).map(_.asInstanceOf[Double])))
+      .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).maxBy(_._1) }
+    // RANGE-frame truth over all four events:
+    //   ev1@1000 v2: tie with ev3 -> n2 sum8; lag: tie-mate id 3 > 1 -> None
+    assert(fin(1L)._2 == 2L && fin(1L)._3 == 8.0 && fin(1L)._4.isEmpty)
+    //   ev3@1000 v6: sees ev1 -> n2 sum8; lag 0 (tie-mate id 1 < 3)
+    assert(fin(3L)._2 == 2L && fin(3L)._3 == 8.0 && fin(3L)._4.contains(0.0))
+    //   ev4@61000 v8: window holds ev1, ev3 -> n3 sum16; lag 1 min
+    assert(fin(4L)._2 == 3L && fin(4L)._3 == 16.0 && fin(4L)._4.contains(1.0))
+    //   ev2@121000 v4: gains ev3 AND ev4 -> n4 sum20; lag corrected to 1 min
+    assert(fin(2L)._2 == 4L && fin(2L)._3 == 20.0 && fin(2L)._4.contains(1.0))
+  }
+
   test("EventTimeTimeout evicts idle keys from the state store (W4/W11)") {
     implicit val ctx = spark.sqlContext
     val day = 86400000L
