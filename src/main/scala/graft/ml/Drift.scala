@@ -46,15 +46,19 @@ object Drift {
 
   // ----------------------------------------------- sketch-based KS (M9 at scale)
   /** KLL-style mergeable quantile sketch (Karnin-Lang-Liberty, FOCS'16)
-    * with DETERMINISTIC alternating compaction: level h holds items of
+    * with alternating (non-random) compaction: level h holds items of
     * weight 2^h; when a level overflows `k` items it is sorted, an odd
     * leftover stays, and every other item (offset alternating per level)
     * is promoted one level up. Space is O(k log(n/k)) regardless of
     * cardinality — the unbounded-data form of the KS ECDF (the exact
     * KsAggregator buffers both samples; see the scale note above).
-    * Determinism trades the randomized-compaction error guarantee for
-    * reproducibility; with no compaction (n <= k) the sketch is EXACT,
-    * which the MlSpec property pins against KsAggregator. */
+    *
+    * Determinism scope: reproducible for a FIXED insertion/merge order
+    * (no RNG anywhere — same fold, same sketch, which the MlSpec
+    * properties rely on). Under distributed aggregation the partial-merge
+    * order varies run to run, so the retained items — and the estimate,
+    * within the sketch's rank-error bound — can differ across runs; with
+    * no compaction (n <= k) the sketch is EXACT regardless of order. */
   case class KllSketch(k: Int, levels: Seq[Seq[Double]], alt: Seq[Boolean],
       n: Long) {
 

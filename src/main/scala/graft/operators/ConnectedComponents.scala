@@ -23,6 +23,10 @@ object ConnectedComponents {
 
   /** edges: two columns (src, dst), undirected. Returns (id, comp) for
     * every node appearing in an edge, comp = min node id reachable.
+    * Throws if the fixpoint is not reached within maxIter rounds (rounds
+    * ∝ diameter; a dedup graph hitting 100 means the input is not a
+    * near-dup graph and silent partial labels would corrupt the dedup) —
+    * raise maxIter or switch to large-star/small-star for such graphs.
     *
     * Each round ends in an EAGER localCheckpoint: iterative DataFrame
     * algorithms grow their logical plan every round (persist caches data
@@ -30,7 +34,7 @@ object ConnectedComponents {
     * plan OOMs the driver — checkpointing truncates the lineage so every
     * round plans against a flat scan. The label table is O(|nodes in
     * edges|), far smaller than the corpus. */
-  def components(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def components(edges: DataFrame, maxIter: Int = 100): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
@@ -56,6 +60,9 @@ object ConnectedComponents {
       labels = upd.drop("chg")
       it += 1
     }
+    require(done, s"connected components did not converge in $maxIter rounds" +
+      " — graph diameter exceeds the bound; raise maxIter or use a" +
+      " contraction algorithm (large-star/small-star)")
     labels
   }
 }

@@ -35,4 +35,14 @@ object RangeBuckets {
   def descBucket(cutPoints: Seq[Double], e: Column): Column =
     if (cutPoints.isEmpty) lit(0)
     else size(filter(array(cutPoints.map(lit): _*), c => c > e))
+
+  /** Phase-2 driver-side fold shared by every bucketed-prefix computation:
+    * given per-bucket stats SORTED BY BUCKET ID, returns each bucket
+    * paired with the fold of all EARLIER buckets' stats (exclusive
+    * prefix) — the offsets broadcast back for phase 3. */
+  def exclusivePrefix[A, T](stats: Seq[(Int, A)], zero: T)(
+      step: (T, A) => T): Seq[(Int, T)] = {
+    val cum = stats.map(_._2).scanLeft(zero)(step)
+    stats.map(_._1).zipWithIndex.map { case (b, i) => (b, cum(i)) }
+  }
 }

@@ -38,21 +38,24 @@ object RankedWindow {
   def rankDesc(df: DataFrame, value: Column, tie: Column,
                tiles: Int = 4, nBuckets: Int = 32): DataFrame = {
     val spark = df.sparkSession
-    val cuts = RangeBuckets.cuts(df, value, nBuckets)
-    val bucketed = df.withColumn("__bucket", RangeBuckets.descBucket(cuts, value))
+    // persisted across the three phases (cuts, per-bucket stats, ranked
+    // pass) — the input is typically a post-aggregation table, so this is
+    // a bounded pin that saves two recomputations of its whole lineage
+    val pinned = df.persist()
+    val cuts = RangeBuckets.cuts(pinned, value, nBuckets)
+    val bucketed = pinned.withColumn("__bucket", RangeBuckets.descBucket(cuts, value))
 
     // Peers are (value, tie) pairs — the full window ordering — so the
     // dense_rank offset counts distinct peer groups, not distinct values.
     val stats = bucketed.groupBy(col("__bucket"))
       .agg(count(lit(1)).as("n"), countDistinct(value, tie).as("d"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val total = stats.map(_._2).sum
-    val cumN = stats.map(_._2).scanLeft(0L)(_ + _)
-    val cumD = stats.map(_._3).scanLeft(0L)(_ + _)
-    val offsets = stats.zipWithIndex
-      .map { case ((b, _, _), i) => (b, cumN(i), cumD(i)) }.toSeq
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      .sortBy(_._1).toSeq
+    val total = stats.map(_._2._1).sum
+    val offsets = RangeBuckets.exclusivePrefix(stats, (0L, 0L)) {
+      case ((a1, a2), (b1, b2)) => (a1 + b1, a2 + b2)
+    }.map { case (b, (on, od)) => (b, on, od) }
     val offsetsDf = spark.createDataFrame(offsets)
       .toDF("__bucket", "__on", "__od")
 

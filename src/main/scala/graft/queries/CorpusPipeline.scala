@@ -154,7 +154,7 @@ object CorpusPipeline extends QueryModule {
        |    SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM d)
-       |SELECT lang, (cum - n_toks) // $binTokens AS bin,
+       |SELECT lang, CAST((cum - n_toks) // $binTokens AS BIGINT) AS bin,
        |  count(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
        |  CAST(SUM(n_toks) AS BIGINT) / ${binTokens.toDouble} AS fill_ratio
        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin

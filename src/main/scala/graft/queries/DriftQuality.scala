@@ -55,7 +55,10 @@ object DriftQuality extends QueryModule {
     * window) stays green. */
   private def ks(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.RangeBuckets
-    val base = ev(spark, dir).select(col("value"), col("is_ref"))
+    // 2-column projection persisted across the three phases (cuts probe,
+    // per-bucket totals, final windowed pass) — one scan instead of three;
+    // spills to disk beyond memory, the standard multi-pass tradeoff
+    val base = ev(spark, dir).select(col("value"), col("is_ref")).persist()
     val cuts = RangeBuckets.cuts(base, col("value"))
     val bucketed = base.withColumn("bucket",
       RangeBuckets.ascBucket(cuts, col("value")))
@@ -63,15 +66,14 @@ object DriftQuality extends QueryModule {
     val totals = bucketed.groupBy(col("bucket"))
       .agg(sum(col("is_ref")).as("t1"), sum(lit(1) - col("is_ref")).as("t2"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val n1 = totals.map(_._2).sum
-    val n2 = totals.map(_._3).sum
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      .sortBy(_._1).toSeq
+    val n1 = totals.map(_._2._1).sum
+    val n2 = totals.map(_._2._2).sum
     // Exclusive running offsets per bucket, shipped back as a broadcast join.
-    val cum1 = totals.map(_._2).scanLeft(0L)(_ + _)
-    val cum2 = totals.map(_._3).scanLeft(0L)(_ + _)
-    val offsets = totals.zipWithIndex
-      .map { case ((b, _, _), i) => (b, cum1(i), cum2(i)) }.toSeq
+    val offsets = RangeBuckets.exclusivePrefix(totals, (0L, 0L)) {
+      case ((a1, a2), (b1, b2)) => (a1 + b1, a2 + b2)
+    }.map { case (b, (o1, o2)) => (b, o1, o2) }
     val offsetsDf = spark.createDataFrame(offsets).toDF("bucket", "o1", "o2")
 
     val local = Window.partitionBy(col("bucket")).orderBy(col("value"))

@@ -138,18 +138,19 @@ object EventAnalytics extends QueryModule {
     * number incrementally via `observe()`, Observability.scala). */
   private def watermarkLate(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.RangeBuckets
+    // persisted across the three phases — one events scan instead of three
     val base = ev(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ems")).persist()
     val cuts = RangeBuckets.cuts(base, col("event_id"))
     val bucketed = base.withColumn("bucket",
       RangeBuckets.ascBucket(cuts, col("event_id")))
     // Per-bucket max event time -> exclusive running max of earlier buckets
     // (None for the first bucket; tiny driver-side fold).
     val bmax = bucketed.groupBy(col("bucket")).agg(max(col("ems")).as("m"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val priorMax = bmax.map(_._2).scanLeft(Option.empty[Long]) {
-      case (acc, m) => Some(acc.fold(m)(math.max(_, m)))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    val offsets = RangeBuckets.exclusivePrefix(bmax, Option.empty[Long]) {
+      (acc, m) => Some(acc.fold(m)(math.max(_, m)))
     }
-    val offsets = bmax.zipWithIndex.map { case ((b, _), i) => (b, priorMax(i)) }.toSeq
     val offsetsDf = {
       import spark.implicits._
       offsets.toDF("bucket", "omax")

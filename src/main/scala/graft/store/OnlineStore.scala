@@ -94,6 +94,15 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
   def upsert(view: FeatureView, batch: DataFrame, batchId: Long): Unit = {
     val marker = Paths.get(path("_batches", view.name, batchId.toString))
     if (Files.exists(marker)) return // replayed batch: exactly-once no-op
+    // crash window between manifest flip and marker: the manifest already
+    // references this batch's version, which means data + manifest are
+    // complete (the flip is strictly last) — redoing the merge would read
+    // vN while overwriting vN. Finish the marker and stop.
+    if (manifest(view).exists(_.values.exists(_ == s"v$batchId"))) {
+      Files.createDirectories(marker.getParent)
+      Files.createFile(marker)
+      return
+    }
     val keys = view.entities.map(_.joinKey)
     val stamped = batch.withColumn("_batch_seq", lit(batchId))
 

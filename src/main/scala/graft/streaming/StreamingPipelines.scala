@@ -209,10 +209,20 @@ object StreamingPipelines {
       .drop("rn", "rev").orderBy(col("event_id"))
   }
 
-  /** Typed event stream with the production watermark (1 h out-of-
-    * orderness bound) on the event timestamp, kept as a field so the
-    * watermark attribute reaches the stateful operator — the precondition
-    * for event-time state timeouts (W4/W11: idle keys age out). */
+  /** Replay/backfill watermark for the verify pipelines: with
+    * EventTimeTimeout, the stateful operator DROPS input rows below the
+    * watermark — so the delay must exceed the dataset's total
+    * out-of-orderness or a multi-micro-batch replay would silently lose
+    * late rows the batch oracle includes. 30 days covers the full event
+    * range; a live deployment tunes this down to its lateness SLA (the
+    * eviction semantics are proven separately in StreamingSpec with a
+    * tight watermark). */
+  private val ReplayDelay = "30 days"
+
+  /** Typed event stream with the replay watermark on the event timestamp,
+    * kept as a field so the watermark attribute reaches the stateful
+    * operator — the precondition for event-time state timeouts (W4/W11:
+    * idle keys age out once the watermark passes frontier + horizon). */
   private def watermarkedEvents(spark: SparkSession, dir: String) = {
     import spark.implicits._
     eventStream(spark, dir)
@@ -220,7 +230,7 @@ object StreamingPipelines {
       .select(col("event_id"), col("user_id"), col("ems"), col("value"),
         col("ts"))
       .as[StatefulFeatures.EventInTs]
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", ReplayDelay)
   }
 
   /** W5 per-event session steps (the Flink MapState clickstream path):
@@ -233,7 +243,7 @@ object StreamingPipelines {
       .select(col("event_id"), col("user_id"), col("ems"), col("event_type"),
         col("ts"))
       .as[StatefulFeatures.SessEventInTs]
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", ReplayDelay)
     val out = StatefulFeatures.sessionStepsExpiring(in).toDF()
     runToMemory(spark, out, "append", "sessionsteps").orderBy(col("event_id"))
   }

@@ -55,6 +55,20 @@ class StoreSpec extends AnyFunSuite {
     assert(online(1L) == 9.0 && online(2L) == 2.0 && online(200L) == 200.0)
   }
 
+  test("replay after crash between manifest flip and marker is a safe no-op") {
+    val root = Files.createTempDirectory("graft_crash_store_").toString
+    val store = new OnlineStore(spark, root)
+    store.upsert(view, rows((1L, 100L, 1.0), (2L, 100L, 2.0)), 0L)
+    store.upsert(view, rows((1L, 200L, 9.0)), 1L)
+    // simulate the crash: manifest flipped to v1 but the marker was lost
+    Files.delete(java.nio.file.Paths.get(s"$root/_batches/spec_view/1"))
+    store.upsert(view, rows((1L, 200L, 9.0)), 1L) // must not read-while-overwrite
+    val online = store.getOnlineFeatures(view, Seq(1L, 2L).toDF("user_id"))
+      .select($"user_id", $"v").as[(Long, Double)].collect().toMap
+    assert(online == Map(1L -> 9.0, 2L -> 2.0))
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/_batches/spec_view/1")))
+  }
+
   test("TTL expires stale online rows") {
     val store = newStore()
     store.upsert(view, rows((1L, 100L, 1.0), (2L, 5000L, 2.0)), 0L)
