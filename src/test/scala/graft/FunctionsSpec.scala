@@ -65,4 +65,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l =>
       l.contains("sortedintersectcount") && l.trim.startsWith("*")), plan)
   }
+
+  test("GraftExtensions injects both native functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    // a fresh session over the SAME SparkContext, built with extensions —
+    // the spark.sql.extensions / withExtensions distribution path
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.core.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne orig)
+      assert(s2.sql("SELECT hamming_distance(5L, 3L)").head().getInt(0) == 2)
+      assert(s2.sql(
+        "SELECT sorted_intersect_count(array('a','b'), array('b','c'))")
+        .head().getInt(0) == 1)
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
 }

@@ -30,6 +30,106 @@ class PropertySpec extends AnyFunSuite {
     keys <- Gen.listOfN(n, Gen.choose(1L, 3L))
   } yield ts.zip(keys)
 
+  test("RankedWindow.rankDesc equals the naive global-sort window") {
+    import org.apache.spark.sql.expressions.Window
+    // values from a small grid -> tie-heavy; unique tie column
+    val gen: Gen[List[Double]] = for {
+      n <- Gen.choose(1, 40)
+      vs <- Gen.listOfN(n, Gen.choose(0, 8).map(_ * 1.5))
+    } yield vs
+    check(Prop.forAll(gen) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val fast = graft.operators.RankedWindow
+        .rankDesc(df, col("v"), col("id"), tiles = 4, nBuckets = 4)
+        .select("id", "rnk", "dense_rnk", "pct_rank", "quartile")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+      val w = Window.orderBy(col("v").desc, col("id"))
+      val naive = df
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("dense_rnk", dense_rank().over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .select("id", "rnk", "dense_rnk", "pct_rank", "quartile")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+      fast == naive
+    }, n = 6)
+  }
+
+  test("connected components equal brute-force transitive closure") {
+    val gen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 25)
+      es <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+    } yield es.filter(e => e._1 != e._2)
+    check(Prop.forAll(gen) { es =>
+      val got =
+        if (es.isEmpty) Map.empty[Long, Long]
+        else graft.operators.ConnectedComponents
+          .components(es.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: iterate min-label over an adjacency map to fixpoint
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2) }
+      var lbl = nodes.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        nodes.foreach { n =>
+          val m = (lbl(n) +: adj.getOrElse(n, Nil).map(lbl)).min
+          if (m < lbl(n)) { lbl += n -> m; changed = true }
+        }
+      }
+      got == lbl
+    }, n = 6)
+  }
+
+  test("update-mode retraction reaches the RANGE frame under any batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    // tie-heavy grid well inside one horizon (no eviction in play), events
+    // SHUFFLED and split into arbitrary micro-batches
+    val gen: Gen[(List[(Long, Long)], Int, Long)] = for {
+      n <- Gen.choose(1, 16)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 30L).map(_ * 20000L))
+      keys <- Gen.listOfN(n, Gen.choose(1L, 2L))
+      nb <- Gen.choose(1, 4)
+      seed <- Gen.choose(0L, 1000L)
+    } yield (ts.zip(keys), nb, seed)
+    check(Prop.forAll(gen) { case (evs, nb, seed) =>
+      val events = evs.zipWithIndex.map { case ((t, k), i) =>
+        EventIn(i.toLong + 1, k, t, 1.0)
+      }
+      val shuffled = new scala.util.Random(seed).shuffle(events)
+      val batches = shuffled.grouped(math.max(1, shuffled.size / nb)).toSeq
+      val in = MemoryStream[EventIn]
+      val name = s"retraction_prop_${seed}_${evs.size}_$nb"
+      val q = StatefulFeatures.anchoredCountsUpdate(in.toDS()).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val fin = spark.table(name).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("cnt_24h"),
+          r.getAs[Long]("cnt_5m")))
+        .groupBy(_._1).map { case (id, rows) =>
+          id -> rows.map(r => (r._2, r._3)).maxBy(_._1)
+        }
+      spark.catalog.dropTempView(name)
+      // RANGE-frame truth over the full event set
+      events.forall { e =>
+        def cnt(h: Long) =
+          events.count(x => x.user_id == e.user_id &&
+            x.ems > e.ems - h && x.ems <= e.ems).toLong
+        fin(e.event_id) == (cnt(graft.core.Horizons.H24H),
+          cnt(graft.core.Horizons.H5M))
+      }
+    }, n = 5)
+  }
+
   test("stateful anchored counts equal the naive per-event window count") {
     check(Prop.forAll(eventsGen) { evs =>
       val in = evs.zipWithIndex.map { case ((t, k), i) =>
