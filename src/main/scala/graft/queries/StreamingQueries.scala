@@ -135,6 +135,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredUpdateStateful(s, d)),
     "stream_anchored_stats_update" ->
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredStatsUpdateStateful(s, d)),
+    "stream_session_update" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.sessionStepsUpdateStateful(s, d)),
     "stream_anchored_stats" ->
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredStatsStateful(s, d)),
     "stream_session_steps" ->
@@ -149,6 +151,7 @@ object StreamingQueries extends QueryModule {
     "stream_anchored_stateful" -> EventFeatures.anchoredCountsSql,
     "stream_anchored_update" -> EventFeatures.anchoredCountsSql,
     "stream_anchored_stats_update" -> EventFeatures.anchoredStatsSql,
+    "stream_session_update" -> sessionStepsSql,
     "stream_anchored_stats" -> EventFeatures.anchoredStatsSql,
     "stream_session_steps" -> sessionStepsSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)

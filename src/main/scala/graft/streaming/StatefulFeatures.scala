@@ -245,6 +245,104 @@ object StatefulFeatures {
       session_events: Long, session_duration_min: Double,
       purchases_so_far: Long, clicks_so_far: Long, conversion_so_far: Double)
 
+  /** One buffered event for the session-retraction variant, with its last
+    * emitted values (n = -1 marks never-emitted). */
+  case class SessEv(ems: Long, id: Long, et: String,
+      lastN: Long, lastDur: Double, lastP: Long, lastC: Long)
+
+  /** Summary of the evicted prefix: the running session state at the point
+    * the oldest retained event would continue it (None when the evicted
+    * tail ended > gap before the first retained event, or nothing was
+    * evicted). */
+  case class SessPrefix(startEms: Long, lastEms: Long, n: Long,
+      purchases: Long, clicks: Long)
+
+  case class SessUBuf(rows: Seq[SessEv], prefix: Option[SessPrefix],
+      rev: Long)
+
+  /** SessionStep + the per-key emission revision (see AnchoredStatsRev). */
+  case class SessionStepRev(event_id: Long, user_id: Long, ems: Long,
+      session_events: Long, session_duration_min: Double,
+      purchases_so_far: Long, clicks_so_far: Long, conversion_so_far: Double,
+      rev: Long)
+
+  /** sessionSteps with RETRACTION (OutputMode.Update): a late event can
+    * join, extend, or MERGE sessions — shifting the running counters of
+    * every later event in the (merged) session — so this variant keeps
+    * the trailing 24 h of events per key, re-sessionizes the buffer on
+    * every arrival, and re-emits exactly the rows whose values changed
+    * (diffed against the last emission carried per event). Events evicted
+    * past the horizon fold into a prefix summary so a session that
+    * started before the retained window still reports true start/counts;
+    * an arrival older than the horizon cannot be reconciled (the same
+    * state-bound boundary as the anchored ops). */
+  def sessionStepsUpdate(ds: Dataset[SessEventIn]): Dataset[SessionStepRev] = {
+    implicit val outEnc = Encoders.product[SessionStepRev]
+    implicit val stateEnc = Encoders.product[SessUBuf]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[SessEventIn], state: GroupState[SessUBuf]) =>
+          val st0 = state.getOption.getOrElse(SessUBuf(Seq.empty, None, 0L))
+          var rev = st0.rev
+          var prefix = st0.prefix
+          val incoming = events.toVector.map(e =>
+            SessEv(e.ems, e.event_id, e.event_type, -1L, 0.0, 0L, 0L))
+          var buf = (st0.rows.toVector ++ incoming).sortBy(x => (x.ems, x.id))
+          // re-sessionize the whole buffer, seeded by the prefix summary
+          // (eviction happens AFTER the walk, so every row — including
+          // ones about to age out on an initial bulk load — emits first)
+          var sess: SessPrefix = null
+          val out = Vector.newBuilder[SessionStepRev]
+          buf = buf.map { x =>
+            sess =
+              if (sess == null) prefix match {
+                case Some(p) if x.ems - p.lastEms <= SessionGapMs => p
+                case _ => SessPrefix(x.ems, x.ems, 0L, 0L, 0L)
+              }
+              else if (x.ems - sess.lastEms > SessionGapMs)
+                SessPrefix(x.ems, x.ems, 0L, 0L, 0L)
+              else sess
+            sess = sess.copy(lastEms = x.ems, n = sess.n + 1,
+              purchases = sess.purchases + (if (x.et == "purchase") 1 else 0),
+              clicks = sess.clicks + (if (x.et == "click") 1 else 0))
+            val dur = (x.ems - sess.startEms) / 60000.0
+            val changed = x.lastN != sess.n || x.lastDur != dur ||
+              x.lastP != sess.purchases || x.lastC != sess.clicks
+            if (changed) {
+              rev += 1
+              out += SessionStepRev(x.id, uid, x.ems,
+                session_events = sess.n, session_duration_min = dur,
+                purchases_so_far = sess.purchases,
+                clicks_so_far = sess.clicks,
+                conversion_so_far =
+                  sess.purchases.toDouble / math.max(sess.clicks, 1L),
+                rev = rev)
+            }
+            x.copy(lastN = sess.n, lastDur = dur,
+              lastP = sess.purchases, lastC = sess.clicks)
+          }
+          // evict beyond the horizon, folding dropped rows into the prefix
+          // summary (their rows are already emitted and final — a later
+          // arrival older than the horizon is the documented boundary)
+          val frontier = buf.lastOption.map(_.ems).getOrElse(Long.MinValue)
+          val (dropped, kept) = buf.span(_.ems <= frontier - H24H)
+          dropped.foreach { d =>
+            prefix = prefix match {
+              case Some(p) if d.ems - p.lastEms <= SessionGapMs =>
+                Some(p.copy(lastEms = d.ems, n = p.n + 1,
+                  purchases = p.purchases + (if (d.et == "purchase") 1 else 0),
+                  clicks = p.clicks + (if (d.et == "click") 1 else 0)))
+              case _ =>
+                Some(SessPrefix(d.ems, d.ems, 1L,
+                  if (d.et == "purchase") 1L else 0L,
+                  if (d.et == "click") 1L else 0L))
+            }
+          }
+          state.update(SessUBuf(kept, prefix, rev))
+          out.result().iterator
+      }
+  }
+
   /** Per-event session-feature emission (the reference's clickstream
     * per-event path, processors/clickstream.py:33-153): every event gets
     * the running counters of its session; a >30 min gap starts a new

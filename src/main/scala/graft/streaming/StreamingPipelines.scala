@@ -219,6 +219,22 @@ object StreamingPipelines {
     * tight watermark). */
   private val ReplayDelay = "30 days"
 
+  /** The session twin of the update-mode retraction pipelines: late
+    * events can merge sessions, so the sink keeps every correction and
+    * read-back takes the max-rev row per event. */
+  def sessionStepsUpdateStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val in = eventStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"), col("event_type"))
+      .as[StatefulFeatures.SessEventIn]
+    val out = StatefulFeatures.sessionStepsUpdate(in).toDF()
+    val sink = runToMemory(spark, out, "update", "sessionupdate")
+    val w = Window.partitionBy(col("event_id")).orderBy(col("rev").desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn", "rev").orderBy(col("event_id"))
+  }
+
   /** Typed event stream with the replay watermark on the event timestamp,
     * kept as a field so the watermark attribute reaches the stateful
     * operator — the precondition for event-time state timeouts (W4/W11:

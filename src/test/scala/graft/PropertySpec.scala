@@ -130,6 +130,59 @@ class PropertySpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("session retraction reaches global sessionization under any batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulFeatures.SessEventIn
+    implicit val ctx = spark.sqlContext
+    // 20-min grid: gaps of 0/20/40... minutes around the 30-min session
+    // cut, all inside one horizon; shuffled arbitrary micro-batches
+    val gen: Gen[(List[(Long, Long)], Int, Long)] = for {
+      n <- Gen.choose(1, 14)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 30L).map(_ * 1200000L))
+      keys <- Gen.listOfN(n, Gen.choose(1L, 2L))
+      nb <- Gen.choose(1, 4)
+      seed <- Gen.choose(0L, 1000L)
+    } yield (ts.zip(keys), nb, seed)
+    check(Prop.forAll(gen) { case (evs, nb, seed) =>
+      val events = evs.zipWithIndex.map { case ((t, k), i) =>
+        SessEventIn(i.toLong + 1, k, t,
+          if (i % 3 == 0) "purchase" else "click")
+      }
+      val shuffled = new scala.util.Random(seed).shuffle(events)
+      val batches = shuffled.grouped(math.max(1, shuffled.size / nb)).toSeq
+      val in = MemoryStream[SessEventIn]
+      val name = s"sess_prop_${seed}_${evs.size}_$nb"
+      val q = StatefulFeatures.sessionStepsUpdate(in.toDS()).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val fin = spark.table(name).collect()
+        .map(r => (r.getAs[Long]("event_id"), (r.getAs[Long]("rev"),
+          (r.getAs[Long]("session_events"),
+            r.getAs[Double]("session_duration_min"),
+            r.getAs[Long]("purchases_so_far"),
+            r.getAs[Long]("clicks_so_far")))))
+        .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).maxBy(_._1)._2 }
+      spark.catalog.dropTempView(name)
+      // global truth: sort per user, sessionize by 30-min gap, run counters
+      events.groupBy(_.user_id).forall { case (_, evsU) =>
+        val ordered = evsU.sortBy(e => (e.ems, e.event_id))
+        var start = 0L; var last = Long.MinValue
+        var n = 0L; var p = 0L; var c = 0L
+        ordered.forall { e =>
+          if (last == Long.MinValue || e.ems - last > 1800000L) {
+            start = e.ems; n = 0; p = 0; c = 0
+          }
+          last = e.ems; n += 1
+          if (e.event_type == "purchase") p += 1 else c += 1
+          fin(e.event_id) == ((n, (e.ems - start) / 60000.0, p, c))
+        }
+      }
+    }, n = 5)
+  }
+
   test("stateful anchored counts equal the naive per-event window count") {
     check(Prop.forAll(eventsGen) { evs =>
       val in = evs.zipWithIndex.map { case ((t, k), i) =>

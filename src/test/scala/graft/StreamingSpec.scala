@@ -106,6 +106,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin(2L)._2 == 4L && fin(2L)._3 == 20.0 && fin(2L)._4.contains(1.0))
   }
 
+  test("session retraction: a late event MERGES two sessions and corrects rows") {
+    implicit val ctx = spark.sqlContext
+    val min = 60000L
+    def ev(id: Long, ms: Long, et: String) =
+      StatefulFeatures.SessEventIn(id, 7L, ms, et)
+    val in = MemoryStream[StatefulFeatures.SessEventIn]
+    val q = StatefulFeatures.sessionStepsUpdate(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("sess_upd_test")
+      .outputMode("update").start()
+    try {
+      // two sessions 40 min apart
+      in.addData(ev(1, 0, "click"), ev(2, 40 * min, "purchase"))
+      q.processAllAvailable()
+      // late bridge at 20 min: both gaps become 20 min -> ONE session
+      in.addData(ev(3, 20 * min, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("sess_upd_test").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        (r.getAs[Long]("rev"), r.getAs[Long]("session_events"),
+          r.getAs[Double]("session_duration_min"),
+          r.getAs[Long]("purchases_so_far"), r.getAs[Long]("clicks_so_far"))))
+      .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).maxBy(_._1) }
+    // merged-session truth: ev1 (n1, 0min), ev3 (n2, 20min, 2 clicks),
+    // ev2 (n3, 40min from the ORIGINAL session start, 1 purchase)
+    assert(fin(1L) == (fin(1L)._1, 1L, 0.0, 0L, 1L))
+    assert(fin(3L) == (fin(3L)._1, 2L, 20.0, 0L, 2L))
+    assert(fin(2L) == (fin(2L)._1, 3L, 40.0, 1L, 2L))
+    // ev2's pre-merge emission said n=1, duration 0 (own session)
+    val ev2rows = spark.table("sess_upd_test")
+      .filter($"event_id" === 2L).collect()
+      .map(r => (r.getAs[Long]("session_events"),
+        r.getAs[Double]("session_duration_min"))).toSet
+    assert(ev2rows == Set((1L, 0.0), (3L, 40.0)))
+  }
+
   test("EventTimeTimeout evicts idle keys from the state store (W4/W11)") {
     implicit val ctx = spark.sqlContext
     val day = 86400000L
