@@ -25,14 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hamming_distance"),
       new ExpressionInfo(
         classOf[graft.functions.HammingDistance].getName, "hamming_distance"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.HammingDistance(exprs(0), exprs(1))))
+      graft.functions.HammingDistance.builder))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(
         classOf[graft.functions.SortedIntersectCount].getName,
         "sorted_intersect_count"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.SortedIntersectCount(exprs(0), exprs(1))))
+      graft.functions.SortedIntersectCount.builder))
   }
 }

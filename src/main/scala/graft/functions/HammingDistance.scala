@@ -40,15 +40,20 @@ case class HammingDistance(left: Expression, right: Expression)
 
 object HammingDistance {
 
+  /** Single builder shared by the temp-function registration and
+    * GraftExtensions — arity errors surface as analysis errors. */
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 2, s"hamming_distance expects 2 args, got ${exprs.size}")
+    HammingDistance(exprs(0), exprs(1))
+  }
+
   /** SQL registration: `SELECT hamming_distance(a, b)`. (Spark 4 keeps
     * Column<->Expression conversion internal, so the function is exposed
     * through the registry and used via expr()/SQL — still fully
     * codegen'd.) */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hamming_distance",
-      exprs => HammingDistance(exprs(0), exprs(1)),
-      "built-in")
+      "hamming_distance", builder, "built-in")
 
   /** Column form (requires register() on the session first). */
   def hammingDistance(a: Column, b: Column): Column = {

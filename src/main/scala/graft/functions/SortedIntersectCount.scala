@@ -90,12 +90,18 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
 object SortedIntersectCount {
 
+  /** Single builder shared by the temp-function registration and
+    * GraftExtensions — arity errors surface as analysis errors. */
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 2,
+      s"sorted_intersect_count expects 2 args, got ${exprs.size}")
+    SortedIntersectCount(exprs(0), exprs(1))
+  }
+
   /** SQL registration: `SELECT sorted_intersect_count(a, b)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count",
-      exprs => SortedIntersectCount(exprs(0), exprs(1)),
-      "built-in")
+      "sorted_intersect_count", builder, "built-in")
 
   /** Column form (requires register() on the session first). */
   def sortedIntersectCount(a: Column, b: Column): Column = {

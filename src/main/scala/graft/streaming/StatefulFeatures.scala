@@ -246,9 +246,12 @@ object StatefulFeatures {
       purchases_so_far: Long, clicks_so_far: Long, conversion_so_far: Double)
 
   /** One buffered event for the session-retraction variant, with its last
-    * emitted values (n = -1 marks never-emitted). */
+    * emitted values (n = -1 marks never-emitted) and the start of the
+    * session it belonged to at that emission (lets eviction fold a
+    * dropped row's state straight into the prefix summary). */
   case class SessEv(ems: Long, id: Long, et: String,
-      lastN: Long, lastDur: Double, lastP: Long, lastC: Long)
+      lastN: Long, lastDur: Double, lastP: Long, lastC: Long,
+      startEms: Long)
 
   /** Summary of the evicted prefix: the running session state at the point
     * the oldest retained event would continue it (None when the evicted
@@ -285,14 +288,29 @@ object StatefulFeatures {
           val st0 = state.getOption.getOrElse(SessUBuf(Seq.empty, None, 0L))
           var rev = st0.rev
           var prefix = st0.prefix
-          val incoming = events.toVector.map(e =>
-            SessEv(e.ems, e.event_id, e.event_type, -1L, 0.0, 0L, 0L))
+          val out = Vector.newBuilder[SessionStepRev]
+          // an arrival at or before the evicted-prefix frontier cannot be
+          // ordered within the already-summarized region: walking it would
+          // POISON the chain (retroactively splitting correct in-horizon
+          // sessions). Emit it as a lone boundary row — present in the
+          // output, outside the chain — the same state-bound boundary as
+          // the anchored ops, but contained to the stray row itself.
+          val (stale, freshIn) = events.toVector.partition(e =>
+            prefix.exists(p => e.ems <= p.lastEms))
+          stale.sortBy(e => (e.ems, e.event_id)).foreach { e =>
+            rev += 1
+            val p = if (e.event_type == "purchase") 1L else 0L
+            val c = if (e.event_type == "click") 1L else 0L
+            out += SessionStepRev(e.event_id, uid, e.ems, 1L, 0.0, p, c,
+              p.toDouble / math.max(c, 1L), rev)
+          }
+          val incoming = freshIn.map(e =>
+            SessEv(e.ems, e.event_id, e.event_type, -1L, 0.0, 0L, 0L, e.ems))
           var buf = (st0.rows.toVector ++ incoming).sortBy(x => (x.ems, x.id))
           // re-sessionize the whole buffer, seeded by the prefix summary
           // (eviction happens AFTER the walk, so every row — including
           // ones about to age out on an initial bulk load — emits first)
           var sess: SessPrefix = null
-          val out = Vector.newBuilder[SessionStepRev]
           buf = buf.map { x =>
             sess =
               if (sess == null) prefix match {
@@ -319,24 +337,18 @@ object StatefulFeatures {
                 rev = rev)
             }
             x.copy(lastN = sess.n, lastDur = dur,
-              lastP = sess.purchases, lastC = sess.clicks)
+              lastP = sess.purchases, lastC = sess.clicks,
+              startEms = sess.startEms)
           }
-          // evict beyond the horizon, folding dropped rows into the prefix
-          // summary (their rows are already emitted and final — a later
-          // arrival older than the horizon is the documented boundary)
+          // evict beyond the horizon: the walk already computed each row's
+          // session state, so the prefix summary is just the LAST dropped
+          // row's carried values (their rows are emitted and final — a
+          // later arrival at/under the prefix is the boundary above)
           val frontier = buf.lastOption.map(_.ems).getOrElse(Long.MinValue)
           val (dropped, kept) = buf.span(_.ems <= frontier - H24H)
-          dropped.foreach { d =>
-            prefix = prefix match {
-              case Some(p) if d.ems - p.lastEms <= SessionGapMs =>
-                Some(p.copy(lastEms = d.ems, n = p.n + 1,
-                  purchases = p.purchases + (if (d.et == "purchase") 1 else 0),
-                  clicks = p.clicks + (if (d.et == "click") 1 else 0)))
-              case _ =>
-                Some(SessPrefix(d.ems, d.ems, 1L,
-                  if (d.et == "purchase") 1L else 0L,
-                  if (d.et == "click") 1L else 0L))
-            }
+          dropped.lastOption.foreach { d =>
+            prefix = Some(SessPrefix(d.startEms, d.ems, d.lastN,
+              d.lastP, d.lastC))
           }
           state.update(SessUBuf(kept, prefix, rev))
           out.result().iterator

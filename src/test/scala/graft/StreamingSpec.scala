@@ -142,6 +142,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(ev2rows == Set((1L, 0.0), (3L, 40.0)))
   }
 
+  test("session retraction: an older-than-prefix arrival cannot poison the chain") {
+    implicit val ctx = spark.sqlContext
+    val day = 86400000L
+    val min = 60000L
+    def ev(id: Long, ms: Long) = StatefulFeatures.SessEventIn(id, 7L, ms, "click")
+    val in = MemoryStream[StatefulFeatures.SessEventIn]
+    val q = StatefulFeatures.sessionStepsUpdate(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("sess_stale_test")
+      .outputMode("update").start()
+    try {
+      // old session, then a jump past the horizon -> old events evicted
+      // into the prefix summary
+      in.addData(ev(1, 0), ev(2, 10 * min))
+      q.processAllAvailable()
+      in.addData(ev(3, 2 * day), ev(4, 2 * day + 5 * min))
+      q.processAllAvailable()
+      // stray arrival INSIDE the summarized (evicted) region: must emit a
+      // lone boundary row and must NOT re-emit/reset the retained session
+      in.addData(ev(5, 5 * min))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_stale_test").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        (r.getAs[Long]("rev"), r.getAs[Long]("session_events"),
+          r.getAs[Double]("session_duration_min"))))
+    val fin = rows.groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(_._2).maxBy(_._1) }
+    assert(fin(5L)._2 == 1L && fin(5L)._3 == 0.0) // lone boundary row
+    // retained session untouched: ev3/ev4 keep their one correct emission
+    assert(rows.count(_._1 == 3L) == 1 && fin(3L)._2 == 1L)
+    assert(rows.count(_._1 == 4L) == 1 && fin(4L)._2 == 2L && fin(4L)._3 == 5.0)
+  }
+
   test("EventTimeTimeout evicts idle keys from the state store (W4/W11)") {
     implicit val ctx = spark.sqlContext
     val day = 86400000L
