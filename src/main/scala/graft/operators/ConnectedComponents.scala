@@ -35,11 +35,28 @@ object ConnectedComponents {
     * round plans against a flat scan. The label table is O(|nodes in
     * edges|), far smaller than the corpus. */
   def components(edges: DataFrame, maxIter: Int = 100): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    val sc = edges.sparkSession.sparkContext
+    // An eager localCheckpoint pins its RDD blocks in the block manager;
+    // ContextCleaner only releases them on GC of the frame, so a long loop
+    // would accumulate one label table per round. Track each checkpoint's
+    // newly-persisted RDD ids and release the PREVIOUS round's explicitly
+    // once the next round is materialized (safe: eager checkpoints never
+    // recompute from lineage, and nothing references the old round).
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val (sym, symIds) = checkpointTracked(
+      edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var (labels, labelIds) = checkpointTracked(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var it = 0
     var done = sym.isEmpty
     while (!done && it < maxIter) {
@@ -47,19 +64,21 @@ object ConnectedComponents {
       // rather than by re-joining against the previous labels — one fewer
       // shuffle join per round, and the count lands on checkpointed data
       val newComp = least(col("comp"), coalesce(col("ncomp"), col("comp")))
-      val upd = labels
+      val (upd, updIds) = checkpointTracked(labels
         .join(
           sym.join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
             .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
             .withColumnRenamed("src", "id"),
           Seq("id"), "left")
         .select(col("id"), newComp.as("comp"),
-          (newComp < col("comp")).as("chg"))
-        .localCheckpoint(true)
+          (newComp < col("comp")).as("chg")))
       done = upd.filter(col("chg")).isEmpty
+      release(labelIds)
       labels = upd.drop("chg")
+      labelIds = updIds
       it += 1
     }
+    release(symIds)
     require(done, s"connected components did not converge in $maxIter rounds" +
       " — graph diameter exceeds the bound; raise maxIter or use a" +
       " contraction algorithm (large-star/small-star)")

@@ -38,9 +38,10 @@ object RankedWindow {
   def rankDesc(df: DataFrame, value: Column, tie: Column,
                tiles: Int = 4, nBuckets: Int = 32): DataFrame = {
     val spark = df.sparkSession
-    // persisted across the three phases (cuts, per-bucket stats, ranked
+    // pinned across the three phases (cuts, per-bucket stats, ranked
     // pass) — the input is typically a post-aggregation table, so this is
-    // a bounded pin that saves two recomputations of its whole lineage
+    // a bounded pin that saves two recomputations of its whole lineage;
+    // released via CachePin once the ranked output is materialized
     val pinned = df.persist()
     val cuts = RangeBuckets.cuts(pinned, value, nBuckets)
     val bucketed = pinned.withColumn("__bucket", RangeBuckets.descBucket(cuts, value))
@@ -84,6 +85,8 @@ object RankedWindow {
           expr(s"(__rn - 1) div ${q + 1}") + lit(1L))
           .otherwise(lit(r) + expr(s"(__rn - ${r * (q + 1)} - 1) div $q") + lit(1L)))
 
-    tiled.drop("__bucket", "__lrank", "__ldense", "__lrn", "__rn", "__on", "__od")
+    graft.core.CachePin.sealAndRelease(
+      tiled.drop("__bucket", "__lrank", "__ldense", "__lrn", "__rn", "__on", "__od"),
+      pinned)
   }
 }

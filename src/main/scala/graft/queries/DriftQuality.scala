@@ -83,12 +83,13 @@ object DriftQuality extends QueryModule {
       .join(broadcast(offsetsDf), Seq("bucket"))
       .select((((col("l1") + col("o1")) / lit(n1.toDouble)) -
                ((col("l2") + col("o2")) / lit(n2.toDouble))).as("diff"))
-    d.agg(max(abs(col("diff"))).as("ks_stat"))
+    val out = d.agg(max(abs(col("diff"))).as("ks_stat"))
       .withColumn("n_ref", lit(n1))
       .withColumn("n_cur", lit(n2))
       .withColumn("ks_critical",
         lit(1.36) * sqrt((col("n_ref") + col("n_cur")) / (col("n_ref") * col("n_cur"))))
       .withColumn("drifted", col("ks_stat") > col("ks_critical"))
+    graft.core.CachePin.sealAndRelease(out, base)
   }
 
   private val ksSql =

@@ -168,8 +168,8 @@ object Embeddings extends QueryModule {
     * so the query reports the top candidates instead of an empty set).
     * The bucket join bounds candidate generation (never all-pairs). */
   private def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // session-lifetime cache, deliberate: both join sides + the estimate
-    // need the bucketed table, and at most a few thousand rows are pinned
+    // both join sides need the bucketed table — pinned for the pass,
+    // released once the top-50 result is sealed
     val b = Tables.embeddings(spark, dir)
       .withColumn("bucket", expr(bucketExpr))
       .persist()
@@ -178,11 +178,13 @@ object Embeddings extends QueryModule {
       .join(b.select(col("bucket"), col("vec_id").as("id_b"),
         col("embedding")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-    pairs
-      .withColumn("cos", round(expr(cosExpr), 6))
-      .select(col("id_a"), col("id_b"), col("cos"))
-      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
-      .limit(50)
+    graft.core.CachePin.sealAndRelease(
+      pairs
+        .withColumn("cos", round(expr(cosExpr), 6))
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+        .limit(50),
+      b)
   }
 
   private val cosineNearDupSql =
@@ -239,14 +241,16 @@ object Embeddings extends QueryModule {
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
     val cand = inBucket.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_candidates"))
-    q.select(col("query_id"))
-      .join(cand, Seq("query_id"), "left")
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"))
-      .orderBy(col("query_id"))
+    graft.core.CachePin.sealAndRelease(
+      q.select(col("query_id"))
+        .join(cand, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"))
+        .orderBy(col("query_id")),
+      emb)
   }
 
   private val annRecallSql = {
@@ -361,14 +365,16 @@ object Embeddings extends QueryModule {
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
     val nc = candIds.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_candidates"))
-    qv.select(col("query_id"))
-      .join(nc, Seq("query_id"), "left")
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"))
-      .orderBy(col("query_id"))
+    graft.core.CachePin.sealAndRelease(
+      qv.select(col("query_id"))
+        .join(nc, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"))
+        .orderBy(col("query_id")),
+      emb)
   }
 
   private val ivfRecallSql =

@@ -157,7 +157,7 @@ object EventAnalytics extends QueryModule {
     }
     val local = Window.partitionBy(col("bucket")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed
+    val out = bucketed
       .withColumn("lmax", max(col("ems")).over(local))
       .join(broadcast(offsetsDf), Seq("bucket"))
       // greatest() skips nulls in both engines; null only when both are
@@ -174,6 +174,7 @@ object EventAnalytics extends QueryModule {
         (sum(when(col("is_late"), 1).otherwise(0)) / count(lit(1)))
           .as("late_rate"))
       .orderBy(col("event_type"))
+    graft.core.CachePin.sealAndRelease(out, base)
   }
 
   private val watermarkLateSql =

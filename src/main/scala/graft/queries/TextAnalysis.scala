@@ -295,7 +295,7 @@ object TextAnalysis extends QueryModule {
         Seq("band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    pairs
+    val out = pairs
       .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), Seq("doc_b"))
       .withColumn("est_jaccard",
@@ -303,6 +303,7 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(50)
+    graft.core.CachePin.sealAndRelease(out, sig)
   }
 
   private val minHashLshSql =
@@ -367,12 +368,13 @@ object TextAnalysis extends QueryModule {
       col("simhash").as("sh_a"))
     val b = sims.select(col("bucket"), col("doc_id").as("doc_b"),
       col("simhash").as("sh_b"))
-    a.join(b, Seq("bucket"))
+    val out = a.join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", expr("hamming_distance(sh_a, sh_b)").cast("long"))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(50)
+    graft.core.CachePin.sealAndRelease(out, sims)
   }
 
   private val simHashPairsSql =
@@ -417,10 +419,11 @@ object TextAnalysis extends QueryModule {
     val comp = graft.operators.ConnectedComponents.components(edges)
     val sizes = comp.groupBy(col("comp"))
       .agg(count(lit(1)).as("cluster_size"))
-    comp.join(sizes, Seq("comp"))
+    val out = comp.join(sizes, Seq("comp"))
       .select(col("comp").as("cluster_id"), col("id").as("doc_id"),
         col("cluster_size"))
       .orderBy(col("cluster_id"), col("doc_id"))
+    graft.core.CachePin.sealAndRelease(out, sims)
   }
 
   private val dedupClustersSql =

@@ -81,6 +81,41 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
   private def bucketPath(view: FeatureView, version: String, b: Int) =
     path("online", view.name, version, s"$BucketCol=$b")
 
+  /** Garbage-collects snapshot version directories no longer referenced by
+    * the manifest — without this, disk usage grows per batch even though
+    * only the manifest-referenced buckets are live. Runs after every
+    * manifest flip; also sweeps orphans left by a crash between a TTL
+    * snapshot write and its flip (the idempotency story for applyTtl: a
+    * rerun publishes a fresh version and the sweep removes the orphan).
+    *
+    * Safe under the store's single-writer micro-batch discipline: readers
+    * resolve concrete paths through the CURRENT manifest at read time
+    * (`onlineDf`), and the flip is atomic, so no deleted directory can be
+    * resolved after the flip. A DataFrame captured from a pre-flip
+    * manifest must be consumed before the next upsert — same contract a
+    * vacuumed Delta table imposes with retention 0. */
+  private def gcVersions(view: FeatureView): Unit =
+    manifest(view).foreach { m =>
+      import scala.jdk.CollectionConverters._
+      val live = m.values.toSet
+      val dir = Paths.get(path("online", view.name))
+      if (Files.isDirectory(dir)) {
+        val listing = Files.list(dir)
+        val stale =
+          try listing.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            Files.isDirectory(p) && !n.startsWith("_") && !live.contains(n)
+          }.toList
+          finally listing.close()
+        stale.foreach { p =>
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+          finally walk.close()
+        }
+      }
+    }
+
   private def onlineDf(view: FeatureView): Option[DataFrame] =
     manifest(view).flatMap { m =>
       // a bucket whose rows all expired leaves no directory — skip it
@@ -145,6 +180,7 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
       prevM ++ touched.map(_ -> s"v$batchId"), batchId.toString)
     Files.createDirectories(marker.getParent)
     Files.createFile(marker)
+    gcVersions(view)
   }
 
   /** Latest feature rows for the requested keys (S9/J4 point lookup; a
@@ -192,6 +228,7 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
           .parquet(path("online", view.name, version))
         writeManifest(view, m.map { case (b, _) => b -> version },
           s"ttl$nowMs")
+        gcVersions(view)
       }
     }
 

@@ -63,14 +63,32 @@ object StreamingPipelines {
   /** Runs a streaming DataFrame to completion into a memory sink and
     * returns the sink table. The previous sink table of the same caller is
     * dropped so repeated invocations (warm-up + timed bench runs) hold at
-    * most one result copy in driver memory. */
+    * most one result copy in driver memory.
+    *
+    * `requireSingleBatch` pins the delivery assumption of the pipelines
+    * whose 1 h watermark is LOAD-BEARING for their sealing rule
+    * (alignedWindowAppend, intervalJoinStream): their oracle match relies
+    * on the file source delivering the whole dataset in one micro-batch —
+    * with `maxFilesPerTrigger` set or a multi-file staging dir, disorder
+    * beyond 1 h would drop late rows SILENTLY. The assertion turns that
+    * silent divergence into a loud failure. (The replay pipelines instead
+    * use ReplayDelay, which tolerates any batch split.) */
   def runToMemory(spark: SparkSession, out: DataFrame, mode: String,
-                  caller: String = "query"): DataFrame = {
+                  caller: String = "query",
+                  requireSingleBatch: Boolean = false): DataFrame = {
     val name = freshName(s"graft_sink_$caller")
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
     try {
       q.processAllAvailable()
+      if (requireSingleBatch) {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches <= 1,
+          s"$caller: expected single-micro-batch delivery but saw " +
+            s"$dataBatches data batches — the 1 h watermark sealing rule " +
+            "only matches the batch oracle when the source delivers all " +
+            "data in one trigger (do not set maxFilesPerTrigger here)")
+      }
     } finally q.stop()
     Option(lastSink.put(caller, name))
       .foreach(prev => spark.catalog.dropTempView(prev))
@@ -103,7 +121,7 @@ object StreamingPipelines {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(col("user_id"), unix_millis(col("window.start")).as("win_start_ms"),
               col("n_events"), col("sum_value"))
-    runToMemory(spark, agg, "append", "alignedappend")
+    runToMemory(spark, agg, "append", "alignedappend", requireSingleBatch = true)
       .orderBy(col("user_id"), col("win_start_ms"))
   }
 
@@ -129,7 +147,8 @@ object StreamingPipelines {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") < col("p_ts"))
       .select(col("purchase_id"))
-    val matches = runToMemory(spark, joined, "append", "ivjoin")
+    val matches = runToMemory(spark, joined, "append", "ivjoin",
+      requireSingleBatch = true)
     val counts = matches.groupBy(col("purchase_id"))
       .agg(count(lit(1)).as("n"))
     graft.core.Tables.events(spark, dir)
@@ -158,7 +177,7 @@ object StreamingPipelines {
       .select(col("user_id"),
         unix_millis(col("session_window.start")).as("session_start_ms"),
         col("n_events"), col("purchases"), col("sum_value"))
-    runToMemory(spark, agg, "append", "session")
+    runToMemory(spark, agg, "append", "session", requireSingleBatch = true)
       .orderBy(col("user_id"), col("session_start_ms"))
   }
 

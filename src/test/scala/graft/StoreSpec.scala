@@ -78,6 +78,29 @@ class StoreSpec extends AnyFunSuite {
     assert(left == Set(2L))
   }
 
+  test("version GC removes unreferenced snapshots; TTL orphans are swept") {
+    val root = Files.createTempDirectory("graft_gc_store_").toString
+    val store = new OnlineStore(spark, root)
+    def versions = new java.io.File(s"$root/online/spec_view").listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_")).toSet
+    store.upsert(view, rows((1L to 50L).map(i => (i, 100L, i.toDouble)): _*), 0L)
+    store.upsert(view, rows((1L, 200L, 9.0)), 1L)
+    // v0 is still referenced for the untouched buckets -> both live
+    assert(versions == Set("v0", "v1"))
+    // rewrite EVERY key: v0/v1 drop out of the manifest -> collected
+    store.upsert(view, rows((1L to 50L).map(i => (i, 300L, i.toDouble)): _*), 2L)
+    assert(versions == Set("v2"))
+    // a crashed TTL run leaves an orphan version (written, never flipped);
+    // the next TTL publish sweeps it — the applyTtl idempotency story
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/online/spec_view/ttl999/gbucket=0"))
+    store.applyTtl(view, nowMs = 400L)
+    assert(versions == Set("ttl400"))
+    val alive = store.getOnlineFeatures(view, (1L to 50L).toDF("user_id"))
+      .filter($"v".isNotNull).count()
+    assert(alive == 50L)
+  }
+
   test("PIT validator flags inconsistency and passes consistent stores") {
     val store = newStore()
     store.upsert(view, rows((1L, 100L, 1.0), (1L, 200L, 2.0)), 0L)
