@@ -14,7 +14,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, EventFeatures, EventAnalytics, DriftQuality, TextAnalysis,
     Embeddings, StreamingQueries, FeatureStoreQueries, ServingQueries,
-    MultimodalQueries, ExtendedQueries, SourceFormats, CorpusPipeline)
+    MultimodalQueries, ExtendedQueries, SourceFormats, CorpusPipeline,
+    Sketches)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the end-to-end fraud pipeline (anchored features -> score -> risk

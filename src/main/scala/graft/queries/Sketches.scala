@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Exact._
+
+/** Sketch-based approximate operators — the single-pass, mergeable,
+  * fixed-memory primitives a 100 TB pipeline uses where exact answers
+  * would need an unbounded shuffle: HyperLogLog cardinality, count-min
+  * heavy-hitter estimation, bloom-filter join pruning.
+  *
+  * Every sketch here is DETERMINISTIC: hashes are md5-derived (the repo's
+  * cross-engine rule — never engine hash()) and all register/counter
+  * arithmetic stays in exact integers until one final IEEE-deterministic
+  * division, so the DuckDB oracle reproduces the sketch bit-for-bit, not
+  * just approximately. Each query also carries the exact answer next to
+  * the estimate — the error column is the measurement, as with
+  * emb_ann_recall.
+  *
+  * Reference anchor: the reference keeps approximate per-key distinct and
+  * top-k gauges in its monitoring path (metrics.py gauge family); these
+  * are the scale-correct forms of those gauges.
+  */
+object Sketches extends QueryModule {
+
+  // ------------------------------------------------------------------ HLL
+  /** HyperLogLog distinct-user estimate per event type + merged ALL row.
+    *
+    * One scan computes per-(type, bucket) max rank — a map-side-partial
+    * max into a |types|×m row shuffle, the whole point of HLL at scale.
+    * The ALL row is NOT a second scan: registers MERGE by max, so it
+    * derives from the per-type register table (the same merge a
+    * 1000-executor tree-reduce or a cross-day rollup would do).
+    *
+    * m = 32 registers keeps the raw estimator in its valid range at the
+    * test SF (n/m ≈ 4.7 > 2.5); production raises m to 2^14+. The
+    * small-range linear-counting correction is deliberately omitted — it
+    * needs ln(), which is libm-dependent and breaks bit-exact cross-engine
+    * comparison; the raw estimator is exact-rational until one division.
+    *
+    * Register math: h = 32-bit md5 of user_id; bucket = h mod 32;
+    * w = h div 32 (27 bits); rho = 28 - bitlength(w), 28 when w = 0.
+    * T = sum over the m registers of 2^(28 - M_j)  (exact integer;
+    * absent register contributes 2^28), E = alpha_32 * m^2 * 2^28 / T. */
+  private val hllM = 32
+  private val hllAlpha = 0.697 // standard alpha for m = 32
+
+  private def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long")
+    // h < 2^32 and m is a power of two, so the double division is exact
+    val w = floor(h / lit(hllM.toDouble)).cast("long")
+    val rho = when(w === 0L, lit(28))
+      .otherwise(lit(28) - length(bin(w))).cast("int")
+    val regs = ev
+      .select(col("event_type"), pmod(h, lit(hllM.toLong)).cast("int").as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+    // registers merge by max -> the ALL row costs |types|*m rows, no rescan
+    val merged = regs.unionByName(
+      regs.groupBy(col("bucket")).agg(max(col("m_j")).as("m_j"))
+        .withColumn("event_type", lit("ALL"))
+        .select(col("event_type"), col("bucket"), col("m_j")))
+    val est = merged.groupBy(col("event_type"))
+      .agg(
+        sum(expr("cast(power(2, 28 - m_j) as bigint)")).as("t_set"),
+        count(lit(1)).as("n_regs"))
+      .withColumn("t_total",
+        col("t_set") + (lit(hllM.toLong) - col("n_regs")) * lit(1L << 28))
+      .withColumn("hll_estimate",
+        round(lit(hllAlpha * hllM * hllM * (1L << 28).toDouble) /
+          col("t_total").cast("double"), 6))
+    val exact = ev.rollup(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n_exact"))
+    est.join(exact, Seq("event_type"))
+      .withColumn("rel_error",
+        round(abs(col("hll_estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6))
+      .select(col("event_type"), col("n_exact"), col("hll_estimate"),
+        col("n_regs").cast("long").as("n_regs"), col("rel_error"))
+      .orderBy(col("event_type"))
+  }
+
+  private val hllDistinctSql =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+       |  FROM events
+       |), r AS (
+       |  SELECT event_type, hv % $hllM AS bucket,
+       |    CASE WHEN hv // $hllM = 0 THEN 28
+       |         ELSE 28 - length(bin(hv // $hllM)) END AS rho
+       |  FROM h
+       |), regs AS (
+       |  SELECT event_type, bucket, MAX(rho) AS m_j
+       |  FROM r GROUP BY event_type, bucket
+       |), merged AS (
+       |  SELECT event_type, bucket, m_j FROM regs
+       |  UNION ALL
+       |  SELECT 'ALL' AS event_type, bucket, MAX(m_j) AS m_j
+       |  FROM regs GROUP BY bucket
+       |), est AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CAST(power(2, 28 - m_j) AS BIGINT)) AS BIGINT) AS t_set,
+       |    CAST(COUNT(*) AS BIGINT) AS n_regs
+       |  FROM merged GROUP BY event_type
+       |), exact AS (
+       |  SELECT COALESCE(event_type, 'ALL') AS event_type,
+       |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM events GROUP BY ROLLUP (event_type)
+       |)
+       |, joined AS (
+       |  -- rel_error derives from the ROUNDED estimate, matching the
+       |  -- engine side exactly
+       |  SELECT e.event_type, x.n_exact,
+       |    ROUND($hllAlpha * $hllM * $hllM * CAST(1 << 28 AS DOUBLE)
+       |      / CAST(t_set + ($hllM - n_regs) * CAST(1 << 28 AS BIGINT) AS DOUBLE), 6)
+       |      AS hll_estimate,
+       |    n_regs
+       |  FROM est e JOIN exact x USING (event_type)
+       |)
+       |SELECT event_type, n_exact, hll_estimate, n_regs,
+       |  ROUND(ABS(hll_estimate - CAST(n_exact AS DOUBLE))
+       |    / CAST(n_exact AS DOUBLE), 6) AS rel_error
+       |FROM joined
+       |ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------ count-min
+  /** Count-min sketch heavy hitters: a d=4 × w=64 counter grid estimates
+    * per-user event counts; the query reports the exact top-10 users next
+    * to their CMS estimates (estimate >= exact always — the one-sided CMS
+    * guarantee, surfaced as the overestimate column).
+    *
+    * Scale shape: the sketch is ONE grouped agg into d*w = 256 cells
+    * (map-side partial sums), mergeable across partitions/days by cell
+    * addition — versus the exact top-k's full shuffle on user_id. The
+    * exact side here is the measurement harness, as with emb_ann_recall. */
+  private val cmsD = 4
+  private val cmsW = 64
+
+  private def cmsHash(r: Int, key: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(concat(lit(s"$r:"), key.cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long"), lit(cmsW.toLong))
+
+  private def cmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cells = ev.select(explode(array((0 until cmsD).map(r =>
+        struct(lit(r).as("r"), cmsHash(r, col("user_id")).as("c"))): _*))
+        .as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+    top.select(col("user_id"), col("n_exact"),
+        explode(array((0 until cmsD).map(r =>
+          struct(lit(r).as("r"), cmsHash(r, col("user_id")).as("c"))): _*))
+          .as("rc"))
+      .join(broadcast(cells),
+        col("rc.r") === cells("r") && col("rc.c") === cells("c"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_cms"))
+      .withColumn("overestimate", col("n_cms") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  private val cmsTopkSql =
+    s"""WITH cells AS (
+       |  SELECT r.r AS r,
+       |    CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+       |      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % $cmsW AS c,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events, (SELECT unnest(range($cmsD)) AS r) r
+       |  GROUP BY 1, 2
+       |), top AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM events GROUP BY user_id
+       |  ORDER BY n_exact DESC, user_id LIMIT 10
+       |)
+       |SELECT t.user_id, t.n_exact, MIN(m.cnt) AS n_cms,
+       |  MIN(m.cnt) - t.n_exact AS overestimate
+       |FROM top t, (SELECT unnest(range($cmsD)) AS r) r
+       |JOIN cells m ON m.r = r.r
+       |  AND m.c = CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+       |    CAST(t.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % $cmsW
+       |GROUP BY t.user_id, t.n_exact
+       |ORDER BY t.n_exact DESC, t.user_id""".stripMargin
+
+  // -------------------------------------------------------- bloom pruning
+  /** Semi-join with bloom-filter pre-pruning: orders of BUILDING-segment
+    * customers. The dimension side builds a 4096-bit md5-derived bloom
+    * filter (graft.operators.BloomPrune); the fact scan drops non-members
+    * BEFORE the shuffle; the exact semi-join after removes false
+    * positives, so the result is the plain semi-join — which is exactly
+    * what the oracle checks. See ScaleOpsSpec for the pruning assertion.
+    *
+    * This mirrors Spark's own runtime row-level filtering
+    * (InjectRuntimeFilter / spark.sql.optimizer.runtime.bloomFilter.*):
+    * at 100 TB the win is shuffle bytes ∝ matching rows, not scan rows. */
+  private def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BloomPrune
+    val seg = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    // dimension-side collect is bounded BY CONSTRUCTION (a bloom filter
+    // only applies when the build side is small); an unbounded build runs
+    // as an aggregation instead (see BloomPrune scaladoc)
+    val words = BloomPrune.build(
+      seg.collect().map(_.getLong(0).toString).toIterable)
+    Tables.orders(spark, dir)
+      .filter(BloomPrune.mightContain(words, col("o_custkey").cast("string")))
+      .join(seg, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val bloomSemiJoinSql =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_custkey IN
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_distinct" -> (hllDistinct _),
+    "sketch_cms_topk" -> (cmsTopk _),
+    "rel_bloom_semi_join" -> (bloomSemiJoin _))
+
+  override def oracles: Map[String, String] = Map(
+    "sketch_hll_distinct" -> hllDistinctSql,
+    "sketch_cms_topk" -> cmsTopkSql,
+    "rel_bloom_semi_join" -> bloomSemiJoinSql)
+}

@@ -66,6 +66,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.abs(q - exactQ) / math.max(exactQ, 1.0) < 0.05)
   }
 
+  test("bloom prune: no false negatives, real pruning, exact composed result") {
+    import graft.operators.BloomPrune
+    val members = (1 to 100).map(i => s"m$i")
+    val words = BloomPrune.build(members)
+    val probe = (members ++ (1 to 2000).map(i => s"x$i")).toDF("k")
+    val kept = probe.filter(BloomPrune.mightContain(words, $"k"))
+      .as[String].collect().toSet
+    // every member passes (no false negatives — the correctness invariant)
+    assert(members.forall(kept.contains))
+    // the filter actually prunes (fp rate for 100 keys in 4096 bits ~ 0.03%)
+    assert(kept.size < 200)
+    // composed with the exact join, the result is the exact semi-join
+    val dim = members.toDF("k")
+    val composed = probe.filter(BloomPrune.mightContain(words, $"k"))
+      .join(dim, Seq("k"), "left_semi").as[String].collect().toSet
+    assert(composed == members.toSet)
+  }
+
   test("kafka option surface mirrors the reference configuration") {
     val src = KafkaConfig.source("b:9092", Seq("txn.events", "click.events"))
     assert(src("subscribe") == "txn.events,click.events")
