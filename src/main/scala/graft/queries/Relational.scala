@@ -241,7 +241,35 @@ object Relational extends QueryModule {
       |FROM orders WHERE o_orderkey % 97 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** PIVOT (cross-tab): order counts by status per priority. The value
+    * list is EXPLICIT — `pivot(col, values)` skips the extra
+    * distinct-collection job Spark otherwise runs, and pins the output
+    * schema (the reference's fixed counter columns per status,
+    * transaction.py's per-type counters, are this shape). A pivot with
+    * explicit values is a single groupBy: conditional aggregation, one
+    * shuffle, map-side partials — same plan at any scale. */
+  private def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("F"),
+        coalesce($"O", lit(0L)).as("O"),
+        coalesce($"P", lit(0L)).as("P"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val qPivotSql =
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pivot_status" -> (qPivot _),
     "rel_q01_pricing_summary" -> (q01 _),
     "rel_q02_filter_project" -> (q02 _),
     "rel_q03_revenue_topk" -> (q03 _),
@@ -253,6 +281,7 @@ object Relational extends QueryModule {
     "rel_scalar_funcs" -> (qScalar _))
 
   override def oracles: Map[String, String] = Map(
+    "rel_pivot_status" -> qPivotSql,
     "rel_q01_pricing_summary" -> q01Sql,
     "rel_q02_filter_project" -> q02Sql,
     "rel_q03_revenue_topk" -> q03Sql,

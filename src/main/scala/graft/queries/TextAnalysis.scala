@@ -495,7 +495,67 @@ object TextAnalysis extends QueryModule {
       |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS subtokens_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- salient terms
+  /** Per-document salient terms: tf × rational idf, top-3 per doc — the
+    * keyword/topic-extraction pass of a corpus pipeline (and the shape of
+    * TF-IDF featurization for downstream clustering). The idf is BM25's
+    * (N - df + 0.5)/(df + 0.5) WITHOUT the log: the log is libm-dependent
+    * (Spark uses java.lang.Math, DuckDB uses C libm, last-ulp divergence)
+    * while the rational form is two IEEE ops, bit-identical cross-engine.
+    * Ranking is order-isomorphic to the logged form, so top-k is the same.
+    *
+    * Scale shape: tf = one shuffle on (doc, term); df = one shuffle on
+    * term (map-side partial counts); the df join back is a shuffle join on
+    * term (df table ∝ vocabulary — too big to broadcast at corpus scale);
+    * top-3 is a per-doc window, partition-parallel. No global sort. */
+  private def salientTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = d.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  private val salientTermsSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM t GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+      |), n AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    CAST(tf AS DOUBLE) *
+      |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+      |       (CAST(df AS DOUBLE) + 0.5)) AS score
+      |  FROM tf JOIN df USING (term), n
+      |), ranked AS (
+      |  SELECT doc_id, term, tf, df, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS BIGINT) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, rnk, term, tf, df, ROUND(score, 6) AS score
+      |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_salient_terms" -> (salientTerms _),
     "text_bpe_tokens" -> (bpeTokens _),
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (quality _),
@@ -509,6 +569,7 @@ object TextAnalysis extends QueryModule {
     "dedup_clusters" -> (dedupClusters _))
 
   override def oracles: Map[String, String] = Map(
+    "text_salient_terms" -> salientTermsSql,
     "text_bpe_tokens" -> bpeTokensSql,
     "text_token_stats" -> tokenStatsSql,
     "text_quality_score" -> qualitySql,
