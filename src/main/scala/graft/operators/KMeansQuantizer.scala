@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd-iteration k-means for IVF coarse quantization —
+  * the trained upgrade over the label-derived centroids in
+  * `emb_ivf_recall` (the round-2 backlog item: a trained quantizer
+  * balances cells on unlabeled corpora, but spark.ml KMeans is
+  * RNG-seeded AND execution-order dependent in its float reductions, so
+  * it cannot be oracle-checked; this one can).
+  *
+  * Determinism comes from three choices, each mirrored exactly in SQL:
+  *  - seeding by the k smallest vec_ids (no RNG; the iterations, not the
+  *    seeds, produce cell quality);
+  *  - assignment by squared-L2 computed as a SEQUENTIAL fold over
+  *    dimensions (identical op order both engines), ties on distance
+  *    broken by cell id;
+  *  - centroid updates accumulated as 1e-6-quantized integers (exact
+  *    integer sums, independent of partitioning/parallelism) with one
+  *    final double division.
+  *
+  * Scale shape (the part worth copying at 100 TB): centroids are
+  * COLLECTED each round (k × dim doubles — bytes) and re-broadcast as
+  * literal expressions, so assignment is a pure map — no crossJoin row
+  * explosion, no per-vector window shuffle; the update is a groupBy on
+  * (cell, pos) with k×dim groups and map-side partial sums. Each Lloyd
+  * round is therefore one scan + one tiny shuffle, the textbook
+  * distributed k-means plan.
+  */
+object KMeansQuantizer {
+
+  /** Squared-L2 distance from `emb` (array&lt;float&gt; column) to a literal
+    * centroid, as a sequential fold (matches the DuckDB list_reduce). */
+  def dist2To(emb: Column, cv: Seq[Double]): Column =
+    aggregate(
+      zip_with(emb, array(cv.map(lit): _*),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-centroid cell id for `emb`: least over (dist2, cell) structs
+    * — struct ordering gives the distance-then-cell-id tie-break. The
+    * cast re-names the struct fields (aliases inside least() resolve to
+    * positional col1/col2). */
+  def assignCell(emb: Column, centroids: Seq[(Long, Seq[Double])]): Column =
+    least(centroids.map { case (cell, cv) =>
+      struct(dist2To(emb, cv).as("d2"), lit(cell).as("cell"))
+    }: _*).cast("struct<d2:double,cell:bigint>").getField("cell")
+
+  /** The `n` nearest cells (multi-probe list): sorted (dist2, cell)
+    * structs, first n cells. Pure expression — no shuffle. */
+  def probeCells(emb: Column, centroids: Seq[(Long, Seq[Double])],
+                 n: Int): Column =
+    slice(array_sort(array(centroids.map { case (cell, cv) =>
+      struct(dist2To(emb, cv).as("d2"), lit(cell).as("cell"))
+    }: _*)), 1, n).cast("array<struct<d2:double,cell:bigint>>")
+      .getField("cell")
+
+  /** Runs `iters` Lloyd rounds over `emb` (columns vec_id, embedding)
+    * and returns the centroids, cell id -> vector, sorted by cell id.
+    * Cells that lose all members drop out (deterministically, both
+    * engines). */
+  def fit(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    var cent: Seq[(Long, Seq[Double])] = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .sortBy(_._1).toSeq
+    for (_ <- 1 to iters) {
+      val perDim = emb
+        .select(assignCell(col("embedding"), cent).as("cell"),
+          posexplode(expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"))
+            .as(Seq("pos", "q")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .collect()
+      cent = perDim
+        .map(r => (r.getLong(0), r.getInt(1),
+          // same op order as the SQL SUM(...)/1000000.0/COUNT(*)
+          r.getLong(2).toDouble / 1000000.0 / r.getLong(3).toDouble))
+        .groupBy(_._1).toSeq
+        .map { case (cell, dims) =>
+          cell -> dims.sortBy(_._2).map(_._3).toSeq
+        }
+        .sortBy(_._1)
+    }
+    cent
+  }
+}

@@ -441,13 +441,201 @@ object Embeddings extends QueryModule {
        |LEFT JOIN hits h ON q.query_id = h.query_id
        |ORDER BY q.query_id""".stripMargin
 
+  // ------------------------------------------- k-means-trained IVF (Lloyd)
+  /** The round-2 backlog item: a TRAINED coarse quantizer
+    * (operators/KMeansQuantizer — deterministic Lloyd, see its scaladoc
+    * for why spark.ml KMeans cannot be oracle-checked). `emb_kmeans_cells`
+    * pins the full 3-round iteration: cell populations AND the centroid
+    * norms must match an oracle that re-runs every Lloyd round in SQL —
+    * if any assignment in any round diverged, the norms would differ. */
+  private val kmK = 8
+  private val kmIters = 3
+
+  private def kmDist2(e: String, c: String) =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |        j -> (CAST($e.embedding[j] AS DOUBLE) - $c.cv[j])
+       |             * (CAST($e.embedding[j] AS DOUBLE) - $c.cv[j]))),
+       |        (acc, x) -> acc + x)""".stripMargin
+
+  /** seed + one (assign, update) CTE pair per Lloyd round — the oracle
+    * unrolls the loop the engine runs. */
+  private def kmFitCtes: String = {
+    val seed =
+      s"""seed AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS cell,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings WHERE vec_id < $kmK
+         |)""".stripMargin
+    val iters = (1 to kmIters).map { i =>
+      val prev = if (i == 1) "seed" else s"cent${i - 1}"
+      s"""a$i AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${kmDist2("e", "c")}, c.cell) AS rn
+         |    FROM embeddings e, $prev c) WHERE rn = 1
+         |), per$i AS (
+         |  SELECT a.cell, ii.i AS pos,
+         |    SUM(CAST(FLOOR(CAST(e.embedding[ii.i + 1] AS DOUBLE) * 1000000.0) AS BIGINT))
+         |      / 1000000.0 / COUNT(*) AS mean_dim
+         |  FROM a$i a JOIN embeddings e USING (vec_id),
+         |       (SELECT unnest(range(64)) AS i) ii
+         |  GROUP BY a.cell, pos
+         |), cent$i AS (
+         |  SELECT cell, list(mean_dim ORDER BY pos) AS cv FROM per$i GROUP BY cell
+         |)""".stripMargin
+    }
+    (seed +: iters).mkString(", ")
+  }
+
+  private def kmeansCells(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeansQuantizer
+    val emb = Tables.embeddings(spark, dir).persist()
+    val cent = KMeansQuantizer.fit(emb, kmK, kmIters)
+    val cells = emb.select(col("vec_id"),
+      KMeansQuantizer.assignCell(col("embedding"), cent).as("cell"))
+    val stats = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+    // same sequential fold + sqrt as the oracle's list_reduce
+    val norms = spark.createDataFrame(cent.map { case (c, cv) =>
+      (c, math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x)))
+    }).toDF("cell", "norm_raw")
+    val out = stats.join(broadcast(norms), Seq("cell"))
+      .select(col("cell"), col("n_vectors"), col("min_vec_id"),
+        round(col("norm_raw"), 6).as("centroid_norm"))
+      .orderBy(col("cell"))
+    graft.core.CachePin.sealAndRelease(out, emb)
+  }
+
+  private def kmeansCellsSql =
+    s"""WITH $kmFitCtes, af AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${kmDist2("e", "c")}, c.cell) AS rn
+       |    FROM embeddings e, cent$kmIters c) WHERE rn = 1
+       |), stats AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |    MIN(vec_id) AS min_vec_id
+       |  FROM af GROUP BY cell)
+       |SELECT s.cell, s.n_vectors, s.min_vec_id,
+       |  ROUND(SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |    j -> c.cv[j] * c.cv[j])), (acc, x) -> acc + x)), 6) AS centroid_norm
+       |FROM stats s JOIN cent$kmIters c USING (cell)
+       |ORDER BY s.cell""".stripMargin
+
+  /** Same recall@10 measurement as emb_ivf_recall, IVF cells from the
+    * TRAINED quantizer: top-3 probe cells per query, exact cosine within
+    * the probed cells, vs brute force. Direct comparison column-for-column
+    * with emb_ivf_recall (label cells) and emb_ann_recall (LSH). */
+  private def ivfKmeansRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.KMeansQuantizer
+    val emb = Tables.embeddings(spark, dir).persist()
+    val cent = KMeansQuantizer.fit(emb, kmK, kmIters)
+    val cells = emb.select(col("vec_id"),
+      KMeansQuantizer.assignCell(col("embedding"), cent).as("cell"))
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        explode(KMeansQuantizer.probeCells(col("embedding"), cent, 3))
+          .as("cell"))
+    val qv = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val candIds = probes.join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val ivfTop = candIds
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", round(expr(cosExpr), 6))
+      .withColumn("rn", row_number().over(rankW)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val brute = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(expr(cosExpr), 6))
+      .withColumn("rn", row_number().over(rankW)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val hits = brute.join(ivfTop, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val nc = candIds.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val out = qv.select(col("query_id"))
+      .join(nc, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"))
+      .orderBy(col("query_id"))
+    graft.core.CachePin.sealAndRelease(out, emb)
+  }
+
+  private def ivfKmeansRecallSql =
+    s"""WITH $kmFitCtes, assigned AS (
+       |  SELECT e.vec_id, c.cell, ${kmDist2("e", "c")} AS d2
+       |  FROM embeddings e CROSS JOIN cent$kmIters c
+       |), cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM assigned) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM assigned WHERE vec_id < 20) WHERE rn <= 3
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+       |), cand_ids AS (
+       |  SELECT p.query_id, c.vec_id FROM probes p JOIN cells c ON p.cell = c.cell
+       |  WHERE c.vec_id <> p.query_id
+       |), cand AS (
+       |  SELECT ci.query_id, ci.vec_id,
+       |    ROUND(${duckCos("q.qv", "e.embedding")}, 6) AS cos
+       |  FROM cand_ids ci
+       |  JOIN embeddings e ON ci.vec_id = e.vec_id
+       |  JOIN q ON ci.query_id = q.query_id
+       |), ivf AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn <= 10
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    ROUND(${duckCos("q.qv", "e.embedding")}, 6) AS cos
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+       |), brute AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= 10
+       |), hits AS (
+       |  SELECT b.query_id, count(*) AS n_hits
+       |  FROM brute b JOIN ivf l ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+       |  GROUP BY b.query_id
+       |), nc AS (
+       |  SELECT query_id, count(*) AS n_candidates FROM cand_ids GROUP BY query_id
+       |)
+       |SELECT q.query_id,
+       |  CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  COALESCE(h.n_hits, 0) / 10.0 AS recall_at_10
+       |FROM q LEFT JOIN nc ON q.query_id = nc.query_id
+       |LEFT JOIN hits h ON q.query_id = h.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_knn_bruteforce" -> (knnBrute _),
     "emb_centroids" -> (centroids _),
     "emb_lsh_buckets" -> (lshBuckets _),
     "dedup_embedding_cosine" -> (cosineNearDup _),
     "emb_ann_recall" -> (annRecall _),
-    "emb_ivf_recall" -> (ivfRecall _))
+    "emb_ivf_recall" -> (ivfRecall _),
+    "emb_kmeans_cells" -> (kmeansCells _),
+    "emb_ivf_kmeans_recall" -> (ivfKmeansRecall _))
 
   override def oracles: Map[String, String] = Map(
     "emb_ivf_recall" -> ivfRecallSql,
@@ -455,5 +643,7 @@ object Embeddings extends QueryModule {
     "emb_centroids" -> centroidsSql,
     "emb_lsh_buckets" -> lshBucketsSql,
     "dedup_embedding_cosine" -> cosineNearDupSql,
-    "emb_ann_recall" -> annRecallSql)
+    "emb_ann_recall" -> annRecallSql,
+    "emb_kmeans_cells" -> kmeansCellsSql,
+    "emb_ivf_kmeans_recall" -> ivfKmeansRecallSql)
 }

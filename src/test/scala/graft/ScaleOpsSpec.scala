@@ -84,6 +84,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(composed == members.toSet)
   }
 
+  test("k-means quantizer: deterministic fit, full coverage, balanced probes") {
+    import graft.operators.KMeansQuantizer
+    val emb = Tables.embeddings(spark, sf0001)
+    val c1 = KMeansQuantizer.fit(emb, k = 4, iters = 2)
+    val c2 = KMeansQuantizer.fit(emb, k = 4, iters = 2)
+    // bit-identical across runs — the property spark.ml KMeans cannot give
+    assert(c1 == c2)
+    assert(c1.size <= 4 && c1.nonEmpty)
+    val n = emb.count()
+    val assigned = emb.select(
+      KMeansQuantizer.assignCell(col("embedding"), c1).as("cell"))
+    // every vector lands in exactly one live cell
+    assert(assigned.filter(col("cell").isNull).count() == 0)
+    assert(assigned.count() == n)
+    val probed = emb.select(
+      KMeansQuantizer.probeCells(col("embedding"), c1, 2).as("cells"))
+      .select(size(col("cells")).as("np"))
+    assert(probed.filter(col("np") =!= 2).count() == 0)
+  }
+
   test("kafka option surface mirrors the reference configuration") {
     val src = KafkaConfig.source("b:9092", Seq("txn.events", "click.events"))
     assert(src("subscribe") == "txn.events,click.events")
