@@ -232,7 +232,7 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("event_id"))
   }
 
-  private val dedupFirstSql =
+  private[queries] val dedupFirstSql =
     """SELECT event_id, user_id, event_type, ems FROM (
       |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ems,
       |    row_number() OVER (PARTITION BY user_id, event_type

@@ -141,6 +141,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredStatsStateful(s, d)),
     "stream_session_steps" ->
       ((s: SparkSession, d: String) => StreamingPipelines.sessionStepsStateful(s, d)),
+    "stream_dedup_first" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.dedupFirstStateful(s, d)),
     "gen_synthetic_txns" -> (syntheticTxns _))
 
   override def oracles: Map[String, String] = Map(
@@ -154,5 +156,6 @@ object StreamingQueries extends QueryModule {
     "stream_session_update" -> sessionStepsSql,
     "stream_anchored_stats" -> EventFeatures.anchoredStatsSql,
     "stream_session_steps" -> sessionStepsSql,
+    "stream_dedup_first" -> EventAnalytics.dedupFirstSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)
 }

@@ -650,4 +650,44 @@ object StatefulFeatures {
     state.update(StatBuf(buf.map(_._1), buf.map(_._2), evictedMax))
     out.iterator
   }
+
+  // ------------------------------------------------------ streaming dedup
+  case class DedupIn(event_id: Long, user_id: Long, event_type: String,
+      ems: Long)
+  case class DedupWinner(ems: Long, event_id: Long, rev: Long)
+  case class DedupOut(event_id: Long, user_id: Long, event_type: String,
+      ems: Long, rev: Long)
+
+  /** Streaming keep-first dedup with retraction — the streaming twin of
+    * evt_dedup_first (min (ems, event_id) per (user, type)). State is ONE
+    * winner row per key, O(keys) total regardless of traffic — the
+    * smallest state of any op here. A batch emits a key only when its
+    * winner CHANGES (rev bumps), so an upsert sink keyed on (user, type)
+    * converges to the batch answer under ANY disorder. This is the
+    * deterministic alternative to dropDuplicates in a stream: keep-first-
+    * ARRIVAL is a partition race (whichever task sees the key first
+    * wins); keep-first-EVENT-TIME with retraction is a pure function of
+    * the data. */
+  def dedupFirstUpdate(ds: Dataset[DedupIn]): Dataset[DedupOut] = {
+    implicit val outEnc = Encoders.product[DedupOut]
+    implicit val stateEnc = Encoders.product[DedupWinner]
+    ds.groupByKey(e => (e.user_id, e.event_type))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), events: Iterator[DedupIn],
+         state: GroupState[DedupWinner]) =>
+          val batchBest = events.map(e => (e.ems, e.event_id))
+            .reduceOption((a, b) => if (Ordering[(Long, Long)].lteq(a, b)) a else b)
+          val prev = state.getOption
+          batchBest match {
+            case Some((ems, id))
+                if prev.forall(p =>
+                  Ordering[(Long, Long)].lt((ems, id), (p.ems, p.event_id))) =>
+              val rev = prev.map(_.rev).getOrElse(0L) + 1L
+              state.update(DedupWinner(ems, id, rev))
+              Iterator.single(DedupOut(id, key._1, key._2, ems, rev))
+            case _ => Iterator.empty
+          }
+      }
+  }
 }

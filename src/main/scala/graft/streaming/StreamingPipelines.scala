@@ -254,6 +254,25 @@ object StreamingPipelines {
       .drop("rn", "rev").orderBy(col("event_id"))
   }
 
+  /** Streaming keep-first dedup (StatefulFeatures.dedupFirstUpdate) in
+    * update mode: the sink holds every winner change; read-back takes the
+    * max-rev row per (user, type) — what an upsert sink stores — and
+    * matches the batch evt_dedup_first oracle exactly. */
+  def dedupFirstStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val in = eventStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ems"))
+      .as[StatefulFeatures.DedupIn]
+    val out = StatefulFeatures.dedupFirstUpdate(in).toDF()
+    val sink = runToMemory(spark, out, "update", "dedupfirst")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("rev").desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ems"))
+      .orderBy(col("event_id"))
+  }
+
   /** Typed event stream with the replay watermark on the event timestamp,
     * kept as a field so the watermark attribute reaches the stateful
     * operator — the precondition for event-time state timeouts (W4/W11:

@@ -45,6 +45,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(5) == 2L)
   }
 
+  test("streaming dedup: a late earlier event retracts the winner") {
+    import StatefulFeatures.DedupIn
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[DedupIn]
+    val q = StatefulFeatures.dedupFirstUpdate(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("update").start()
+    try {
+      in.addData(DedupIn(5, 7, "click", 2000L), DedupIn(6, 7, "view", 1000L))
+      q.processAllAvailable()
+      // batch 2: a LATE event with smaller ems for (7, click) -> winner
+      // change; a larger one for (7, view) -> silent (no emission)
+      in.addData(DedupIn(4, 7, "click", 1500L), DedupIn(9, 7, "view", 3000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedup_test").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("rev")) ->
+        r.getAs[Long]("event_id")).toMap
+    assert(rows(("click", 1L)) == 5L) // initial winner
+    assert(rows(("click", 2L)) == 4L) // retracted by the late arrival
+    assert(rows(("view", 1L)) == 6L)
+    assert(!rows.contains(("view", 2L))) // non-improving arrival is silent
+  }
+
   test("update-mode retraction closes the cross-batch tie/late boundary") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[EventIn]
