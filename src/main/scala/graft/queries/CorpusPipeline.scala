@@ -159,12 +159,78 @@ object CorpusPipeline extends QueryModule {
        |  CAST(SUM(n_toks) AS BIGINT) / ${binTokens.toDouble} AS fill_ratio
        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
 
+  // --------------------------------------------------------- data layout
+  /** Z-order (Morton curve) file layout: interleave the bits of two
+    * clustering dimensions — length (n_chars, 16 bits) and a 16-bit
+    * md5-derived language hash — and range-partition the curve into
+    * files. Multi-dimensional clustering means a reader filtering on
+    * EITHER dimension prunes most files by their min/max stats, which is
+    * what Delta/Iceberg OPTIMIZE ZORDER does for table maintenance; here
+    * it is the corpus-sharding pass of a training pipeline (co-locate
+    * same-language, similar-length docs for packing efficiency — see
+    * doc_pack_bins).
+    *
+    * The query emits per-file stats (doc count, char range, language
+    * count): narrow ranges per file ARE the pruning-effectiveness
+    * measurement. Pure integer bit arithmetic, sequential fold — exact in
+    * both engines. Scale shape: one map pass + a 64-group aggregation;
+    * the real write would range-partition on z — no global sort. */
+  private def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("x", least(col("n_chars").cast("long"), lit(65535L)))
+      .withColumn("y",
+        pmod(conv(substring(md5(col("lang").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(65536L)))
+      // interleave: bit b of x -> bit 2b+1, bit b of y -> bit 2b
+      .withColumn("zval", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, b) ->
+          |  acc + shiftleft(cast(x div cast(pow(2, b) as bigint) as bigint) % 2, 2 * b + 1)
+          |      + shiftleft(cast(y div cast(pow(2, b) as bigint) as bigint) % 2, 2 * b))"""
+          .stripMargin))
+    // equal-count range partitioning along the curve into 8 files, via
+    // the two-phase distributed ranking (operators/RankedWindow — no
+    // single-partition sort): ntile over (zval asc, doc_id)
+    graft.operators.RankedWindow
+      .rankDesc(d, (lit(0L) - col("zval")).as("negz"), col("doc_id"),
+        tiles = 8)
+      .withColumnRenamed("quartile", "file_id")
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("file_id"))
+  }
+
+  private val zorderLayoutSql =
+    """WITH z AS (
+      |  SELECT doc_id, n_chars, lang,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(16), b ->
+      |      (((LEAST(CAST(n_chars AS BIGINT), 65535) // CAST(power(2, b) AS BIGINT)) % 2)
+      |         * CAST(power(2, 2 * b + 1) AS BIGINT))
+      |      + (((CAST(('0x' || substr(md5(lang), 1, 8)) AS BIGINT) % 65536
+      |           // CAST(power(2, b) AS BIGINT)) % 2)
+      |         * CAST(power(2, 2 * b) AS BIGINT)))),
+      |      (acc, x) -> acc + x) AS zval
+      |  FROM documents),
+      |t AS (
+      |  SELECT n_chars, lang,
+      |    CAST(ntile(8) OVER (ORDER BY zval, doc_id) AS BIGINT) AS file_id
+      |  FROM z)
+      |SELECT file_id, count(*) AS n_docs,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM t GROUP BY file_id ORDER BY file_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_zorder_layout" -> (zorderLayout _),
     "text_pii_scrub" -> (piiScrub _),
     "ml_mixture_weights" -> (mixtureWeights _),
     "doc_pack_bins" -> (packBins _))
 
   override def oracles: Map[String, String] = Map(
+    "doc_zorder_layout" -> zorderLayoutSql,
     "text_pii_scrub" -> piiScrubSql,
     "ml_mixture_weights" -> mixtureWeightsSql,
     "doc_pack_bins" -> packBinsSql)
