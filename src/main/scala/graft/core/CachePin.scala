@@ -23,9 +23,9 @@ object CachePin {
     * inputs), then unpersists every pin. Call only when `result` is the
     * final multi-pass output and is bounded (an aggregate, a top-k, a
     * post-groupBy table) — the checkpoint stores one copy of it. */
-  def sealAndRelease(result: DataFrame, pinned: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(eager = true)
-    pinned.foreach(_.unpersist(blocking = false))
-    out
-  }
+  def sealAndRelease(result: DataFrame, pinned: DataFrame*): DataFrame =
+    // finally: a failed materialization must still drop the pins, or the
+    // failure path leaks exactly the cache entries this exists to release
+    try result.localCheckpoint(eager = true)
+    finally pinned.foreach(_.unpersist(blocking = false))
 }

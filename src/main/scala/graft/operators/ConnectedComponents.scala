@@ -35,21 +35,23 @@ object ConnectedComponents {
     * round plans against a flat scan. The label table is O(|nodes in
     * edges|), far smaller than the corpus. */
   def components(edges: DataFrame, maxIter: Int = 100): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
     // An eager localCheckpoint pins its RDD blocks in the block manager;
     // ContextCleaner only releases them on GC of the frame, so a long loop
-    // would accumulate one label table per round. Track each checkpoint's
-    // newly-persisted RDD ids and release the PREVIOUS round's explicitly
-    // once the next round is materialized (safe: eager checkpoints never
-    // recompute from lineage, and nothing references the old round).
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
+    // would accumulate one label table per round. Pull the checkpointed
+    // RDD out of the frame's OWN plan (the LogicalRDD leaf) and release
+    // the PREVIOUS round's explicitly once the next round is materialized
+    // — exact attribution, safe under concurrent queries on the shared
+    // context (a global getPersistentRDDs set-diff would not be).
+    def checkpointTracked(df: DataFrame)
+        : (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
       val out = df.localCheckpoint(true)
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+      val rdd = out.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      (out, rdd)
     }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def release(rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdd.foreach(_.unpersist(blocking = false))
     val (sym, symIds) = checkpointTracked(
       edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))

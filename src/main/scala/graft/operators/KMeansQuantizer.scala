@@ -43,9 +43,15 @@ object KMeansQuantizer {
     * cast re-names the struct fields (aliases inside least() resolve to
     * positional col1/col2). */
   def assignCell(emb: Column, centroids: Seq[(Long, Seq[Double])]): Column =
-    least(centroids.map { case (cell, cv) =>
-      struct(dist2To(emb, cv).as("d2"), lit(cell).as("cell"))
-    }: _*).cast("struct<d2:double,cell:bigint>").getField("cell")
+    centroids match {
+      // least() needs >= 2 args; a single surviving cell (k = 1, or a
+      // degenerate corpus collapsing every vector onto one seed) is a
+      // constant assignment, not an error
+      case Seq((cell, _)) => lit(cell)
+      case cs => least(cs.map { case (cell, cv) =>
+        struct(dist2To(emb, cv).as("d2"), lit(cell).as("cell"))
+      }: _*).cast("struct<d2:double,cell:bigint>").getField("cell")
+    }
 
   /** The `n` nearest cells (multi-probe list): sorted (dist2, cell)
     * structs, first n cells. Pure expression — no shuffle. */
@@ -76,12 +82,13 @@ object KMeansQuantizer {
         assignCell(col("embedding"), cent).as("cell"),
         expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))")
           .as("qa")).persist()
-      val perDim = stage
-        .select(col("cell"), posexplode(col("qa")).as(Seq("pos", "q")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-        .collect()
-      stage.unpersist(blocking = false)
+      val perDim =
+        try stage
+          .select(col("cell"), posexplode(col("qa")).as(Seq("pos", "q")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+          .collect()
+        finally stage.unpersist(blocking = false)
       cent = perDim
         .map(r => (r.getLong(0), r.getInt(1),
           // same op order as the SQL SUM(...)/1000000.0/COUNT(*)

@@ -34,9 +34,19 @@ object RankedWindow {
 
   /** Adds rnk / dense_rnk / pct_rank / quartile (ntile(tiles)) columns
     * ranked by `value` DESC with `tie` as the deterministic tie-break.
-    * `tie` must be unique per row (row_number determinism). */
+    * `tie` must be unique per row (row_number determinism).
+    *
+    * `sealOutput = true` (default) eagerly materializes the ranked output
+    * and releases the input pin — right when the output is bounded or
+    * slim (project first!), since all three passes then hit the cache.
+    * `sealOutput = false` returns the output LAZY and releases the pin
+    * immediately: the final pass recomputes the input lineage once, but
+    * no per-row copy is ever checkpointed — right when the caller
+    * immediately reduces the ranked rows (an aggregation) or the rows are
+    * wide. */
   def rankDesc(df: DataFrame, value: Column, tie: Column,
-               tiles: Int = 4, nBuckets: Int = 32): DataFrame = {
+               tiles: Int = 4, nBuckets: Int = 32,
+               sealOutput: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     // pinned across the three phases (cuts, per-bucket stats, ranked
     // pass) — the input is typically a post-aggregation table, so this is
@@ -85,8 +95,9 @@ object RankedWindow {
           expr(s"(__rn - 1) div ${q + 1}") + lit(1L))
           .otherwise(lit(r) + expr(s"(__rn - ${r * (q + 1)} - 1) div $q") + lit(1L)))
 
-    graft.core.CachePin.sealAndRelease(
-      tiled.drop("__bucket", "__lrank", "__ldense", "__lrn", "__rn", "__on", "__od"),
-      pinned)
+    val out =
+      tiled.drop("__bucket", "__lrank", "__ldense", "__lrn", "__rn", "__on", "__od")
+    if (sealOutput) graft.core.CachePin.sealAndRelease(out, pinned)
+    else { pinned.unpersist(blocking = false); out }
   }
 }

@@ -189,10 +189,15 @@ object CorpusPipeline extends QueryModule {
           .stripMargin))
     // equal-count range partitioning along the curve into 8 files, via
     // the two-phase distributed ranking (operators/RankedWindow — no
-    // single-partition sort): ntile over (zval asc, doc_id)
+    // single-partition sort): ntile over (zval asc, doc_id). Only the
+    // four needed columns enter the ranking (never the text bodies), and
+    // sealOutput = false because the very next step reduces the per-doc
+    // rows to 8 — nothing worth checkpointing.
     graft.operators.RankedWindow
-      .rankDesc(d, (lit(0L) - col("zval")).as("negz"), col("doc_id"),
-        tiles = 8)
+      .rankDesc(d.select(col("doc_id"), col("n_chars"), col("lang"),
+          col("zval")),
+        (lit(0L) - col("zval")).as("negz"), col("doc_id"),
+        tiles = 8, sealOutput = false)
       .withColumnRenamed("quartile", "file_id")
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_docs"),

@@ -82,12 +82,18 @@ object StreamingPipelines {
     try {
       q.processAllAvailable()
       if (requireSingleBatch) {
-        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-        require(dataBatches <= 1,
+        val progress = q.recentProgress
+        val dataBatches = progress.count(_.numInputRows > 0)
+        // recentProgress retains only the last ~100 entries; if batches
+        // rotated out, the count is unverifiable — fail rather than pass
+        val totalBatches =
+          Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+        require(totalBatches <= progress.length && dataBatches <= 1,
           s"$caller: expected single-micro-batch delivery but saw " +
-            s"$dataBatches data batches — the 1 h watermark sealing rule " +
-            "only matches the batch oracle when the source delivers all " +
-            "data in one trigger (do not set maxFilesPerTrigger here)")
+            s"$dataBatches data batches over $totalBatches total — the " +
+            "1 h watermark sealing rule only matches the batch oracle " +
+            "when the source delivers all data in one trigger (do not " +
+            "set maxFilesPerTrigger here)")
       }
     } finally q.stop()
     Option(lastSink.put(caller, name))
