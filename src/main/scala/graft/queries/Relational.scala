@@ -241,6 +241,62 @@ object Relational extends QueryModule {
       |FROM orders WHERE o_orderkey % 97 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** TPC-H Q4 shape — correlated EXISTS as a conditioned left-semi join:
+    * orders with at least one line item shipped > 90 days after the order
+    * date, counted per priority. The EXISTS predicate lives in the JOIN
+    * CONDITION (not a pre-filter on either side), the shape Catalyst
+    * plans as a semi hash join with the non-equi condition evaluated at
+    * probe time — one shuffle on the order key at any scale. */
+  private def q04(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", epochMs($"l_shipdate").as("ship_ms"))
+    Tables.orders(spark, dir)
+      .withColumn("ord_ms", epochMs($"o_orderdate"))
+      .join(li, $"o_orderkey" === $"l_orderkey" &&
+        $"ship_ms" > $"ord_ms" + lit(90L * 86400000L), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q04Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND epoch_ms(l.l_shipdate) > epoch_ms(o.o_orderdate) + 7776000000)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 shape — customer order-count distribution through a
+    * CONDITIONED left outer join (the predicate belongs to the join, so
+    * non-matching customers still appear with count 0): two aggregation
+    * levels, the classic "distribution of group sizes" query. Scale: the
+    * outer join shuffles on custkey; both group-bys partial-aggregate
+    * map-side; the second groupBy is on the (tiny) count domain. */
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .select($"o_custkey", $"o_orderkey")
+    val perCust = Tables.customer(spark, dir)
+      .join(ord, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  private val q13Sql =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   /** PIVOT (cross-tab): order counts by status per priority. The value
     * list is EXPLICIT — `pivot(col, values)` skips the extra
     * distinct-collection job Spark otherwise runs, and pins the output
@@ -270,6 +326,8 @@ object Relational extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_pivot_status" -> (qPivot _),
+    "rel_q04_exists_semi" -> (q04 _),
+    "rel_q13_custdist" -> (q13 _),
     "rel_q01_pricing_summary" -> (q01 _),
     "rel_q02_filter_project" -> (q02 _),
     "rel_q03_revenue_topk" -> (q03 _),
@@ -282,6 +340,8 @@ object Relational extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "rel_pivot_status" -> qPivotSql,
+    "rel_q04_exists_semi" -> q04Sql,
+    "rel_q13_custdist" -> q13Sql,
     "rel_q01_pricing_summary" -> q01Sql,
     "rel_q02_filter_project" -> q02Sql,
     "rel_q03_revenue_topk" -> q03Sql,
