@@ -43,22 +43,26 @@ object Sketches extends QueryModule {
     * w = h div 32 (27 bits); rho = 28 - bitlength(w), 28 when w = 0.
     * T = sum over the m registers of 2^(28 - M_j)  (exact integer;
     * absent register contributes 2^28), E = alpha_32 * m^2 * 2^28 / T. */
-  private val hllM = 32
+  private[graft] val hllM = 32
   private val hllAlpha = 0.697 // standard alpha for m = 32
 
-  private def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  /** (bucket, rho) columns for a frame carrying user_id — shared by the
+    * batch register aggregation and the streaming register state. */
+  private[graft] def hllBucketRho(df: DataFrame): DataFrame = {
     val h = conv(substring(md5(col("user_id").cast("string").cast("binary")),
       1, 8), 16, 10).cast("long")
     // h < 2^32 and m is a power of two, so the double division is exact
     val w = floor(h / lit(hllM.toDouble)).cast("long")
     val rho = when(w === 0L, lit(28))
       .otherwise(lit(28) - length(bin(w))).cast("int")
-    val regs = ev
-      .select(col("event_type"), pmod(h, lit(hllM.toLong)).cast("int").as("bucket"),
-        rho.as("rho"))
-      .groupBy(col("event_type"), col("bucket"))
-      .agg(max(col("rho")).as("m_j"))
+    df.withColumn("bucket", pmod(h, lit(hllM.toLong)).cast("int"))
+      .withColumn("rho", rho)
+  }
+
+  /** Estimate + exact measurement from a register table
+    * (event_type, bucket, m_j; only SEEN buckets present) — the shared
+    * tail of the batch query and its streaming twin (same oracle). */
+  private[graft] def hllFromRegs(regs: DataFrame, ev: DataFrame): DataFrame = {
     // registers merge by max -> the ALL row costs |types|*m rows, no rescan
     val merged = regs.unionByName(
       regs.groupBy(col("bucket")).agg(max(col("m_j")).as("m_j"))
@@ -86,7 +90,16 @@ object Sketches extends QueryModule {
       .orderBy(col("event_type"))
   }
 
-  private val hllDistinctSql =
+  private def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val regs = hllBucketRho(ev)
+      .select(col("event_type"), col("bucket"), col("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+    hllFromRegs(regs, ev)
+  }
+
+  private[graft] val hllDistinctSql =
     s"""WITH h AS (
        |  SELECT event_type,
        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv

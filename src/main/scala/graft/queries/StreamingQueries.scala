@@ -143,6 +143,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.sessionStepsStateful(s, d)),
     "stream_dedup_first" ->
       ((s: SparkSession, d: String) => StreamingPipelines.dedupFirstStateful(s, d)),
+    "stream_hll_distinct" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.hllDistinctStream(s, d)),
     "gen_synthetic_txns" -> (syntheticTxns _))
 
   override def oracles: Map[String, String] = Map(
@@ -157,5 +159,6 @@ object StreamingQueries extends QueryModule {
     "stream_anchored_stats" -> EventFeatures.anchoredStatsSql,
     "stream_session_steps" -> sessionStepsSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,
+    "stream_hll_distinct" -> Sketches.hllDistinctSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)
 }

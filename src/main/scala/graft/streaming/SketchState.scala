@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Sketches as streaming state. A sketch's defining property — bounded,
+  * MERGEABLE state — is exactly what a stateful streaming operator wants:
+  * the per-batch partial folds into the carried state by the sketch's own
+  * merge (max for HLL registers), so the streamed sketch equals the batch
+  * sketch over the same data, under any micro-batch split or disorder.
+  * That equality is oracle-checked: `stream_hll_distinct` runs against
+  * the SAME DuckDB SQL as the batch `sketch_hll_distinct`.
+  */
+object SketchState {
+
+  case class HllIn(event_type: String, bucket: Int, rho: Int)
+  case class HllRegs(regs: Seq[Int], rev: Long)
+  case class HllOut(event_type: String, regs: Seq[Int], rev: Long)
+
+  /** Per-key HyperLogLog registers (m ints of state per key — the gauge
+    * form of the reference's per-type distinct monitoring). Emits the
+    * register vector with a revision only when a batch CHANGES it; an
+    * upsert sink keyed on event_type then always holds what a batch
+    * computation over the full history would produce. Registers only
+    * grow, so emissions are monotone and late data can never require
+    * retraction — the sketch is its own retraction story. */
+  def hllRegisters(ds: Dataset[HllIn], m: Int): Dataset[HllOut] = {
+    implicit val outEnc = Encoders.product[HllOut]
+    implicit val stateEnc = Encoders.product[HllRegs]
+    ds.groupByKey(_.event_type)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, events: Iterator[HllIn], state: GroupState[HllRegs]) =>
+          val regs = state.getOption.map(_.regs.toArray)
+            .getOrElse(Array.fill(m)(0))
+          var changed = false
+          events.foreach { e =>
+            if (e.rho > regs(e.bucket)) { regs(e.bucket) = e.rho; changed = true }
+          }
+          if (changed) {
+            val rev = state.getOption.map(_.rev).getOrElse(0L) + 1L
+            state.update(HllRegs(regs.toSeq, rev))
+            Iterator.single(HllOut(key, regs.toSeq, rev))
+          } else Iterator.empty
+      }
+  }
+}

@@ -279,6 +279,28 @@ object StreamingPipelines {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming HLL registers (SketchState.hllRegisters) read back into
+    * the SAME estimate/exact tail and DuckDB oracle as the batch
+    * sketch_hll_distinct: max-rev register vector per type from the
+    * update-mode sink, exploded to seen (bucket, m_j) rows. */
+  def hllDistinctStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val in = graft.queries.Sketches.hllBucketRho(eventStream(spark, dir))
+      .select(col("event_type"), col("bucket"), col("rho"))
+      .as[SketchState.HllIn]
+    val out = SketchState.hllRegisters(in, graft.queries.Sketches.hllM).toDF()
+    val sink = runToMemory(spark, out, "update", "hll")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("rev").desc)
+    val regs = sink.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"),
+        posexplode(col("regs")).as(Seq("bucket", "m_j")))
+      .filter(col("m_j") > 0) // zero register == bucket never seen
+    graft.queries.Sketches.hllFromRegs(regs,
+      graft.core.Tables.events(spark, dir))
+  }
+
   /** Typed event stream with the replay watermark on the event timestamp,
     * kept as a field so the watermark attribute reaches the stateful
     * operator — the precondition for event-time state timeouts (W4/W11:

@@ -45,6 +45,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(5) == 2L)
   }
 
+  test("streaming HLL registers merge across batches to the batch sketch") {
+    import graft.streaming.SketchState
+    import SketchState.HllIn
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[HllIn]
+    val q = SketchState.hllRegisters(in.toDS(), 8).toDF()
+      .writeStream.format("memory").queryName("hll_test")
+      .outputMode("update").start()
+    try {
+      in.addData(HllIn("a", 0, 3), HllIn("a", 1, 5))
+      q.processAllAvailable()
+      // batch 2: higher rank in bucket 0 merges in; lower rank is silent
+      in.addData(HllIn("a", 0, 7), HllIn("a", 1, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byRev = spark.table("hll_test").collect()
+      .map(r => r.getAs[Long]("rev") -> r.getSeq[Int](1)).toMap
+    assert(byRev(1L) == Seq(3, 5, 0, 0, 0, 0, 0, 0))
+    assert(byRev(2L) == Seq(7, 5, 0, 0, 0, 0, 0, 0)) // max-merge, not last
+    assert(byRev.size == 2)
+  }
+
   test("streaming dedup: a late earlier event retracts the winner") {
     import StatefulFeatures.DedupIn
     implicit val ctx = spark.sqlContext
