@@ -138,13 +138,44 @@ object FeatureStoreQueries extends QueryModule {
        |WHERE rn = 1 AND feature_timestamp >= g - 86400000
        |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------- time travel
+  /** AS-OF read (training reproducibility): three upsert batches by day
+    * range, then read the snapshot as of batch 1 — the state BEFORE batch
+    * 2 existed, reconstructed from the append-only history even though
+    * batch 2 has already superseded (and GC'd) the older snapshot
+    * versions. Oracle: latest daily row per user over days < the batch-2
+    * cutoff. */
+  private def asOf(spark: SparkSession, dir: String): DataFrame = {
+    val store = tempStore(spark)
+    val feats = dailyFeatures(spark, dir)
+    store.upsert(userDailyView, feats.filter(col("day") < 19745L), 0L)
+    store.upsert(userDailyView,
+      feats.filter(col("day") >= 19745L && col("day") < 19747L), 1L)
+    store.upsert(userDailyView, feats.filter(col("day") >= 19747L), 2L)
+    store.onlineAsOf(userDailyView, maxBatchId = 1L)
+      .select(col("user_id"), col("feature_timestamp"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val asOfSql =
+    s"""WITH $dailySqlCte,
+       | latest AS (
+       |  SELECT user_id, feature_timestamp, n_events, sum_value,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+       |  FROM daily WHERE day < 19747)
+       |SELECT user_id, feature_timestamp, n_events, sum_value
+       |FROM latest WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_online_roundtrip" -> (roundtrip _),
     "fs_historical_pit" -> (pit _),
-    "fs_ttl_retention" -> (ttl _))
+    "fs_ttl_retention" -> (ttl _),
+    "fs_asof_snapshot" -> (asOf _))
 
   override def oracles: Map[String, String] = Map(
     "fs_online_roundtrip" -> roundtripSql,
     "fs_historical_pit" -> pitSql,
-    "fs_ttl_retention" -> ttlSql)
+    "fs_ttl_retention" -> ttlSql,
+    "fs_asof_snapshot" -> asOfSql)
 }

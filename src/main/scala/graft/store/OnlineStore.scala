@@ -232,6 +232,24 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
       }
     }
 
+  /** Time-travel read: the online snapshot AS OF batch `maxBatchId`,
+    * reconstructed from the append-only history (latest row per key among
+    * batches <= maxBatchId). Superseded SNAPSHOT versions are GC'd
+    * (gcVersions), so time travel deliberately reads history instead —
+    * the same split Delta makes between VACUUM retention and time travel:
+    * the history is the durable log, the online table is a cache of its
+    * head. Cost: a history scan with per-key ranking — an offline /
+    * training-reproducibility path (re-create the features a model saw at
+    * training time), never a serving path. */
+  def onlineAsOf(view: FeatureView, maxBatchId: Long): DataFrame = {
+    val keys = view.entities.map(_.joinKey)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(view.timestampField).desc, col("_batch_seq").desc)
+    history(view).filter(col("_batch_seq") <= maxBatchId)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Current online snapshot for a view (empty frame if never written). */
   def online(view: FeatureView): DataFrame =
     onlineDf(view).getOrElse(spark.emptyDataFrame)
