@@ -104,6 +104,31 @@ object SourceFormats extends QueryModule {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** CUBE totals (completes the grouping-sets family next to ROLLUP):
+    * all four grouping combinations of (priority, status) in one pass —
+    * Catalyst expands the cube into a single Expand + one aggregation
+    * (rows ×4 pre-aggregation, map-side partials apply), not four scans.
+    * Grouping nulls are coalesced to 'ALL' as in rel_rollup_totals. */
+  private def cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"n", $"sum_price")
+      .orderBy($"priority", $"status")
+  }
+
+  private val cubeSql =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
   /** Window ranking family over suppliers by shipped quantity: rank,
     * dense_rank, percent_rank, ntile(4). Exact-decimal totals keep the
     * ordering cross-engine deterministic. Ranked via the two-phase
@@ -135,6 +160,7 @@ object SourceFormats extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_rollup_totals" -> (rollup _),
+    "rel_cube_totals" -> (cube _),
     "rel_window_ranks" -> (windowRanks _),
     "rel_q06_predicate_agg" -> (q06 _),
     "rel_q12_priority_classes" -> (q12 _),
@@ -143,6 +169,7 @@ object SourceFormats extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "rel_rollup_totals" -> rollupSql,
+    "rel_cube_totals" -> cubeSql,
     "rel_window_ranks" -> windowRanksSql,
     "rel_q06_predicate_agg" -> q06Sql,
     "rel_q12_priority_classes" -> q12Sql,
