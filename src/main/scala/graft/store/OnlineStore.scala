@@ -58,6 +58,17 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
   private def bucketOf(keys: Seq[String]) =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
 
+  /** The ONE winner ordering of the store — latest (timestampField,
+    * _batch_seq) per entity key. Shared by upsert's snapshot merge and
+    * onlineAsOf's time-travel reconstruction so the two can never
+    * diverge. */
+  private def latestPerKeyOf(view: FeatureView, df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(view.entities.map(e => col(e.joinKey)): _*)
+      .orderBy(col(view.timestampField).desc, col("_batch_seq").desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Per-bucket current snapshot versions. */
   private def manifest(view: FeatureView): Option[Map[Int, String]] =
     if (!Files.exists(pointerPath(view))) None
@@ -140,6 +151,7 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
     }
     val keys = view.entities.map(_.joinKey)
     val stamped = batch.withColumn("_batch_seq", lit(batchId))
+    def latestPerKey(df: DataFrame) = latestPerKeyOf(view, df)
 
     // history: one directory per batch — a retried batch overwrites ITS OWN
     // directory instead of appending duplicates
@@ -150,11 +162,6 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
     val touched = bucketed.select(col(BucketCol)).distinct()
       .collect().map(_.getInt(0)).sorted
     val prevM = manifest(view).getOrElse(Map.empty)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(view.timestampField).desc, col("_batch_seq").desc)
-    def latestPerKey(df: DataFrame) = df
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
 
     val prevPaths = touched.toSeq
       .flatMap(b => prevM.get(b).map(v => bucketPath(view, v, b)))
@@ -232,22 +239,29 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
       }
     }
 
-  /** Time-travel read: the online snapshot AS OF batch `maxBatchId`,
-    * reconstructed from the append-only history (latest row per key among
-    * batches <= maxBatchId). Superseded SNAPSHOT versions are GC'd
-    * (gcVersions), so time travel deliberately reads history instead —
+  /** Time-travel read: the MERGE state of the log AS OF batch
+    * `maxBatchId`, reconstructed from the append-only history (latest row
+    * per key among batches <= maxBatchId, the same winner ordering upsert
+    * materializes — shared `latestPerKeyOf`). Superseded SNAPSHOT versions
+    * are GC'd (gcVersions), so time travel deliberately reads history —
     * the same split Delta makes between VACUUM retention and time travel:
     * the history is the durable log, the online table is a cache of its
     * head. Cost: a history scan with per-key ranking — an offline /
     * training-reproducibility path (re-create the features a model saw at
-    * training time), never a serving path. */
-  def onlineAsOf(view: FeatureView, maxBatchId: Long): DataFrame = {
-    val keys = view.entities.map(_.joinKey)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(view.timestampField).desc, col("_batch_seq").desc)
-    history(view).filter(col("_batch_seq") <= maxBatchId)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    * training time), never a serving path.
+    *
+    * TTL caveat: `applyTtl` is cache maintenance on the serving snapshot,
+    * NOT a log event — it is not replayed here, so an as-of read can
+    * contain rows a TTL'd serving snapshot had already dropped. To
+    * reproduce a TTL'd view, pass the serving-time clock: `ttlAsOfMs`
+    * applies the view's TTL against that instant, exactly as applyTtl
+    * would have. */
+  def onlineAsOf(view: FeatureView, maxBatchId: Long,
+                 ttlAsOfMs: Option[Long] = None): DataFrame = {
+    val base = latestPerKeyOf(view,
+      history(view).filter(col("_batch_seq") <= maxBatchId))
+    ttlAsOfMs.fold(base)(now =>
+      base.filter(col(view.timestampField) >= now - view.ttlMs))
   }
 
   /** Current online snapshot for a view (empty frame if never written). */

@@ -60,6 +60,17 @@ object StreamingPipelines {
 
   private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Read-back of an update-mode sink: the winning row per key by
+    * `orderCol` DESC — what an upsert sink keyed on `keys` stores
+    * last-write-wins. One definition for every retraction pipeline. */
+  private def latestBy(sink: DataFrame, orderCol: String,
+                       keys: String*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    sink.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Runs a streaming DataFrame to completion into a memory sink and
     * returns the sink table. The previous sink table of the same caller is
     * dropped so repeated invocations (warm-up + timed bench runs) hold at
@@ -206,15 +217,12 @@ object StreamingPipelines {
     * only grow it), which is what an upsert sink stores last-write-wins. */
   def anchoredUpdateStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val in = eventStream(spark, dir)
       .select(col("event_id"), col("user_id"), col("ems"), col("value"))
       .as[StatefulFeatures.EventIn]
     val out = StatefulFeatures.anchoredCountsUpdate(in).toDF()
     val sink = runToMemory(spark, out, "update", "anchoredupdate")
-    val w = Window.partitionBy(col("event_id")).orderBy(col("cnt_24h").desc)
-    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn").orderBy(col("event_id"))
+    latestBy(sink, "cnt_24h", "event_id").orderBy(col("event_id"))
   }
 
   /** The stats twin of anchoredUpdateStateful: update-mode per-event
@@ -223,15 +231,12 @@ object StreamingPipelines {
     * the max-rev row per event before dropping it. */
   def anchoredStatsUpdateStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val in = eventStream(spark, dir)
       .select(col("event_id"), col("user_id"), col("ems"), col("value"))
       .as[StatefulFeatures.EventIn]
     val out = StatefulFeatures.anchoredStatsUpdate(in).toDF()
     val sink = runToMemory(spark, out, "update", "anchoredstatsupdate")
-    val w = Window.partitionBy(col("event_id")).orderBy(col("rev").desc)
-    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn", "rev").orderBy(col("event_id"))
+    latestBy(sink, "rev", "event_id").drop("rev").orderBy(col("event_id"))
   }
 
   /** Replay/backfill watermark for the verify pipelines: with
@@ -249,15 +254,12 @@ object StreamingPipelines {
     * read-back takes the max-rev row per event. */
   def sessionStepsUpdateStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val in = eventStream(spark, dir)
       .select(col("event_id"), col("user_id"), col("ems"), col("event_type"))
       .as[StatefulFeatures.SessEventIn]
     val out = StatefulFeatures.sessionStepsUpdate(in).toDF()
     val sink = runToMemory(spark, out, "update", "sessionupdate")
-    val w = Window.partitionBy(col("event_id")).orderBy(col("rev").desc)
-    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn", "rev").orderBy(col("event_id"))
+    latestBy(sink, "rev", "event_id").drop("rev").orderBy(col("event_id"))
   }
 
   /** Streaming keep-first dedup (StatefulFeatures.dedupFirstUpdate) in
@@ -266,15 +268,12 @@ object StreamingPipelines {
     * matches the batch evt_dedup_first oracle exactly. */
   def dedupFirstStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val in = eventStream(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ems"))
       .as[StatefulFeatures.DedupIn]
     val out = StatefulFeatures.dedupFirstUpdate(in).toDF()
     val sink = runToMemory(spark, out, "update", "dedupfirst")
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("rev").desc)
-    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    latestBy(sink, "rev", "user_id", "event_type")
       .select(col("event_id"), col("user_id"), col("event_type"), col("ems"))
       .orderBy(col("event_id"))
   }
@@ -285,15 +284,12 @@ object StreamingPipelines {
     * update-mode sink, exploded to seen (bucket, m_j) rows. */
   def hllDistinctStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val in = graft.queries.Sketches.hllBucketRho(eventStream(spark, dir))
       .select(col("event_type"), col("bucket"), col("rho"))
       .as[SketchState.HllIn]
     val out = SketchState.hllRegisters(in, graft.queries.Sketches.hllM).toDF()
     val sink = runToMemory(spark, out, "update", "hll")
-    val w = Window.partitionBy(col("event_type")).orderBy(col("rev").desc)
-    val regs = sink.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val regs = latestBy(sink, "rev", "event_type")
       .select(col("event_type"),
         posexplode(col("regs")).as(Seq("bucket", "m_j")))
       .filter(col("m_j") > 0) // zero register == bucket never seen

@@ -101,6 +101,23 @@ class StoreSpec extends AnyFunSuite {
     assert(alive == 50L)
   }
 
+  test("as-of read reproduces the log state; ttlAsOfMs replays the TTL clock") {
+    val store = newStore()
+    store.upsert(view, rows((1L, 100L, 1.0)), 0L)
+    store.upsert(view, rows((1L, 300L, 9.0), (2L, 5000L, 2.0)), 1L)
+    // as of batch 0: the later batch does not exist yet
+    val asOf0 = store.onlineAsOf(view, 0L)
+      .select($"user_id", $"v").as[(Long, Double)].collect().toMap
+    assert(asOf0 == Map(1L -> 1.0))
+    store.applyTtl(view, nowMs = 5500L)
+    // TTL is cache maintenance, not a log event: the plain as-of read
+    // resurrects the expired row (documented), the replayed clock does not
+    assert(store.onlineAsOf(view, 1L).count() == 2L)
+    val ttld = store.onlineAsOf(view, 1L, ttlAsOfMs = Some(5500L))
+      .select($"user_id").as[Long].collect().toSet
+    assert(ttld == Set(2L))
+  }
+
   test("PIT validator flags inconsistency and passes consistent stores") {
     val store = newStore()
     store.upsert(view, rows((1L, 100L, 1.0), (1L, 200L, 2.0)), 0L)
