@@ -86,6 +86,42 @@ class PropertySpec extends AnyFunSuite {
     }, n = 6)
   }
 
+  test("streaming HLL registers equal the batch registers under any batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SketchState
+    import SketchState.HllIn
+    implicit val ctx = spark.sqlContext
+    val m = 8
+    val gen: Gen[(List[(Int, Int)], Int, Long)] = for {
+      n <- Gen.choose(1, 20)
+      bs <- Gen.listOfN(n, Gen.choose(0, m - 1))
+      rs <- Gen.listOfN(n, Gen.choose(1, 12))
+      nb <- Gen.choose(1, 4)
+      seed <- Gen.choose(0L, 1000L)
+    } yield (bs.zip(rs), nb, seed)
+    check(Prop.forAll(gen) { case (obs, nb, seed) =>
+      val events = obs.map { case (b, r) => HllIn("k", b, r) }
+      val shuffled = new scala.util.Random(seed).shuffle(events)
+      val batches = shuffled.grouped(math.max(1, shuffled.size / nb)).toSeq
+      val in = MemoryStream[HllIn]
+      val name = s"hll_prop_${seed}_${obs.size}_$nb"
+      val q = SketchState.hllRegisters(in.toDS(), m).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val fin = spark.table(name).collect()
+        .map(r => r.getAs[Long]("rev") -> r.getSeq[Int](1))
+        .maxBy(_._1)._2
+      spark.catalog.dropTempView(name)
+      // batch truth: per-bucket max over the full observation set
+      val truth = (0 until m).map(b =>
+        obs.filter(_._1 == b).map(_._2).foldLeft(0)(math.max))
+      fin == truth
+    }, n = 5)
+  }
+
   test("update-mode retraction reaches the RANGE frame under any batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
