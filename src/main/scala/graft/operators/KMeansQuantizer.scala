@@ -62,16 +62,53 @@ object KMeansQuantizer {
     }: _*)), 1, n).cast("array<struct<d2:double,cell:bigint>>")
       .getField("cell")
 
+  /** Minimum distance from `emb` to any of the given seed vectors. */
+  private def minDistTo(emb: Column, seeds: Seq[Seq[Double]]): Column =
+    seeds.map(dist2To(emb, _)) match {
+      case Seq(one) => one
+      case ds => ds.reduce((a, b) => least(a, b))
+    }
+
+  /** Deterministic farthest-point-traversal seeding — the k-means++
+    * -quality spread WITHOUT its RNG (the round-2 backlog's "determinism
+    * story for D² sampling"): seed 0 is the smallest vec_id's vector;
+    * each next seed is the vector MAXIMIZING its distance to the chosen
+    * set (ties on vec_id). Classic 2-approximation of the optimal
+    * k-center cover, fully reproducible, and each step is one scan + a
+    * top-1 (TakeOrdered — no global sort). Cells are numbered by
+    * selection order 0..k-1. */
+  def farthestPointSeeds(emb: DataFrame, k: Int): Seq[(Long, Seq[Double])] = {
+    def vecOf(df: DataFrame): Seq[Double] =
+      df.select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+    val first = vecOf(emb.orderBy(col("vec_id")).limit(1))
+    val seeds = scala.collection.mutable.ArrayBuffer(first)
+    for (_ <- 1 until k) {
+      val next = vecOf(
+        emb.select(col("vec_id"), col("embedding"),
+          minDistTo(col("embedding"), seeds.toSeq).as("md"))
+          .orderBy(col("md").desc, col("vec_id")).limit(1))
+      seeds += next
+    }
+    seeds.toSeq.zipWithIndex.map { case (v, i) => i.toLong -> v }
+  }
+
   /** Runs `iters` Lloyd rounds over `emb` (columns vec_id, embedding)
-    * and returns the centroids, cell id -> vector, sorted by cell id.
-    * Cells that lose all members drop out (deterministically, both
-    * engines). */
-  def fit(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
-    var cent: Seq[(Long, Seq[Double])] = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
-      .sortBy(_._1).toSeq
+    * from the k smallest vec_ids as seeds. */
+  def fit(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] =
+    fitWithSeeds(emb,
+      emb.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .sortBy(_._1).toSeq,
+      iters)
+
+  /** Lloyd rounds from explicit seed centroids (cell id -> vector).
+    * Returns the centroids sorted by cell id; cells that lose all members
+    * drop out (deterministically, both engines). */
+  def fitWithSeeds(emb: DataFrame, seeds: Seq[(Long, Seq[Double])],
+                   iters: Int): Seq[(Long, Seq[Double])] = {
+    var cent: Seq[(Long, Seq[Double])] = seeds
     for (_ <- 1 to iters) {
       // The assignment is pinned BEFORE the posexplode: columns above a
       // Generate are evaluated per OUTPUT row, so an un-pinned cell

@@ -474,13 +474,45 @@ object Embeddings extends QueryModule {
 
   /** seed + one (assign, update) CTE pair per Lloyd round — the oracle
     * unrolls the loop the engine runs. */
-  private def kmFitCtes: String = {
-    val seed =
-      s"""seed AS (
-         |  SELECT CAST(vec_id AS BIGINT) AS cell,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-         |  FROM embeddings WHERE vec_id < $kmK
+  private def kmFitCtes: String = kmFitCtesFrom(
+    s"""seed AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings WHERE vec_id < $kmK
+       |)""".stripMargin)
+
+  /** Farthest-point-traversal seed CTEs (operators/KMeansQuantizer
+    * .farthestPointSeeds): sv0 = smallest vec_id's vector; each s_i picks
+    * the argmax of min-distance-to-chosen (ties on vec_id); `seed` labels
+    * them 0..k-1 by selection order. */
+  private def kmFpsSeedCtes: String = {
+    val sv0 =
+      """sv0 AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings
+        |  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+        |)""".stripMargin
+    val steps = (1 until kmK).map { i =>
+      val prev = (0 until i).map(j => s"sv$j")
+      val minDist = prev.map(sv => kmDist2("e", sv))
+        .reduce((a, b) => s"LEAST($a, $b)")
+      s"""s$i AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id,
+         |      row_number() OVER (ORDER BY $minDist DESC, e.vec_id) AS rn
+         |    FROM embeddings e, ${prev.mkString(", ")}) WHERE rn = 1
+         |), sv$i AS (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings JOIN s$i USING (vec_id)
          |)""".stripMargin
+    }
+    val seed = (0 until kmK).map(j =>
+        s"SELECT CAST($j AS BIGINT) AS cell, cv FROM sv$j")
+      .mkString("seed AS (\n  ", "\n  UNION ALL ", "\n)")
+    (sv0 +: steps :+ seed).mkString(", ")
+  }
+
+  private def kmFitCtesFrom(seed: String): String = {
     val iters = (1 to kmIters).map { i =>
       val prev = if (i == 1) "seed" else s"cent${i - 1}"
       s"""a$i AS (
@@ -543,10 +575,33 @@ object Embeddings extends QueryModule {
     * TRAINED quantizer: top-3 probe cells per query, exact cosine within
     * the probed cells, vs brute force. Direct comparison column-for-column
     * with emb_ivf_recall (label cells) and emb_ann_recall (LSH). */
-  private def ivfKmeansRecall(spark: SparkSession, dir: String): DataFrame = {
+  private def ivfKmeansRecall(spark: SparkSession, dir: String): DataFrame =
+    recallFromCentroids(spark, dir, fittedCentroids(spark, dir))
+
+  /** Same recall@10 measurement with the FARTHEST-POINT-seeded quantizer
+    * (KMeansQuantizer.farthestPointSeeds + the same Lloyd rounds) — the
+    * deterministic answer to k-means++'s D² sampling; compare row-for-row
+    * with emb_ivf_kmeans_recall (fixed-id seeds). Measured on this
+    * corpus: 0.64 mean recall vs 0.75 for id seeds — farthest-point
+    * optimizes the worst-case COVER (its seeds chase outliers), which
+    * after only 3 Lloyd rounds recalls worse than neutral seeds on a
+    * well-clustered corpus. Both quantizers being deterministic and
+    * oracle-checked is what makes the comparison trustworthy; the
+    * measurement, not the heuristic's reputation, picks the index. */
+  private def ivfKmeansFpsRecall(spark: SparkSession, dir: String): DataFrame =
+    recallFromCentroids(spark, dir,
+      kmCache.getOrElseUpdate((dir + "#fps", kmK, kmIters), {
+        val emb = Tables.embeddings(spark, dir).persist()
+        try graft.operators.KMeansQuantizer.fitWithSeeds(emb,
+          graft.operators.KMeansQuantizer.farthestPointSeeds(emb, kmK),
+          kmIters)
+        finally emb.unpersist(blocking = false)
+      }))
+
+  private def recallFromCentroids(spark: SparkSession, dir: String,
+      cent: Seq[(Long, Seq[Double])]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.KMeansQuantizer
-    val cent = fittedCentroids(spark, dir)
     val emb = Tables.embeddings(spark, dir).persist()
     val cells = emb.select(col("vec_id"),
       KMeansQuantizer.assignCell(col("embedding"), cent).as("cell"))
@@ -588,8 +643,13 @@ object Embeddings extends QueryModule {
     graft.core.CachePin.sealAndRelease(out, emb)
   }
 
-  private def ivfKmeansRecallSql =
-    s"""WITH $kmFitCtes, assigned AS (
+  private def ivfKmeansRecallSql = kmRecallSqlFrom(kmFitCtes)
+
+  private def ivfKmeansFpsRecallSql =
+    kmRecallSqlFrom(kmFitCtesFrom(kmFpsSeedCtes))
+
+  private def kmRecallSqlFrom(fitCtes: String) =
+    s"""WITH $fitCtes, assigned AS (
        |  SELECT e.vec_id, c.cell, ${kmDist2("e", "c")} AS d2
        |  FROM embeddings e CROSS JOIN cent$kmIters c
        |), cells AS (
@@ -650,7 +710,8 @@ object Embeddings extends QueryModule {
     "emb_ann_recall" -> (annRecall _),
     "emb_ivf_recall" -> (ivfRecall _),
     "emb_kmeans_cells" -> (kmeansCells _),
-    "emb_ivf_kmeans_recall" -> (ivfKmeansRecall _))
+    "emb_ivf_kmeans_recall" -> (ivfKmeansRecall _),
+    "emb_ivf_kmeans_fps_recall" -> (ivfKmeansFpsRecall _))
 
   override def oracles: Map[String, String] = Map(
     "emb_ivf_recall" -> ivfRecallSql,
@@ -660,5 +721,6 @@ object Embeddings extends QueryModule {
     "dedup_embedding_cosine" -> cosineNearDupSql,
     "emb_ann_recall" -> annRecallSql,
     "emb_kmeans_cells" -> kmeansCellsSql,
-    "emb_ivf_kmeans_recall" -> ivfKmeansRecallSql)
+    "emb_ivf_kmeans_recall" -> ivfKmeansRecallSql,
+    "emb_ivf_kmeans_fps_recall" -> ivfKmeansFpsRecallSql)
 }
