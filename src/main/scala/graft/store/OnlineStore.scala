@@ -271,4 +271,52 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
   /** Append-only history for a view (offline store / training reads). */
   def history(view: FeatureView): DataFrame =
     spark.read.parquet(path("history", view.name))
+
+  /** History small-file compaction (the OPTIMIZE of this store): every
+    * micro-batch leaves a `batch=<id>` directory with task-count files,
+    * so a long-running stream accretes thousands of small files — the
+    * classic parquet-store read-amplification problem. Compaction
+    * rewrites the history into the SAME batch=<id> partition layout
+    * (so `_batch_seq` data, partition pruning, time travel and PIT reads
+    * are all unchanged) as ONE file per batch — hashing on `batch` puts
+    * each batch's rows in a single task while distinct batches compact in
+    * parallel — then swaps directories atomically. (A batch too large
+    * for one file would salt the repartition; micro-batches are small by
+    * construction.) Safe against replays: upsert's `_batches` markers
+    * gate re-appends BEFORE any history write, so a replayed batch whose
+    * directory was compacted is still a no-op. */
+  def compactHistory(view: FeatureView): Unit = {
+    val live = path("history", view.name)
+    val tmp = path("history", s"_compact_tmp_${view.name}")
+    val old = path("history", s"_compact_old_${view.name}")
+    // crash recovery for the rename window: live missing means a prior
+    // run died between the two moves — tmp was fully written before live
+    // was moved aside, so it is the preferred restore; old is the
+    // pre-compaction fallback
+    if (!exists(live)) {
+      if (exists(tmp))
+        Files.move(Paths.get(tmp), Paths.get(live),
+          StandardCopyOption.ATOMIC_MOVE)
+      else if (exists(old))
+        Files.move(Paths.get(old), Paths.get(live),
+          StandardCopyOption.ATOMIC_MOVE)
+      else return
+    }
+    spark.read.parquet(live)
+      .repartition(col("batch"))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch").parquet(tmp)
+    // two renames: live -> old, tmp -> live; a crash between them leaves
+    // either the original or the compacted copy resolvable (old is only
+    // deleted after the swap completes)
+    Files.move(Paths.get(live), Paths.get(old),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(live),
+      StandardCopyOption.ATOMIC_MOVE)
+    val walk = Files.walk(Paths.get(old))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    } finally walk.close()
+  }
 }

@@ -101,6 +101,28 @@ class StoreSpec extends AnyFunSuite {
     assert(alive == 50L)
   }
 
+  test("history compaction shrinks files, preserves content, keeps replays no-ops") {
+    val root = Files.createTempDirectory("graft_compact_store_").toString
+    val store = new OnlineStore(spark, root)
+    (0L to 3L).foreach(b =>
+      store.upsert(view, rows((1L to 40L).map(i => (i, 100L * (b + 1), i.toDouble)): _*), b))
+    def parquetFiles = {
+      val d = java.nio.file.Paths.get(s"$root/history/spec_view")
+      java.nio.file.Files.walk(d).filter(_.toString.endsWith(".parquet"))
+        .count().toInt
+    }
+    val before = store.history(view).collect().map(_.toString).sorted.toSeq
+    val filesBefore = parquetFiles
+    store.compactHistory(view)
+    assert(parquetFiles < filesBefore)
+    assert(parquetFiles <= 4) // one file per batch partition
+    val after = store.history(view).collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // a replayed batch whose directory was rewritten is still a no-op
+    store.upsert(view, rows((1L, 100L, 1.0)), 2L)
+    assert(store.history(view).count() == before.size.toLong)
+  }
+
   test("as-of read reproduces the log state; ttlAsOfMs replays the TTL clock") {
     val store = newStore()
     store.upsert(view, rows((1L, 100L, 1.0)), 0L)
