@@ -93,15 +93,21 @@ object KMeansQuantizer {
   }
 
   /** Runs `iters` Lloyd rounds over `emb` (columns vec_id, embedding)
-    * from the k smallest vec_ids as seeds. */
-  def fit(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] =
-    fitWithSeeds(emb,
-      emb.filter(col("vec_id") < k)
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
-        .sortBy(_._1).toSeq,
-      iters)
+    * from the k smallest vec_ids as seeds — by RANK, not value, so a
+    * corpus whose ids are sparse or non-zero-based still yields exactly
+    * k seed cells (cell ids are the chosen vec_ids). */
+  def fit(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    val seeds = emb
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(col("vec_id")).limit(k)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toSeq.sortBy(_._1)
+    require(seeds.size == k,
+      s"k-means fit asked for $k seed cells but the corpus has only " +
+        s"${seeds.size} vectors — a degenerate quantizer carries no signal")
+    fitWithSeeds(emb, seeds, iters)
+  }
 
   /** Lloyd rounds from explicit seed centroids (cell id -> vector).
     * Returns the centroids sorted by cell id; cells that lose all members

@@ -454,13 +454,36 @@ object Embeddings extends QueryModule {
   /** Fitted-quantizer memo: the centroids are a deterministic TRAINING
     * ARTIFACT of (dataset, k, iters) — a production IVF index is built
     * once and probed many times, so the two k-means queries (and bench
-    * warm-up + timed runs) share one fit instead of re-running Lloyd. */
+    * warm-up + timed runs) share one fit instead of re-running Lloyd.
+    * The key carries a dataset FINGERPRINT (file paths + sizes + mtimes
+    * under the embeddings table), so rewriting the data in-session
+    * invalidates the memo instead of serving stale centroids against an
+    * oracle that re-fits from the new files. */
   private val kmCache =
     new scala.collection.concurrent.TrieMap[(String, Int, Int),
       Seq[(Long, Seq[Double])]]()
 
+  /** Driver-side listing of the embeddings table's files — cheap (one
+    * directory walk of a single table) relative to a Lloyd fit. */
+  private def embFingerprint(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Seq("embeddings.parquet", "embeddings")
+      .map(n => Paths.get(dir, n)).find(Files.exists(_))
+    root.fold("absent") { r =>
+      val walk = Files.walk(r)
+      val sig =
+        try walk.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(p => s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted.mkString("|")
+        finally walk.close()
+      java.util.UUID.nameUUIDFromBytes(
+        sig.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    }
+  }
+
   private def fittedCentroids(spark: SparkSession, dir: String) =
-    kmCache.getOrElseUpdate((dir, kmK, kmIters), {
+    kmCache.getOrElseUpdate((dir + "@" + embFingerprint(dir), kmK, kmIters), {
       val emb = Tables.embeddings(spark, dir).persist()
       try graft.operators.KMeansQuantizer.fit(emb, kmK, kmIters)
       finally emb.unpersist(blocking = false)
@@ -478,7 +501,7 @@ object Embeddings extends QueryModule {
     s"""seed AS (
        |  SELECT CAST(vec_id AS BIGINT) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-       |  FROM embeddings WHERE vec_id < $kmK
+       |  FROM embeddings ORDER BY vec_id LIMIT $kmK
        |)""".stripMargin)
 
   /** Farthest-point-traversal seed CTEs (operators/KMeansQuantizer
@@ -590,7 +613,8 @@ object Embeddings extends QueryModule {
     * measurement, not the heuristic's reputation, picks the index. */
   private def ivfKmeansFpsRecall(spark: SparkSession, dir: String): DataFrame =
     recallFromCentroids(spark, dir,
-      kmCache.getOrElseUpdate((dir + "#fps", kmK, kmIters), {
+      kmCache.getOrElseUpdate(
+        (dir + "@" + embFingerprint(dir) + "#fps", kmK, kmIters), {
         val emb = Tables.embeddings(spark, dir).persist()
         try graft.operators.KMeansQuantizer.fitWithSeeds(emb,
           graft.operators.KMeansQuantizer.farthestPointSeeds(emb, kmK),

@@ -105,6 +105,15 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
     * resolved after the flip. A DataFrame captured from a pre-flip
     * manifest must be consumed before the next upsert — same contract a
     * vacuumed Delta table imposes with retention 0. */
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+    }
+
   private def gcVersions(view: FeatureView): Unit =
     manifest(view).foreach { m =>
       import scala.jdk.CollectionConverters._
@@ -118,12 +127,7 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
             Files.isDirectory(p) && !n.startsWith("_") && !live.contains(n)
           }.toList
           finally listing.close()
-        stale.foreach { p =>
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.delete)
-          finally walk.close()
-        }
+        stale.foreach(deleteRecursive)
       }
     }
 
@@ -143,10 +147,12 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
     // crash window between manifest flip and marker: the manifest already
     // references this batch's version, which means data + manifest are
     // complete (the flip is strictly last) — redoing the merge would read
-    // vN while overwriting vN. Finish the marker and stop.
+    // vN while overwriting vN. Finish the marker, sweep versions the
+    // crashed flip superseded (the crash skipped its GC), and stop.
     if (manifest(view).exists(_.values.exists(_ == s"v$batchId"))) {
       Files.createDirectories(marker.getParent)
       Files.createFile(marker)
+      gcVersions(view)
       return
     }
     val keys = view.entities.map(_.joinKey)
@@ -284,7 +290,14 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
     * for one file would salt the repartition; micro-batches are small by
     * construction.) Safe against replays: upsert's `_batches` markers
     * gate re-appends BEFORE any history write, so a replayed batch whose
-    * directory was compacted is still a no-op. */
+    * directory was compacted is still a no-op.
+    *
+    * Concurrency contract: same single-writer discipline as `gcVersions` —
+    * quiesce history readers (`history`/`onlineAsOf`/PIT DataFrames
+    * resolve files at ACTION time, and would fail or read a torn view
+    * during the live→old / tmp→live rename window). Run compaction
+    * between micro-batches with no in-flight history actions, exactly
+    * when a Delta OPTIMIZE with retention 0 would be safe. */
   def compactHistory(view: FeatureView): Unit = {
     val live = path("history", view.name)
     val tmp = path("history", s"_compact_tmp_${view.name}")
@@ -302,6 +315,12 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
           StandardCopyOption.ATOMIC_MOVE)
       else return
     }
+    // self-heal leftovers from a prior crash: a restore above (or an
+    // interrupted old-deletion walk) can leave stale _compact_old_/
+    // _compact_tmp_ dirs, which would fail this run's ATOMIC_MOVEs with
+    // FileAlreadyExists — clear them now that live is authoritative
+    deleteRecursive(Paths.get(tmp))
+    deleteRecursive(Paths.get(old))
     spark.read.parquet(live)
       .repartition(col("batch"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch").parquet(tmp)
@@ -312,11 +331,6 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
       StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(live),
       StandardCopyOption.ATOMIC_MOVE)
-    val walk = Files.walk(Paths.get(old))
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    } finally walk.close()
+    deleteRecursive(Paths.get(old))
   }
 }

@@ -121,6 +121,14 @@ class StoreSpec extends AnyFunSuite {
     // a replayed batch whose directory was rewritten is still a no-op
     store.upsert(view, rows((1L, 100L, 1.0)), 2L)
     assert(store.history(view).count() == before.size.toLong)
+    // crash self-heal: a stale _compact_old_ dir (interrupted deletion
+    // walk of a prior run) must not fail the next compaction's renames
+    Files.createDirectories(java.nio.file.Paths
+      .get(s"$root/history/_compact_old_spec_view/batch=0"))
+    store.compactHistory(view)
+    assert(store.history(view).collect().map(_.toString).sorted.toSeq == before)
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"$root/history/_compact_old_spec_view")))
   }
 
   test("as-of read reproduces the log state; ttlAsOfMs replays the TTL clock") {
