@@ -58,6 +58,69 @@ object StreamingPipelines {
       .withColumn("ems", unix_millis(col("ts").cast("timestamp")))
   }
 
+  /** Multi-micro-batch replay staging: the events table split into
+    * `nChunks` parquet files in EVENT-TIME order (range-partitioned on
+    * (ts, event_id)) with strictly increasing modification times, read
+    * back with `maxFilesPerTrigger=1` — so a query consumes the dataset
+    * as N micro-batches with a genuinely MONOTONE watermark advancing
+    * between them (ref streaming/core/utils/watermarks.py:67-105), the
+    * Kafka-log replay shape (a partitioned log replays in append ≈
+    * event-time order; the driver's events table is exactly time-ordered
+    * in row order at every SF, measured lateness 0 ms).
+    *
+    * This is what lets the append-mode window/join pipelines seal
+    * windows watermark-driven across batches instead of relying on
+    * whole-dataset-in-one-trigger delivery: each batch's rows are at or
+    * above the watermark (previous batches' max - delay), so nothing is
+    * late-dropped, windows/joins seal as the watermark passes them, and
+    * the final emitted set equals the batch oracle's explicit
+    * final-watermark condition regardless of the chunk count. */
+  def eventStreamReplay(spark: SparkSession, dir: String,
+                        nChunks: Int = 8): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import java.nio.charset.StandardCharsets
+    import scala.jdk.CollectionConverters._
+    val path = s"$dir/events.parquet"
+    val src = Paths.get(path)
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_replay_" + path.replaceAll("[^A-Za-z0-9]", "_") + s"_$nChunks")
+    val marker = stage.resolve("_staged")
+    val sig = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == sig
+    if (!fresh) {
+      if (Files.exists(stage)) {
+        val walk = Files.walk(stage)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+        finally walk.close()
+      }
+      graft.core.Tables.events(spark, dir)
+        .repartitionByRange(nChunks, col("ts"), col("event_id"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(stage.toString)
+      // strictly increasing mtimes in partition (= event-time) order so
+      // the file source's oldest-first pickup replays chronologically
+      val listing = Files.list(stage)
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toSeq
+          .sortBy(_.getFileName.toString)
+        finally listing.close()
+      val t0 = Files.getLastModifiedTime(src).toMillis
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(t0 + i * 1000L))
+      }
+      Files.write(marker, sig.getBytes(StandardCharsets.UTF_8))
+    }
+    val schema = spark.read.parquet(stage.toString).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+      .withColumn("ems", unix_millis(col("ts").cast("timestamp")))
+  }
+
   private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Read-back of an update-mode sink: the winning row per key by
@@ -74,39 +137,13 @@ object StreamingPipelines {
   /** Runs a streaming DataFrame to completion into a memory sink and
     * returns the sink table. The previous sink table of the same caller is
     * dropped so repeated invocations (warm-up + timed bench runs) hold at
-    * most one result copy in driver memory.
-    *
-    * `requireSingleBatch` pins the delivery assumption of the pipelines
-    * whose 1 h watermark is LOAD-BEARING for their sealing rule
-    * (alignedWindowAppend, intervalJoinStream): their oracle match relies
-    * on the file source delivering the whole dataset in one micro-batch —
-    * with `maxFilesPerTrigger` set or a multi-file staging dir, disorder
-    * beyond 1 h would drop late rows SILENTLY. The assertion turns that
-    * silent divergence into a loud failure. (The replay pipelines instead
-    * use ReplayDelay, which tolerates any batch split.) */
+    * most one result copy in driver memory. */
   def runToMemory(spark: SparkSession, out: DataFrame, mode: String,
-                  caller: String = "query",
-                  requireSingleBatch: Boolean = false): DataFrame = {
+                  caller: String = "query"): DataFrame = {
     val name = freshName(s"graft_sink_$caller")
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
-    try {
-      q.processAllAvailable()
-      if (requireSingleBatch) {
-        val progress = q.recentProgress
-        val dataBatches = progress.count(_.numInputRows > 0)
-        // recentProgress retains only the last ~100 entries; if batches
-        // rotated out, the count is unverifiable — fail rather than pass
-        val totalBatches =
-          Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
-        require(totalBatches <= progress.length && dataBatches <= 1,
-          s"$caller: expected single-micro-batch delivery but saw " +
-            s"$dataBatches data batches over $totalBatches total — the " +
-            "1 h watermark sealing rule only matches the batch oracle " +
-            "when the source delivers all data in one trigger (do not " +
-            "set maxFilesPerTrigger here)")
-      }
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     Option(lastSink.put(caller, name))
       .foreach(prev => spark.catalog.dropTempView(prev))
     spark.table(name)
@@ -128,29 +165,36 @@ object StreamingPipelines {
   /** W1 + W6 in PRODUCTION form: the aligned sliding window in append
     * mode under a 1 h watermark — a window row is emitted exactly once,
     * when the watermark passes its end (no complete-mode re-emission, no
-    * driver-side window table). The oracle mirrors the sealing rule:
-    * windows with end <= final watermark (max event time - 1 h). */
+    * driver-side window table). Runs over the CHUNKED replay
+    * (eventStreamReplay, maxFilesPerTrigger=1), so windows genuinely seal
+    * batch-by-batch as the monotone watermark passes them; the oracle
+    * mirrors only the final frontier: windows with
+    * end <= max event time - 1 h. */
   def alignedWindowAppend(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventStream(spark, dir)
+    val agg = eventStreamReplay(spark, dir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours", "3 hours"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(col("user_id"), unix_millis(col("window.start")).as("win_start_ms"),
               col("n_events"), col("sum_value"))
-    runToMemory(spark, agg, "append", "alignedappend", requireSingleBatch = true)
+    runToMemory(spark, agg, "append", "alignedappend")
       .orderBy(col("user_id"), col("win_start_ms"))
   }
 
   /** J2 as a REAL stream-stream join: purchases x clicks inner-joined on
     * user with the [-1 h, 0) event-time interval condition, both sides
     * watermarked (Spark evicts right state once the watermark passes the
-    * interval — bounded join state). Matches emit eagerly (inner join),
-    * so the sink holds the complete pair set; the left-outer count rollup
-    * runs as a batch over the sink + the static purchase list, giving the
-    * SAME oracle as the batch interval join. */
+    * interval — bounded join state). Runs over the CHUNKED replay, so
+    * click state is genuinely built up AND evicted across micro-batches:
+    * a purchase in batch N finds its clicks still in state because the
+    * log-ordered replay keeps the watermark at most 1 h + one batch
+    * behind any unjoined purchase's interval. Matches emit eagerly
+    * (inner join), so the sink holds the complete pair set; the
+    * left-outer count rollup runs as a batch over the sink + the static
+    * purchase list, giving the SAME oracle as the batch interval join. */
   def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
-    val es = eventStream(spark, dir)
+    val es = eventStreamReplay(spark, dir)
       .withColumn("ts", col("ts").cast("timestamp"))
     val purchases = es.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
@@ -164,8 +208,7 @@ object StreamingPipelines {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") < col("p_ts"))
       .select(col("purchase_id"))
-    val matches = runToMemory(spark, joined, "append", "ivjoin",
-      requireSingleBatch = true)
+    val matches = runToMemory(spark, joined, "append", "ivjoin")
     val counts = matches.groupBy(col("purchase_id"))
       .agg(count(lit(1)).as("n"))
     graft.core.Tables.events(spark, dir)
@@ -179,11 +222,12 @@ object StreamingPipelines {
   }
 
   /** W5 + W6: session windows (30 min gap) with a 1 h watermark, append
-    * mode — only sessions sealed by the final watermark are emitted,
-    * exactly the condition the oracle mirrors (last event + gap <=
-    * global max - 1 h). */
+    * mode over the CHUNKED replay — sessions merge across micro-batches
+    * in state and are emitted exactly once, when the monotone watermark
+    * seals them; the oracle mirrors only the final frontier (last event
+    * + gap <= global max - 1 h). */
   def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventStream(spark, dir)
+    val agg = eventStreamReplay(spark, dir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -194,7 +238,7 @@ object StreamingPipelines {
       .select(col("user_id"),
         unix_millis(col("session_window.start")).as("session_start_ms"),
         col("n_events"), col("purchases"), col("sum_value"))
-    runToMemory(spark, agg, "append", "session", requireSingleBatch = true)
+    runToMemory(spark, agg, "append", "session")
       .orderBy(col("user_id"), col("session_start_ms"))
   }
 
