@@ -108,6 +108,50 @@ object StreamingQueries extends QueryModule {
       |FROM range(10000) t(i)
       |ORDER BY txn_id""".stripMargin
 
+  /** W7 allowed-lateness oracle: reproduce the disordered replay's batch
+    * boundaries (arrival = ems + md5-derived delay; chunk = arrival-rank
+    * * 8 / total), compute the watermark each chunk's LATE-ROW FILTER
+    * ran under, drop rows strictly below it, and run the anchored
+    * RANGE-frame counts over the SURVIVORS. The filter watermark is the
+    * PREVIOUS batch's (Spark's late-events/eviction split since 3.4) —
+    * max event time of chunks <= c-2, minus the 15 min budget; pinned
+    * empirically and by StreamingSpec. Checks both halves of the
+    * reference's LateEventHandler contract (watermarks.py:151-208):
+    * admissible late rows are fully reprocessed (their corrections must
+    * land bit-exact), beyond-budget rows are dropped (their absence must
+    * be exact too). */
+  private val anchoredLateSql =
+    """WITH arr AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS ems,
+      |    epoch_ms(ts) + CASE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10
+      |      WHEN 7 THEN 600000 WHEN 3 THEN 691200000 ELSE 0 END AS arrival
+      |  FROM events
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY arrival, event_id) - 1 AS rn,
+      |    COUNT(*) OVER () AS total
+      |  FROM arr
+      |), chunked AS (
+      |  SELECT *, rn * 8 // total AS chunk FROM ranked
+      |), cmax AS (
+      |  SELECT chunk, MAX(ems) AS cm FROM chunked GROUP BY chunk
+      |), wm AS (
+      |  SELECT chunk, MAX(cm) OVER (ORDER BY chunk
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 900000 AS wm_ms
+      |  FROM cmax
+      |), surv AS (
+      |  SELECT c.event_id, c.user_id, c.ems
+      |  FROM chunked c JOIN wm w ON c.chunk = w.chunk
+      |  WHERE w.wm_ms IS NULL OR c.ems >= w.wm_ms
+      |)
+      |SELECT event_id, user_id, ems,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ems
+      |    RANGE BETWEEN 299999 PRECEDING AND CURRENT ROW) AS cnt_5m,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ems
+      |    RANGE BETWEEN 1799999 PRECEDING AND CURRENT ROW) AS cnt_30m,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ems
+      |    RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW) AS cnt_24h
+      |FROM surv ORDER BY event_id""".stripMargin
+
   /** Append-mode aligned windows: only windows sealed by the final
     * watermark (max event time - 1 h) are in the sink. */
   private val alignedAppendSql =
@@ -141,6 +185,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredStatsStateful(s, d)),
     "stream_session_steps" ->
       ((s: SparkSession, d: String) => StreamingPipelines.sessionStepsStateful(s, d)),
+    "stream_anchored_late_update" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.anchoredLateUpdate(s, d)),
     "stream_dedup_first" ->
       ((s: SparkSession, d: String) => StreamingPipelines.dedupFirstStateful(s, d)),
     "stream_hll_distinct" ->
@@ -158,6 +204,7 @@ object StreamingQueries extends QueryModule {
     "stream_session_update" -> sessionStepsSql,
     "stream_anchored_stats" -> EventFeatures.anchoredStatsSql,
     "stream_session_steps" -> sessionStepsSql,
+    "stream_anchored_late_update" -> anchoredLateSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,
     "stream_hll_distinct" -> Sketches.hllDistinctSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)

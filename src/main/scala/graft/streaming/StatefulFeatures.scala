@@ -195,35 +195,89 @@ object StatefulFeatures {
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, events: Iterator[EventIn], state: GroupState[BufEmitted]) =>
-          var buf = state.getOption.map(_.rows.toVector).getOrElse(Vector.empty)
-          val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
-          val out = tieRuns(sorted)(_.ems).flatMap { run =>
-            val t = run.head.ems
-            val k = run.size
-            // corrections: pre-existing rows whose window (xe-h, xe]
-            // contains t gain k tie-run arrivals in horizon h
-            val (unaffected, affected) = buf.partition(x =>
-              x.ems < t || x.ems - t >= H24H)
-            val corrected = affected.map { x =>
-              def bump(h: Long, c: Long) = if (t > x.ems - h) c + k else c
-              x.copy(c5 = bump(H5M, x.c5), c30 = bump(H30M, x.c30),
-                c24 = bump(H24H, x.c24))
-            }
-            // the run's own rows: pre-existing events in (t-h, t] + the
-            // run itself (entries newer than t are outside the <= t bound)
-            def cnt(h: Long) =
-              buf.count(x => x.ems > t - h && x.ems <= t) + k
-            val runRows = run.map(e =>
-              Emitted(e.ems, e.event_id, cnt(H5M), cnt(H30M), cnt(H24H)))
-            buf = (unaffected ++ corrected ++ runRows)
-              .sortBy(x => (x.ems, x.id))
-              .dropWhile(_.ems <= t - H24H)
-            (corrected ++ runRows).map(x =>
-              AnchoredCounts(x.id, uid, x.ems,
-                cnt_5m = x.c5, cnt_30m = x.c30, cnt_24h = x.c24))
+          processCountsUpdate(uid, events, state)
+      }
+  }
+
+  /** Shared per-group body of the update-mode (retraction) counts.
+    * `retainMs` is the STATE retention horizon — window (24 h) plus the
+    * pipeline's allowed lateness (Flink's "keep window state until
+    * watermark passes end + allowed lateness"): a late arrival displaced
+    * by up to (retainMs - 24 h) in event time still finds both its own
+    * window's entries and every anchor it must correct in the buffer, so
+    * corrections stay EXACT instead of silently undercounting over a
+    * partially-evicted buffer. */
+  private def processCountsUpdate(uid: Long, events: Iterator[EventIn],
+      state: GroupState[BufEmitted],
+      retainMs: Long = H24H): Iterator[AnchoredCounts] = {
+    var buf = state.getOption.map(_.rows.toVector).getOrElse(Vector.empty)
+    val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
+    val out = tieRuns(sorted)(_.ems).flatMap { run =>
+      val t = run.head.ems
+      val k = run.size
+      // corrections: pre-existing rows whose window (xe-h, xe]
+      // contains t gain k tie-run arrivals in horizon h
+      val (unaffected, affected) = buf.partition(x =>
+        x.ems < t || x.ems - t >= H24H)
+      val corrected = affected.map { x =>
+        def bump(h: Long, c: Long) = if (t > x.ems - h) c + k else c
+        x.copy(c5 = bump(H5M, x.c5), c30 = bump(H30M, x.c30),
+          c24 = bump(H24H, x.c24))
+      }
+      // the run's own rows: pre-existing events in (t-h, t] + the
+      // run itself (entries newer than t are outside the <= t bound)
+      def cnt(h: Long) =
+        buf.count(x => x.ems > t - h && x.ems <= t) + k
+      val runRows = run.map(e =>
+        Emitted(e.ems, e.event_id, cnt(H5M), cnt(H30M), cnt(H24H)))
+      buf = (unaffected ++ corrected ++ runRows)
+        .sortBy(x => (x.ems, x.id))
+        .dropWhile(_.ems <= t - retainMs)
+      (corrected ++ runRows).map(x =>
+        AnchoredCounts(x.id, uid, x.ems,
+          cnt_5m = x.c5, cnt_30m = x.c30, cnt_24h = x.c24))
+    }
+    state.update(BufEmitted(buf))
+    out.iterator
+  }
+
+  /** TRUE allowed-lateness (W7, ref streaming/core/utils/watermarks.py:
+    * 151-208): the update-mode retraction machinery under a tight
+    * watermark. The reference's LateEventHandler trichotomy maps exactly:
+    *  - on-time rows -> processed;
+    *  - late rows above the watermark survive the operator's late-row
+    *    filter and are BUFFERED into state, re-emitting corrected rows
+    *    for every already-output anchor whose window absorbs them — the
+    *    "buffered then reprocessed" action;
+    *  - rows strictly below the watermark are DROPPED by the stateful
+    *    operator before the function runs. Micro-batch granularity: the
+    *    late-row filter uses the watermark of the PREVIOUS batch (the
+    *    eviction/late split Spark makes since 3.4), so the effective
+    *    budget is the declared delay plus up to two batches of event-time
+    *    progress — the oracle reproduces that rule exactly.
+    * `retainMs` sizes state as window + allowed lateness (see
+    * processCountsUpdate); `idleMs` (key eviction, W11) must be >=
+    * retainMs + the watermark delay so a key's state can never time out
+    * while a still-admissible late arrival could need it — callers get
+    * that bound by default. */
+  def anchoredCountsUpdateExpiring(ds: Dataset[EventInTs],
+      retainMs: Long = H24H, idleMs: Long = -1L): Dataset[AnchoredCounts] = {
+    val idle = if (idleMs > 0) idleMs else retainMs + H24H
+    implicit val outEnc = Encoders.product[AnchoredCounts]
+    implicit val stateEnc = Encoders.product[BufEmitted]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[EventInTs], state: GroupState[BufEmitted]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = processCountsUpdate(uid,
+              events.map(e => EventIn(e.event_id, e.user_id, e.ems, e.value)),
+              state, retainMs)
+            armTimeout(state, state.getOption.flatMap(_.rows.lastOption.map(_.ems)),
+              idle)
+            out
           }
-          state.update(BufEmitted(buf))
-          out.iterator
       }
   }
 

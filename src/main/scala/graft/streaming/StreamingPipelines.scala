@@ -121,6 +121,127 @@ object StreamingPipelines {
       .withColumn("ems", unix_millis(col("ts").cast("timestamp")))
   }
 
+  /** Allowed-lateness budget of the W7 pipeline (the reference's
+    * `allowed_lateness_ms`, watermarks.py:151-208) and the deterministic
+    * arrival-delay injection that exercises it: the events corpus is
+    * perfectly time-ordered, so lateness has to be INJECTED — each
+    * event's arrival position is its event time plus an md5-derived
+    * delay (10% of events 10 min late: inside the budget, buffered +
+    * reprocessed; 10% 40 min late: beyond it, dropped once the watermark
+    * has advanced past them). md5 arithmetic keeps the disorder an exact
+    * pure function of the data, reproducible by the DuckDB oracle. */
+  private val LateBudgetMs = 900000L    // 15 min watermark delay
+  private val LateSmallMs = 600000L     // 10 min -> buffered + reprocessed
+  // 8 days: > two chunk spans of the 30-day corpus, so these rows land
+  // below even the lag-2 (previous-batch) watermark and are dropped;
+  // smaller delays never cross two batch boundaries and always survive
+  private val LateBigMs = 691200000L
+
+  /** Disordered replay staging for the allowed-lateness pipeline: events
+    * sorted by (arrival, event_id) and split into `nChunks` files of
+    * equal ARRIVAL-rank ranges (chunk = rank*n/total — explicitly
+    * computable, so the oracle can reproduce the batch boundaries), with
+    * ascending mtimes for chronological pickup. Event time is rebuilt as
+    * timestamp_millis(ems) so the watermark arithmetic is exact
+    * millisecond math on both engines. The global row_number here is a
+    * one-time staging sort of the replay log, not a query-path operator
+    * (a 100 TB backfill stages with a range partitioner + per-partition
+    * offsets instead). */
+  def lateReplayStream(spark: SparkSession, dir: String,
+                       nChunks: Int = 8): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import java.nio.charset.StandardCharsets
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.expressions.Window
+    val path = s"$dir/events.parquet"
+    val src = Paths.get(path)
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_late_" + path.replaceAll("[^A-Za-z0-9]", "_") + s"_$nChunks")
+    val marker = stage.resolve("_staged")
+    val sig = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == sig
+    if (!fresh) {
+      if (Files.exists(stage)) {
+        val walk = Files.walk(stage)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+        finally walk.close()
+      }
+      val ev = graft.core.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          epochMs(col("ts")).as("ems"), col("value"))
+        .withColumn("hm",
+          pmod(conv(substring(md5(col("event_id").cast("string")
+            .cast("binary")), 1, 8), 16, 10).cast("long"), lit(10L)))
+        .withColumn("arrival",
+          col("ems") + when(col("hm") === 7L, LateSmallMs)
+            .when(col("hm") === 3L, LateBigMs).otherwise(0L))
+      val total = ev.count()
+      val staged = ev
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("arrival"), col("event_id")))
+            .cast("long") - 1L)
+        .withColumn("chunk",
+          expr(s"cast(rn * $nChunks div $total as int)"))
+        .withColumn("ts", timestamp_millis(col("ems")))
+        .select(col("event_id"), col("user_id"), col("ems"), col("value"),
+          col("ts"), col("chunk"))
+      val build = stage.resolve("_build")
+      staged.repartition(nChunks, col("chunk"))
+        .sortWithinPartitions(col("ems"), col("event_id"))
+        .write.mode("overwrite").partitionBy("chunk").parquet(build.toString)
+      val t0 = Files.getLastModifiedTime(src).toMillis
+      (0 until nChunks).foreach { i =>
+        val cdir = build.resolve(s"chunk=$i")
+        val listing = Files.list(cdir)
+        val parts =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toSeq
+          finally listing.close()
+        require(parts.size == 1, s"chunk $i: expected 1 file, got ${parts.size}")
+        val dst = stage.resolve(f"c$i%04d.parquet")
+        Files.move(parts.head, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(t0 + i * 1000L))
+      }
+      val walk = Files.walk(build)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+      Files.write(marker, sig.getBytes(StandardCharsets.UTF_8))
+    }
+    val schema = spark.read.parquet(stage.toString).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+  }
+
+  /** W7 TRUE allowed-lateness over the disordered replay: update-mode
+    * anchored counts under a 15 min watermark — within-budget late rows
+    * re-emit corrected anchors (buffered/reprocessed), beyond-budget rows
+    * are dropped by the operator's late-row filter. The oracle recomputes
+    * the drop set from the explicit chunk rule (watermark before chunk c
+    * = max event time of chunks < c, minus the budget; a row is dropped
+    * iff its ems is strictly below it) and runs the RANGE-frame counts
+    * over the SURVIVORS — so both the correction math and the drop
+    * boundary are checked exactly. */
+  def anchoredLateUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = lateReplayStream(spark, dir)
+      .withWatermark("ts", s"$LateBudgetMs milliseconds")
+      .select(col("event_id"), col("user_id"), col("ems"), col("value"),
+        col("ts"))
+      .as[StatefulFeatures.EventInTs]
+    // state = window + max injected lateness (survivors can be displaced
+    // by up to LateBigMs when the watermark lagged), so corrections stay
+    // exact; idle eviction defaults to retain + 24 h on top
+    val out = StatefulFeatures.anchoredCountsUpdateExpiring(in,
+      retainMs = graft.core.Horizons.H24H + LateBigMs).toDF()
+    val sink = runToMemory(spark, out, "update", "lateupdate")
+    latestBy(sink, "cnt_24h", "event_id").orderBy(col("event_id"))
+  }
+
   private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Read-back of an update-mode sink: the winning row per key by

@@ -45,6 +45,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(5) == 2L)
   }
 
+  test("allowed lateness: within-budget late rows are buffered+reprocessed, beyond-budget dropped") {
+    import graft.streaming.StatefulFeatures.EventInTs
+    implicit val ctx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val in = MemoryStream[EventInTs]
+    val q = StatefulFeatures.anchoredCountsUpdateExpiring(
+        in.toDS().withWatermark("ts", "10 seconds").as[EventInTs],
+        retainMs = graft.core.Horizons.H24H + 3600000L)
+      .toDF()
+      .writeStream.format("memory").queryName("late_w7")
+      .outputMode("update").start()
+    try {
+      // batch 0: two on-time events; watermark after it = 1010s - 10s
+      in.addData(EventInTs(1, 7, 1000000L, 1.0, ts(1000)),
+                 EventInTs(2, 7, 1010000L, 1.0, ts(1010)))
+      q.processAllAvailable()
+      // batch 1: e3 is 5 s late but ABOVE the watermark (buffered ->
+      // reprocessed: corrects e2 and emits its own exact row); e4 is
+      // 100 s late, BELOW it (dropped before the operator runs)
+      in.addData(EventInTs(3, 7, 1005000L, 1.0, ts(1005)),
+                 EventInTs(4, 7, 900000L, 1.0, ts(900)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = spark.table("late_w7")
+    val ids = sink.select($"event_id").distinct().as[Long].collect().toSet
+    // the reference's LateEventHandler accounting (watermarks.py:151-208):
+    // one buffered (processed late), one dropped
+    assert(ids == Set(1L, 2L, 3L), s"dropped/buffered split wrong: $ids")
+    // e2 was re-emitted with the late e3 absorbed into its window
+    val e2 = sink.filter($"event_id" === 2L)
+      .select($"cnt_24h").as[Long].collect().sorted.toSeq
+    assert(e2 == Seq(2L, 3L), s"expected correction 2 -> 3 for e2, got $e2")
+    // e3's own row sees e1 + itself + nothing newer than its anchor
+    val e3 = sink.filter($"event_id" === 3L)
+      .select($"cnt_24h").as[Long].collect().toSeq
+    assert(e3 == Seq(2L))
+  }
+
   test("chunked replay delivers multiple data micro-batches with a sealing watermark") {
     import graft.streaming.StreamingPipelines
     val sfDir = "/root/testdata/sf0.001"
