@@ -69,27 +69,59 @@ object KMeansQuantizer {
       case ds => ds.reduce((a, b) => least(a, b))
     }
 
-  /** Deterministic farthest-point-traversal seeding — the k-means++
-    * -quality spread WITHOUT its RNG (the round-2 backlog's "determinism
-    * story for D² sampling"): seed 0 is the smallest vec_id's vector;
-    * each next seed is the vector MAXIMIZING its distance to the chosen
-    * set (ties on vec_id). Classic 2-approximation of the optimal
-    * k-center cover, fully reproducible, and each step is one scan + a
-    * top-1 (TakeOrdered — no global sort). Cells are numbered by
-    * selection order 0..k-1. */
-  def farthestPointSeeds(emb: DataFrame, k: Int): Seq[(Long, Seq[Double])] = {
-    def vecOf(df: DataFrame): Seq[Double] =
-      df.select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
-    val first = vecOf(emb.orderBy(col("vec_id")).limit(1))
-    val seeds = scala.collection.mutable.ArrayBuffer(first)
-    for (_ <- 1 until k) {
-      val next = vecOf(
-        emb.select(col("vec_id"), col("embedding"),
-          minDistTo(col("embedding"), seeds.toSeq).as("md"))
-          .orderBy(col("md").desc, col("vec_id")).limit(1))
-      seeds += next
+  /** Deterministic k-means‖ (Bahmani et al., VLDB'12) oversampling
+    * seeding — the D²-quality spread in O(rounds) passes instead of the
+    * k sequential scans of a farthest-point traversal (the round-3 scale
+    * finding: k driver round-trips do not survive k in the thousands).
+    * Each round is ONE scan: compute every vector's min squared distance
+    * to the current candidate set (candidates broadcast as literals),
+    * quantize to 1e-6 integers and SUM — an exact, partitioning-
+    * independent potential φ — then keep the vectors whose md5-uniform
+    * u(vec_id, round) falls below ℓ·d²/φ (expected ℓ picks per round,
+    * zero RNG: the hash replaces the coin, so both engines draw the same
+    * sample). Candidates have d² = 0, so rounds never resample them.
+    * The ~1+ℓ·rounds survivors reduce ON THE DRIVER by farthest-point
+    * traversal (ties on vec_id) to exactly k seeds, numbered 0..k-1 by
+    * selection order.
+    *
+    * Every arithmetic step (sequential distance fold, 1e-6 floor
+    * quantization, double division 16·dq/φ, strict < compare) is
+    * mirrored operation-for-operation in the DuckDB oracle, which is
+    * what makes an oversampling SAMPLER oracle-checkable at all. */
+  def kmeansParSeeds(emb: DataFrame, k: Int, rounds: Int = 4,
+                     ell: Int = 16): Seq[(Long, Seq[Double])] = {
+    def vecsOf(df: DataFrame): Seq[(Long, Seq[Double])] =
+      df.select(col("vec_id").cast("long"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .toSeq.sortBy(_._1)
+    var cands = vecsOf(emb.orderBy(col("vec_id")).limit(1))
+    for (r <- 1 to rounds) {
+      val dq = floor(minDistTo(col("embedding"), cands.map(_._2)) * 1e6)
+        .cast("long")
+      val staged = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"), dq.as("dq"))
+      val phiq = staged.agg(sum(col("dq"))).head().getLong(0)
+      val u = conv(substring(md5(concat(col("vec_id").cast("string"),
+        lit(s"_$r")).cast("binary")), 1, 8), 16, 10).cast("long") /
+        lit(4294967296.0)
+      val p = (lit(ell.toDouble) * col("dq")) / lit(phiq.toDouble)
+      cands = (cands ++ vecsOf(staged.filter(u < p))).sortBy(_._1)
     }
-    seeds.toSeq.zipWithIndex.map { case (v, i) => i.toLong -> v }
+    require(cands.size >= k,
+      s"k-means|| sampled ${cands.size} candidates < k=$k — raise ell/rounds")
+    // driver-side farthest-point reduction over the tiny candidate set
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val first = cands.minBy(_._1)
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    for (_ <- 1 until k) {
+      val next = cands
+        .filterNot(c => chosen.exists(_._1 == c._1))
+        .map(c => (c, chosen.map(s => d2(c._2, s._2)).min))
+        .maxBy { case (c, d) => (d, -c._1) }._1
+      chosen += next
+    }
+    chosen.toSeq.zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
   }
 
   /** Runs `iters` Lloyd rounds over `emb` (columns vec_id, embedding)

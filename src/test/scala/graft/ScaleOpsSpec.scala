@@ -104,6 +104,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(probed.filter(col("np") =!= 2).count() == 0)
   }
 
+  test("k-means|| seeding: deterministic, k distinct spread seeds, O(rounds) scans") {
+    import graft.operators.KMeansQuantizer
+    val emb = Tables.embeddings(spark, sf0001)
+    val s1 = KMeansQuantizer.kmeansParSeeds(emb, k = 4)
+    val s2 = KMeansQuantizer.kmeansParSeeds(emb, k = 4)
+    assert(s1 == s2) // hash-sampled, not RNG-sampled
+    assert(s1.size == 4 && s1.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    // seeds are distinct vectors (farthest-point reduction can't repeat)
+    assert(s1.map(_._2).distinct.size == 4)
+    // and usable: Lloyd converges to full coverage like the id-seeded fit
+    val cent = KMeansQuantizer.fitWithSeeds(emb, s1, iters = 2)
+    val assigned = emb.select(
+      KMeansQuantizer.assignCell(col("embedding"), cent).as("cell"))
+    assert(assigned.filter(col("cell").isNull).count() == 0)
+  }
+
   test("kafka option surface mirrors the reference configuration") {
     val src = KafkaConfig.source("b:9092", Seq("txn.events", "click.events"))
     assert(src("subscribe") == "txn.events,click.events")
