@@ -69,24 +69,57 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Per-bucket current snapshot versions. */
-  private def manifest(view: FeatureView): Option[Map[Int, String]] =
+  /** One manifest entry: the bucket's current snapshot version plus its
+    * min(timestampField) — the per-bucket stat that lets TTL prune
+    * buckets with nothing expired (the same file-skipping a Delta
+    * MERGE/OPTIMIZE gets from per-file column stats). Long.MinValue =
+    * stat unknown (legacy manifest line): always eligible for rewrite. */
+  private[store] case class BucketRef(version: String, minTs: Long)
+
+  /** Per-bucket current snapshot versions (+ min-timestamp stats). */
+  private def manifest(view: FeatureView): Option[Map[Int, BucketRef]] =
     if (!Files.exists(pointerPath(view))) None
     else Some(new String(Files.readAllBytes(pointerPath(view)),
         StandardCharsets.UTF_8)
       .linesIterator.filter(_.nonEmpty).map { line =>
         val Array(b, v) = line.split("=", 2)
-        b.toInt -> v
+        v.split(":", 2) match {
+          case Array(ver, ts) => b.toInt -> BucketRef(ver, ts.toLong)
+          case _ => b.toInt -> BucketRef(v, Long.MinValue)
+        }
       }.toMap)
 
-  private def writeManifest(view: FeatureView, m: Map[Int, String],
+  private def writeManifest(view: FeatureView, m: Map[Int, BucketRef],
       tag: String): Unit = {
-    val body = m.toSeq.sorted.map { case (b, v) => s"$b=$v" }.mkString("\n")
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (b, r) => s"$b=${r.version}:${r.minTs}" }.mkString("\n")
     val tmp = Paths.get(path("online", view.name, s"_latest.tmp.$tag"))
     Files.createDirectories(tmp.getParent)
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointerPath(view), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Per-bucket min(timestampField) of a just-written snapshot version,
+    * read back through partition discovery — one scan of ONLY that
+    * version's buckets. A bucket absent from the version directory (all
+    * rows expired) reports no entry. */
+  private def versionMins(view: FeatureView, version: String): Map[Int, Long] = {
+    val root = path("online", view.name, version)
+    // a version where every row expired holds no bucket dirs (just the
+    // _SUCCESS marker) — parquet schema inference would fail on it
+    val hasBuckets = exists(root) && {
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(Paths.get(root))
+      try listing.iterator().asScala
+        .exists(_.getFileName.toString.startsWith(s"$BucketCol="))
+      finally listing.close()
+    }
+    if (!hasBuckets) Map.empty
+    else spark.read.parquet(root)
+      .groupBy(col(BucketCol))
+      .agg(min(col(view.timestampField)).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
   private def bucketPath(view: FeatureView, version: String, b: Int) =
@@ -117,7 +150,7 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
   private def gcVersions(view: FeatureView): Unit =
     manifest(view).foreach { m =>
       import scala.jdk.CollectionConverters._
-      val live = m.values.toSet
+      val live = m.values.map(_.version).toSet
       val dir = Paths.get(path("online", view.name))
       if (Files.isDirectory(dir)) {
         val listing = Files.list(dir)
@@ -134,8 +167,8 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
   private def onlineDf(view: FeatureView): Option[DataFrame] =
     manifest(view).flatMap { m =>
       // a bucket whose rows all expired leaves no directory — skip it
-      val paths = m.toSeq.sorted
-        .map { case (b, v) => bucketPath(view, v, b) }.filter(exists)
+      val paths = m.toSeq.sortBy(_._1)
+        .map { case (b, r) => bucketPath(view, r.version, b) }.filter(exists)
       if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
     }
 
@@ -149,7 +182,7 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
     // complete (the flip is strictly last) — redoing the merge would read
     // vN while overwriting vN. Finish the marker, sweep versions the
     // crashed flip superseded (the crash skipped its GC), and stop.
-    if (manifest(view).exists(_.values.exists(_ == s"v$batchId"))) {
+    if (manifest(view).exists(_.values.exists(_.version == s"v$batchId"))) {
       Files.createDirectories(marker.getParent)
       Files.createFile(marker)
       gcVersions(view)
@@ -170,7 +203,7 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
     val prevM = manifest(view).getOrElse(Map.empty)
 
     val prevPaths = touched.toSeq
-      .flatMap(b => prevM.get(b).map(v => bucketPath(view, v, b)))
+      .flatMap(b => prevM.get(b).map(r => bucketPath(view, r.version, b)))
       .filter(exists)
     val merged =
       if (prevPaths.isEmpty) latestPerKey(bucketed)
@@ -189,8 +222,13 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
     merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(path("online", view.name, s"v$batchId"))
 
+    // min-timestamp stats for the rewritten buckets: one read-back of
+    // just this version (touched buckets only) via partition discovery
+    val mins = versionMins(view, s"v$batchId")
     writeManifest(view,
-      prevM ++ touched.map(_ -> s"v$batchId"), batchId.toString)
+      prevM ++ touched.map(b =>
+        b -> BucketRef(s"v$batchId", mins.getOrElse(b, Long.MaxValue))),
+      batchId.toString)
     Files.createDirectories(marker.getParent)
     Files.createFile(marker)
     gcVersions(view)
@@ -227,19 +265,37 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
 
   /** TTL retention (redis EXPIRE analogue): drop online rows whose
     * feature_timestamp is older than now - ttl, published as a new
-    * snapshot version. Touches every bucket by nature (expiry is global),
-    * so this is the one full-snapshot rewrite — run it at the TTL cadence,
-    * not per batch. */
+    * snapshot version for ONLY the buckets that actually contain expired
+    * rows — the manifest's per-bucket min-timestamp stat prunes the
+    * rest, which keep their current version string untouched (the
+    * round-3 scale finding: a cadence-run TTL must not rewrite a 100×
+    * store when 1% of buckets expired anything). A run with nothing
+    * expired writes nothing at all — it only sweeps orphans a crashed
+    * prior TTL may have left. */
   def applyTtl(view: FeatureView, nowMs: Long): Unit =
     manifest(view).foreach { m =>
-      onlineDf(view).foreach { online =>
+      val cutoff = nowMs - view.ttlMs
+      val expired = m.filter { case (b, r) =>
+        r.minTs < cutoff && exists(bucketPath(view, r.version, b))
+      }
+      if (expired.isEmpty) gcVersions(view)
+      else {
         val keys = view.entities.map(_.joinKey)
         val version = s"ttl$nowMs"
-        online.filter(col(view.timestampField) >= nowMs - view.ttlMs)
+        val paths = expired.toSeq.sortBy(_._1)
+          .map { case (b, r) => bucketPath(view, r.version, b) }
+        spark.read.parquet(paths: _*)
           .withColumn(BucketCol, bucketOf(keys))
+          .filter(col(view.timestampField) >= cutoff)
           .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
           .parquet(path("online", view.name, version))
-        writeManifest(view, m.map { case (b, _) => b -> version },
+        // a bucket whose rows ALL expired leaves no directory in the new
+        // version: record MaxValue so TTL never reconsiders it until an
+        // upsert writes fresh rows
+        val mins = versionMins(view, version)
+        writeManifest(view,
+          m ++ expired.keys.map(b =>
+            b -> BucketRef(version, mins.getOrElse(b, Long.MaxValue))),
           s"ttl$nowMs")
         gcVersions(view)
       }

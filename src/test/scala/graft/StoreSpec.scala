@@ -69,13 +69,20 @@ class StoreSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(s"$root/_batches/spec_view/1")))
   }
 
-  test("TTL expires stale online rows") {
-    val store = newStore()
+  test("TTL expires stale online rows; untouched buckets keep their version") {
+    val root = Files.createTempDirectory("graft_ttl_store_").toString
+    val store = new OnlineStore(spark, root)
     store.upsert(view, rows((1L, 100L, 1.0), (2L, 5000L, 2.0)), 0L)
     store.applyTtl(view, nowMs = 5500L) // ttl 1000 -> keep fts >= 4500
     val left = store.getOnlineFeatures(view, Seq(1L, 2L).toDF("user_id"))
       .filter($"v".isNotNull).select($"user_id").as[Long].collect().toSet
     assert(left == Set(2L))
+    // min-timestamp pruning: only user 1's bucket (min 100 < cutoff) was
+    // rewritten; user 2's bucket still references the ORIGINAL version
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/online/spec_view/_latest")))
+    assert(manifest.contains("=v0:5000"), s"untouched bucket rewritten:\n$manifest")
+    assert(manifest.contains("=ttl5500:"), s"expired bucket not rewritten:\n$manifest")
   }
 
   test("version GC removes unreferenced snapshots; TTL orphans are swept") {
@@ -91,14 +98,20 @@ class StoreSpec extends AnyFunSuite {
     store.upsert(view, rows((1L to 50L).map(i => (i, 300L, i.toDouble)): _*), 2L)
     assert(versions == Set("v2"))
     // a crashed TTL run leaves an orphan version (written, never flipped);
-    // the next TTL publish sweeps it — the applyTtl idempotency story
+    // the next TTL run sweeps it — and with nothing expired (cutoff
+    // before every min-timestamp stat) it rewrites NOTHING: the manifest
+    // keeps v2 and the orphan is the only disk change
     Files.createDirectories(
       java.nio.file.Paths.get(s"$root/online/spec_view/ttl999/gbucket=0"))
     store.applyTtl(view, nowMs = 400L)
-    assert(versions == Set("ttl400"))
+    assert(versions == Set("v2"))
     val alive = store.getOnlineFeatures(view, (1L to 50L).toDF("user_id"))
       .filter($"v".isNotNull).count()
     assert(alive == 50L)
+    // a TTL that does expire rows publishes its pruned version and GCs
+    store.applyTtl(view, nowMs = 1400L) // cutoff 400 -> all rows (ts 300) expire
+    assert(versions == Set("ttl1400"))
+    assert(store.online(view).count() == 0L) // fully-expired store is empty
   }
 
   test("history compaction shrinks files, preserves content, keeps replays no-ops") {
