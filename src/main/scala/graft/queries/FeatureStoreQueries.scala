@@ -109,6 +109,98 @@ object FeatureStoreQueries extends QueryModule {
        |  n_events, sum_value
        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
 
+  // -------------------------------------------------------- service PIT
+  /** Second view for the service: per-user daily value extremes, TTL 72 h
+    * (vs user_daily's 24 h) — the differentiated-staleness case the
+    * service join must honor per view. */
+  private val userValueView = FeatureView(
+    "user_value", Seq(Registry.user), ttlMs = 72L * 3600 * 1000,
+    schema = StructType(Seq(
+      StructField("vmax", DoubleType), StructField("vmin", DoubleType))))
+
+  private def valueFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ems", epochMs(col("ts")))
+      .withColumn("day", expr("ems div 86400000"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(col("value")).as("vmax"), min(col("value")).as("vmin"))
+      .withColumn("feature_timestamp", (col("day") + 1) * 86400000L - 1)
+      .withColumn("computation_timestamp", col("feature_timestamp"))
+
+  /** Multi-view FeatureService PIT retrieval (ref feast/feature_utils.py:
+    * 151-168): both views join as-of each purchase's timestamp, each
+    * under its own TTL. A user whose last daily row is 2 days old gets
+    * NULL daily features (24 h TTL) but still gets value extremes
+    * (72 h TTL) — the per-view freshness split the oracle checks
+    * row-for-row. */
+  private def servicePit(spark: SparkSession, dir: String): DataFrame = {
+    val store = tempStore(spark)
+    store.upsert(userDailyView, dailyFeatures(spark, dir), batchId = 0L)
+    store.upsert(userValueView, valueFeatures(spark, dir), batchId = 0L)
+    val service = FeatureService("fraud_service",
+      Seq(userDailyView, userValueView))
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        epochMs(col("ts")).as("purchase_ts_ms"))
+    HistoricalStore.getServiceHistoricalFeatures(
+        purchases, service, v => store.history(v),
+        eventTsCol = "purchase_ts_ms",
+        featureCols = v =>
+          if (v.name == "user_daily") Seq("n_events", "sum_value")
+          else Seq("vmax", "vmin"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts_ms"),
+        col("user_daily__feature_timestamp"), col("user_daily__n_events"),
+        col("user_daily__sum_value"),
+        col("user_value__feature_timestamp"), col("user_value__vmax"),
+        col("user_value__vmin"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val servicePitSql =
+    s"""WITH $dailySqlCte,
+       | vdaily AS (
+       |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+       |    MAX(value) AS vmax, MIN(value) AS vmin,
+       |    (epoch_ms(ts) // 86400000 + 1) * 86400000 - 1 AS feature_timestamp
+       |  FROM events GROUP BY user_id, day
+       |), l AS (
+       |  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ts_ms
+       |  FROM events WHERE event_type = 'purchase'
+       |), jd AS (
+       |  SELECT purchase_id, feature_timestamp, n_events, sum_value FROM (
+       |    SELECT l.purchase_id, d.feature_timestamp, d.n_events, d.sum_value,
+       |      row_number() OVER (PARTITION BY l.purchase_id
+       |        ORDER BY d.feature_timestamp DESC) AS rn
+       |    FROM l LEFT JOIN daily d
+       |      ON l.user_id = d.user_id AND d.feature_timestamp <= l.purchase_ts_ms)
+       |  WHERE rn = 1
+       |), jv AS (
+       |  SELECT purchase_id, feature_timestamp, vmax, vmin FROM (
+       |    SELECT l.purchase_id, v.feature_timestamp, v.vmax, v.vmin,
+       |      row_number() OVER (PARTITION BY l.purchase_id
+       |        ORDER BY v.feature_timestamp DESC) AS rn
+       |    FROM l LEFT JOIN vdaily v
+       |      ON l.user_id = v.user_id AND v.feature_timestamp <= l.purchase_ts_ms)
+       |  WHERE rn = 1
+       |)
+       |SELECT l.purchase_id, l.user_id, l.purchase_ts_ms,
+       |  CASE WHEN jd.feature_timestamp >= l.purchase_ts_ms - 86400000
+       |       THEN jd.feature_timestamp END AS user_daily__feature_timestamp,
+       |  CASE WHEN jd.feature_timestamp >= l.purchase_ts_ms - 86400000
+       |       THEN jd.n_events END AS user_daily__n_events,
+       |  CASE WHEN jd.feature_timestamp >= l.purchase_ts_ms - 86400000
+       |       THEN jd.sum_value END AS user_daily__sum_value,
+       |  CASE WHEN jv.feature_timestamp >= l.purchase_ts_ms - 259200000
+       |       THEN jv.feature_timestamp END AS user_value__feature_timestamp,
+       |  CASE WHEN jv.feature_timestamp >= l.purchase_ts_ms - 259200000
+       |       THEN jv.vmax END AS user_value__vmax,
+       |  CASE WHEN jv.feature_timestamp >= l.purchase_ts_ms - 259200000
+       |       THEN jv.vmin END AS user_value__vmin
+       |FROM l LEFT JOIN jd ON l.purchase_id = jd.purchase_id
+       |LEFT JOIN jv ON l.purchase_id = jv.purchase_id
+       |ORDER BY l.purchase_id""".stripMargin
+
   // ------------------------------------------------------------------ TTL
   /** TTL retention on the online table: materialize, expire against the
     * global max event time, read back the surviving rows. */
@@ -170,12 +262,14 @@ object FeatureStoreQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_online_roundtrip" -> (roundtrip _),
     "fs_historical_pit" -> (pit _),
+    "fs_service_pit" -> (servicePit _),
     "fs_ttl_retention" -> (ttl _),
     "fs_asof_snapshot" -> (asOf _))
 
   override def oracles: Map[String, String] = Map(
     "fs_online_roundtrip" -> roundtripSql,
     "fs_historical_pit" -> pitSql,
+    "fs_service_pit" -> servicePitSql,
     "fs_ttl_retention" -> ttlSql,
     "fs_asof_snapshot" -> asOfSql)
 }

@@ -27,6 +27,36 @@ object HistoricalStore {
       tieBreak = view.createdTimestampColumn)
   }
 
+  /** Service-level `get_historical_features` (ref feast/feature_utils.py:
+    * 151-168): every view of the service joins as-of the SAME event time,
+    * each under its OWN TTL — a feature row older than `view.ttlMs` at
+    * the event instant is nulled out (Feast's freshness contract: the
+    * online store would already have expired it, so the training set must
+    * not see it either — offline/online parity for staleness, not just
+    * values). Attached columns are prefixed `<view>__` so same-named
+    * features across views never collide. One as-of join (= one shuffle
+    * on the entity key) per view, each via the union-sort operator —
+    * the same per-view cost as single-view PIT, |views| times. */
+  def getServiceHistoricalFeatures(
+      entityDf: DataFrame,
+      service: FeatureService,
+      history: FeatureView => DataFrame,
+      eventTsCol: String,
+      featureCols: FeatureView => Seq[String]): DataFrame =
+    service.views.foldLeft(entityDf) { (df, v) =>
+      val fcols = featureCols(v)
+      val joined = getHistoricalFeatures(df, history(v), v, eventTsCol, fcols)
+      val fts = col(v.timestampField)
+      // null fts (no PIT match) fails the >= and stays null
+      val inTtl = fts >= col(eventTsCol) - v.ttlMs
+      val gated = fcols.foldLeft(joined) { (d, c) =>
+          d.withColumn(c, when(inTtl, col(c)))
+        }
+        .withColumn(v.timestampField, when(inTtl, fts))
+      (fcols :+ v.timestampField).foldLeft(gated)((d, c) =>
+        d.withColumnRenamed(c, s"${v.name}__$c"))
+    }
+
   /** PIT consistency check: online rows must equal the historical
     * retrieval evaluated at the online rows' own timestamps within
     * `tolerance` (ref tolerance 0.001, feature_utils.py:170-232).
