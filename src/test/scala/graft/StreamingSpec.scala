@@ -120,6 +120,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("replay_test").count() == expected)
   }
 
+  test("stream pipelines are state-backend-invariant under RocksDB (100 TB state path)") {
+    import graft.streaming.StreamingPipelines
+    val sfDir = "/root/testdata/sf0.001"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    def run(): Map[String, Array[String]] = Map(
+      // flatMapGroupsWithState + EventTimeTimeout (per-event buffers)
+      "anchored" -> StreamingPipelines.anchoredStateful(spark, sfDir)
+        .collect().map(_.toString),
+      // update-mode retraction + late-row filtering over chunked replay
+      "late" -> StreamingPipelines.anchoredLateUpdate(spark, sfDir)
+        .collect().map(_.toString),
+      // windowed-aggregation state sealing across micro-batches
+      "aligned" -> StreamingPipelines.alignedWindowAppend(spark, sfDir)
+        .collect().map(_.toString),
+      // session-window merge state
+      "session" -> StreamingPipelines.sessionWindowAgg(spark, sfDir)
+        .collect().map(_.toString))
+    val default = run()
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, rocks)
+    val rocksOut =
+      try run()
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    default.foreach { case (name, rows) =>
+      assert(rocksOut(name).sameElements(rows),
+        s"$name diverged under RocksDB state store")
+      assert(rows.nonEmpty, s"$name produced no rows")
+    }
+  }
+
   test("streaming HLL registers merge across batches to the batch sketch") {
     import graft.streaming.SketchState
     import SketchState.HllIn
