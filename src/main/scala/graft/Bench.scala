@@ -7,11 +7,20 @@ import org.apache.spark.sql.SparkSession
   * local[32] + 32 shuffle partitions (matches the container's cores; 200
   * would be pure scheduling overhead) + AQE for runtime re-planning —
   * the same settings a cluster deployment would start from, scaled down.
+  *
+  * Timing discipline: one untimed warm-up (first execution pays
+  * JIT/codegen compilation — measured 5-7x inflation in a fresh JVM),
+  * then THREE timed runs; `queries` reports the per-query MEDIAN and
+  * `spread` the min/max. Round 3's single-shot timing produced 4-8x
+  * phantom regressions from one noisy run in a 96-query JVM; the median
+  * is stable enough to diff across rounds. Set SPARK_GRAFT_BENCH_RUNS to
+  * override the run count (1 reproduces the old single-shot behavior).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,21 +30,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // steady-state timing: first execution pays JIT/codegen compilation
-    // (measured 5-7x inflation on the first query in a fresh JVM), so each
-    // query runs once untimed, then once timed
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       // a broken query must read as -1, not as a fast success
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val times = (1 to runs).map(_ => timeOne(fn))
+      val median =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(times.size / 2)
+      (name, median, times.min, times.max)
+    }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results
+      .map { case (k, _, mn, mx) =>
+        "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + "}"
+      }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -153,27 +153,26 @@ object Sketches extends QueryModule {
     * (map-side partial sums), mergeable across partitions/days by cell
     * addition — versus the exact top-k's full shuffle on user_id. The
     * exact side here is the measurement harness, as with emb_ann_recall. */
-  private val cmsD = 4
-  private val cmsW = 64
+  private[graft] val cmsD = 4
+  private[graft] val cmsW = 64
 
-  private def cmsHash(r: Int, key: org.apache.spark.sql.Column) =
+  private[graft] def cmsHash(r: Int, key: org.apache.spark.sql.Column) =
     pmod(conv(substring(md5(concat(lit(s"$r:"), key.cast("string"))
       .cast("binary")), 1, 8), 16, 10).cast("long"), lit(cmsW.toLong))
 
-  private def cmsTopk(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val cells = ev.select(explode(array((0 until cmsD).map(r =>
-        struct(lit(r).as("r"), cmsHash(r, col("user_id")).as("c"))): _*))
-        .as("rc"))
-      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
-      .agg(count(lit(1)).as("cnt"))
+  /** The d (row, column) cells a key hashes into, as an exploded column. */
+  private[graft] def cmsCellsOf(key: org.apache.spark.sql.Column) =
+    explode(array((0 until cmsD).map(r =>
+      struct(lit(r).as("r"), cmsHash(r, key).as("c"))): _*))
+
+  /** Probe tail shared by the batch and streaming CMS queries: exact
+    * top-10 keys, each estimated as the MIN over its d grid cells. */
+  private[graft] def cmsFromCells(cells: DataFrame, ev: DataFrame): DataFrame = {
     val top = ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("user_id")).limit(10)
     top.select(col("user_id"), col("n_exact"),
-        explode(array((0 until cmsD).map(r =>
-          struct(lit(r).as("r"), cmsHash(r, col("user_id")).as("c"))): _*))
-          .as("rc"))
+        cmsCellsOf(col("user_id")).as("rc"))
       .join(broadcast(cells),
         col("rc.r") === cells("r") && col("rc.c") === cells("c"))
       .groupBy(col("user_id"), col("n_exact"))
@@ -182,7 +181,15 @@ object Sketches extends QueryModule {
       .orderBy(col("n_exact").desc, col("user_id"))
   }
 
-  private val cmsTopkSql =
+  private def cmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cells = ev.select(cmsCellsOf(col("user_id")).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    cmsFromCells(cells, ev)
+  }
+
+  private[graft] val cmsTopkSql =
     s"""WITH cells AS (
        |  SELECT r.r AS r,
        |    CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||

@@ -191,6 +191,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.dedupFirstStateful(s, d)),
     "stream_hll_distinct" ->
       ((s: SparkSession, d: String) => StreamingPipelines.hllDistinctStream(s, d)),
+    "stream_cms_topk" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.cmsTopkStream(s, d)),
     "gen_synthetic_txns" -> (syntheticTxns _))
 
   override def oracles: Map[String, String] = Map(
@@ -207,5 +209,6 @@ object StreamingQueries extends QueryModule {
     "stream_anchored_late_update" -> anchoredLateSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,
     "stream_hll_distinct" -> Sketches.hllDistinctSql,
+    "stream_cms_topk" -> Sketches.cmsTopkSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)
 }

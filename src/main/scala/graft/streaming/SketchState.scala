@@ -43,4 +43,35 @@ object SketchState {
           } else Iterator.empty
       }
   }
+
+  case class CmsIn(r: Int, c: Int)
+  case class CmsRow(counts: Seq[Long], rev: Long)
+  case class CmsOut(r: Int, counts: Seq[Long], rev: Long)
+
+  /** Count-min grid as streaming state, one key per sketch ROW (d keys,
+    * w counters each — the CMS merge is per-cell ADDITION, so the batch
+    * partial folds in exactly and the streamed grid equals the batch
+    * grid under any micro-batch split). Emits a row vector with a
+    * revision only when a batch changes it; counts only grow, so an
+    * upsert sink keyed on r converges with no retraction — same contract
+    * as the HLL registers above, additive instead of max-mergeable. */
+  def cmsGrid(ds: Dataset[CmsIn], w: Int): Dataset[CmsOut] = {
+    implicit val outEnc = Encoders.product[CmsOut]
+    implicit val stateEnc = Encoders.product[CmsRow]
+    ds.groupByKey(_.r)(Encoders.scalaInt)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (r: Int, events: Iterator[CmsIn], state: GroupState[CmsRow]) =>
+          val counts = state.getOption.map(_.counts.toArray)
+            .getOrElse(Array.fill(w)(0L))
+          var changed = false
+          events.foreach { e =>
+            counts(e.c) += 1L; changed = true
+          }
+          if (changed) {
+            val rev = state.getOption.map(_.rev).getOrElse(0L) + 1L
+            state.update(CmsRow(counts.toSeq, rev))
+            Iterator.single(CmsOut(r, counts.toSeq, rev))
+          } else Iterator.empty
+      }
+  }
 }

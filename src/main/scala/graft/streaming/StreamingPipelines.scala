@@ -462,6 +462,26 @@ object StreamingPipelines {
       graft.core.Tables.events(spark, dir))
   }
 
+  /** Streaming count-min grid (SketchState.cmsGrid) read back into the
+    * SAME probe tail and DuckDB oracle as the batch sketch_cms_topk:
+    * max-rev row vector per sketch row from the update-mode sink,
+    * exploded to (r, c, cnt) cells. Additive merge, so the streamed grid
+    * equals the batch grid under any micro-batch split. */
+  def cmsTopkStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.queries.Sketches
+    val in = eventStream(spark, dir)
+      .select(Sketches.cmsCellsOf(col("user_id")).as("rc"))
+      .select(col("rc.r").as("r"), col("rc.c").cast("int").as("c"))
+      .as[SketchState.CmsIn]
+    val out = SketchState.cmsGrid(in, Sketches.cmsW).toDF()
+    val sink = runToMemory(spark, out, "update", "cms")
+    val cells = latestBy(sink, "rev", "r")
+      .select(col("r"), posexplode(col("counts")).as(Seq("c", "cnt")))
+      .filter(col("cnt") > 0)
+    Sketches.cmsFromCells(cells, graft.core.Tables.events(spark, dir))
+  }
+
   /** Typed event stream with the replay watermark on the event timestamp,
     * kept as a field so the watermark attribute reaches the stateful
     * operator — the precondition for event-time state timeouts (W4/W11:

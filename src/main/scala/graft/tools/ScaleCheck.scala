@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale spot-check (round-4 verdict #9): generate deterministic
+  * synthetic event corpora at 1x and 10x (md5-derived fields, user count
+  * scaled WITH the data so per-key state stays constant — how real
+  * traffic grows), then wall-time the three stateful/store paths whose
+  * 100 TB viability rests on O(batch)/O(key-state) claims:
+  *
+  *  - per-event anchored stats (flatMapGroupsWithState, EventTimeTimeout)
+  *  - per-event session steps (same machinery, O(1) state per key)
+  *  - online-store upsert of a FIXED batch against a 1x vs 10x store
+  *    (the O(batch) claim: cost follows the batch's touched buckets,
+  *    not the store size)
+  *
+  * Run: `sbt "runMain graft.tools.ScaleCheck"`; numbers land in
+  * ARCHITECTURE.md. Not part of `sbt test` (minutes, by design).
+  */
+object ScaleCheck {
+
+  private def synthEvents(spark: SparkSession, n: Long): DataFrame = {
+    val span = 30L * 24 * 3600 * 1000
+    val users = math.max(n / 2000L, 1L)
+    spark.range(0, n)
+      .withColumn("h",
+        conv(substring(md5(col("id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long"))
+      .select(
+        col("id").as("event_id"),
+        pmod(col("h"), lit(users)).as("user_id"),
+        (lit(1704067200000L) + col("id") * (span / n)).as("ems"),
+        (pmod(col("h"), lit(100000L)) / 100.0).as("value"),
+        element_at(array(lit("click"), lit("view"), lit("purchase")),
+          (pmod(col("h"), lit(3L)) + 1).cast("int")).as("event_type"))
+      .withColumn("ts", timestamp_millis(col("ems")))
+  }
+
+  private def timed[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    import graft.streaming.{StatefulFeatures, StreamingPipelines}
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val n1 = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "100000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("graft_scalecheck_")
+    def stage(n: Long): String = {
+      val dir = s"$base/events_$n"
+      synthEvents(spark, n).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def stream(dir: String) = {
+      val sch = spark.read.parquet(dir).schema
+      spark.readStream.schema(sch).parquet(dir)
+        .withWatermark("ts", "30 days")
+    }
+    def anchored(dir: String): Double = timed {
+      val in = stream(dir)
+        .select(col("event_id"), col("user_id"), col("ems"), col("value"),
+          col("ts"))
+        .as[StatefulFeatures.EventInTs]
+      StreamingPipelines.runToMemory(spark,
+        StatefulFeatures.anchoredStatsExpiring(in).toDF(), "append",
+        "scalecheck_anchored").count()
+    }
+    def sessions(dir: String): Double = timed {
+      val in = stream(dir)
+        .select(col("event_id"), col("user_id"), col("ems"),
+          col("event_type"), col("ts"))
+        .as[StatefulFeatures.SessEventInTs]
+      StreamingPipelines.runToMemory(spark,
+        StatefulFeatures.sessionStepsExpiring(in).toDF(), "append",
+        "scalecheck_sessions").count()
+    }
+    def upsert(n: Long): Double = {
+      import graft.store.{FeatureView, OnlineStore, Registry}
+      import org.apache.spark.sql.types._
+      val view = FeatureView("scale_view", Seq(Registry.user),
+        ttlMs = Long.MaxValue >> 1,
+        schema = StructType(Seq(StructField("v", DoubleType))))
+      val store = new OnlineStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_scalecheck_store_")
+          .toString,
+        nBuckets = 256)
+      val users = math.max(n / 2000L, 1L)
+      def rows(ids: DataFrame) = ids
+        .select(col("id").as("user_id"),
+          (lit(1704067200000L) + col("id")).as("feature_timestamp"),
+          (col("id") * 1.5).as("v"))
+        .withColumn("computation_timestamp", col("feature_timestamp"))
+      store.upsert(view, rows(spark.range(0, users).toDF("id")), 0L)
+      // the fixed-size batch: 100 keys -> at most 100 of 256 buckets
+      timed {
+        store.upsert(view,
+          rows(spark.range(0, 100).toDF("id"))
+            .withColumn("feature_timestamp", col("feature_timestamp") + 1000L),
+          1L)
+      }
+    }
+
+    val d1 = stage(n1); val d10 = stage(n1 * 10)
+    // warm the JIT/codegen on the small corpus before any timed run
+    anchored(d1); sessions(d1)
+    val out = Seq(
+      ("anchored_stats", anchored(d1), anchored(d10)),
+      ("session_steps", sessions(d1), sessions(d10)),
+      ("store_upsert_fixed_batch", upsert(n1), upsert(n1 * 10)))
+    out.foreach { case (name, t1, t10) =>
+      println(f"[scalecheck] $name%-26s 1x=$t1%8.2fs 10x=$t10%8.2fs ratio=${t10 / t1}%5.2f")
+    }
+    spark.stop()
+  }
+}

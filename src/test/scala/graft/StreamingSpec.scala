@@ -174,6 +174,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(byRev.size == 2)
   }
 
+  test("streaming CMS rows add across batches to the batch grid") {
+    import graft.streaming.SketchState
+    import SketchState.CmsIn
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[CmsIn]
+    val q = SketchState.cmsGrid(in.toDS(), 8).toDF()
+      .writeStream.format("memory").queryName("cms_test")
+      .outputMode("update").start()
+    try {
+      in.addData(CmsIn(0, 3), CmsIn(0, 3), CmsIn(1, 5))
+      q.processAllAvailable()
+      // batch 2: same cells again — counts ADD, not replace
+      in.addData(CmsIn(0, 3), CmsIn(1, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byKey = spark.table("cms_test").collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Long]("rev")) -> r.getSeq[Long](1))
+      .toMap
+    assert(byKey((0, 1L)) == Seq(0L, 0L, 0L, 2L, 0L, 0L, 0L, 0L))
+    assert(byKey((0, 2L)) == Seq(0L, 0L, 0L, 3L, 0L, 0L, 0L, 0L))
+    assert(byKey((1, 2L)) == Seq(0L, 0L, 1L, 0L, 0L, 1L, 0L, 0L))
+  }
+
   test("streaming dedup: a late earlier event retracts the winner") {
     import StatefulFeatures.DedupIn
     implicit val ctx = spark.sqlContext
