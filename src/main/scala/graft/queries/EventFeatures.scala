@@ -99,10 +99,18 @@ object EventFeatures extends QueryModule {
       .orderBy(col("event_id"))
   }
 
-  private[queries] val anchoredStatsSql =
-    """WITH base AS (
+  /** The stats SQL parameterized over its `base` CTE (event_id, user_id,
+    * value, ems) — the late-replay oracle feeds it the survivor set. */
+  private[queries] def anchoredStatsSqlFrom(baseCtes: String) =
+    s"WITH $baseCtes, stats AS (" + statsSqlTail
+
+  private[queries] lazy val anchoredStatsSql = anchoredStatsSqlFrom(
+    """base AS (
       |  SELECT event_id, user_id, value, epoch_ms(ts) AS ems FROM events
-      |), stats AS (
+      |)""".stripMargin)
+
+  private def statsSqlTail =
+    """
       |  SELECT event_id, user_id, value, ems,
       |    count(*) OVER w AS n,
       |    CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sx,

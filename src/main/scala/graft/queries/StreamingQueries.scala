@@ -49,15 +49,17 @@ object StreamingQueries extends QueryModule {
 
   /** Per-event session-step oracle: running counters within the
     * sessionized partition (> 30 min gap starts a session, matching the
-    * stateful op's strict-> reset). */
-  private val sessionStepsSql =
-    """WITH seq AS (
-      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ems,
-      |    CASE WHEN lag(epoch_ms(ts)) OVER uw IS NULL
-      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER uw > 1800000
+    * stateful op's strict-> reset). Parameterized over the event-source
+    * CTE (event_id, user_id, event_type, ems) — the late-replay oracle
+    * feeds it the survivor set. */
+  private def sessionStepsSqlFrom(srcCtes: String) =
+    s"""WITH $srcCtes, seq AS (
+      |  SELECT event_id, user_id, event_type, ems,
+      |    CASE WHEN lag(ems) OVER uw IS NULL
+      |           OR ems - lag(ems) OVER uw > 1800000
       |         THEN 1 ELSE 0 END AS is_new
-      |  FROM events
-      |  WINDOW uw AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |  FROM evsrc
+      |  WINDOW uw AS (PARTITION BY user_id ORDER BY ems, event_id)
       |), sess AS (
       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ems, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
@@ -75,6 +77,11 @@ object StreamingQueries extends QueryModule {
       |  purchases_so_far, clicks_so_far,
       |  purchases_so_far / GREATEST(clicks_so_far, 1) AS conversion_so_far
       |FROM steps ORDER BY event_id""".stripMargin
+
+  private lazy val sessionStepsSql = sessionStepsSqlFrom(
+    """evsrc AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ems FROM events
+      |)""".stripMargin)
 
   // ------------------------------------------------------------------ S12
   /** Deterministic synthetic transaction generator: every field is md5(id)

@@ -339,6 +339,41 @@ object StatefulFeatures {
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, events: Iterator[SessEventIn], state: GroupState[SessUBuf]) =>
+          processSessionUpdate(uid, events, state)
+      }
+  }
+
+  /** sessionStepsUpdate under a tight watermark — the session member of
+    * the W7 allowed-lateness family (see anchoredCountsUpdateExpiring;
+    * `retainMs` = re-sessionize horizon + allowed lateness, so a
+    * displaced arrival still lands INSIDE the retained chain instead of
+    * at the summarized-prefix boundary). */
+  def sessionStepsUpdateExpiring(ds: Dataset[SessEventInTs],
+      retainMs: Long = H24H, idleMs: Long = -1L): Dataset[SessionStepRev] = {
+    val idle = if (idleMs > 0) idleMs else retainMs + H24H
+    implicit val outEnc = Encoders.product[SessionStepRev]
+    implicit val stateEnc = Encoders.product[SessUBuf]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[SessEventInTs], state: GroupState[SessUBuf]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = processSessionUpdate(uid,
+              events.map(e =>
+                SessEventIn(e.event_id, e.user_id, e.ems, e.event_type)),
+              state, retainMs)
+            armTimeout(state,
+              state.getOption.flatMap(_.rows.lastOption.map(_.ems)), idle)
+            out
+          }
+      }
+  }
+
+  /** Shared per-group body of the update-mode (retraction) sessions. */
+  private def processSessionUpdate(uid: Long, events: Iterator[SessEventIn],
+      state: GroupState[SessUBuf],
+      retainMs: Long = H24H): Iterator[SessionStepRev] = {
           val st0 = state.getOption.getOrElse(SessUBuf(Seq.empty, None, 0L))
           var rev = st0.rev
           var prefix = st0.prefix
@@ -399,14 +434,13 @@ object StatefulFeatures {
           // row's carried values (their rows are emitted and final — a
           // later arrival at/under the prefix is the boundary above)
           val frontier = buf.lastOption.map(_.ems).getOrElse(Long.MinValue)
-          val (dropped, kept) = buf.span(_.ems <= frontier - H24H)
+          val (dropped, kept) = buf.span(_.ems <= frontier - retainMs)
           dropped.lastOption.foreach { d =>
             prefix = Some(SessPrefix(d.startEms, d.ems, d.lastN,
               d.lastP, d.lastC))
           }
           state.update(SessUBuf(kept, prefix, rev))
           out.result().iterator
-      }
   }
 
   /** Per-event session-feature emission (the reference's clickstream
@@ -552,6 +586,38 @@ object StatefulFeatures {
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, events: Iterator[EventIn], state: GroupState[StatUBuf]) =>
+          processStatsUpdate(uid, events, state)
+      }
+  }
+
+  /** anchoredStatsUpdate under a tight watermark — the stats member of
+    * the W7 allowed-lateness family (see anchoredCountsUpdateExpiring for
+    * the contract; `retainMs` = window + allowed lateness). */
+  def anchoredStatsUpdateExpiring(ds: Dataset[EventInTs],
+      retainMs: Long = H24H, idleMs: Long = -1L): Dataset[AnchoredStatsRev] = {
+    val idle = if (idleMs > 0) idleMs else retainMs + H24H
+    implicit val outEnc = Encoders.product[AnchoredStatsRev]
+    implicit val stateEnc = Encoders.product[StatUBuf]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[EventInTs], state: GroupState[StatUBuf]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = processStatsUpdate(uid,
+              events.map(e => EventIn(e.event_id, e.user_id, e.ems, e.value)),
+              state, retainMs)
+            armTimeout(state,
+              state.getOption.flatMap(_.rows.lastOption.map(_.ems)), idle)
+            out
+          }
+      }
+  }
+
+  /** Shared per-group body of the update-mode (retraction) stats. */
+  private def processStatsUpdate(uid: Long, events: Iterator[EventIn],
+      state: GroupState[StatUBuf],
+      retainMs: Long = H24H): Iterator[AnchoredStatsRev] = {
           val st0 = state.getOption.getOrElse(StatUBuf(Seq.empty, None, 0L))
           var buf = st0.rows.toVector
           var evictedMax = st0.evictedMax
@@ -632,7 +698,7 @@ object StatefulFeatures {
                 minV, maxV, minE, prev)
             }
             buf = (buf ++ runRows).sortBy(x => (x.ems, x.id))
-            val (droppedRows, keptRows) = buf.span(_.ems <= t - H24H)
+            val (droppedRows, keptRows) = buf.span(_.ems <= t - retainMs)
             if (droppedRows.nonEmpty)
               evictedMax = Some(math.max(droppedRows.last.ems,
                 evictedMax.getOrElse(Long.MinValue)))
@@ -641,7 +707,6 @@ object StatefulFeatures {
           }
           state.update(StatUBuf(buf, evictedMax, rev))
           out.iterator
-      }
   }
 
   /** Shared per-group body of anchoredStats (both timeout variants). */

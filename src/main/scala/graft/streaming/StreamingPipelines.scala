@@ -159,7 +159,10 @@ object StreamingPipelines {
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_late_" + path.replaceAll("[^A-Za-z0-9]", "_") + s"_$nChunks")
     val marker = stage.resolve("_staged")
-    val sig = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+    // the sig carries a staging-format version: a schema change must not
+    // silently reuse a stale staged dir from an earlier build
+    val sig =
+      s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}:v2"
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == sig
     if (!fresh) {
@@ -171,7 +174,7 @@ object StreamingPipelines {
       }
       val ev = graft.core.Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"),
-          epochMs(col("ts")).as("ems"), col("value"))
+          epochMs(col("ts")).as("ems"), col("value"), col("event_type"))
         .withColumn("hm",
           pmod(conv(substring(md5(col("event_id").cast("string")
             .cast("binary")), 1, 8), 16, 10).cast("long"), lit(10L)))
@@ -187,7 +190,7 @@ object StreamingPipelines {
           expr(s"cast(rn * $nChunks div $total as int)"))
         .withColumn("ts", timestamp_millis(col("ems")))
         .select(col("event_id"), col("user_id"), col("ems"), col("value"),
-          col("ts"), col("chunk"))
+          col("event_type"), col("ts"), col("chunk"))
       val build = stage.resolve("_build")
       staged.repartition(nChunks, col("chunk"))
         .sortWithinPartitions(col("ems"), col("event_id"))
@@ -240,6 +243,38 @@ object StreamingPipelines {
       retainMs = graft.core.Horizons.H24H + LateBigMs).toDF()
     val sink = runToMemory(spark, out, "update", "lateupdate")
     latestBy(sink, "cnt_24h", "event_id").orderBy(col("event_id"))
+  }
+
+  /** The stats member of the W7 family: full anchored stats with
+    * retraction under the tight watermark, over the same disordered
+    * replay — same survivor set, stats oracle over it. */
+  def anchoredStatsLateUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = lateReplayStream(spark, dir)
+      .withWatermark("ts", s"$LateBudgetMs milliseconds")
+      .select(col("event_id"), col("user_id"), col("ems"), col("value"),
+        col("ts"))
+      .as[StatefulFeatures.EventInTs]
+    val out = StatefulFeatures.anchoredStatsUpdateExpiring(in,
+      retainMs = graft.core.Horizons.H24H + LateBigMs).toDF()
+    val sink = runToMemory(spark, out, "update", "latestatsupdate")
+    latestBy(sink, "rev", "event_id").drop("rev").orderBy(col("event_id"))
+  }
+
+  /** The session member of the W7 family: re-sessionizing retraction
+    * under the tight watermark — a within-budget late event can MERGE
+    * sessions whose rows were already output; beyond-budget events drop. */
+  def sessionStepsLateUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = lateReplayStream(spark, dir)
+      .withWatermark("ts", s"$LateBudgetMs milliseconds")
+      .select(col("event_id"), col("user_id"), col("ems"), col("event_type"),
+        col("ts"))
+      .as[StatefulFeatures.SessEventInTs]
+    val out = StatefulFeatures.sessionStepsUpdateExpiring(in,
+      retainMs = graft.core.Horizons.H24H + LateBigMs).toDF()
+    val sink = runToMemory(spark, out, "update", "latesessionupdate")
+    latestBy(sink, "rev", "event_id").drop("rev").orderBy(col("event_id"))
   }
 
   private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
