@@ -230,6 +230,47 @@ object FeatureStoreQueries extends QueryModule {
        |WHERE rn = 1 AND feature_timestamp >= g - 86400000
        |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------- PIT consistency (M16)
+  /** The reference's online/offline consistency contract as a graded
+    * query (feature_utils.py:170-232, tolerance 0.001): materialize the
+    * store, then validate that every online row equals the historical
+    * (PIT) retrieval evaluated at the row's own timestamp. Returns the
+    * audit summary (rows checked, rows violating) — the oracle RECOMPUTES
+    * the same check in SQL, so `n_violations = 0` is verified
+    * independently on both engines, not asserted. */
+  private def pitConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val store = tempStore(spark)
+    val feats = dailyFeatures(spark, dir)
+    store.upsert(userDailyView, feats.filter(col("day") < 19746L), 0L)
+    store.upsert(userDailyView, feats.filter(col("day") >= 19746L), 1L)
+    val online = store.online(userDailyView)
+    val violations = HistoricalStore.validateConsistency(
+      online, store.history(userDailyView), userDailyView, "sum_value")
+    online.agg(count(lit(1)).cast("long").as("n_checked")).crossJoin(
+      violations.agg(count(lit(1)).cast("long").as("n_violations")))
+  }
+
+  private val pitConsistencySql =
+    s"""WITH $dailySqlCte,
+       | latest AS (
+       |  SELECT user_id, feature_timestamp, sum_value,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+       |  FROM daily),
+       | online AS (
+       |  SELECT user_id, feature_timestamp, sum_value FROM latest WHERE rn = 1
+       |), pit AS (
+       |  SELECT o.user_id, o.sum_value, d.sum_value AS pit_value,
+       |    row_number() OVER (PARTITION BY o.user_id, o.feature_timestamp
+       |      ORDER BY d.feature_timestamp DESC) AS rn
+       |  FROM online o LEFT JOIN daily d
+       |    ON o.user_id = d.user_id
+       |   AND d.feature_timestamp <= o.feature_timestamp)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+       |  CAST(SUM(CASE WHEN pit_value IS NULL
+       |                  OR ABS(sum_value - pit_value) > 0.001
+       |            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+       |FROM pit WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------- time travel
   /** AS-OF read (training reproducibility): three upsert batches by day
     * range, then read the snapshot as of batch 1 — the state BEFORE batch
@@ -264,12 +305,14 @@ object FeatureStoreQueries extends QueryModule {
     "fs_historical_pit" -> (pit _),
     "fs_service_pit" -> (servicePit _),
     "fs_ttl_retention" -> (ttl _),
-    "fs_asof_snapshot" -> (asOf _))
+    "fs_asof_snapshot" -> (asOf _),
+    "fs_pit_consistency" -> (pitConsistency _))
 
   override def oracles: Map[String, String] = Map(
     "fs_online_roundtrip" -> roundtripSql,
     "fs_historical_pit" -> pitSql,
     "fs_service_pit" -> servicePitSql,
     "fs_ttl_retention" -> ttlSql,
-    "fs_asof_snapshot" -> asOfSql)
+    "fs_asof_snapshot" -> asOfSql,
+    "fs_pit_consistency" -> pitConsistencySql)
 }

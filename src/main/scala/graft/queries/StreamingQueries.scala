@@ -115,21 +115,25 @@ object StreamingQueries extends QueryModule {
       |FROM range(10000) t(i)
       |ORDER BY txn_id""".stripMargin
 
-  /** W7 allowed-lateness oracle: reproduce the disordered replay's batch
-    * boundaries (arrival = ems + md5-derived delay; chunk = arrival-rank
-    * * 8 / total), compute the watermark each chunk's LATE-ROW FILTER
-    * ran under, drop rows strictly below it, and run the anchored
-    * RANGE-frame counts over the SURVIVORS. The filter watermark is the
-    * PREVIOUS batch's (Spark's late-events/eviction split since 3.4) —
-    * max event time of chunks <= c-2, minus the 15 min budget; pinned
-    * empirically and by StreamingSpec. Checks both halves of the
-    * reference's LateEventHandler contract (watermarks.py:151-208):
-    * admissible late rows are fully reprocessed (their corrections must
-    * land bit-exact), beyond-budget rows are dropped (their absence must
-    * be exact too). */
-  private val anchoredLateSql =
-    """WITH arr AS (
-      |  SELECT event_id, user_id, epoch_ms(ts) AS ems,
+  /** W7 allowed-lateness survivor set, as a CTE chain shared by all three
+    * family members (counts / stats / session): reproduce the disordered
+    * replay's batch boundaries (arrival = ems + md5-derived delay; chunk =
+    * arrival-rank * 8 / total), compute the watermark each chunk's
+    * LATE-ROW FILTER ran under, and drop rows strictly below it. The
+    * filter watermark is the PREVIOUS batch's (Spark's late-events/
+    * eviction split since 3.4) — max event time of chunks <= c-2, minus
+    * the 15 min budget; pinned empirically and by StreamingSpec. Checks
+    * both halves of the reference's LateEventHandler contract
+    * (watermarks.py:151-208): admissible late rows are fully reprocessed
+    * (their corrections must land bit-exact), beyond-budget rows are
+    * dropped (their absence must be exact too). `extraCols` carries the
+    * family member's payload columns (value / event_type) through to
+    * `surv`. */
+  private def lateSurvivorCtes(extraCols: Seq[String]): String = {
+    val sel = extraCols.map(c => s", $c").mkString
+    val selC = extraCols.map(c => s", c.$c").mkString
+    s"""arr AS (
+      |  SELECT event_id, user_id$sel, epoch_ms(ts) AS ems,
       |    epoch_ms(ts) + CASE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10
       |      WHEN 7 THEN 600000 WHEN 3 THEN 691200000 ELSE 0 END AS arrival
       |  FROM events
@@ -146,10 +150,15 @@ object StreamingQueries extends QueryModule {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 900000 AS wm_ms
       |  FROM cmax
       |), surv AS (
-      |  SELECT c.event_id, c.user_id, c.ems
+      |  SELECT c.event_id, c.user_id$selC, c.ems
       |  FROM chunked c JOIN wm w ON c.chunk = w.chunk
       |  WHERE w.wm_ms IS NULL OR c.ems >= w.wm_ms
-      |)
+      |)""".stripMargin
+  }
+
+  /** Counts member: anchored RANGE-frame counts over the survivors. */
+  private lazy val anchoredLateSql =
+    s"""WITH ${lateSurvivorCtes(Nil)}
       |SELECT event_id, user_id, ems,
       |  count(*) OVER (PARTITION BY user_id ORDER BY ems
       |    RANGE BETWEEN 299999 PRECEDING AND CURRENT ROW) AS cnt_5m,
@@ -158,6 +167,19 @@ object StreamingQueries extends QueryModule {
       |  count(*) OVER (PARTITION BY user_id ORDER BY ems
       |    RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW) AS cnt_24h
       |FROM surv ORDER BY event_id""".stripMargin
+
+  /** Stats member: the full anchored 24 h stat SQL over the same survivor
+    * set — the survivor chain feeds anchoredStatsSqlFrom's `base` CTE. */
+  private lazy val anchoredStatsLateSql = EventFeatures.anchoredStatsSqlFrom(
+    lateSurvivorCtes(Seq("value")) +
+      ", base AS (SELECT event_id, user_id, value, ems FROM surv)")
+
+  /** Session member: per-event session steps over the survivors — a
+    * beyond-budget drop can SPLIT a session the full corpus would merge,
+    * so the oracle re-sessionizes the survivor set from scratch. */
+  private lazy val sessionLateSql = sessionStepsSqlFrom(
+    lateSurvivorCtes(Seq("event_type")) +
+      ", evsrc AS (SELECT event_id, user_id, event_type, ems FROM surv)")
 
   /** Append-mode aligned windows: only windows sealed by the final
     * watermark (max event time - 1 h) are in the sink. */
@@ -194,6 +216,10 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.sessionStepsStateful(s, d)),
     "stream_anchored_late_update" ->
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredLateUpdate(s, d)),
+    "stream_anchored_stats_late_update" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.anchoredStatsLateUpdate(s, d)),
+    "stream_session_late_update" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.sessionStepsLateUpdate(s, d)),
     "stream_dedup_first" ->
       ((s: SparkSession, d: String) => StreamingPipelines.dedupFirstStateful(s, d)),
     "stream_hll_distinct" ->
@@ -214,6 +240,8 @@ object StreamingQueries extends QueryModule {
     "stream_anchored_stats" -> EventFeatures.anchoredStatsSql,
     "stream_session_steps" -> sessionStepsSql,
     "stream_anchored_late_update" -> anchoredLateSql,
+    "stream_anchored_stats_late_update" -> anchoredStatsLateSql,
+    "stream_session_late_update" -> sessionLateSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,
     "stream_hll_distinct" -> Sketches.hllDistinctSql,
     "stream_cms_topk" -> Sketches.cmsTopkSql,

@@ -42,7 +42,23 @@ object HistoricalStore {
       service: FeatureService,
       history: FeatureView => DataFrame,
       eventTsCol: String,
-      featureCols: FeatureView => Seq[String]): DataFrame =
+      featureCols: FeatureView => Seq[String]): DataFrame = {
+    // misconfiguration guards — each would otherwise surface as silently
+    // ambiguous or misrenamed columns deep inside the fold:
+    //  - duplicate view names collide on their `<view>__` prefix;
+    //  - a feature/timestamp column equal to eventTsCol (or any entity
+    //    column) would be renamed or TTL-gated in place of the original.
+    val names = service.views.map(_.name)
+    require(names.distinct == names,
+      s"FeatureService has duplicate view names: $names")
+    val entityCols = entityDf.columns.toSet
+    service.views.foreach { v =>
+      val attached = featureCols(v) :+ v.timestampField
+      val clash = attached.filter(c => c == eventTsCol || entityCols(c))
+      require(clash.isEmpty,
+        s"view ${v.name}: columns $clash collide with the entity frame " +
+          s"or eventTsCol '$eventTsCol' — rename before retrieval")
+    }
     service.views.foldLeft(entityDf) { (df, v) =>
       val fcols = featureCols(v)
       val joined = getHistoricalFeatures(df, history(v), v, eventTsCol, fcols)
@@ -56,6 +72,7 @@ object HistoricalStore {
       (fcols :+ v.timestampField).foldLeft(gated)((d, c) =>
         d.withColumnRenamed(c, s"${v.name}__$c"))
     }
+  }
 
   /** PIT consistency check: online rows must equal the historical
     * retrieval evaluated at the online rows' own timestamps within

@@ -281,7 +281,14 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
       if (expired.isEmpty) gcVersions(view)
       else {
         val keys = view.entities.map(_.joinKey)
-        val version = s"ttl$nowMs"
+        // the version must be UNUSED: callers supply arbitrary clocks, so a
+        // second run with an equal nowMs (after an intervening upsert made
+        // new rows stale) would otherwise Overwrite a directory the
+        // manifest still references for the first run's buckets — reads
+        // of those buckets would silently come up empty
+        val used = m.values.map(_.version).toSet
+        val version = (Iterator(s"ttl$nowMs") ++
+          Iterator.from(2).map(i => s"ttl${nowMs}_$i")).find(!used(_)).get
         val paths = expired.toSeq.sortBy(_._1)
           .map { case (b, r) => bucketPath(view, r.version, b) }
         spark.read.parquet(paths: _*)
@@ -296,7 +303,7 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
         writeManifest(view,
           m ++ expired.keys.map(b =>
             b -> BucketRef(version, mins.getOrElse(b, Long.MaxValue))),
-          s"ttl$nowMs")
+          version)
         gcVersions(view)
       }
     }

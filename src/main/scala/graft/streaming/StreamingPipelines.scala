@@ -25,6 +25,12 @@ object StreamingPipelines {
   private def freshName(prefix: String): String =
     s"${prefix}_${nameCounter.incrementAndGet()}"
 
+  /** Per-process token in every replay stage path: two JVMs sharing
+    * java.io.tmpdir (Bench while Verify runs) must never contend on one
+    * stage dir — a freshness miss in one would delete and rewrite the
+    * directory while the other's file-source stream is mid-read. */
+  private val procToken = ProcessHandle.current().pid().toString
+
   /** Streaming read of the events parquet: same normalization as
     * Tables.events (nanos -> microsecond timestamps, via the SHARED
     * Tables.normalizeEventTs so the paths cannot diverge). The file source
@@ -84,9 +90,13 @@ object StreamingPipelines {
     val path = s"$dir/events.parquet"
     val src = Paths.get(path)
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_replay_" + path.replaceAll("[^A-Za-z0-9]", "_") + s"_$nChunks")
+      "graft_replay_" + path.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${nChunks}_p$procToken")
     val marker = stage.resolve("_staged")
-    val sig = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+    // the sig carries a staging-format version: a format change must not
+    // silently reuse a stale staged dir from an earlier build
+    val sig =
+      s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}:v2"
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == sig
     if (!fresh) {
@@ -157,7 +167,8 @@ object StreamingPipelines {
     val path = s"$dir/events.parquet"
     val src = Paths.get(path)
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_late_" + path.replaceAll("[^A-Za-z0-9]", "_") + s"_$nChunks")
+      "graft_late_" + path.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${nChunks}_p$procToken")
     val marker = stage.resolve("_staged")
     // the sig carries a staging-format version: a schema change must not
     // silently reuse a stale staged dir from an earlier build

@@ -133,6 +133,15 @@ class StreamingSpec extends AnyFunSuite {
       // update-mode retraction + late-row filtering over chunked replay
       "late" -> StreamingPipelines.anchoredLateUpdate(spark, sfDir)
         .collect().map(_.toString),
+      // W7 stats member: retraction + late filter + timeout state over the
+      // carried-aggregate buffer (exercises state interactions the counts
+      // member doesn't: decimal partials, lag anchor, evictedMax)
+      "latestats" -> StreamingPipelines.anchoredStatsLateUpdate(spark, sfDir)
+        .collect().map(_.toString),
+      // W7 session member: re-sessionizing retraction under the tight
+      // watermark (merge + prefix-summary state)
+      "latesession" -> StreamingPipelines.sessionStepsLateUpdate(spark, sfDir)
+        .collect().map(_.toString),
       // windowed-aggregation state sealing across micro-batches
       "aligned" -> StreamingPipelines.alignedWindowAppend(spark, sfDir)
         .collect().map(_.toString),
@@ -150,6 +159,29 @@ class StreamingSpec extends AnyFunSuite {
         s"$name diverged under RocksDB state store")
       assert(rows.nonEmpty, s"$name produced no rows")
     }
+  }
+
+  test("W7 family members agree on the survivor set and 24 h window") {
+    import graft.streaming.StreamingPipelines
+    val sfDir = "/root/testdata/sf0.001"
+    // the counts member is the oracle-anchored one; the stats and session
+    // members run the SAME disordered replay under the SAME watermark, so
+    // their late-row filters must admit exactly the same survivor set,
+    // and the stats member's n_24h must equal the counts member's cnt_24h
+    // event for event
+    val counts = StreamingPipelines.anchoredLateUpdate(spark, sfDir)
+      .select(col("event_id"), col("cnt_24h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stats = StreamingPipelines.anchoredStatsLateUpdate(spark, sfDir)
+      .select(col("event_id"), col("n_24h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sess = StreamingPipelines.sessionStepsLateUpdate(spark, sfDir)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(stats == counts, "stats member diverged from counts member")
+    assert(sess == counts.keySet, "session member's survivor set diverged")
+    val total = graft.core.Tables.events(spark, sfDir).count()
+    assert(counts.size < total,
+      "late replay dropped nothing — disorder injection inert")
   }
 
   test("streaming HLL registers merge across batches to the batch sketch") {
