@@ -7,10 +7,18 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` columns with a typed metadata struct; decode /
   * feature-extract / frame-sample run per-partition so codec state is
   * constructed once per partition (the Spark-side shape that matters —
-  * schema, partitioning, batch iteration). The actual image/audio codec is
-  * STUBBED (no media libraries in this container): `decodeStub` derives
-  * deterministic pseudo-features from the bytes and marks the real decode
-  * boundary.
+  * schema, partitioning, batch iteration).
+  *
+  * Two decode paths:
+  *  - [[decodeImages]] is a REAL codec path: PNG bytes decoded with
+  *    `javax.imageio` (ships in the JDK — no external library needed),
+  *    emitting true dims + an exact position-weighted pixel fold. PNG is
+  *    lossless, so the fold is bit-reproducible from the generator's
+  *    pixel formula — which is how the DuckDB oracle checks it without
+  *    ever seeing a PNG.
+  *  - [[decodeStub]] remains the marked boundary for codecs the JDK does
+  *    NOT ship (JPEG is available, but audio/video codecs are not):
+  *    deterministic pseudo-features from the raw bytes.
   */
 object Multimodal {
 
@@ -58,5 +66,88 @@ object Multimodal {
         lit("text/plain").as("mime"),
         lit(0).as("declared_w"), lit(0).as("declared_h"))
       .as[MediaRow]
+  }
+
+  // ----------------------------------------------------- real PNG codec path
+
+  /** Decoded image features: true dims from the codec plus an exact
+    * position-weighted fold over the 24-bit pixels in raster order —
+    * sum((x + w*y + 1) * packedRGB). Order-independent (a plain sum), so
+    * any engine that knows the pixel values can reproduce it, yet
+    * position-sensitive, so a transposed or shifted decode fails. */
+  case class DecodedImage(media_id: Long, width: Int, height: Int,
+      pixel_sum: Long)
+
+  /** Deterministic synthetic PNG: dims and every pixel are closed-form in
+    * `id`, so an oracle can recompute [[DecodedImage]] without a codec.
+    *   w = 8 + id % 5, h = 6 + id % 7
+    *   r = (7x + 13y + id) % 256, g = (3x + 5y + 2id) % 256,
+    *   b = (x + y + 3id) % 256
+    * Encoded with the JDK's ImageIO PNG writer (lossless by spec). */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 5).toInt
+    val h = 6 + (id % 7).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 7 + y * 13 + id) % 256).toInt
+        val g = ((x * 3 + y * 5 + 2 * id) % 256).toInt
+        val b = ((x + y + 3 * id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of real PNG payloads, one per id in `ids` (a one-column
+    * DataFrame of longs); synthesis runs per-partition on executors — the
+    * same distribution shape real media ingestion has. */
+  def synthImageTable(spark: SparkSession, ids: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          MediaRow(id, synthPng(id), "image/png",
+            declared_w = 8 + (id % 5).toInt, declared_h = 6 + (id % 7).toInt)
+        }
+      }
+  }
+
+  /** REAL per-partition image decode via `javax.imageio` (the JDK ships
+    * PNG/JPEG/BMP/GIF readers): payload bytes -> BufferedImage -> true
+    * dims + exact pixel fold. This is the working form of the decode
+    * boundary `decodeStub` marks for non-JDK codecs. */
+  def decodeImages(ds: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // ImageIO reader lookup is per-call; disk caching off keeps the
+      // decode purely in-memory on executors
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable payload for media ${r.media_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += (x + w.toLong * y + 1L) * (img.getRGB(x, y) & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(r.media_id, w, h, sum)
+      }
+    }
   }
 }

@@ -29,9 +29,45 @@ object MultimodalQueries extends QueryModule {
       |  (octet_length(CAST(text AS BLOB)) + 255) // 256 AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** REAL codec roundtrip (round-5 verdict #5): per doc_id, synthesize a
+    * deterministic PNG on the executors, decode it back with the JDK's
+    * `javax.imageio`, and emit true dims + the exact position-weighted
+    * pixel fold. The oracle recomputes dims and fold CLOSED-FORM from the
+    * generator's pixel formula — it never sees a PNG — so the check only
+    * passes if the encode->decode roundtrip is lossless and the raster
+    * geometry (width/height orientation, pixel order) is exactly right. */
+  private def mmDecoded(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(
+        Multimodal.synthImageTable(spark,
+          Tables.documents(spark, dir).select(col("doc_id"))))
+      .toDF()
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("pixel_sum"))
+      .orderBy(col("media_id"))
+
+  private val mmDecodedSql =
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 5 AS BIGINT) AS w,
+      |    CAST(6 + doc_id % 7 AS BIGINT) AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT d.doc_id, d.w, d.h, x.range AS x, y.range AS y
+      |  FROM dims d, range(12) x, range(12) y
+      |  WHERE x.range < d.w AND y.range < d.h
+      |)
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  CAST(SUM((x + w * y + 1) *
+      |    (((x*7 + y*13 + doc_id) % 256) * 65536 +
+      |     ((x*3 + y*5 + 2*doc_id) % 256) * 256 +
+      |     ((x + y + 3*doc_id) % 256))) AS BIGINT) AS pixel_sum
+      |FROM px GROUP BY doc_id, w, h
+      |ORDER BY media_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_features" -> (mmFeatures _))
+    "mm_binary_features" -> (mmFeatures _),
+    "mm_decoded_features" -> (mmDecoded _))
 
   override def oracles: Map[String, String] = Map(
-    "mm_binary_features" -> mmFeaturesSql)
+    "mm_binary_features" -> mmFeaturesSql,
+    "mm_decoded_features" -> mmDecodedSql)
 }

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.StatefulFeatures
+
+/** Hot-key skew workload (round-5 verdict #7): the driver testdata is
+  * uniform-keyed, but the reference's defining workload property is
+  * hot-card concentration — its generator routes 40% of fraud volume to
+  * the top-200 cards (ref generators/txgen.py:117-123). These queries
+  * grade the engine's skew paths on a corpus whose per-key event counts
+  * span > 2 orders of magnitude, generated deterministically from md5(id)
+  * arithmetic (the S12 discipline) so DuckDB reproduces it exactly.
+  *
+  * Key map: user_id = 1000 div (1 + md5-hash mod 1000) — a Zipf-ish
+  * pmf P(user j) ~ 1/(j(j+1)): user 1 absorbs ~50% of all events
+  * (~10 000 of 20 000), the tail users get ~20 each (span ~500x). Events
+  * are 5 s apart, so the hot key's anchored 24 h buffer holds thousands of
+  * events — exactly the shape the minute-bucketed stateful buffer
+  * (StatefulFeatures) exists for, and the shape a flat per-event scan
+  * dies on.
+  *
+  * skew_anchored_counts / skew_anchored_stats run the REAL stateful
+  * state machines (flatMapGroupsWithState in batch mode: one group pass,
+  * empty initial state) — not the declarative RANGE-frame twins — so the
+  * hot-key bucket arithmetic itself is what the oracle grades.
+  */
+object SkewQueries extends QueryModule {
+
+  private val N = 20000L
+
+  /** Deterministic skewed event corpus; every field is md5(id) arithmetic
+    * (same discipline as gen_synthetic_txns, so the oracle regenerates it
+    * engine-independently). */
+  private def skewedEvents(spark: SparkSession): DataFrame =
+    spark.range(0, N)
+      .withColumn("h",
+        conv(substring(md5(col("id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long"))
+      .withColumn("h2",
+        conv(substring(md5(col("id").cast("string").cast("binary")), 9, 8),
+          16, 10).cast("long"))
+      .select(
+        col("id").as("event_id"),
+        expr("1000 div (1 + pmod(h, 1000))").as("user_id"),
+        (lit(1704067200000L) + col("id") * 5000L).as("ems"),
+        (pmod(col("h2"), lit(100000L)) / 100.0).as("value"))
+
+  /** The corpus as a DuckDB CTE — must mirror [[skewedEvents]] exactly
+    * (same md5 slices, same integer division, same double arithmetic). */
+  private val skewCte =
+    """skew AS (
+      |  SELECT i AS event_id,
+      |    1000 // (1 + (CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1000)) AS user_id,
+      |    1704067200000 + i * 5000 AS ems,
+      |    (CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 9, 8)) AS BIGINT) % 100000) / 100.0 AS value
+      |  FROM range(20000) t(i)
+      |)""".stripMargin
+
+  // ------------------------------------------------------------- A1 x skew
+  /** Multi-horizon anchored counts on the skewed corpus, through the
+    * minute-bucketed stateful buffer (the batch-mode group pass feeds the
+    * hot key's ~10 000 events through one state machine instance). */
+  private def skewAnchoredCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = skewedEvents(spark).as[StatefulFeatures.EventIn]
+    StatefulFeatures.anchoredCounts(ds).toDF().orderBy(col("event_id"))
+  }
+
+  private val skewAnchoredCountsSql =
+    s"""WITH $skewCte
+      |SELECT event_id, user_id, ems,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ems
+      |    RANGE BETWEEN 299999 PRECEDING AND CURRENT ROW) AS cnt_5m,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ems
+      |    RANGE BETWEEN 1799999 PRECEDING AND CURRENT ROW) AS cnt_30m,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ems
+      |    RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW) AS cnt_24h
+      |FROM skew ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------- A2/A3/A6/A7/A12 x skew
+  /** Full anchored 24 h stats on the skewed corpus through the bucketed
+    * stateful state machine; oracle = the shared RANGE-frame stats SQL
+    * over the regenerated corpus. */
+  private def skewAnchoredStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = skewedEvents(spark).as[StatefulFeatures.EventIn]
+    StatefulFeatures.anchoredStats(ds).toDF().orderBy(col("event_id"))
+  }
+
+  private val skewAnchoredStatsSql = EventFeatures.anchoredStatsSqlFrom(
+    skewCte + ", base AS (SELECT event_id, user_id, value, ems FROM skew)")
+
+  // ------------------------------------------------------------- O3 x skew
+  /** Salted two-phase top-k over the skewed corpus — the hot key owns
+    * ~50% of all rows, so the salt is doing real work here (on the
+    * uniform driver corpus it is only an execution-strategy check). */
+  private def skewTopUsersSalted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SkewedAggregate
+    import graft.operators.SkewedAggregate.Agg
+    SkewedAggregate.saltedAgg(skewedEvents(spark).drop("ems"),
+        Seq("user_id"), salts = 8,
+        Seq(Agg("count", ""), Agg("sum", "value"), Agg("max", "value")))
+      .select(col("user_id"), col("count").as("n_events"),
+        col("sum_value"), col("max_value"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(10)
+  }
+
+  private val skewTopUsersSql =
+    s"""WITH $skewCte
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+      |  MAX(value) AS max_value
+      |FROM skew GROUP BY user_id
+      |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------ skew proof
+  /** One-row profile of the key distribution — the graded evidence that
+    * per-key counts span >= 2 orders of magnitude (verdict #7's "done"
+    * bar), not just that the queries above happen to pass. */
+  private def skewKeyProfile(spark: SparkSession, dir: String): DataFrame =
+    skewedEvents(spark)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("max_events"), min(col("c")).as("min_events"),
+        count(lit(1)).as("n_users"))
+
+  private val skewKeyProfileSql =
+    s"""WITH $skewCte, per_key AS (
+      |  SELECT user_id, count(*) AS c FROM skew GROUP BY user_id
+      |)
+      |SELECT CAST(MAX(c) AS BIGINT) AS max_events,
+      |  CAST(MIN(c) AS BIGINT) AS min_events,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM per_key""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_anchored_counts" -> (skewAnchoredCounts _),
+    "skew_anchored_stats" -> (skewAnchoredStats _),
+    "skew_top_users_salted" -> (skewTopUsersSalted _),
+    "skew_key_profile" -> (skewKeyProfile _))
+
+  override def oracles: Map[String, String] = Map(
+    "skew_anchored_counts" -> skewAnchoredCountsSql,
+    "skew_anchored_stats" -> skewAnchoredStatsSql,
+    "skew_top_users_salted" -> skewTopUsersSql,
+    "skew_key_profile" -> skewKeyProfileSql)
+}

@@ -37,7 +37,18 @@ import org.apache.spark.sql.functions._
   * torn online table. The `_batches` marker makes completed batches
   * skip-fast.
   */
-class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
+/** @param gcGraceMs retention window for superseded snapshot versions
+  *   (round-5 verdict #4, the Delta VACUUM-retention analogue without the
+  *   Delta jar): 0 (default) deletes a version the moment the manifest
+  *   stops referencing it — a DataFrame captured from a pre-flip manifest
+  *   must then be consumed before the next upsert; > 0 keeps superseded
+  *   versions (and compactHistory's pre-compaction copy) on disk for the
+  *   window, so pinned readers captured within it still resolve. The
+  *   clock is injectable for deterministic retention tests.
+  */
+class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32,
+    gcGraceMs: Long = 0L,
+    clock: () => Long = () => System.currentTimeMillis()) {
   import java.nio.file.{Files, Paths, StandardCopyOption}
   import java.nio.charset.StandardCharsets
 
@@ -135,9 +146,12 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
     * Safe under the store's single-writer micro-batch discipline: readers
     * resolve concrete paths through the CURRENT manifest at read time
     * (`onlineDf`), and the flip is atomic, so no deleted directory can be
-    * resolved after the flip. A DataFrame captured from a pre-flip
-    * manifest must be consumed before the next upsert — same contract a
-    * vacuumed Delta table imposes with retention 0. */
+    * resolved after the flip. With the default `gcGraceMs = 0` a
+    * DataFrame captured from a pre-flip manifest must be consumed before
+    * the next upsert — the contract a vacuumed Delta table imposes with
+    * retention 0; with `gcGraceMs > 0` superseded versions survive the
+    * grace window (Delta's VACUUM retention), so such readers keep
+    * resolving until the window lapses. */
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -145,6 +159,32 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
       try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
       finally walk.close()
+    }
+
+  /** `_gc_pending` tracks when each superseded version was FIRST seen
+    * unreferenced (gcVersions runs after every flip, so first-seen ≈
+    * supersede time): `<version>=<firstSeenMs>` lines, rewritten
+    * atomically alongside the manifest discipline. */
+  private def pendingPath(view: FeatureView) =
+    Paths.get(path("online", view.name, "_gc_pending"))
+
+  private def readPending(view: FeatureView): Map[String, Long] =
+    if (!Files.exists(pendingPath(view))) Map.empty
+    else new String(Files.readAllBytes(pendingPath(view)),
+        StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('=')
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toMap
+
+  private def writePending(view: FeatureView, m: Map[String, Long]): Unit =
+    if (m.isEmpty) Files.deleteIfExists(pendingPath(view))
+    else {
+      val body = m.toSeq.sorted.map { case (v, t) => s"$v=$t" }.mkString("\n")
+      val tmp = Paths.get(path("online", view.name, "_gc_pending.tmp"))
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, pendingPath(view), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
 
   private def gcVersions(view: FeatureView): Unit =
@@ -160,7 +200,24 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
             Files.isDirectory(p) && !n.startsWith("_") && !live.contains(n)
           }.toList
           finally listing.close()
-        stale.foreach(deleteRecursive)
+        if (gcGraceMs <= 0L) stale.foreach(deleteRecursive)
+        else {
+          // retention window: stamp newly-superseded versions, delete only
+          // the ones unreferenced for longer than the grace period. A
+          // version that somehow became live again simply drops out of
+          // the pending map (it is rebuilt from the CURRENT stale set).
+          val now = clock()
+          val pending = readPending(view)
+          val stamped = stale.map { p =>
+            val n = p.getFileName.toString
+            (p, n, pending.getOrElse(n, now))
+          }
+          val (ripe, young) = stamped.partition {
+            case (_, _, t) => now - t >= gcGraceMs
+          }
+          ripe.foreach { case (p, _, _) => deleteRecursive(p) }
+          writePending(view, young.map { case (_, n, t) => n -> t }.toMap)
+        }
       }
     }
 
@@ -384,6 +441,7 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
     // FileAlreadyExists — clear them now that live is authoritative
     deleteRecursive(Paths.get(tmp))
     deleteRecursive(Paths.get(old))
+    sweepRetired(view)
     spark.read.parquet(live)
       .repartition(col("batch"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch").parquet(tmp)
@@ -394,6 +452,38 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32) {
       StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(live),
       StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursive(Paths.get(old))
+    if (gcGraceMs <= 0L) deleteRecursive(Paths.get(old))
+    else
+      // retention: park the pre-compaction copy under a stamped name and
+      // sweep it once the grace window lapses (next compaction/sweep).
+      // NOTE this retains the DATA (operator rollback, exactly Delta's
+      // retained pre-OPTIMIZE files); it cannot un-break a reader that
+      // captured concrete pre-swap file paths — Spark's FileIndex pins
+      // paths at read() time and the swap renames them, which is why the
+      // quiesce contract above stands regardless of retention.
+      Files.move(Paths.get(old),
+        Paths.get(path("history", s"_compact_retired_${view.name}_${clock()}")),
+        StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Deletes `_compact_retired_<view>_<stamp>` copies older than the
+    * grace window. */
+  private def sweepRetired(view: FeatureView): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path("history"))
+    if (Files.isDirectory(dir)) {
+      val prefix = s"_compact_retired_${view.name}_"
+      val listing = Files.list(dir)
+      val retired =
+        try listing.iterator().asScala.filter(
+          _.getFileName.toString.startsWith(prefix)).toList
+        finally listing.close()
+      val now = clock()
+      retired.foreach { p =>
+        val stamp = p.getFileName.toString.stripPrefix(prefix)
+        if (stamp.forall(_.isDigit) && now - stamp.toLong >= gcGraceMs)
+          deleteRecursive(p)
+      }
+    }
   }
 }

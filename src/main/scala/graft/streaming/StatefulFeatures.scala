@@ -12,13 +12,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `groupByKey(entity).flatMapGroupsWithState` holding a 24 h event-time
   * ring buffer per key and emitting one feature row per input event.
   *
-  * State discipline for 100 TB streams: the buffer holds (ems, value)
-  * pairs inside the largest horizon only — eviction on every append — and
-  * all sub-horizon aggregates are computed from the sorted buffer tail.
-  * Decomposable aggregates (count/sum) could be kept as running partials
-  * per horizon (strictly smaller state); the buffer form is chosen because
-  * it also serves the non-decomposable per-event features (z-score vs the
-  * anchored window, A12/A13) and stays bounded by events-per-key-per-24 h.
+  * State discipline for 100 TB streams: events live inside the largest
+  * horizon only — eviction on every append — and are held in TUMBLING-
+  * MINUTE PARTIAL BUCKETS (SURVEY §4's decomposed form): raw (ems, value)
+  * grouped by event-time minute, each bucket carrying cached decomposable
+  * aggregates (count / decimal sum / sum-of-squares / min / max). A
+  * per-event anchored window (t-h, t] then costs O(#buckets + the two
+  * boundary buckets' sizes) — ≤ 1441 bucket reads plus two partial scans —
+  * instead of O(buffer) per event. The reference deliberately makes keys
+  * hot (ref txgen.py:117-123: top-200 cards get 40% of volume); a hot key
+  * holding ~10^6 events/24 h pays ~3·10^3 ops/event here vs ~10^6 with a
+  * flat buffer (the O(B^2)-per-key-per-day shape this replaces). Raw
+  * events stay in the buckets because the boundary minutes of an
+  * arbitrarily-anchored window are partial by construction — min/max and
+  * the window's exact edge cannot be answered from bucket subtotals alone
+  * — and because late arrivals must splice into their minute exactly.
+  * Decimal bucket subtotals keep bit-parity with the flat formulation:
+  * scale-6 decimal addition is exact at these magnitudes, so
+  * bucket-subtotal + boundary-element summation equals the oracle's flat
+  * ascending sum.
   *
   * Bounded-state limits (inherent, not bugs — production runs bound
   * lateness with a watermark BEFORE these ops, so none of these cases
@@ -54,15 +66,35 @@ object StatefulFeatures {
       event_id: Long, user_id: Long, ems: Long,
       cnt_5m: Long, cnt_30m: Long, cnt_24h: Long)
 
-  /** Buffer of events within the trailing 24 h, ascending by ems. */
-  case class Buf(ems: Seq[Long])
+  /** One tumbling event-time minute of the counts buffer: the minute
+    * index (floorDiv(ems, 60 000)) and its events' timestamps, ascending.
+    * Never empty. */
+  case class CountBucket(minute: Long, ems: Seq[Long])
 
-  /** Buffer carrying (ems, value) pairs for the full stat set, plus the
-    * newest evicted timestamp (so the lag emulation can reference an
+  /** Minute-bucketed buffer of events within the trailing 24 h, buckets
+    * ascending by minute (global ems order = bucket concatenation). */
+  case class Buf(buckets: Seq[CountBucket])
+
+  /** One tumbling event-time minute of the stats buffer: raw (ems, value)
+    * pairs (parallel seqs, ascending by ems) plus cached decomposable
+    * aggregates — `sx`/`sxx` are the scale-6 decimal sums of value and
+    * value², exactly the terms the flat window sum is made of, so full
+    * buckets contribute their subtotal without rescanning. Never empty. */
+  case class StatBucket(minute: Long, ems: Seq[Long], values: Seq[Double],
+      sx: BigDecimal, sxx: BigDecimal, minV: Double, maxV: Double)
+
+  /** Minute-bucketed buffer for the full stat set, plus the newest
+    * evicted timestamp (so the lag emulation can reference an
     * immediately-preceding event that already aged out of the 24 h
-    * window). */
-  case class StatBuf(ems: Seq[Long], values: Seq[Double],
-      evictedMax: Option[Long])
+    * window) and the running decimal totals of the WHOLE buffer
+    * (`totSx`/`totSxx`): decimal add/subtract is exact, so the totals are
+    * maintained incrementally (+run on insert, -dropped on eviction) and
+    * a window sum is total minus the few elements newer than the anchor —
+    * O(1) per event instead of a 1441-bucket decimal pass. */
+  case class StatBuf(buckets: Seq[StatBucket], evictedMax: Option[Long],
+      totSx: BigDecimal, totSxx: BigDecimal)
+
+  private val MinuteMs = 60000L
 
   /** Full per-event anchored 24 h stats — mirrors the batch RANGE-frame
     * formulation column for column (same oracle SQL). */
@@ -87,29 +119,60 @@ object StatefulFeatures {
       else acc :+ Vector(e)
     }
 
-  /** Shared per-group body of anchoredCounts (both timeout variants). */
+  /** Shared per-group body of anchoredCounts (both timeout variants).
+    * A tie-run shares one timestamp, hence one minute bucket: the insert
+    * touches exactly one bucket, eviction trims only the head, and each
+    * horizon count reads bucket sizes plus the two partial boundary
+    * minutes — O(#buckets) per event, never O(buffer). */
   private def processCounts(uid: Long, events: Iterator[EventIn],
       state: GroupState[Buf]): Iterator[AnchoredCounts] = {
-    var buf = state.getOption.map(_.ems.toVector).getOrElse(Vector.empty)
+    var buckets = state.getOption
+      .map(_.buckets.toVector).getOrElse(Vector.empty)
     val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
     val out = tieRuns(sorted)(_.ems).flatMap { run =>
-      run.foreach { e =>
-        // insert (keeps order even for cross-batch late arrivals)
-        val at = buf.indexWhere(_ > e.ems)
-        buf = if (at < 0) buf :+ e.ems
-              else (buf.take(at) :+ e.ems) ++ buf.drop(at)
+      val t = run.head.ems
+      val k = run.size
+      val m = Math.floorDiv(t, MinuteMs)
+      // insert the run (keeps order even for cross-batch late arrivals)
+      val bi = buckets.indexWhere(_.minute >= m)
+      buckets =
+        if (bi < 0) buckets :+ CountBucket(m, Vector.fill(k)(t))
+        else if (buckets(bi).minute == m) {
+          val b = buckets(bi)
+          val at = b.ems.indexWhere(_ > t)
+          val ems2 =
+            if (at < 0) b.ems.toVector ++ Vector.fill(k)(t)
+            else (b.ems.take(at).toVector ++ Vector.fill(k)(t)) ++ b.ems.drop(at)
+          buckets.updated(bi, CountBucket(m, ems2))
+        } else (buckets.take(bi) :+ CountBucket(m, Vector.fill(k)(t))) ++
+          buckets.drop(bi)
+      // evict beyond 24 h: whole buckets first, then trim the head
+      val thr = t - H24H
+      buckets = buckets.dropWhile(_.ems.last <= thr)
+      if (buckets.nonEmpty && buckets.head.ems.head <= thr)
+        buckets = buckets.updated(0,
+          buckets.head.copy(ems = buckets.head.ems.dropWhile(_ <= thr)))
+      // upper bound <= t matters for late arrivals: the buffer may
+      // already hold newer events, which the event-anchored window of a
+      // late event must not see (RANGE-frame parity)
+      def cnt(h: Long): Long = {
+        val lo = t - h
+        var c = 0L
+        buckets.foreach { b =>
+          val bLo = b.minute * MinuteMs
+          val bHi = bLo + MinuteMs - 1
+          if (bLo > lo && bHi <= t) c += b.ems.size
+          else if (bHi > lo && bLo <= t)
+            c += b.ems.count(x => x > lo && x <= t)
+        }
+        c
       }
-      buf = buf.dropWhile(_ <= run.head.ems - H24H) // evict beyond 24 h
-      run.map { e =>
-        // upper bound <= e.ems matters for late arrivals: the buffer
-        // may already hold newer events, which the event-anchored
-        // window of a late event must not see (RANGE-frame parity)
-        def cnt(h: Long) = buf.count(t => t > e.ems - h && t <= e.ems)
+      val c5 = cnt(H5M); val c30 = cnt(H30M); val c24 = cnt(H24H)
+      run.map(e =>
         AnchoredCounts(e.event_id, uid, e.ems,
-          cnt_5m = cnt(H5M), cnt_30m = cnt(H30M), cnt_24h = cnt(H24H))
-      }
+          cnt_5m = c5, cnt_30m = c30, cnt_24h = c24))
     }
-    state.update(Buf(buf))
+    state.update(Buf(buckets))
     out.iterator
   }
 
@@ -158,7 +221,9 @@ object StatefulFeatures {
             val out = processCounts(uid,
               events.map(e => EventIn(e.event_id, e.user_id, e.ems, e.value)),
               state)
-            armTimeout(state, state.getOption.flatMap(_.ems.lastOption), idleMs)
+            armTimeout(state,
+              state.getOption.flatMap(_.buckets.lastOption).map(_.ems.last),
+              idleMs)
             out
           }
       }
@@ -540,7 +605,9 @@ object StatefulFeatures {
             val out = processStats(uid,
               events.map(e => EventIn(e.event_id, e.user_id, e.ems, e.value)),
               state)
-            armTimeout(state, state.getOption.flatMap(_.ems.lastOption), idleMs)
+            armTimeout(state,
+              state.getOption.flatMap(_.buckets.lastOption).map(_.ems.last),
+              idleMs)
             out
           }
       }
@@ -709,64 +776,147 @@ object StatefulFeatures {
           out.iterator
   }
 
-  /** Shared per-group body of anchoredStats (both timeout variants). */
+  /** Shared per-group body of anchoredStats (both timeout variants).
+    * Same bucketed discipline as processCounts; full buckets contribute
+    * their cached decimal subtotals (exact, so bucket-composed sums equal
+    * the flat ascending sum bit for bit), the two boundary minutes are
+    * scanned element-wise. */
   private def processStats(uid: Long, events: Iterator[EventIn],
       state: GroupState[StatBuf]): Iterator[AnchoredStats] = {
-          var buf = state.getOption
-            .map(b => b.ems.zip(b.values).toVector).getOrElse(Vector.empty)
-          var evictedMax = state.getOption.flatMap(_.evictedMax)
-          val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
-          val out = tieRuns(sorted)(_.ems).flatMap { run =>
-            // lag (rowW order) for the run's FIRST event: the greatest
-            // earlier timestamp — in the buffer if still inside 24 h,
-            // otherwise the newest evicted one (handles >24 h gaps AND
-            // cross-batch late arrivals, where plain "last seen" would go
-            // negative)
-            val beforeRun = buf.filter(_._1 < run.head.ems).lastOption.map(_._1)
-              .orElse(evictedMax.filter(_ < run.head.ems))
-            run.foreach { e =>
-              val at = buf.indexWhere(_._1 > e.ems)
-              val entry = (e.ems, e.value)
-              buf = if (at < 0) buf :+ entry
-                    else (buf.take(at) :+ entry) ++ buf.drop(at)
+    var buckets = state.getOption
+      .map(_.buckets.toVector).getOrElse(Vector.empty)
+    var evictedMax = state.getOption.flatMap(_.evictedMax)
+    var totSx = state.getOption.map(_.totSx).getOrElse(BigDecimal(0))
+    var totSxx = state.getOption.map(_.totSxx).getOrElse(BigDecimal(0))
+    def dec(v: Double) =
+      BigDecimal.valueOf(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
+    val out = tieRuns(sorted)(_.ems).flatMap { run =>
+      val t = run.head.ems
+      val k = run.size
+      // lag (rowW order) for the run's FIRST event: the greatest earlier
+      // timestamp — in the buffer if still inside 24 h, otherwise the
+      // newest evicted one (handles >24 h gaps AND cross-batch late
+      // arrivals, where plain "last seen" would go negative). Walk
+      // buckets from the end: first bucket whose min ems < t holds it.
+      val beforeRun = buckets.reverseIterator
+        .find(_.ems.head < t)
+        .map(b => b.ems.takeWhile(_ < t).last)
+        .orElse(evictedMax.filter(_ < t))
+      // insert the run (one shared timestamp -> one bucket), updating
+      // the bucket's cached aggregates incrementally
+      val runSx = run.map(e => dec(e.value)).sum
+      val runSxx = run.map(e => dec(e.value * e.value)).sum
+      val runMinV = run.map(_.value).min
+      val runMaxV = run.map(_.value).max
+      val runVals = run.map(_.value).toVector
+      val m = Math.floorDiv(t, MinuteMs)
+      val bi = buckets.indexWhere(_.minute >= m)
+      def freshBucket = StatBucket(m, Vector.fill(k)(t), runVals,
+        runSx, runSxx, runMinV, runMaxV)
+      buckets =
+        if (bi < 0) buckets :+ freshBucket
+        else if (buckets(bi).minute == m) {
+          val b = buckets(bi)
+          val at = b.ems.indexWhere(_ > t)
+          val (ems2, vals2) =
+            if (at < 0) (b.ems.toVector ++ Vector.fill(k)(t),
+              b.values.toVector ++ runVals)
+            else ((b.ems.take(at).toVector ++ Vector.fill(k)(t)) ++ b.ems.drop(at),
+              (b.values.take(at).toVector ++ runVals) ++ b.values.drop(at))
+          buckets.updated(bi, StatBucket(m, ems2, vals2,
+            b.sx + runSx, b.sxx + runSxx,
+            math.min(b.minV, runMinV), math.max(b.maxV, runMaxV)))
+        } else (buckets.take(bi) :+ freshBucket) ++ buckets.drop(bi)
+      totSx += runSx; totSxx += runSxx
+      // evict beyond 24 h: whole buckets, then trim the head — bucket
+      // caches and running totals updated by exact decimal subtraction
+      // (identical to recomputing from the survivors: no rounding occurs)
+      val thr = t - H24H
+      val (gone, rest) = buckets.span(_.ems.last <= thr)
+      gone.lastOption.foreach { g =>
+        evictedMax = Some(math.max(g.ems.last,
+          evictedMax.getOrElse(Long.MinValue)))
+      }
+      gone.foreach { g => totSx -= g.sx; totSxx -= g.sxx }
+      buckets = rest
+      if (buckets.nonEmpty && buckets.head.ems.head <= thr) {
+        val b = buckets.head
+        val cut = b.ems.indexWhere(_ > thr)
+        evictedMax = Some(math.max(b.ems(cut - 1),
+          evictedMax.getOrElse(Long.MinValue)))
+        var dSx = BigDecimal(0); var dSxx = BigDecimal(0)
+        var i = 0
+        while (i < cut) {
+          val v = b.values(i); dSx += dec(v); dSxx += dec(v * v); i += 1
+        }
+        totSx -= dSx; totSxx -= dSxx
+        val ems2 = b.ems.drop(cut).toVector
+        val vals2 = b.values.drop(cut).toVector
+        buckets = buckets.updated(0, StatBucket(b.minute, ems2, vals2,
+          b.sx - dSx, b.sxx - dSxx, vals2.min, vals2.max))
+      }
+      // window aggregates over (t-24h, t] — shared by the whole tie-run
+      // (every member anchors at t). Decimal sums come from the running
+      // totals minus the elements NEWER than the anchor (empty on an
+      // in-order stream — O(1)); the remaining pass computes only the
+      // non-decomposable-from-totals parts (n, min/max, min ems) from
+      // cached bucket aggregates + the two partial boundary minutes.
+      val lo = thr
+      var n = 0L
+      var afterSx = BigDecimal(0); var afterSxx = BigDecimal(0)
+      var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
+      var minE = Long.MaxValue
+      buckets.foreach { b =>
+        val bLo = b.minute * MinuteMs
+        val bHi = bLo + MinuteMs - 1
+        if (bLo > t) { afterSx += b.sx; afterSxx += b.sxx }
+        else if (bLo > lo && bHi <= t) {
+          n += b.ems.size
+          minV = math.min(minV, b.minV); maxV = math.max(maxV, b.maxV)
+          minE = math.min(minE, b.ems.head)
+        } else if (bHi > lo) {
+          var i = 0
+          while (i < b.ems.size) {
+            val x = b.ems(i)
+            if (x > t) {
+              val v = b.values(i); afterSx += dec(v); afterSxx += dec(v * v)
+            } else if (x > lo) {
+              val v = b.values(i)
+              n += 1
+              minV = math.min(minV, v); maxV = math.max(maxV, v)
+              minE = math.min(minE, x)
             }
-            val (dropped, kept) = buf.span(_._1 <= run.head.ems - H24H)
-            if (dropped.nonEmpty)
-              evictedMax = Some(math.max(dropped.last._1,
-                evictedMax.getOrElse(Long.MinValue)))
-            buf = kept
-            run.zipWithIndex.map { case (e, k) =>
-              val win = buf.filter(p => p._1 > e.ems - H24H && p._1 <= e.ems)
-              val n = win.size.toLong
-              def dec(v: Double) =
-                BigDecimal.valueOf(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-              val sx = win.map(p => dec(p._2)).sum.toDouble
-              val sxx = win.map(p => dec(p._2 * p._2)).sum.toDouble
-              val mean = sx / n
-              // same clamp as the batch/oracle form: ~0 variance can go a
-              // few ulps negative under cancellation
-              val variance =
-                if (n > 1) Some(math.max((sxx - sx * sx / n) / (n - 1), 0.0))
-                else None
-              val std = variance.map(math.sqrt)
-              val z = std.filter(_ > 0).map(s => (e.value - mean) / s)
-                .getOrElse(0.0)
-              val minE = win.map(_._1).min
-              // lag: tie-mates after the first see their predecessor's ems
-              // (zero minutes), matching LAG over (ems, event_id)
-              val prev = if (k > 0) Some(e.ems) else beforeRun
-              AnchoredStats(e.event_id, uid, e.value,
-                n_24h = n, sum_24h = sx, avg_24h = mean,
-                min_24h = win.map(_._2).min, max_24h = win.map(_._2).max,
-                std_24h = std,
-                mins_since_last = prev.map(p => (e.ems - p) / 60000.0),
-                avg_mins_between =
-                  if (n > 1) Some((e.ems - minE).toDouble / (n - 1) / 60000.0)
-                  else None,
-                zscore = z, is_outlier = math.abs(z) > 2.0)
-            }
+            i += 1
           }
-    state.update(StatBuf(buf.map(_._1), buf.map(_._2), evictedMax))
+        }
+      }
+      val sx = (totSx - afterSx).toDouble
+      val sxx = (totSxx - afterSxx).toDouble
+      val mean = sx / n
+      // same clamp as the batch/oracle form: ~0 variance can go a few
+      // ulps negative under cancellation
+      val variance =
+        if (n > 1) Some(math.max((sxx - sx * sx / n) / (n - 1), 0.0))
+        else None
+      val std = variance.map(math.sqrt)
+      run.zipWithIndex.map { case (e, kk) =>
+        val z = std.filter(_ > 0).map(s => (e.value - mean) / s)
+          .getOrElse(0.0)
+        // lag: tie-mates after the first see their predecessor's ems
+        // (zero minutes), matching LAG over (ems, event_id)
+        val prev = if (kk > 0) Some(e.ems) else beforeRun
+        AnchoredStats(e.event_id, uid, e.value,
+          n_24h = n, sum_24h = sx, avg_24h = mean,
+          min_24h = minV, max_24h = maxV, std_24h = std,
+          mins_since_last = prev.map(p => (e.ems - p) / 60000.0),
+          avg_mins_between =
+            if (n > 1) Some((e.ems - minE).toDouble / (n - 1) / 60000.0)
+            else None,
+          zscore = z, is_outlier = math.abs(z) > 2.0)
+      }
+    }
+    state.update(StatBuf(buckets, evictedMax, totSx, totSxx))
     out.iterator
   }
 

@@ -360,8 +360,9 @@ object StreamingPipelines {
     * (inner join), so the sink holds the complete pair set; the
     * left-outer count rollup runs as a batch over the sink + the static
     * purchase list, giving the SAME oracle as the batch interval join. */
-  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
-    val es = eventStreamReplay(spark, dir)
+  def intervalJoinStream(spark: SparkSession, dir: String,
+                         nChunks: Int = 8): DataFrame = {
+    val es = eventStreamReplay(spark, dir, nChunks)
       .withColumn("ts", col("ts").cast("timestamp"))
     val purchases = es.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),

@@ -37,6 +37,28 @@ object ScaleCheck {
       .withColumn("ts", timestamp_millis(col("ems")))
   }
 
+  /** Hot-key corpus (ref txgen.py:117-123: top cards take 40% of
+    * volume): ONE user absorbs 40% of all events, the rest spread
+    * uniformly; a 3-day span so the hot key's 24 h buffer is dense
+    * (~13 % of n at 1x, ~13 k events; 10x -> ~130 k). This is the shape
+    * that made the flat per-event buffer O(B^2) per key per day — the
+    * minute-bucketed state must stay near-linear in n here. */
+  private def synthSkewed(spark: SparkSession, n: Long): DataFrame = {
+    val span = 3L * 24 * 3600 * 1000
+    val users = math.max(n / 2000L, 2L)
+    spark.range(0, n)
+      .withColumn("h",
+        conv(substring(md5(col("id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long"))
+      .select(
+        col("id").as("event_id"),
+        when(pmod(col("h"), lit(10L)) < 4, lit(0L))
+          .otherwise(pmod(col("h"), lit(users))).as("user_id"),
+        (lit(1704067200000L) + col("id") * (span / n)).as("ems"),
+        (pmod(col("h"), lit(100000L)) / 100.0).as("value"))
+      .withColumn("ts", timestamp_millis(col("ems")))
+  }
+
   private def timed[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
@@ -58,6 +80,11 @@ object ScaleCheck {
     def stage(n: Long): String = {
       val dir = s"$base/events_$n"
       synthEvents(spark, n).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def stageSkewed(n: Long): String = {
+      val dir = s"$base/skewed_$n"
+      synthSkewed(spark, n).write.mode("overwrite").parquet(dir)
       dir
     }
     def stream(dir: String) = {
@@ -110,10 +137,12 @@ object ScaleCheck {
     }
 
     val d1 = stage(n1); val d10 = stage(n1 * 10)
+    val s1 = stageSkewed(n1); val s10 = stageSkewed(n1 * 10)
     // warm the JIT/codegen on the small corpus before any timed run
     anchored(d1); sessions(d1)
     val out = Seq(
       ("anchored_stats", anchored(d1), anchored(d10)),
+      ("anchored_stats_hotkey", anchored(s1), anchored(s10)),
       ("session_steps", sessions(d1), sessions(d10)),
       ("store_upsert_fixed_batch", upsert(n1), upsert(n1 * 10)))
     out.foreach { case (name, t1, t10) =>

@@ -181,6 +181,49 @@ class StoreSpec extends AnyFunSuite {
     assert(viol2.count() == 1L)
   }
 
+  test("retention GC: pinned pre-upsert reader survives the grace window") {
+    val root = Files.createTempDirectory("graft_retention_store_").toString
+    var now = 1000000L
+    val store = new OnlineStore(spark, root, gcGraceMs = 60000L,
+      clock = () => now)
+    store.upsert(view, rows((1L, 100L, 1.0), (2L, 100L, 2.0)), 0L)
+    val pinned = store.online(view) // resolves v0's concrete bucket paths
+    store.upsert(view, rows((1L, 200L, 9.0), (2L, 200L, 8.0)), 1L)
+    // v0 is unreferenced but inside the grace window: the pinned reader
+    // still collects the pre-upsert state (with gcGraceMs=0 this throws)
+    val got = pinned.select($"user_id", $"v").as[(Long, Double)]
+      .collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0))
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/online/spec_view/v0")))
+    // lapse the window; GC rides the next upsert and deletes v0
+    now += 61000L
+    store.upsert(view, rows((1L, 300L, 7.0)), 2L)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/online/spec_view/v0")))
+    val online = store.getOnlineFeatures(view, Seq(1L, 2L).toDF("user_id"))
+      .select($"user_id", $"v").as[(Long, Double)].collect().toMap
+    assert(online == Map(1L -> 7.0, 2L -> 8.0))
+  }
+
+  test("compactHistory retains the pre-compaction copy for the grace window") {
+    val root = Files.createTempDirectory("graft_retire_store_").toString
+    var now = 1000000L
+    val store = new OnlineStore(spark, root, gcGraceMs = 60000L,
+      clock = () => now)
+    store.upsert(view, rows((1L, 100L, 1.0)), 0L)
+    store.upsert(view, rows((1L, 200L, 2.0)), 1L)
+    store.compactHistory(view)
+    def retired() = new java.io.File(s"$root/history").listFiles()
+      .filter(_.getName.startsWith("_compact_retired_spec_view_"))
+    assert(retired().length == 1)
+    assert(store.history(view).count() == 2L)
+    now += 61000L
+    store.compactHistory(view) // start-of-run sweep removes the lapsed copy
+    val after = retired()
+    assert(after.length == 1 && after.head.getName
+      .stripPrefix("_compact_retired_spec_view_").toLong == now)
+    assert(store.history(view).count() == 2L)
+  }
+
   test("service-level read joins multiple views without column collisions") {
     val store = newStore()
     val view2 = FeatureView("spec_view2", Seq(Registry.user), ttlMs = 1000L,
