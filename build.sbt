@@ -23,8 +23,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 32g default: the container has 128 GiB and local[32] puts driver +
+// all executor threads + memory-sink tables in ONE JVM — an 8g heap
+// GC-storms under the 107-query Bench (observed: a 20k-row query's
+// median inflated 5-10x with a 209 s worst run purely from collection
+// pauses). Override with SPARK_DRIVER_MEM.
+// ParallelGC: these are batch-throughput JVMs (Bench/Verify/tests) — G1's
+// concurrent cycles measurably tax the stateful operators (GC pauses get
+// attributed to every running task; observed 30-45% of wall in long
+// multi-query runs). Pause times are irrelevant here.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+UseParallelGC",
+  // fixed 1g young gen: on this VM first-touch of freshly-expanded heap
+  // pages is orders of magnitude slower than warm pages (measured young
+  // collections of ~3 GB pausing 4-21 s while the heap grew). A bounded
+  // young gen recycles the same warm pages every collection instead of
+  // letting the ergonomics expand into cold memory mid-query.
+  "-Xms2g", "-Xmn1g",
 )

@@ -68,8 +68,11 @@ object StatefulFeatures {
 
   /** One tumbling event-time minute of the counts buffer: the minute
     * index (floorDiv(ems, 60 000)) and its events' timestamps, ascending.
-    * Never empty. */
-  case class CountBucket(minute: Long, ems: Seq[Long])
+    * Never empty. Primitive arrays, not Seqs: the state machine runs per
+    * event on hot keys, and boxed collections made allocation/GC — not
+    * arithmetic — the dominant cost (measured 30-45% of wall as collector
+    * pauses in long multi-query JVMs). */
+  case class CountBucket(minute: Long, ems: Array[Long])
 
   /** Minute-bucketed buffer of events within the trailing 24 h, buckets
     * ascending by minute (global ems order = bucket concatenation). */
@@ -80,7 +83,7 @@ object StatefulFeatures {
     * aggregates — `sx`/`sxx` are the scale-6 decimal sums of value and
     * value², exactly the terms the flat window sum is made of, so full
     * buckets contribute their subtotal without rescanning. Never empty. */
-  case class StatBucket(minute: Long, ems: Seq[Long], values: Seq[Double],
+  case class StatBucket(minute: Long, ems: Array[Long], values: Array[Double],
       sx: BigDecimal, sxx: BigDecimal, minV: Double, maxV: Double)
 
   /** Minute-bucketed buffer for the full stat set, plus the newest
@@ -124,6 +127,23 @@ object StatefulFeatures {
     * touches exactly one bucket, eviction trims only the head, and each
     * horizon count reads bucket sizes plus the two partial boundary
     * minutes — O(#buckets) per event, never O(buffer). */
+  /** First index in the ascending array whose value exceeds `t` (array
+    * length if none) — the splice point for inserts and trims. */
+  private def upperIdx(a: Array[Long], t: Long): Int = {
+    var i = 0
+    while (i < a.length && a(i) <= t) i += 1
+    i
+  }
+
+  /** New array = a[0,at) ++ k copies of t ++ a[at,len). */
+  private def splice(a: Array[Long], at: Int, t: Long, k: Int): Array[Long] = {
+    val r = new Array[Long](a.length + k)
+    System.arraycopy(a, 0, r, 0, at)
+    java.util.Arrays.fill(r, at, at + k, t)
+    System.arraycopy(a, at, r, at + k, a.length - at)
+    r
+  }
+
   private def processCounts(uid: Long, events: Iterator[EventIn],
       state: GroupState[Buf]): Iterator[AnchoredCounts] = {
     var buckets = state.getOption
@@ -136,34 +156,43 @@ object StatefulFeatures {
       // insert the run (keeps order even for cross-batch late arrivals)
       val bi = buckets.indexWhere(_.minute >= m)
       buckets =
-        if (bi < 0) buckets :+ CountBucket(m, Vector.fill(k)(t))
+        if (bi < 0) buckets :+ CountBucket(m, Array.fill(k)(t))
         else if (buckets(bi).minute == m) {
           val b = buckets(bi)
-          val at = b.ems.indexWhere(_ > t)
-          val ems2 =
-            if (at < 0) b.ems.toVector ++ Vector.fill(k)(t)
-            else (b.ems.take(at).toVector ++ Vector.fill(k)(t)) ++ b.ems.drop(at)
-          buckets.updated(bi, CountBucket(m, ems2))
-        } else (buckets.take(bi) :+ CountBucket(m, Vector.fill(k)(t))) ++
+          buckets.updated(bi,
+            CountBucket(m, splice(b.ems, upperIdx(b.ems, t), t, k)))
+        } else (buckets.take(bi) :+ CountBucket(m, Array.fill(k)(t))) ++
           buckets.drop(bi)
       // evict beyond 24 h: whole buckets first, then trim the head
       val thr = t - H24H
       buckets = buckets.dropWhile(_.ems.last <= thr)
-      if (buckets.nonEmpty && buckets.head.ems.head <= thr)
-        buckets = buckets.updated(0,
-          buckets.head.copy(ems = buckets.head.ems.dropWhile(_ <= thr)))
+      if (buckets.nonEmpty && buckets.head.ems(0) <= thr) {
+        val b = buckets.head
+        buckets = buckets.updated(0, CountBucket(b.minute,
+          java.util.Arrays.copyOfRange(b.ems, upperIdx(b.ems, thr),
+            b.ems.length)))
+      }
       // upper bound <= t matters for late arrivals: the buffer may
       // already hold newer events, which the event-anchored window of a
       // late event must not see (RANGE-frame parity)
       def cnt(h: Long): Long = {
         val lo = t - h
         var c = 0L
-        buckets.foreach { b =>
+        var j = 0
+        while (j < buckets.length) {
+          val b = buckets(j)
           val bLo = b.minute * MinuteMs
           val bHi = bLo + MinuteMs - 1
-          if (bLo > lo && bHi <= t) c += b.ems.size
-          else if (bHi > lo && bLo <= t)
-            c += b.ems.count(x => x > lo && x <= t)
+          if (bLo > lo && bHi <= t) c += b.ems.length
+          else if (bHi > lo && bLo <= t) {
+            val a = b.ems
+            var i = 0
+            while (i < a.length) {
+              if (a(i) > lo && a(i) <= t) c += 1
+              i += 1
+            }
+          }
+          j += 1
         }
         c
       }
@@ -800,8 +829,8 @@ object StatefulFeatures {
       // arrivals, where plain "last seen" would go negative). Walk
       // buckets from the end: first bucket whose min ems < t holds it.
       val beforeRun = buckets.reverseIterator
-        .find(_.ems.head < t)
-        .map(b => b.ems.takeWhile(_ < t).last)
+        .find(_.ems(0) < t)
+        .map { b => b.ems(upperIdx(b.ems, t - 1) - 1) }
         .orElse(evictedMax.filter(_ < t))
       // insert the run (one shared timestamp -> one bucket), updating
       // the bucket's cached aggregates incrementally
@@ -809,21 +838,21 @@ object StatefulFeatures {
       val runSxx = run.map(e => dec(e.value * e.value)).sum
       val runMinV = run.map(_.value).min
       val runMaxV = run.map(_.value).max
-      val runVals = run.map(_.value).toVector
       val m = Math.floorDiv(t, MinuteMs)
       val bi = buckets.indexWhere(_.minute >= m)
-      def freshBucket = StatBucket(m, Vector.fill(k)(t), runVals,
-        runSx, runSxx, runMinV, runMaxV)
+      def freshBucket = StatBucket(m, Array.fill(k)(t),
+        run.map(_.value).toArray, runSx, runSxx, runMinV, runMaxV)
       buckets =
         if (bi < 0) buckets :+ freshBucket
         else if (buckets(bi).minute == m) {
           val b = buckets(bi)
-          val at = b.ems.indexWhere(_ > t)
-          val (ems2, vals2) =
-            if (at < 0) (b.ems.toVector ++ Vector.fill(k)(t),
-              b.values.toVector ++ runVals)
-            else ((b.ems.take(at).toVector ++ Vector.fill(k)(t)) ++ b.ems.drop(at),
-              (b.values.take(at).toVector ++ runVals) ++ b.values.drop(at))
+          val at = upperIdx(b.ems, t)
+          val ems2 = splice(b.ems, at, t, k)
+          val vals2 = new Array[Double](b.values.length + k)
+          System.arraycopy(b.values, 0, vals2, 0, at)
+          var i = 0
+          while (i < k) { vals2(at + i) = run(i).value; i += 1 }
+          System.arraycopy(b.values, at, vals2, at + k, b.values.length - at)
           buckets.updated(bi, StatBucket(m, ems2, vals2,
             b.sx + runSx, b.sxx + runSxx,
             math.min(b.minV, runMinV), math.max(b.maxV, runMaxV)))
@@ -840,9 +869,9 @@ object StatefulFeatures {
       }
       gone.foreach { g => totSx -= g.sx; totSxx -= g.sxx }
       buckets = rest
-      if (buckets.nonEmpty && buckets.head.ems.head <= thr) {
+      if (buckets.nonEmpty && buckets.head.ems(0) <= thr) {
         val b = buckets.head
-        val cut = b.ems.indexWhere(_ > thr)
+        val cut = upperIdx(b.ems, thr)
         evictedMax = Some(math.max(b.ems(cut - 1),
           evictedMax.getOrElse(Long.MinValue)))
         var dSx = BigDecimal(0); var dSxx = BigDecimal(0)
@@ -851,10 +880,16 @@ object StatefulFeatures {
           val v = b.values(i); dSx += dec(v); dSxx += dec(v * v); i += 1
         }
         totSx -= dSx; totSxx -= dSxx
-        val ems2 = b.ems.drop(cut).toVector
-        val vals2 = b.values.drop(cut).toVector
+        val ems2 = java.util.Arrays.copyOfRange(b.ems, cut, b.ems.length)
+        val vals2 = java.util.Arrays.copyOfRange(b.values, cut,
+          b.values.length)
+        var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+        i = 0
+        while (i < vals2.length) {
+          mn = math.min(mn, vals2(i)); mx = math.max(mx, vals2(i)); i += 1
+        }
         buckets = buckets.updated(0, StatBucket(b.minute, ems2, vals2,
-          b.sx - dSx, b.sxx - dSxx, vals2.min, vals2.max))
+          b.sx - dSx, b.sxx - dSxx, mn, mx))
       }
       // window aggregates over (t-24h, t] — shared by the whole tie-run
       // (every member anchors at t). Decimal sums come from the running
@@ -867,18 +902,21 @@ object StatefulFeatures {
       var afterSx = BigDecimal(0); var afterSxx = BigDecimal(0)
       var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
       var minE = Long.MaxValue
-      buckets.foreach { b =>
+      var bj = 0
+      while (bj < buckets.length) {
+        val b = buckets(bj)
         val bLo = b.minute * MinuteMs
         val bHi = bLo + MinuteMs - 1
         if (bLo > t) { afterSx += b.sx; afterSxx += b.sxx }
         else if (bLo > lo && bHi <= t) {
-          n += b.ems.size
+          n += b.ems.length
           minV = math.min(minV, b.minV); maxV = math.max(maxV, b.maxV)
-          minE = math.min(minE, b.ems.head)
+          minE = math.min(minE, b.ems(0))
         } else if (bHi > lo) {
+          val a = b.ems
           var i = 0
-          while (i < b.ems.size) {
-            val x = b.ems(i)
+          while (i < a.length) {
+            val x = a(i)
             if (x > t) {
               val v = b.values(i); afterSx += dec(v); afterSxx += dec(v * v)
             } else if (x > lo) {
@@ -890,6 +928,7 @@ object StatefulFeatures {
             i += 1
           }
         }
+        bj += 1
       }
       val sx = (totSx - afterSx).toDouble
       val sxx = (totSxx - afterSxx).toDouble
