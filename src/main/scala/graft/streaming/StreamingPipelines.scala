@@ -308,9 +308,18 @@ object StreamingPipelines {
   def runToMemory(spark: SparkSession, out: DataFrame, mode: String,
                   caller: String = "query"): DataFrame = {
     val name = freshName(s"graft_sink_$caller")
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    // shuffle partitions = state partitions for the query being started
+    // (frozen at checkpoint creation — and read during the FIRST batch's
+    // planning, which runs async after start(), so the conf stays set
+    // until the run completes); sized to the verify workload, see
+    // StatePartitions
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     Option(lastSink.put(caller, name))
       .foreach(prev => spark.catalog.dropTempView(prev))
     spark.table(name)
@@ -360,28 +369,22 @@ object StreamingPipelines {
     * (inner join), so the sink holds the complete pair set; the
     * left-outer count rollup runs as a batch over the sink + the static
     * purchase list, giving the SAME oracle as the batch interval join. */
-  /** State partitions for the stream-stream join: a stateful query's
+  /** State partitions for the streaming pipelines: a stateful query's
     * partition count is frozen at checkpoint creation and AQE cannot
     * touch it, so it must be SIZED, not defaulted — every micro-batch
-    * commits all four join state stores (left/right x keyToNumValues/
-    * keyWithIndexToValue) in every partition, an O(partitions x batches)
-    * fixed cost that dwarfs per-row work at verify scale (measured: 32
-    * partitions ~= 2x the wall of 8 on the sf0.1 corpus). 8 partitions
-    * carry ~12k rows each here; a production deployment sizes this to
-    * target-throughput/executor instead (state ops shuffle on user_id —
-    * the partition count is a capacity knob, not a semantics knob). */
-  private val JoinStatePartitions = "8"
+    * commits every state store in every partition (a stream-stream join
+    * carries FOUR per partition), an O(partitions x batches) fixed cost
+    * that dwarfs per-row work at verify scale (measured: 32 partitions
+    * ~= 2x the wall of 8 on the sf0.1 interval join). 8 partitions carry
+    * ~12k rows each here; a production deployment sizes this to
+    * target-throughput/executor instead (state ops shuffle on the entity
+    * key — the partition count is a capacity knob, not a semantics
+    * knob). Applied in [[runToMemory]], the single chokepoint every
+    * streaming query starts through. */
+  private val StatePartitions = "8"
 
   def intervalJoinStream(spark: SparkSession, dir: String,
                          nChunks: Int = 8): DataFrame = {
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", JoinStatePartitions)
-    try intervalJoinStreamInner(spark, dir, nChunks)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
-
-  private def intervalJoinStreamInner(spark: SparkSession, dir: String,
-                                      nChunks: Int): DataFrame = {
     val es = eventStreamReplay(spark, dir, nChunks)
       .withColumn("ts", col("ts").cast("timestamp"))
     val purchases = es.filter(col("event_type") === "purchase")
