@@ -91,6 +91,61 @@ object SkewQueries extends QueryModule {
   private val skewAnchoredStatsSql = EventFeatures.anchoredStatsSqlFrom(
     skewCte + ", base AS (SELECT event_id, user_id, value, ems FROM skew)")
 
+  // ------------------------------------------------------------- B* x skew
+  /** Per-event session steps through the RETRACTION state machine
+    * (`sessionStepsUpdate`) on the skewed corpus — the hot key's ~10 000
+    * events (5–10 s apart, never a 30 min gap) form ONE session whose
+    * running counters the update-mode walk must thread through the full
+    * buffer, while ~500x-smaller tail keys sessionize normally. In the
+    * single batch-mode group pass each key's rows walk in (ems, id)
+    * order and every row emits exactly once, so `rev` is oracle-
+    * expressible as row_number() per user. */
+  private def skewSessionSteps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = skewedEvents(spark)
+      .withColumn("h2",
+        conv(substring(md5(col("event_id").cast("string").cast("binary")),
+          9, 8), 16, 10).cast("long"))
+      .withColumn("event_type",
+        element_at(array(lit("click"), lit("view"), lit("purchase")),
+          (pmod(col("h2"), lit(3L)) + 1).cast("int")))
+      .select(col("event_id"), col("user_id"), col("ems"), col("event_type"))
+      .as[StatefulFeatures.SessEventIn]
+    StatefulFeatures.sessionStepsUpdate(ds).toDF().orderBy(col("event_id"))
+  }
+
+  private val skewSessionStepsSql =
+    s"""WITH $skewCte, evsrc AS (
+      |  SELECT event_id, user_id, ems,
+      |    ['click', 'view', 'purchase'][1 + CAST((CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8)) AS BIGINT) % 3) AS INT)] AS event_type
+      |  FROM skew
+      |), seq AS (
+      |  SELECT event_id, user_id, event_type, ems,
+      |    CASE WHEN lag(ems) OVER uw IS NULL
+      |           OR ems - lag(ems) OVER uw > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM evsrc
+      |  WINDOW uw AS (PARTITION BY user_id ORDER BY ems, event_id)
+      |), sess AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ems, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM seq
+      |), steps AS (
+      |  SELECT event_id, user_id, ems,
+      |    count(*) OVER w AS session_events,
+      |    (ems - MIN(ems) OVER w) / 60000.0 AS session_duration_min,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS purchases_so_far,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS clicks_so_far,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ems, event_id) AS BIGINT) AS rev
+      |  FROM sess
+      |  WINDOW w AS (PARTITION BY user_id, sess_id ORDER BY ems, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, ems, session_events, session_duration_min,
+      |  purchases_so_far, clicks_so_far,
+      |  purchases_so_far / GREATEST(clicks_so_far, 1) AS conversion_so_far,
+      |  rev
+      |FROM steps ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------- O3 x skew
   /** Salted two-phase top-k over the skewed corpus — the hot key owns
     * ~50% of all rows, so the salt is doing real work here (on the
@@ -137,12 +192,14 @@ object SkewQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_anchored_counts" -> (skewAnchoredCounts _),
     "skew_anchored_stats" -> (skewAnchoredStats _),
+    "skew_session_steps" -> (skewSessionSteps _),
     "skew_top_users_salted" -> (skewTopUsersSalted _),
     "skew_key_profile" -> (skewKeyProfile _))
 
   override def oracles: Map[String, String] = Map(
     "skew_anchored_counts" -> skewAnchoredCountsSql,
     "skew_anchored_stats" -> skewAnchoredStatsSql,
+    "skew_session_steps" -> skewSessionStepsSql,
     "skew_top_users_salted" -> skewTopUsersSql,
     "skew_key_profile" -> skewKeyProfileSql)
 }

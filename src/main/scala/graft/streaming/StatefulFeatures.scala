@@ -420,9 +420,12 @@ object StatefulFeatures {
   /** sessionSteps with RETRACTION (OutputMode.Update): a late event can
     * join, extend, or MERGE sessions — shifting the running counters of
     * every later event in the (merged) session — so this variant keeps
-    * the trailing 24 h of events per key, re-sessionizes the buffer on
-    * every arrival, and re-emits exactly the rows whose values changed
-    * (diffed against the last emission carried per event). Events evicted
+    * the trailing 24 h of events per key and re-emits exactly the rows
+    * whose values changed (diffed against the last emission carried per
+    * event). In-order arrival batches take a SUFFIX-INCREMENTAL walk
+    * (O(batch), seeded from the last retained row's carried state); the
+    * full O(buffer) re-sessionize runs only when an arrival lands at or
+    * before the last retained (ems, id) — the merge case. Events evicted
     * past the horizon fold into a prefix summary so a session that
     * started before the retained window still reports true start/counts;
     * an arrival older than the horizon cannot be reconciled (the same
@@ -488,41 +491,67 @@ object StatefulFeatures {
               p.toDouble / math.max(c, 1L), rev)
           }
           val incoming = freshIn.map(e =>
-            SessEv(e.ems, e.event_id, e.event_type, -1L, 0.0, 0L, 0L, e.ems))
-          var buf = (st0.rows.toVector ++ incoming).sortBy(x => (x.ems, x.id))
-          // re-sessionize the whole buffer, seeded by the prefix summary
-          // (eviction happens AFTER the walk, so every row — including
-          // ones about to age out on an initial bulk load — emits first)
-          var sess: SessPrefix = null
-          buf = buf.map { x =>
-            sess =
-              if (sess == null) prefix match {
-                case Some(p) if x.ems - p.lastEms <= SessionGapMs => p
-                case _ => SessPrefix(x.ems, x.ems, 0L, 0L, 0L)
+              SessEv(e.ems, e.event_id, e.event_type, -1L, 0.0, 0L, 0L, e.ems))
+            .sortBy(x => (x.ems, x.id))
+          // Walk `rows` in (ems, id) order, threading the running session
+          // state from `seed` (null = seed from the evicted-prefix summary
+          // per the first row's gap). Emits every row whose values changed
+          // since its last emission; returns rows with carried values.
+          def walkRows(rows: Vector[SessEv], seed: SessPrefix): Vector[SessEv] = {
+            var sess: SessPrefix = seed
+            rows.map { x =>
+              sess =
+                if (sess == null) prefix match {
+                  case Some(p) if x.ems - p.lastEms <= SessionGapMs => p
+                  case _ => SessPrefix(x.ems, x.ems, 0L, 0L, 0L)
+                }
+                else if (x.ems - sess.lastEms > SessionGapMs)
+                  SessPrefix(x.ems, x.ems, 0L, 0L, 0L)
+                else sess
+              sess = sess.copy(lastEms = x.ems, n = sess.n + 1,
+                purchases = sess.purchases + (if (x.et == "purchase") 1 else 0),
+                clicks = sess.clicks + (if (x.et == "click") 1 else 0))
+              val dur = (x.ems - sess.startEms) / 60000.0
+              val changed = x.lastN != sess.n || x.lastDur != dur ||
+                x.lastP != sess.purchases || x.lastC != sess.clicks
+              if (changed) {
+                rev += 1
+                out += SessionStepRev(x.id, uid, x.ems,
+                  session_events = sess.n, session_duration_min = dur,
+                  purchases_so_far = sess.purchases,
+                  clicks_so_far = sess.clicks,
+                  conversion_so_far =
+                    sess.purchases.toDouble / math.max(sess.clicks, 1L),
+                  rev = rev)
               }
-              else if (x.ems - sess.lastEms > SessionGapMs)
-                SessPrefix(x.ems, x.ems, 0L, 0L, 0L)
-              else sess
-            sess = sess.copy(lastEms = x.ems, n = sess.n + 1,
-              purchases = sess.purchases + (if (x.et == "purchase") 1 else 0),
-              clicks = sess.clicks + (if (x.et == "click") 1 else 0))
-            val dur = (x.ems - sess.startEms) / 60000.0
-            val changed = x.lastN != sess.n || x.lastDur != dur ||
-              x.lastP != sess.purchases || x.lastC != sess.clicks
-            if (changed) {
-              rev += 1
-              out += SessionStepRev(x.id, uid, x.ems,
-                session_events = sess.n, session_duration_min = dur,
-                purchases_so_far = sess.purchases,
-                clicks_so_far = sess.clicks,
-                conversion_so_far =
-                  sess.purchases.toDouble / math.max(sess.clicks, 1L),
-                rev = rev)
+              x.copy(lastN = sess.n, lastDur = dur,
+                lastP = sess.purchases, lastC = sess.clicks,
+                startEms = sess.startEms)
             }
-            x.copy(lastN = sess.n, lastDur = dur,
-              lastP = sess.purchases, lastC = sess.clicks,
-              startEms = sess.startEms)
           }
+          // SUFFIX-INCREMENTAL fast path (round 6, hot-key bound): session
+          // counters are prefix-cumulative in (ems, id) order, so arrivals
+          // that sort strictly AFTER the last retained row cannot change
+          // any already-emitted value — they only extend (or follow) the
+          // tail session. Seed the walk from the last row's carried state
+          // and walk ONLY the new rows: O(batch) per arrival batch instead
+          // of O(buffer). The full re-sessionize — which a merge-inducing
+          // late arrival genuinely requires — runs only when an arrival
+          // lands at or before the last retained (ems, id).
+          val lastOpt = st0.rows.lastOption
+          val suffixOnly = lastOpt.exists(l => incoming.headOption.forall(h =>
+            h.ems > l.ems || (h.ems == l.ems && h.id > l.id)))
+          var buf =
+            if (suffixOnly) {
+              val l = lastOpt.get
+              st0.rows.toVector ++ walkRows(incoming,
+                SessPrefix(l.startEms, l.ems, l.lastN, l.lastP, l.lastC))
+            } else
+              // full re-sessionize, seeded by the prefix summary (eviction
+              // happens AFTER the walk, so every row — including ones
+              // about to age out on an initial bulk load — emits first)
+              walkRows((st0.rows.toVector ++ incoming)
+                .sortBy(x => (x.ems, x.id)), null)
           // evict beyond the horizon: the walk already computed each row's
           // session state, so the prefix summary is just the LAST dropped
           // row's carried values (their rows are emitted and final — a

@@ -55,7 +55,9 @@ object ScaleCheck {
         when(pmod(col("h"), lit(10L)) < 4, lit(0L))
           .otherwise(pmod(col("h"), lit(users))).as("user_id"),
         (lit(1704067200000L) + col("id") * (span / n)).as("ems"),
-        (pmod(col("h"), lit(100000L)) / 100.0).as("value"))
+        (pmod(col("h"), lit(100000L)) / 100.0).as("value"),
+        element_at(array(lit("click"), lit("view"), lit("purchase")),
+          (pmod(col("h"), lit(3L)) + 1).cast("int")).as("event_type"))
       .withColumn("ts", timestamp_millis(col("ems")))
   }
 
@@ -110,6 +112,18 @@ object ScaleCheck {
         StatefulFeatures.sessionStepsExpiring(in).toDF(), "append",
         "scalecheck_sessions").count()
     }
+    // the RETRACTION session family: O(buffer) state per key; the round-6
+    // suffix-incremental walk must keep the hot key's per-batch compute
+    // O(arrivals), so wall should scale ~linearly in n here, not O(n^2/B)
+    def sessionsUpdate(dir: String): Double = timed {
+      val in = stream(dir)
+        .select(col("event_id"), col("user_id"), col("ems"),
+          col("event_type"), col("ts"))
+        .as[StatefulFeatures.SessEventInTs]
+      StreamingPipelines.runToMemory(spark,
+        StatefulFeatures.sessionStepsUpdateExpiring(in).toDF(), "update",
+        "scalecheck_sessions_update").count()
+    }
     def upsert(n: Long): Double = {
       import graft.store.{FeatureView, OnlineStore, Registry}
       import org.apache.spark.sql.types._
@@ -144,6 +158,7 @@ object ScaleCheck {
       ("anchored_stats", anchored(d1), anchored(d10)),
       ("anchored_stats_hotkey", anchored(s1), anchored(s10)),
       ("session_steps", sessions(d1), sessions(d10)),
+      ("session_update_hotkey", sessionsUpdate(s1), sessionsUpdate(s10)),
       ("store_upsert_fixed_batch", upsert(n1), upsert(n1 * 10)))
     out.foreach { case (name, t1, t10) =>
       println(f"[scalecheck] $name%-26s 1x=$t1%8.2fs 10x=$t10%8.2fs ratio=${t10 / t1}%5.2f")
