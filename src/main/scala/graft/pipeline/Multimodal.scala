@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   *    lossless, so the fold is bit-reproducible from the generator's
   *    pixel formula — which is how the DuckDB oracle checks it without
   *    ever seeing a PNG.
+  *  - [[decodeAudio]] is the same for audio: WAV payloads decoded with
+  *    `javax.sound.sampled` (the JDK's WAVE parser), emitting true
+  *    rate/length plus an exact position-weighted amplitude fold.
   *  - [[decodeStub]] remains the marked boundary for codecs the JDK does
-  *    NOT ship (JPEG is available, but audio/video codecs are not):
-  *    deterministic pseudo-features from the raw bytes.
+  *    NOT ship — VIDEO only, as of round 6: deterministic
+  *    pseudo-features from the raw bytes.
   */
 object Multimodal {
 
@@ -118,6 +121,90 @@ object Multimodal {
             declared_w = 8 + (id % 5).toInt, declared_h = 6 + (id % 7).toInt)
         }
       }
+  }
+
+  // ----------------------------------------------------- real WAV codec path
+
+  /** Decoded audio features: header-derived rate + true sample count plus
+    * an exact position-weighted amplitude fold sum((i + 1) * s(i)) over
+    * the decoded 16-bit samples — order-sensitive, so a byte-order or
+    * header-offset mistake in the decode fails the oracle. `duration_us`
+    * is integer-derived (n * 1_000_000 div rate) to stay bit-exact. */
+  case class DecodedAudio(media_id: Long, sample_rate: Long, n_samples: Long,
+      duration_us: Long, amp_sum: Long)
+
+  /** Deterministic synthetic WAV: rate, length, and every 16-bit sample
+    * are closed-form in `id`, so an oracle can recompute [[DecodedAudio]]
+    * without a codec.
+    *   rate = 8000 + (id % 4) * 4000, n = 400 + id % 100
+    *   s(i) = ((31 i^2 + 7 i + 13 id) % 65536) - 32768
+    * Encoded as PCM_SIGNED 16-bit mono little-endian with the JDK's
+    * `AudioSystem` WAVE writer (lossless by spec). */
+  def synthWav(id: Long): Array[Byte] = {
+    val rate = (8000 + (id % 4) * 4000).toInt
+    val n = (400 + id % 100).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((31L * i * i + 7L * i + 13L * id) % 65536L) - 32768L).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Media table of real WAV payloads, one per id; synthesis runs
+    * per-partition on executors (declared dims carry rate and length the
+    * way a real ingest's metadata columns would). */
+  def synthAudioTable(spark: SparkSession, ids: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          MediaRow(id, synthWav(id), "audio/wav",
+            declared_w = (8000 + (id % 4) * 4000).toInt,
+            declared_h = (400 + id % 100).toInt)
+        }
+      }
+  }
+
+  /** REAL per-partition audio decode via `javax.sound.sampled` (the JDK
+    * ships the WAV/AIFF/AU parsers): payload bytes -> AudioInputStream ->
+    * header format + PCM frames -> exact amplitude fold. Narrows
+    * [[decodeStub]]'s boundary to video-only codecs. */
+  def decodeAudio(ds: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16,
+          s"unexpected WAV shape for media ${r.media_id}")
+        val pcm = ais.readAllBytes()
+        ais.close()
+        val n = pcm.length / 2
+        val lo = if (fmt.isBigEndian) 1 else 0 // WAV PCM is little-endian
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((pcm(2 * i + lo) & 0xff) |
+            (pcm(2 * i + 1 - lo).toInt << 8)).toShort
+          sum += (i + 1L) * s
+          i += 1
+        }
+        val rate = fmt.getSampleRate.toLong
+        DecodedAudio(r.media_id, rate, n.toLong, n * 1000000L / rate, sum)
+      }
+    }
   }
 
   /** REAL per-partition image decode via `javax.imageio` (the JDK ships

@@ -60,6 +60,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(frames.filter($"frame_idx" % 2 =!= 0).count() == 0)
   }
 
+  test("wav synth->decode roundtrip recovers rate, length, and samples") {
+    import spark.implicits._
+    val ids = spark.range(0, 8).toDF("doc_id")
+    val decoded = Multimodal.decodeAudio(Multimodal.synthAudioTable(spark, ids))
+      .collect().sortBy(_.media_id)
+    assert(decoded.length == 8)
+    decoded.foreach { d =>
+      val id = d.media_id
+      assert(d.sample_rate == 8000 + (id % 4) * 4000)
+      assert(d.n_samples == 400 + id % 100)
+      assert(d.duration_us == d.n_samples * 1000000L / d.sample_rate)
+      // closed-form fold from the generator's sample formula
+      val expect = (0L until d.n_samples).map { i =>
+        (i + 1) * (((31 * i * i + 7 * i + 13 * id) % 65536) - 32768)
+      }.sum
+      assert(d.amp_sum == expect)
+    }
+  }
+
   test("transaction event model: risk domains match the reference lists") {
     assert(TransactionEvent.highRiskMcc.contains("6011"))
     assert(TransactionEvent.highRiskCountries.contains("RU"))
