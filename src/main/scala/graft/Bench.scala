@@ -54,7 +54,15 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's BENCH_r{N}.json tail truncates to 4 KB, losing the
+    // per-query map for names early in the alphabet — persist the full
+    // line in-repo so every round's complete numbers are diffable
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_latest.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // bench output must not fail the run
     spark.stop()
   }
 }

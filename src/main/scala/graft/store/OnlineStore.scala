@@ -39,15 +39,17 @@ import org.apache.spark.sql.functions._
   */
 /** @param gcGraceMs retention window for superseded snapshot versions
   *   (round-5 verdict #4, the Delta VACUUM-retention analogue without the
-  *   Delta jar): 0 (default) deletes a version the moment the manifest
-  *   stops referencing it — a DataFrame captured from a pre-flip manifest
-  *   must then be consumed before the next upsert; > 0 keeps superseded
-  *   versions (and compactHistory's pre-compaction copy) on disk for the
-  *   window, so pinned readers captured within it still resolve. The
-  *   clock is injectable for deterministic retention tests.
+  *   Delta jar): > 0 keeps superseded versions (and compactHistory's
+  *   pre-compaction copy) on disk for the window, so pinned readers
+  *   captured within it still resolve. The DEFAULT is 10 minutes
+  *   (round-6, matching Delta's retention-by-default posture) — a
+  *   DataFrame captured from a pre-flip manifest survives later upserts
+  *   until the window lapses. 0 opts back into immediate deletion (the
+  *   vacuum-retention-0 contract: consume pinned readers before the next
+  *   upsert). The clock is injectable for deterministic retention tests.
   */
 class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32,
-    gcGraceMs: Long = 0L,
+    gcGraceMs: Long = 600000L,
     clock: () => Long = () => System.currentTimeMillis()) {
   import java.nio.file.{Files, Paths, StandardCopyOption}
   import java.nio.charset.StandardCharsets
@@ -146,12 +148,13 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32,
     * Safe under the store's single-writer micro-batch discipline: readers
     * resolve concrete paths through the CURRENT manifest at read time
     * (`onlineDf`), and the flip is atomic, so no deleted directory can be
-    * resolved after the flip. With the default `gcGraceMs = 0` a
-    * DataFrame captured from a pre-flip manifest must be consumed before
-    * the next upsert — the contract a vacuumed Delta table imposes with
-    * retention 0; with `gcGraceMs > 0` superseded versions survive the
-    * grace window (Delta's VACUUM retention), so such readers keep
-    * resolving until the window lapses. */
+    * resolved after the flip. With the default `gcGraceMs > 0` superseded
+    * versions survive the grace window (Delta's VACUUM retention), so a
+    * DataFrame captured from a pre-flip manifest keeps resolving until
+    * the window lapses; the opt-in `gcGraceMs = 0` deletes a version the
+    * moment the manifest stops referencing it — the contract a vacuumed
+    * Delta table imposes with retention 0 (consume pinned readers before
+    * the next upsert). */
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -461,9 +464,15 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32,
       // captured concrete pre-swap file paths — Spark's FileIndex pins
       // paths at read() time and the swap renames them, which is why the
       // quiesce contract above stands regardless of retention.
-      Files.move(Paths.get(old),
-        Paths.get(path("history", s"_compact_retired_${view.name}_${clock()}")),
-        StandardCopyOption.ATOMIC_MOVE)
+      // two compactions within one clock millisecond would collide on the
+      // stamped name (ATOMIC_MOVE throws FileAlreadyExists) — probe and
+      // bump the stamp until free; the sweep only needs stamp >= park time
+      Files.move(Paths.get(old), {
+        var stamp = clock()
+        while (exists(path("history",
+            s"_compact_retired_${view.name}_$stamp"))) stamp += 1
+        Paths.get(path("history", s"_compact_retired_${view.name}_$stamp"))
+      }, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Deletes `_compact_retired_<view>_<stamp>` copies older than the

@@ -93,7 +93,14 @@ object StatefulFeatures {
     * (`totSx`/`totSxx`): decimal add/subtract is exact, so the totals are
     * maintained incrementally (+run on insert, -dropped on eviction) and
     * a window sum is total minus the few elements newer than the anchor —
-    * O(1) per event instead of a 1441-bucket decimal pass. */
+    * O(1) per event instead of a 1441-bucket decimal pass.
+    *
+    * ENCODER BOUND: Spark encodes scala BigDecimal state as
+    * DecimalType(38,18) — the scale-6 sums are exact only while they fit
+    * 20 integer digits (~10^20). A 24 h hot-key window would need ~10^15
+    * events of magnitude 10^5 to overflow, at which point the state
+    * round-trip nulls and the op fails loudly on the next decimal add
+    * rather than drifting. */
   case class StatBuf(buckets: Seq[StatBucket], evictedMax: Option[Long],
       totSx: BigDecimal, totSxx: BigDecimal)
 

@@ -304,7 +304,15 @@ object StreamingPipelines {
   /** Runs a streaming DataFrame to completion into a memory sink and
     * returns the sink table. The previous sink table of the same caller is
     * dropped so repeated invocations (warm-up + timed bench runs) hold at
-    * most one result copy in driver memory. */
+    * most one result copy in driver memory.
+    *
+    * NOT REENTRANT: the session-global shuffle-partition conf is pinned
+    * for the duration of the run (Spark reads it once, at the first
+    * batch's planning — there is no per-query override for the state
+    * partition count) and restored afterwards. Callers are single-query-
+    * at-a-time by contract: Verify/Bench/the probes all run streaming
+    * queries strictly sequentially on this session. A concurrent batch
+    * query on the same session could observe the pinned value. */
   def runToMemory(spark: SparkSession, out: DataFrame, mode: String,
                   caller: String = "query"): DataFrame = {
     val name = freshName(s"graft_sink_$caller")

@@ -4,9 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Round-5 verdict #2: attribute stream_interval_join's cost (22.6 s at
   * sf0.1, the least baseline headroom in the suite) between per-micro-batch
-  * FIXED overhead (state-store commits: 32 shuffle partitions x 4 join
-  * state stores x batches, watermark bookkeeping, query planning per
-  * trigger) and per-row work. Runs the REAL pipeline at
+  * FIXED overhead (state-store commits: runToMemory pins the state
+  * partition count to StreamingPipelines.StatePartitions = 8 for every
+  * streaming start, x 4 join state stores x batches, plus watermark
+  * bookkeeping and query planning per trigger) and per-row work. Runs the
+  * REAL pipeline at
   * nChunks in {2, 4, 8} x sf in {0.01, 0.1}, median-of-3 each, and fits
   * t = fixed_per_batch * batches + variable(sf) by least squares per sf.
   *
@@ -23,9 +25,11 @@ object IntervalJoinProbe {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // no shuffle-partition conf here: runToMemory pins the state
+    // partition count itself for every streaming start (a session-level
+    // setting would be dead code)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -87,7 +87,9 @@ class StoreSpec extends AnyFunSuite {
 
   test("version GC removes unreferenced snapshots; TTL orphans are swept") {
     val root = Files.createTempDirectory("graft_gc_store_").toString
-    val store = new OnlineStore(spark, root)
+    // gcGraceMs = 0 is the OPT-IN immediate-deletion contract (round 6:
+    // the default is a 10 min retention window)
+    val store = new OnlineStore(spark, root, gcGraceMs = 0L)
     def versions = new java.io.File(s"$root/online/spec_view").listFiles()
       .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_")).toSet
     store.upsert(view, rows((1L to 50L).map(i => (i, 100L, i.toDouble)): _*), 0L)
@@ -179,6 +181,22 @@ class StoreSpec extends AnyFunSuite {
     val viol2 = HistoricalStore.validateConsistency(
       orphan, store.history(view), view, "v")
     assert(viol2.count() == 1L)
+  }
+
+  test("default store: pinned pre-upsert reader survives a later upsert") {
+    // the round-6 DEFAULT posture (gcGraceMs = 10 min, Delta-style
+    // retention): no opt-in needed for a pinned reader to outlive a flip
+    val root = Files.createTempDirectory("graft_default_store_").toString
+    val store = new OnlineStore(spark, root)
+    store.upsert(view, rows((1L, 100L, 1.0), (2L, 100L, 2.0)), 0L)
+    val pinned = store.online(view) // resolves v0's concrete bucket paths
+    store.upsert(view, rows((1L, 200L, 9.0), (2L, 200L, 8.0)), 1L)
+    val got = pinned.select($"user_id", $"v").as[(Long, Double)]
+      .collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0))
+    val online = store.getOnlineFeatures(view, Seq(1L, 2L).toDF("user_id"))
+      .select($"user_id", $"v").as[(Long, Double)].collect().toMap
+    assert(online == Map(1L -> 9.0, 2L -> 8.0))
   }
 
   test("retention GC: pinned pre-upsert reader survives the grace window") {
