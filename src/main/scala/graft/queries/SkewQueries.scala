@@ -91,6 +91,26 @@ object SkewQueries extends QueryModule {
   private val skewAnchoredStatsSql = EventFeatures.anchoredStatsSqlFrom(
     skewCte + ", base AS (SELECT event_id, user_id, value, ems FROM skew)")
 
+  // ------------------------------------------- update/retraction x skew
+  /** The RETRACTION twins on the skewed corpus (round-5 verdict "next"
+    * #4): same oracles as the append forms — the single batch-mode pass
+    * is in-order, so the round-6 fast paths (binary-search counts,
+    * two-pointer sliding stats) are what actually runs on the hot key's
+    * ~10 000-event chain, and the RANGE-frame SQL grades them exactly. */
+  private def skewAnchoredUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = skewedEvents(spark).as[StatefulFeatures.EventIn]
+    StatefulFeatures.anchoredCountsUpdate(ds).toDF().orderBy(col("event_id"))
+  }
+
+  private def skewAnchoredStatsUpdate(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val ds = skewedEvents(spark).as[StatefulFeatures.EventIn]
+    StatefulFeatures.anchoredStatsUpdate(ds).toDF()
+      .drop("rev").orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- B* x skew
   /** Per-event session steps through the RETRACTION state machine
     * (`sessionStepsUpdate`) on the skewed corpus — the hot key's ~10 000
@@ -192,6 +212,8 @@ object SkewQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_anchored_counts" -> (skewAnchoredCounts _),
     "skew_anchored_stats" -> (skewAnchoredStats _),
+    "skew_anchored_update" -> (skewAnchoredUpdate _),
+    "skew_anchored_stats_update" -> (skewAnchoredStatsUpdate _),
     "skew_session_steps" -> (skewSessionSteps _),
     "skew_top_users_salted" -> (skewTopUsersSalted _),
     "skew_key_profile" -> (skewKeyProfile _))
@@ -199,6 +221,8 @@ object SkewQueries extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "skew_anchored_counts" -> skewAnchoredCountsSql,
     "skew_anchored_stats" -> skewAnchoredStatsSql,
+    "skew_anchored_update" -> skewAnchoredCountsSql,
+    "skew_anchored_stats_update" -> skewAnchoredStatsSql,
     "skew_session_steps" -> skewSessionStepsSql,
     "skew_top_users_salted" -> skewTopUsersSql,
     "skew_key_profile" -> skewKeyProfileSql)

@@ -308,11 +308,55 @@ object StatefulFeatures {
     * window's entries and every anchor it must correct in the buffer, so
     * corrections stay EXACT instead of silently undercounting over a
     * partially-evicted buffer. */
+  /** First index in `ems[0, n)` (ascending) whose value is > `x`. */
+  private def upperBound(ems: Array[Long], n: Int, x: Long): Int = {
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ems(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   private def processCountsUpdate(uid: Long, events: Iterator[EventIn],
       state: GroupState[BufEmitted],
       retainMs: Long = H24H): Iterator[AnchoredCounts] = {
     var buf = state.getOption.map(_.rows.toVector).getOrElse(Vector.empty)
     val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
+    // IN-ORDER fast path (round 6, hot-key bound): a batch that sorts
+    // strictly after every buffered anchor can correct nothing (anchored
+    // windows look backwards), so each run's counts are pure prefix
+    // lookups — binary searches over the ems-ascending chain instead of
+    // the O(buffer) partition+count scans per run. O(batch log buffer)
+    // per invocation; the correction path below remains for genuine
+    // out-of-order arrivals.
+    if (sorted.nonEmpty &&
+        (buf.isEmpty || buf.last.ems < sorted.head.ems)) {
+      val total = buf.length + sorted.length
+      val emsArr = new Array[Long](total)
+      var i = 0
+      while (i < buf.length) { emsArr(i) = buf(i).ems; i += 1 }
+      while (i < total) { emsArr(i) = sorted(i - buf.length).ems; i += 1 }
+      val added = Vector.newBuilder[Emitted]
+      val out = Vector.newBuilder[AnchoredCounts]
+      var g = buf.length // global index of the current run's first member
+      tieRuns(sorted)(_.ems).foreach { run =>
+        val t = run.head.ems
+        val k = run.size
+        // members strictly before the run are all <= t; window (t-h, t]
+        def cnt(h: Long) = (g - upperBound(emsArr, g, t - h)).toLong + k
+        val c5 = cnt(H5M); val c30 = cnt(H30M); val c24 = cnt(H24H)
+        run.foreach { e =>
+          added += Emitted(e.ems, e.event_id, c5, c30, c24)
+          out += AnchoredCounts(e.event_id, uid, e.ems, c5, c30, c24)
+        }
+        g += k
+      }
+      val frontier = sorted.last.ems
+      buf = (buf ++ added.result()).dropWhile(_.ems <= frontier - retainMs)
+      state.update(BufEmitted(buf))
+      return out.result().iterator
+    }
     val out = tieRuns(sorted)(_.ems).flatMap { run =>
       val t = run.head.ems
       val k = run.size
@@ -778,6 +822,76 @@ object StatefulFeatures {
               zscore = z, is_outlier = math.abs(z) > 2.0, rev = rev)
           }
           val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
+          // IN-ORDER fast path (round 6, hot-key bound): a batch sorting
+          // strictly after every buffered anchor corrects nothing, so the
+          // per-run O(buffer) correction scan and O(window) aggregate
+          // recompute collapse into ONE two-pointer sliding-window pass
+          // over retained + new rows: running decimal sums (exact under
+          // add/subtract, so order-equal to the slow path's window scans)
+          // and monotonic deques for window min/max — O(1) amortized per
+          // event. The correction path below remains for genuine
+          // out-of-order arrivals.
+          if (sorted.nonEmpty &&
+              (buf.isEmpty || buf.last.ems < sorted.head.ems)) {
+            val nb = buf.length
+            val total = nb + sorted.length
+            val mEms = new Array[Long](total)
+            val mVal = new Array[Double](total)
+            var i = 0
+            while (i < nb) { mEms(i) = buf(i).ems; mVal(i) = buf(i).value; i += 1 }
+            while (i < total) {
+              val e = sorted(i - nb); mEms(i) = e.ems; mVal(i) = e.value; i += 1
+            }
+            // monotonic index deques over mVal: minQ ascending, maxQ
+            // descending; int-array ring-free form (head/tail cursors)
+            val minQ = new Array[Int](total); var minH = 0; var minT = 0
+            val maxQ = new Array[Int](total); var maxH = 0; var maxT = 0
+            var lo = 0 // first index inside the (t - H24H, t] window
+            var hi = 0 // first index NOT yet added to the running window
+            var cnt = 0L
+            var sx = BigDecimal(0).setScale(6)
+            var sxx = BigDecimal(0).setScale(6)
+            val added = Vector.newBuilder[StatRowU]
+            val emitted = Vector.newBuilder[AnchoredStatsRev]
+            var g = nb
+            tieRuns(sorted)(_.ems).foreach { run =>
+              val t = run.head.ems
+              while (hi < total && mEms(hi) <= t) {
+                cnt += 1; sx += dec(mVal(hi)); sxx += dec(mVal(hi) * mVal(hi))
+                while (minT > minH && mVal(minQ(minT - 1)) >= mVal(hi)) minT -= 1
+                minQ(minT) = hi; minT += 1
+                while (maxT > maxH && mVal(maxQ(maxT - 1)) <= mVal(hi)) maxT -= 1
+                maxQ(maxT) = hi; maxT += 1
+                hi += 1
+              }
+              while (lo < hi && mEms(lo) <= t - H24H) {
+                cnt -= 1; sx -= dec(mVal(lo)); sxx -= dec(mVal(lo) * mVal(lo))
+                if (minH < minT && minQ(minH) == lo) minH += 1
+                if (maxH < maxT && maxQ(maxH) == lo) maxH += 1
+                lo += 1
+              }
+              val minV = mVal(minQ(minH))
+              val maxV = mVal(maxQ(maxH))
+              val minE = mEms(lo)
+              val beforeRun =
+                if (g > 0) Some(mEms(g - 1)) else evictedMax.filter(_ < t)
+              run.zipWithIndex.foreach { case (e, j) =>
+                val row = StatRowU(e.ems, e.event_id, e.value, cnt, sx, sxx,
+                  minV, maxV, minE, if (j > 0) Some(t) else beforeRun)
+                added += row
+                emitted += emit(row)
+              }
+              g += run.size
+            }
+            val frontier = sorted.last.ems
+            val (droppedF, keptF) = (buf ++ added.result())
+              .span(_.ems <= frontier - retainMs)
+            if (droppedF.nonEmpty)
+              evictedMax = Some(math.max(droppedF.last.ems,
+                evictedMax.getOrElse(Long.MinValue)))
+            state.update(StatUBuf(keptF, evictedMax, rev))
+            return emitted.result().iterator
+          }
           val out = tieRuns(sorted)(_.ems).flatMap { run =>
             val t = run.head.ems
             val k = run.size

@@ -275,9 +275,10 @@ object StreamingPipelines {
   /** The session member of the W7 family: re-sessionizing retraction
     * under the tight watermark — a within-budget late event can MERGE
     * sessions whose rows were already output; beyond-budget events drop. */
-  def sessionStepsLateUpdate(spark: SparkSession, dir: String): DataFrame = {
+  def sessionStepsLateUpdate(spark: SparkSession, dir: String,
+      nChunks: Int = 8): DataFrame = {
     import spark.implicits._
-    val in = lateReplayStream(spark, dir)
+    val in = lateReplayStream(spark, dir, nChunks)
       .withWatermark("ts", s"$LateBudgetMs milliseconds")
       .select(col("event_id"), col("user_id"), col("ems"), col("event_type"),
         col("ts"))

@@ -112,6 +112,18 @@ object ScaleCheck {
         StatefulFeatures.sessionStepsExpiring(in).toDF(), "append",
         "scalecheck_sessions").count()
     }
+    // the RETRACTION anchored-stats family: carries per-anchor emission
+    // state; the round-6 two-pointer fast path must keep the hot key's
+    // in-order cost O(arrivals), not O(arrivals x window)
+    def statsUpdate(dir: String): Double = timed {
+      val in = stream(dir)
+        .select(col("event_id"), col("user_id"), col("ems"), col("value"),
+          col("ts"))
+        .as[StatefulFeatures.EventInTs]
+      StreamingPipelines.runToMemory(spark,
+        StatefulFeatures.anchoredStatsUpdateExpiring(in).toDF(), "update",
+        "scalecheck_stats_update").count()
+    }
     // the RETRACTION session family: O(buffer) state per key; the round-6
     // suffix-incremental walk must keep the hot key's per-batch compute
     // O(arrivals), so wall should scale ~linearly in n here, not O(n^2/B)
@@ -158,6 +170,7 @@ object ScaleCheck {
       ("anchored_stats", anchored(d1), anchored(d10)),
       ("anchored_stats_hotkey", anchored(s1), anchored(s10)),
       ("session_steps", sessions(d1), sessions(d10)),
+      ("stats_update_hotkey", statsUpdate(s1), statsUpdate(s10)),
       ("session_update_hotkey", sessionsUpdate(s1), sessionsUpdate(s10)),
       ("store_upsert_fixed_batch", upsert(n1), upsert(n1 * 10)))
     out.foreach { case (name, t1, t10) =>
