@@ -51,4 +51,20 @@ object KafkaConfig {
 
   /** DLQ topic naming convention (models/config.py:56-59). */
   def dlqTopic(topic: String): String = s"$topic.dlq"
+
+  /** True when the `spark-sql-kafka-0-10` jar is on the classpath — gates
+    * the live half of JarReadinessSpec (absent in this container). */
+  def jarPresent: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** The fixed schema a Kafka source DataFrame carries (field -> Spark SQL
+    * type). `load()` never contacts a broker to produce it, so the live
+    * spec can assert the full read surface without a running Kafka. */
+  val sourceSchema: Seq[(String, String)] = Seq(
+    "key" -> "binary", "value" -> "binary", "topic" -> "string",
+    "partition" -> "int", "offset" -> "bigint",
+    "timestamp" -> "timestamp", "timestampType" -> "int")
 }
