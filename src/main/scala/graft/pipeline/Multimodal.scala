@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
   *  - [[decodeAudio]] is the same for audio: WAV payloads decoded with
   *    `javax.sound.sampled` (the JDK's WAVE parser), emitting true
   *    rate/length plus an exact position-weighted amplitude fold.
-  *  - [[decodeStub]] remains the marked boundary for codecs the JDK does
-  *    NOT ship — VIDEO only, as of round 6: deterministic
+  *  - [[decodeVideo]] covers video at the CONTAINER level: AVI/RIFF
+  *    parsed structurally (chunk walk, avih/strh/strf headers,
+  *    bottom-up 4-byte-aligned DIB frame rows) with uncompressed
+  *    BI_RGB frames — the JDK ships no video API, so the parser is
+  *    spec-derived rather than library-backed.
+  *  - [[decodeStub]] remains the marked boundary for what that leaves:
+  *    COMPRESSED video codecs (H.264 etc.) — deterministic
   *    pseudo-features from the raw bytes.
   */
 object Multimodal {
@@ -203,6 +208,184 @@ object Multimodal {
         }
         val rate = fmt.getSampleRate.toLong
         DecodedAudio(r.media_id, rate, n.toLong, n * 1000000L / rate, sum)
+      }
+    }
+  }
+
+  // ----------------------------------------------- real AVI container path
+
+  /** Decoded video features: container-header dims/frame-count/timing
+    * plus an exact position-weighted fold over all frames' 24-bit pixels
+    * in (frame, raster) order — sum(((f*h + y)*w + x + 1) * packedRGB).
+    * Order-sensitive across frames AND within each frame, so a frame
+    * mis-ordering, a stride mistake, or an un-flipped bottom-up row
+    * order fails the oracle. */
+  case class DecodedVideo(media_id: Long, width: Int, height: Int,
+      n_frames: Long, usec_per_frame: Long, pix_sum: Long)
+
+  /** Deterministic synthetic AVI: dims, frame count, rate, and every
+    * pixel of every frame are closed-form in `id`, so an oracle can
+    * recompute [[DecodedVideo]] without touching a container.
+    *   w = 8 + id % 5, h = 6 + id % 7, frames = 3 + id % 4,
+    *   fps = 10 + id % 5
+    *   r = (x + y + f + 3id) % 256, g = (2x + 3y + 7f + 2id) % 256,
+    *   b = (5x + 11y + 17f + id) % 256
+    * Written as a spec-conformant RIFF 'AVI ' container (hdrl with
+    * avih + one 'vids'/'DIB ' stream, movi with one '00db' chunk per
+    * frame) holding uncompressed BI_RGB frames in DIB layout: BGR byte
+    * order, BOTTOM-UP rows, each row padded to a 4-byte stride — the
+    * spec details [[decodeVideo]] must honor to reproduce the top-down
+    * fold. */
+  def synthAvi(id: Long): Array[Byte] = {
+    val w = 8 + (id % 5).toInt
+    val h = 6 + (id % 7).toInt
+    val nFrames = 3 + (id % 4).toInt
+    val fps = 10 + (id % 5).toInt
+    val stride = (w * 3 + 3) & ~3
+    val frameBytes = stride * h
+
+    def u32(vs: Long*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => bb.putInt(v.toInt))
+      bb.array()
+    }
+    def fourcc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(fcc: String, body: Array[Byte]): Array[Byte] =
+      fourcc(fcc) ++ u32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(listType) ++ children)
+
+    def frame(f: Int): Array[Byte] = {
+      val a = new Array[Byte](frameBytes)
+      var y = 0
+      while (y < h) {
+        val off = (h - 1 - y) * stride // DIB: image row y stored bottom-up
+        var x = 0
+        while (x < w) {
+          a(off + 3 * x) = ((5 * x + 11 * y + 17 * f + id) % 256).toByte
+          a(off + 3 * x + 1) = ((2 * x + 3 * y + 7 * f + 2 * id) % 256).toByte
+          a(off + 3 * x + 2) = ((x + y + f + 3 * id) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      a
+    }
+
+    val avih = chunk("avih", u32(
+      1000000L / fps, frameBytes.toLong * fps, 0L, 0L, nFrames.toLong, 0L,
+      1L, frameBytes.toLong, w.toLong, h.toLong, 0L, 0L, 0L, 0L))
+    val strh = chunk("strh", fourcc("vids") ++ fourcc("DIB ") ++ u32(
+      0L, 0L, 0L, 1L, fps.toLong, 0L, nFrames.toLong, frameBytes.toLong,
+      0L, 0L) ++ {
+      val rc = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      rc.putShort(0); rc.putShort(0)
+      rc.putShort(w.toShort); rc.putShort(h.toShort)
+      rc.array()
+    })
+    val strf = chunk("strf", u32(40L, w.toLong, h.toLong) ++ {
+      val pb = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      pb.putShort(1); pb.putShort(24) // biPlanes, biBitCount
+      pb.array()
+    } ++ u32(0L /* BI_RGB */, frameBytes.toLong, 0L, 0L, 0L, 0L))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      (0 until nFrames).toArray.flatMap(f => chunk("00db", frame(f))))
+    chunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi)
+  }
+
+  /** Media table of real AVI payloads, one per id; synthesis runs
+    * per-partition on executors. */
+  def synthVideoTable(spark: SparkSession, ids: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          MediaRow(id, synthAvi(id), "video/x-msvideo",
+            declared_w = 8 + (id % 5).toInt, declared_h = 6 + (id % 7).toInt)
+        }
+      }
+  }
+
+  /** REAL per-partition AVI container decode — a strict RIFF walk (no
+    * JDK video API exists, so the parser is written to the public spec):
+    * validates the RIFF/'AVI ' signature, reads timing and frame count
+    * from `avih`, requires an uncompressed 24-bit `vids`/`DIB ` stream
+    * from `strh`/`strf` (BITMAPINFOHEADER), then folds every `00db`
+    * frame chunk's DIB pixels (bottom-up rows, 4-byte stride) into the
+    * top-down position-weighted sum. Narrows [[decodeStub]]'s boundary
+    * to compressed codecs. */
+  def decodeVideo(ds: Dataset[MediaRow]): Dataset[DecodedVideo] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val bb = java.nio.ByteBuffer.wrap(r.payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fcc(): String = {
+          val a = new Array[Byte](4); bb.get(a)
+          new String(a, java.nio.charset.StandardCharsets.US_ASCII)
+        }
+        require(fcc() == "RIFF" && { bb.getInt; fcc() == "AVI " },
+          s"not a RIFF AVI for media ${r.media_id}")
+        var usecPerFrame = 0L; var headerFrames = 0L
+        var w = 0; var h = 0; var stride = 0
+        var isDib = false; var framesSeen = 0L; var pixSum = 0L
+        while (bb.remaining >= 8) {
+          val id = fcc(); val sz = bb.getInt
+          if (id == "LIST") fcc() // descend: children are chunks too
+          else {
+            val start = bb.position()
+            id match {
+              case "avih" =>
+                usecPerFrame = bb.getInt().toLong & 0xffffffffL
+                bb.position(start + 16)
+                headerFrames = bb.getInt().toLong & 0xffffffffL
+              case "strh" =>
+                val (t, hd) = (fcc(), fcc())
+                require(t == "vids" && hd == "DIB ",
+                  s"unexpected stream $t/$hd for media ${r.media_id}")
+                isDib = true
+              case "strf" =>
+                bb.position(start + 4); w = bb.getInt()
+                h = bb.getInt()
+                bb.position(start + 14)
+                val bits = bb.getShort()
+                val compression = bb.getInt()
+                require(bits == 24 && compression == 0,
+                  s"not uncompressed BI_RGB for media ${r.media_id}")
+                stride = (w * 3 + 3) & ~3
+              case "00db" =>
+                require(isDib && stride > 0 && sz == stride * h,
+                  s"malformed frame for media ${r.media_id}")
+                val f = framesSeen
+                var y = 0
+                while (y < h) {
+                  val off = start + (h - 1 - y) * stride
+                  var x = 0
+                  while (x < w) {
+                    val blu = r.payload(off + 3 * x) & 0xff
+                    val grn = r.payload(off + 3 * x + 1) & 0xff
+                    val red = r.payload(off + 3 * x + 2) & 0xff
+                    pixSum += ((f * h + y) * w.toLong + x + 1) *
+                      ((red << 16) | (grn << 8) | blu)
+                    x += 1
+                  }
+                  y += 1
+                }
+                framesSeen += 1
+              case _ => ()
+            }
+            bb.position(start + sz + (sz & 1))
+          }
+        }
+        require(framesSeen == headerFrames,
+          s"frame count mismatch for media ${r.media_id}")
+        DecodedVideo(r.media_id, w, h, framesSeen, usecPerFrame, pixSum)
       }
     }
   }

@@ -98,13 +98,57 @@ object MultimodalQueries extends QueryModule {
       |FROM samples GROUP BY doc_id, rate, n
       |ORDER BY media_id""".stripMargin
 
+  /** REAL video container roundtrip (round 6): per doc_id, synthesize a
+    * deterministic RIFF/AVI with uncompressed DIB frames on the
+    * executors, parse it back structurally (chunk walk + avih/strh/strf
+    * + bottom-up 4-byte-stride frame rows — the JDK ships no video API,
+    * so the parser is spec-derived), and emit header dims/frames/timing
+    * plus the exact (frame, raster)-ordered pixel fold. The oracle
+    * recomputes everything CLOSED-FORM from the generator's pixel
+    * formula — it never sees an AVI — so the check only passes if the
+    * container geometry (row flip, stride, frame order, BGR byte order)
+    * is exactly right. */
+  private def mmVideo(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideo(
+        Multimodal.synthVideoTable(spark,
+          Tables.documents(spark, dir).select(col("doc_id"))))
+      .toDF()
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("n_frames"),
+        col("usec_per_frame"), col("pix_sum"))
+      .orderBy(col("media_id"))
+
+  private val mmVideoSql =
+    """WITH params AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 5 AS BIGINT) AS w,
+      |    CAST(6 + doc_id % 7 AS BIGINT) AS h,
+      |    CAST(3 + doc_id % 4 AS BIGINT) AS nf,
+      |    CAST(10 + doc_id % 5 AS BIGINT) AS fps
+      |  FROM documents
+      |), px AS (
+      |  SELECT p.doc_id, p.w, p.h, p.nf, p.fps,
+      |    f.range AS f, x.range AS x, y.range AS y
+      |  FROM params p, range(6) f, range(12) x, range(12) y
+      |  WHERE f.range < p.nf AND x.range < p.w AND y.range < p.h
+      |)
+      |SELECT doc_id AS media_id, w AS width, h AS height, nf AS n_frames,
+      |  1000000 // fps AS usec_per_frame,
+      |  CAST(SUM(((f * h + y) * w + x + 1) *
+      |    (((x + y + f + 3*doc_id) % 256) * 65536 +
+      |     ((2*x + 3*y + 7*f + 2*doc_id) % 256) * 256 +
+      |     ((5*x + 11*y + 17*f + doc_id) % 256))) AS BIGINT) AS pix_sum
+      |FROM px GROUP BY doc_id, w, h, nf, fps
+      |ORDER BY media_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_features" -> (mmFeatures _),
     "mm_decoded_features" -> (mmDecoded _),
-    "mm_decoded_audio" -> (mmAudio _))
+    "mm_decoded_audio" -> (mmAudio _),
+    "mm_decoded_video" -> (mmVideo _))
 
   override def oracles: Map[String, String] = Map(
     "mm_binary_features" -> mmFeaturesSql,
     "mm_decoded_features" -> mmDecodedSql,
-    "mm_decoded_audio" -> mmAudioSql)
+    "mm_decoded_audio" -> mmAudioSql,
+    "mm_decoded_video" -> mmVideoSql)
 }

@@ -259,9 +259,10 @@ object StreamingPipelines {
   /** The stats member of the W7 family: full anchored stats with
     * retraction under the tight watermark, over the same disordered
     * replay — same survivor set, stats oracle over it. */
-  def anchoredStatsLateUpdate(spark: SparkSession, dir: String): DataFrame = {
+  def anchoredStatsLateUpdate(spark: SparkSession, dir: String,
+      nChunks: Int = 8): DataFrame = {
     import spark.implicits._
-    val in = lateReplayStream(spark, dir)
+    val in = lateReplayStream(spark, dir, nChunks)
       .withWatermark("ts", s"$LateBudgetMs milliseconds")
       .select(col("event_id"), col("user_id"), col("ems"), col("value"),
         col("ts"))
@@ -315,15 +316,17 @@ object StreamingPipelines {
     * queries strictly sequentially on this session. A concurrent batch
     * query on the same session could observe the pinned value. */
   def runToMemory(spark: SparkSession, out: DataFrame, mode: String,
-                  caller: String = "query"): DataFrame = {
+                  caller: String = "query",
+                  stateParts: String = StatePartitions): DataFrame = {
     val name = freshName(s"graft_sink_$caller")
     // shuffle partitions = state partitions for the query being started
     // (frozen at checkpoint creation — and read during the FIRST batch's
     // planning, which runs async after start(), so the conf stays set
-    // until the run completes); sized to the verify workload, see
-    // StatePartitions
+    // until the run completes); sized to the verify workload by default
+    // (see StatePartitions); `stateParts` is the capacity knob a larger
+    // corpus sizes up (exercised by IntervalJoin100x)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts)
     try {
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).start()
@@ -393,7 +396,8 @@ object StreamingPipelines {
   private val StatePartitions = "8"
 
   def intervalJoinStream(spark: SparkSession, dir: String,
-                         nChunks: Int = 8): DataFrame = {
+                         nChunks: Int = 8,
+                         stateParts: String = StatePartitions): DataFrame = {
     val es = eventStreamReplay(spark, dir, nChunks)
       .withColumn("ts", col("ts").cast("timestamp"))
     val purchases = es.filter(col("event_type") === "purchase")
@@ -408,7 +412,7 @@ object StreamingPipelines {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") < col("p_ts"))
       .select(col("purchase_id"))
-    val matches = runToMemory(spark, joined, "append", "ivjoin")
+    val matches = runToMemory(spark, joined, "append", "ivjoin", stateParts)
     val counts = matches.groupBy(col("purchase_id"))
       .agg(count(lit(1)).as("n"))
     graft.core.Tables.events(spark, dir)

@@ -13,6 +13,13 @@ import org.apache.spark.sql.SparkSession
   * t = fixed_per_batch * chunks + base, the same attribution
   * IntervalJoinProbe produced for the join. Numbers land in
   * ARCHITECTURE.md. Run: `sbt "runMain graft.tools.SessionLateProbe"`.
+  *
+  * `SPARK_GRAFT_LATE_PIPELINE=stats` probes the STATS member
+  * (stream_anchored_stats_late_update) through the identical grid — the
+  * suite's widest spread in the round-6 bench (8.0-21.6 s across 3 runs;
+  * per-key state there is ~10 rows at sf0.1, so an algorithmic cause is
+  * implausible and the grid + fit either pins the cost as fixed
+  * per-batch overhead or exposes a variable term.
   */
 object SessionLateProbe {
 
@@ -31,16 +38,19 @@ object SessionLateProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val pipeline = sys.env.getOrElse("SPARK_GRAFT_LATE_PIPELINE", "session")
+    def run(n: Int): Long = pipeline match {
+      case "stats" => graft.streaming.StreamingPipelines
+        .anchoredStatsLateUpdate(spark, dir, n).count()
+      case _ => graft.streaming.StreamingPipelines
+        .sessionStepsLateUpdate(spark, dir, n).count()
+    }
     val chunks = Seq(2, 4, 8)
     // warm-up: JIT + codegen + chunk staging for every combo
-    chunks.foreach(n =>
-      graft.streaming.StreamingPipelines.sessionStepsLateUpdate(spark, dir, n)
-        .count())
+    chunks.foreach(run)
     val rows = chunks.map { n =>
-      val ts = (1 to 3).map(_ => timed(
-        graft.streaming.StreamingPipelines.sessionStepsLateUpdate(spark, dir, n)
-          .count())).sorted
-      println(f"[slprobe] chunks=$n%2d median=${ts(1)}%7.2fs " +
+      val ts = (1 to 3).map(_ => timed(run(n))).sorted
+      println(f"[slprobe:$pipeline] chunks=$n%2d median=${ts(1)}%7.2fs " +
         f"(min=${ts.head}%.2f max=${ts.last}%.2f spread=${ts.last / ts.head}%.2fx)")
       (n.toDouble, ts(1))
     }
@@ -50,7 +60,7 @@ object SessionLateProbe {
     val sxy = rows.map(p => p._1 * p._2).sum
     val a = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     val b = (sy - a * sx) / n
-    println(f"[slprobe] fit per-batch=${a}%6.2fs/chunk base=${b}%6.2fs")
+    println(f"[slprobe:$pipeline] fit per-batch=${a}%6.2fs/chunk base=${b}%6.2fs")
     spark.stop()
   }
 }

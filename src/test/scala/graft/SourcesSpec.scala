@@ -79,6 +79,29 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("avi synth->decode roundtrip recovers dims, frames, timing, pixels") {
+    import spark.implicits._
+    val ids = spark.range(0, 8).toDF("doc_id")
+    val decoded = Multimodal.decodeVideo(Multimodal.synthVideoTable(spark, ids))
+      .collect().sortBy(_.media_id)
+    assert(decoded.length == 8)
+    decoded.foreach { d =>
+      val id = d.media_id
+      val (w, h, nf, fps) = (8 + id % 5, 6 + id % 7, 3 + id % 4, 10 + id % 5)
+      assert(d.width == w && d.height == h && d.n_frames == nf)
+      assert(d.usec_per_frame == 1000000L / fps)
+      // closed-form fold from the generator's pixel formula (top-down
+      // raster per frame — the decoder must undo the DIB row flip)
+      var expect = 0L
+      for (f <- 0L until nf; y <- 0L until h; x <- 0L until w)
+        expect += ((f * h + y) * w + x + 1) *
+          (((x + y + f + 3 * id) % 256) * 65536 +
+           ((2 * x + 3 * y + 7 * f + 2 * id) % 256) * 256 +
+           ((5 * x + 11 * y + 17 * f + id) % 256))
+      assert(d.pix_sum == expect)
+    }
+  }
+
   test("transaction event model: risk domains match the reference lists") {
     assert(TransactionEvent.highRiskMcc.contains("6011"))
     assert(TransactionEvent.highRiskCountries.contains("RU"))
