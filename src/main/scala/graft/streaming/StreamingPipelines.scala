@@ -395,9 +395,19 @@ object StreamingPipelines {
     * streaming query starts through. */
   private val StatePartitions = "8"
 
+  /** Interval-join pin: 4 state partitions, not the global 8 — a
+    * stream-stream join carries FOUR state stores per partition, so its
+    * per-batch commit cost is the suite's steepest in the partition
+    * knob. PartsSweep (ARCHITECTURE.md) measured {2,4,8} on the real
+    * sf0.1 pipeline: 8→4 recovers ~1.2 s/run, 4→2 only 0.23 s more
+    * while halving capacity. At 100× data the same knob turns the other
+    * way (IntervalJoin100x: 32 parts beats 8 once per-row work
+    * dominates). */
+  private val IntervalJoinParts = "4"
+
   def intervalJoinStream(spark: SparkSession, dir: String,
                          nChunks: Int = 8,
-                         stateParts: String = StatePartitions): DataFrame = {
+                         stateParts: String = IntervalJoinParts): DataFrame = {
     val es = eventStreamReplay(spark, dir, nChunks)
       .withColumn("ts", col("ts").cast("timestamp"))
     val purchases = es.filter(col("event_type") === "purchase")

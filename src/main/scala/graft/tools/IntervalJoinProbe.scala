@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Round-5 verdict #2: attribute stream_interval_join's cost (22.6 s at
   * sf0.1, the least baseline headroom in the suite) between per-micro-batch
   * FIXED overhead (state-store commits: runToMemory pins the state
-  * partition count to StreamingPipelines.StatePartitions = 8 for every
-  * streaming start, x 4 join state stores x batches, plus watermark
-  * bookkeeping and query planning per trigger) and per-row work. Runs the
+  * partition count for every streaming start — since the round-6
+  * PartsSweep, 4 for this pipeline — x 4 join state stores x batches,
+  * plus watermark bookkeeping and query planning per trigger) and
+  * per-row work. Runs the
   * REAL pipeline at
   * nChunks in {2, 4, 8} x sf in {0.01, 0.1}, median-of-3 each, and fits
   * t = fixed_per_batch * batches + variable(sf) by least squares per sf.
