@@ -98,6 +98,115 @@ object TextAnalysis extends QueryModule {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- n-gram repetition gate
+  /** Gopher-style word-n-gram repetition filters (Rae et al. 2021, Table
+    * A1; replicated by RefinedWeb/Dolma): fraction of non-space
+    * characters covered by the single most frequent word 2-gram, and
+    * fraction covered by 3-grams that occur at least twice. The corpus
+    * has no newlines, so the line-based members of the family would not
+    * discriminate here; the n-gram members are the live ones. Simplified
+    * vs the paper in one documented way: occurrences are counted
+    * independently (no overlap discount), so the fraction can exceed 1
+    * on pathological inputs — a monotone proxy that orders documents the
+    * same way.
+    *
+    * Cross-engine determinism: all counting is integer; the top-gram
+    * argmax is an explicit sequential fold with a lexicographic
+    * tie-break; the only floating-point op is one final division per
+    * column, identical IEEE operands in both engines.
+    *
+    * Scale: per-document higher-order functions only — no explode, no
+    * shuffle before the final ORDER BY; the distinct-gram scoring inside
+    * a doc is O(D^2) in doc grams with tiny constants, bounded by
+    * document length, embarrassingly parallel at 100 TB. */
+  private def repetition(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+      // a document with <2 tokens has no 2-gram: dropped on both sides
+      // (the oracle's inner join against the per-gram counts does the same)
+      .filter(size(col("toks")) >= 2)
+      .withColumn("g2", expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(0, size(toks)-2),
+          |    i -> concat_ws(' ', toks[i], toks[i+1]))
+          |ELSE array() END""".stripMargin))
+      .withColumn("g3", expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(0, size(toks)-3),
+          |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+          |ELSE array() END""".stripMargin))
+      .withColumn("nosp", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("top2", expr(
+        """aggregate(
+          |  transform(array_distinct(g2),
+          |    d -> named_struct('cnt', size(filter(g2, x -> x = d)), 'gram', d)),
+          |  named_struct('cnt', -1, 'gram', ''),
+          |  (a, s) -> IF(s.cnt > a.cnt OR (s.cnt = a.cnt AND s.gram < a.gram), s, a))""".stripMargin))
+      .withColumn("dup3_chars", expr(
+        """aggregate(
+          |  transform(array_distinct(g3),
+          |    d -> CAST(IF(size(filter(g3, x -> x = d)) >= 2,
+          |         size(filter(g3, x -> x = d)) * length(replace(d, ' ', '')),
+          |         0) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .withColumn("top_2gram_char_frac",
+        col("top2.cnt") * length(regexp_replace(col("top2.gram"), " ", ""))
+          / col("nosp").cast("double"))
+      .withColumn("dup_3gram_char_frac",
+        col("dup3_chars") / col("nosp").cast("double"))
+      .select(col("doc_id"),
+        col("top2.gram").as("top_2gram"),
+        col("top2.cnt").cast("long").as("top_2gram_cnt"),
+        col("top_2gram_char_frac"),
+        col("dup_3gram_char_frac"),
+        (col("top_2gram_char_frac") <= 0.20 &&
+          col("dup_3gram_char_frac") <= 0.10).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle note: the obvious lambda formulation — count each distinct
+    * gram with a NESTED list_filter capturing both the outer lambda var
+    * and the grams column — mis-binds in DuckDB 1.0.0 (returns 0 for
+    * some grams); the oracle therefore uses unnest + GROUP BY +
+    * row_number, which is also the honest relational mirror. */
+  private val repetitionSql =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), g2e AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+      |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |  ELSE [] END) AS gram FROM t
+      |), g3e AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+      |    list_transform(range(1, len(toks)-1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |  ELSE [] END) AS gram FROM t
+      |), top2 AS (
+      |  SELECT doc_id, gram, cnt FROM (
+      |    SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY count(*) DESC, gram) AS rn
+      |    FROM g2e GROUP BY doc_id, gram)
+      |  WHERE rn = 1
+      |), dup3 AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(cnt * length(replace(gram, ' ', ''))) AS BIGINT) AS dup3_chars
+      |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3e GROUP BY doc_id, gram)
+      |  WHERE cnt >= 2 GROUP BY doc_id
+      |), n AS (
+      |  SELECT doc_id, length(replace(text, ' ', '')) AS nosp FROM documents
+      |)
+      |SELECT n.doc_id,
+      |  top2.gram AS top_2gram,
+      |  top2.cnt AS top_2gram_cnt,
+      |  top2.cnt * length(replace(top2.gram, ' ', '')) / CAST(n.nosp AS DOUBLE)
+      |    AS top_2gram_char_frac,
+      |  COALESCE(dup3.dup3_chars, 0) / CAST(n.nosp AS DOUBLE) AS dup_3gram_char_frac,
+      |  (top2.cnt * length(replace(top2.gram, ' ', '')) / CAST(n.nosp AS DOUBLE) <= 0.20
+      |   AND COALESCE(dup3.dup3_chars, 0) / CAST(n.nosp AS DOUBLE) <= 0.10) AS keep
+      |FROM n JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+      |ORDER BY n.doc_id""".stripMargin
+
   // ----------------------------------------------------------- language ID
   /** Heuristic language ID by marker-token scoring (n-gram-profile family;
     * deterministic fixed-order argmax) + agreement with the labeled lang. */
@@ -559,6 +668,7 @@ object TextAnalysis extends QueryModule {
     "text_bpe_tokens" -> (bpeTokens _),
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (quality _),
+    "text_repetition" -> (repetition _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "dedup_exact" -> (dedupExact _),
@@ -573,6 +683,7 @@ object TextAnalysis extends QueryModule {
     "text_bpe_tokens" -> bpeTokensSql,
     "text_token_stats" -> tokenStatsSql,
     "text_quality_score" -> qualitySql,
+    "text_repetition" -> repetitionSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "dedup_exact" -> dedupExactSql,

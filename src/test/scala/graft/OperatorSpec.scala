@@ -108,4 +108,27 @@ class OperatorSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("src", "dst"))
     assert(none.count() == 0L)
   }
+
+  test("text_repetition: top-2gram tie-break, dup-3gram chars, short-doc drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    // doc 1: "a b" and "b c" both occur twice -> tie -> smallest gram;
+    //   3-gram "a b c" occurs twice -> dup3_chars = 2 * 3 = 6, nosp = 8
+    // doc 2: every 2-gram unique except tie at count 1 -> lexicographic min
+    // doc 3: single token -> no 2-gram -> dropped
+    Seq(
+      (1L, "a b c a b c d e", "en", "synth", 15L),
+      (2L, "z y x", "en", "synth", 5L),
+      (3L, "solo", "en", "synth", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextAnalysis.queries("text_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == "a b" && out(1L)._2 == 2L)
+    assert(out(1L)._4 == 6.0 / 8.0) // two "a b c" occurrences, 3 chars each
+    assert(out(2L)._1 == "y x" && out(2L)._2 == 1L) // tie -> smallest gram
+    assert(out(2L)._4 == 0.0)
+  }
 }
