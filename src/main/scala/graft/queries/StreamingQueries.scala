@@ -222,6 +222,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.sessionStepsLateUpdate(s, d)),
     "stream_dedup_first" ->
       ((s: SparkSession, d: String) => StreamingPipelines.dedupFirstStateful(s, d)),
+    "stream_dedup_minhash" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.dedupMinhashStream(s, d)),
     "stream_hll_distinct" ->
       ((s: SparkSession, d: String) => StreamingPipelines.hllDistinctStream(s, d)),
     "stream_cms_topk" ->
@@ -243,6 +245,7 @@ object StreamingQueries extends QueryModule {
     "stream_anchored_stats_late_update" -> anchoredStatsLateSql,
     "stream_session_late_update" -> sessionLateSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,
+    "stream_dedup_minhash" -> TextAnalysis.dedupMinhashStreamSql,
     "stream_hll_distinct" -> Sketches.hllDistinctSql,
     "stream_cms_topk" -> Sketches.cmsTopkSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)

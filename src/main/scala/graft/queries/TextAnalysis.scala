@@ -373,20 +373,41 @@ object TextAnalysis extends QueryModule {
     * bucket join for candidates, estimated Jaccard = matching-minhash
     * fraction; top-50 candidate pairs. spark.ml's MinHashLSH is the
     * library path; this formulation is engine-checkable cross-engine. */
+  /** Shared MinHash plumbing (batch near-dup join + streaming keep-first
+    * dedup): 3-shingle set → md5 ints → 8 permutation min-hashes →
+    * 4 two-hash band values. Kept as expression constants so the batch
+    * and streaming paths cannot drift. */
+  private[graft] val shingleExpr =
+    """array_distinct(transform(sequence(1, size(toks) - 2),
+      |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+      |                   element_at(toks, i + 2))))""".stripMargin
+  private[graft] val shingleHashExpr =
+    "transform(sh, s -> cast(conv(substr(md5(cast(s as binary)), 1, 8), 16, 10) as bigint))"
+  private[graft] val minhashExpr =
+    """transform(sequence(0, 7), j -> array_min(transform(si,
+      |    x -> ((2*j + 1) * x + 97*j + 13) % 2147483647)))""".stripMargin
+
+  /** (doc_id, band_val) rows for MinHash LSH banding over a (doc_id,
+    * text) frame — pure per-row map + explode, streaming-safe. */
+  private[graft] def lshBandRows(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("sh", expr(shingleExpr))
+      .withColumn("si", expr(shingleHashExpr))
+      .withColumn("mh", expr(minhashExpr))
+      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"),
+        col("mh"))
+      .select(col("doc_id"),
+        concat_ws(":", col("b"),
+          expr("element_at(mh, 2*b + 1)"), expr("element_at(mh, 2*b + 2)"))
+          .as("band_val"))
+
   private def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
     // shingle -> md5-int once, THEN the 8 permutation hashes over the int
     // array: md5 is the expensive part and must not run per hash function
     val sig = docs(spark, dir)
-      .select(col("doc_id"),
-        expr("""array_distinct(transform(sequence(1, size(toks) - 2),
-            i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-                           element_at(toks, i + 2))))""").as("sh"))
-      .select(col("doc_id"),
-        expr("transform(sh, s -> cast(conv(substr(md5(cast(s as binary)), 1, 8), 16, 10) as bigint))")
-          .as("si"))
-      .select(col("doc_id"),
-        expr("""transform(sequence(0, 7), j -> array_min(transform(si,
-          x -> ((2*j + 1) * x + 97*j + 13) % 2147483647)))""").as("mh"))
+      .select(col("doc_id"), expr(shingleExpr).as("sh"))
+      .select(col("doc_id"), expr(shingleHashExpr).as("si"))
+      .select(col("doc_id"), expr(minhashExpr).as("mh"))
       // signatures are reused by both sides of the candidate self-join and
       // by the final estimate join — materialize once, not three times
       .persist()
@@ -439,6 +460,41 @@ object TextAnalysis extends QueryModule {
       |  len(list_filter(range(1, 9), j -> mh_a[j] = mh_b[j])) / 8.0 AS est_jaccard
       |FROM pairs
       |ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
+  /** Batch mirror of the STREAMING keep-first LSH dedup
+    * (streaming/StreamingPipelines.dedupMinhashStream): same banding
+    * CTEs as minHashLshSql, bucket winner = window MIN per band_val
+    * (id-ordered replay makes arrival order = doc_id order, so the
+    * stream's per-arrival verdicts equal the global window). */
+  private[graft] val dedupMinhashStreamSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), mh AS (
+      |  SELECT doc_id, list_transform(range(8), j -> list_min(list_transform(sh,
+      |    s -> ((2*j + 1) * CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+      |          + 97*j + 13) % 2147483647))) AS mh
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id,
+      |    b || ':' || mh[2*b + 1] || ':' || mh[2*b + 2] AS band_val
+      |  FROM mh, (SELECT unnest(range(4)) AS b)
+      |), w AS (
+      |  SELECT doc_id, band_val,
+      |    MIN(doc_id) OVER (PARTITION BY band_val) AS winner_id
+      |  FROM bands
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bands,
+      |  CAST(SUM(CASE WHEN winner_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+      |  CAST(SUM(CASE WHEN winner_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    < CAST(COUNT(*) AS BIGINT) AS is_duplicate,
+      |  COALESCE(MIN(CASE WHEN winner_id < doc_id THEN winner_id END),
+      |    -1) AS dup_of
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- SimHash
   /** 32-bit SimHash per document over md5-derived token hashes: majority

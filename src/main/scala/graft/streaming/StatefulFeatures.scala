@@ -1109,6 +1109,39 @@ object StatefulFeatures {
     out.iterator
   }
 
+  // ----------------------------------------- streaming near-dup (LSH)
+  case class BandIn(band_val: String, doc_id: Long)
+  case class BandWinner(doc_id: Long)
+  case class BandOut(band_val: String, doc_id: Long, winner_id: Long)
+
+  /** Streaming keep-first per LSH band bucket — the state layer of the
+    * streaming MinHash near-dup dedup. State is ONE winner doc per
+    * bucket (the earliest doc_id seen), O(buckets) total and O(1) per
+    * arrival; each (doc, band) arrival is emitted exactly once, graded
+    * against the bucket winner at its arrival instant. With the
+    * doc_id-ordered replay, "earliest arrival" = min doc_id, so the
+    * per-arrival verdict is final — no retraction needed — and a doc is
+    * a near-duplicate iff ANY of its bands lost to an earlier doc
+    * (suppressed-by-anyone semantics: a bucket claimed by a doc that
+    * itself lost elsewhere still suppresses — the standard LSH dedup
+    * contract, order-independent given the id-ordered replay). */
+  def bucketFirstUpdate(ds: Dataset[BandIn]): Dataset[BandOut] = {
+    implicit val outEnc = Encoders.product[BandOut]
+    implicit val stateEnc = Encoders.product[BandWinner]
+    ds.groupByKey(_.band_val)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (band: String, arrivals: Iterator[BandIn],
+         state: GroupState[BandWinner]) =>
+          val ids = arrivals.map(_.doc_id).toArray
+          java.util.Arrays.sort(ids)
+          val winner = state.getOption.map(_.doc_id)
+            .fold(ids.head)(w => math.min(w, ids.head))
+          if (!state.exists || state.get.doc_id > winner)
+            state.update(BandWinner(winner))
+          ids.iterator.map(d => BandOut(band, d, winner))
+      }
+  }
+
   // ------------------------------------------------------ streaming dedup
   case class DedupIn(event_id: Long, user_id: Long, event_type: String,
       ems: Long)

@@ -520,6 +520,85 @@ object StreamingPipelines {
     latestBy(sink, "rev", "event_id").drop("rev").orderBy(col("event_id"))
   }
 
+  /** Chunked replay of the `documents` table in doc_id order — the
+    * corpus-ingestion twin of [[eventStreamReplay]] (documents have no
+    * event time; arrival order IS the ingestion order, so range-chunking
+    * by doc_id and replaying oldest-file-first reproduces an id-ordered
+    * ingestion log). */
+  def docStreamReplay(spark: SparkSession, dir: String,
+                      nChunks: Int = 4): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import java.nio.charset.StandardCharsets
+    import scala.jdk.CollectionConverters._
+    val path = s"$dir/documents.parquet"
+    val src = Paths.get(path)
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_docreplay_" + path.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${nChunks}_p$procToken")
+    val marker = stage.resolve("_staged")
+    val sig =
+      s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}:v1"
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == sig
+    if (!fresh) {
+      if (Files.exists(stage)) {
+        val walk = Files.walk(stage)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+        finally walk.close()
+      }
+      graft.core.Tables.documents(spark, dir)
+        .repartitionByRange(nChunks, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(stage.toString)
+      val listing = Files.list(stage)
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toSeq
+          .sortBy(_.getFileName.toString)
+        finally listing.close()
+      val t0 = Files.getLastModifiedTime(src).toMillis
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(t0 + i * 1000L))
+      }
+      Files.write(marker, sig.getBytes(StandardCharsets.UTF_8))
+    }
+    val schema = spark.read.parquet(stage.toString).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+  }
+
+  /** Streaming MinHash near-dup dedup: the streaming twin of
+    * dedup_minhash_lsh's candidate layer. Each document maps to its 4
+    * LSH band values (pure per-row minhash, no shuffle), each band
+    * bucket keeps its FIRST document (StatefulFeatures.bucketFirstUpdate,
+    * O(1) state per bucket), and a doc is a near-duplicate iff any band
+    * lost to an earlier doc. At 100 TB this is the shape that works: the
+    * stream never joins doc-to-doc — the only shuffle is the band-bucket
+    * key, state is one id per bucket, and the verdict per doc is a
+    * 4-row rollup. The batch oracle mirrors with a window MIN per
+    * band_val. */
+  def dedupMinhashStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = graft.queries.TextAnalysis.lshBandRows(
+        docStreamReplay(spark, dir).select(col("doc_id"), col("text")))
+      .as[StatefulFeatures.BandIn]
+    val out = StatefulFeatures.bucketFirstUpdate(in).toDF()
+    val sink = runToMemory(spark, out, "update", "minhashdedup")
+    sink.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bands"),
+        sum(when(col("winner_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_first"),
+        min(when(col("winner_id") < col("doc_id"), col("winner_id")))
+          .as("dup_of_raw"))
+      .select(col("doc_id"), col("n_bands"), col("n_first"),
+        (col("n_first") < col("n_bands")).as("is_duplicate"),
+        coalesce(col("dup_of_raw"), lit(-1L)).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming keep-first dedup (StatefulFeatures.dedupFirstUpdate) in
     * update mode: the sink holds every winner change; read-back takes the
     * max-rev row per (user, type) — what an upsert sink stores — and

@@ -147,6 +147,9 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(_.toString),
       // session-window merge state
       "session" -> StreamingPipelines.sessionWindowAgg(spark, sfDir)
+        .collect().map(_.toString),
+      // keep-first-per-bucket LSH dedup state (round 6)
+      "minhashdedup" -> StreamingPipelines.dedupMinhashStream(spark, sfDir)
         .collect().map(_.toString))
     val default = run()
     val prev = spark.conf.getOption(key)
@@ -251,6 +254,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(("click", 2L)) == 4L) // retracted by the late arrival
     assert(rows(("view", 1L)) == 6L)
     assert(!rows.contains(("view", 2L))) // non-improving arrival is silent
+  }
+
+  test("bucket keep-first: cross-batch winners, one verdict per arrival") {
+    import StatefulFeatures.{BandIn, BandOut}
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[BandIn]
+    val q = StatefulFeatures.bucketFirstUpdate(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("bucketfirst_test")
+      .outputMode("update").start()
+    try {
+      in.addData(BandIn("x", 5L), BandIn("x", 7L))
+      q.processAllAvailable()
+      // batch 2: x's winner is already 5; y is fresh
+      in.addData(BandIn("x", 9L), BandIn("y", 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("bucketfirst_test").collect()
+      .map(r => (r.getAs[String]("band_val"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("winner_id")).toMap
+    assert(rows.size == 4) // exactly one verdict per (bucket, doc) arrival
+    assert(rows(("x", 5L)) == 5L) // first in its bucket
+    assert(rows(("x", 7L)) == 5L) // same-batch loser
+    assert(rows(("x", 9L)) == 5L) // cross-batch loser
+    assert(rows(("y", 9L)) == 9L) // first in a fresh bucket
   }
 
   test("update-mode retraction closes the cross-batch tie/late boundary") {
