@@ -826,21 +826,32 @@ object Embeddings extends QueryModule {
       } finally emb.unpersist(blocking = false)
     })
 
-  private def pqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.operators.KMeansQuantizer.{dist2SubTo, pqCode}
-    val cb = pqCodebook(spark, dir)
-    val emb = Tables.embeddings(spark, dir).persist()
-    val coded = emb.select(col("vec_id"), col("embedding"),
+  /** Codes column for the whole corpus + query frame with the per-query
+    * ADC distance table. */
+  private def pqCoded(emb: DataFrame, cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import graft.operators.KMeansQuantizer.pqCode
+    emb.select((Seq(col("vec_id"), col("embedding"),
       array((0 until pqM).map(s =>
-        pqCode(col("embedding"), s, pqSub, cb(s))): _*).as("codes"))
-    // per-query distance table: pqM x pqK entries, index s*pqK + c
-    val q = coded.filter(col("vec_id") < 20)
+        pqCode(col("embedding"), s, pqSub, cb(s))): _*).as("codes")) ++
+      emb.columns.filterNot(Set("vec_id", "embedding")).map(col)): _*)
+  }
+
+  private def pqQueryFrame(coded: DataFrame,
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import graft.operators.KMeansQuantizer.dist2SubTo
+    coded.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("dtable", array((for (s <- 0 until pqM; c <- 0 until pqK)
         yield dist2SubTo(col("qv"), s, pqSub, cb(s)(c))): _*))
-    val pairs = coded.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
+  }
+
+  /** ADC scan + exact top-50 rerank + recall vs the brute-force exact
+    * top-10, shared by emb_pq_adc_recall (cand = all pairs) and
+    * emb_ivfadc_recall (cand = probed-cell pairs). `pairsAll` grades the
+    * ground truth; `cand` is what the index actually scans. */
+  private def adcRecallCore(q: DataFrame, pairsAll: DataFrame,
+      cand: DataFrame, withNc: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // ADC: pqM table lookups + sequential adds — the production scan shape
     val adcCol = expr(
       s"""aggregate(sequence(0, ${pqM - 1}), cast(0.0 as double),
@@ -855,7 +866,7 @@ object Embeddings extends QueryModule {
       .orderBy(col("adc").asc, col("vec_id"))
     val rankExact = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("vec_id"))
-    val adcScored = pairs.withColumn("adc", round(adcCol, 6))
+    val adcScored = cand.withColumn("adc", round(adcCol, 6))
       .withColumn("rn", row_number().over(rankAdc))
     val adcTop = adcScored.filter(col("rn") <= 10)
       .select(col("query_id"), col("vec_id"))
@@ -863,10 +874,10 @@ object Embeddings extends QueryModule {
     // (only the shortlist's float vectors are ever touched)
     val adc50 = adcScored.filter(col("rn") <= 50)
       .select(col("query_id"), col("vec_id"))
-    val brute = pairs.withColumn("d2", round(exactCol, 6))
+    val brute = pairsAll.withColumn("d2", round(exactCol, 6))
       .withColumn("rn", row_number().over(rankExact)).filter(col("rn") <= 10)
       .select(col("query_id"), col("vec_id"))
-    val rerank = pairs.join(adc50, Seq("query_id", "vec_id"))
+    val rerank = cand.join(adc50, Seq("query_id", "vec_id"))
       .withColumn("d2", round(exactCol, 6))
       .withColumn("rn", row_number().over(rankExact)).filter(col("rn") <= 10)
       .select(col("query_id"), col("vec_id"))
@@ -874,17 +885,60 @@ object Embeddings extends QueryModule {
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
     val rhits = brute.join(rerank, Seq("query_id", "vec_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("rerank_n_hits"))
-    graft.core.CachePin.sealAndRelease(
-      q.select(col("query_id")).join(hits, Seq("query_id"), "left")
-        .join(rhits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+    val base = q.select(col("query_id")).join(hits, Seq("query_id"), "left")
+      .join(rhits, Seq("query_id"), "left")
+    val withCand =
+      if (!withNc) base
+      else base.join(cand.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_candidates")), Seq("query_id"), "left")
+    withCand.select(
+      Seq(col("query_id")) ++
+        (if (withNc)
+          Seq(coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        else Nil) ++
+        Seq(coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"),
           coalesce(col("rerank_n_hits"), lit(0L)).as("rerank_n_hits"),
           (coalesce(col("rerank_n_hits"), lit(0L)) / 10.0)
-            .as("rerank_recall_at_10"))
-        .orderBy(col("query_id")),
-      emb)
+            .as("rerank_recall_at_10")): _*)
+      .orderBy(col("query_id"))
+  }
+
+  private def pqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+    val emb = Tables.embeddings(spark, dir).persist()
+    val coded = pqCoded(emb.select(col("vec_id"), col("embedding")), cb)
+    val q = pqQueryFrame(coded, cb)
+    val pairs = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+    graft.core.CachePin.sealAndRelease(
+      adcRecallCore(q, pairs, pairs, withNc = false), emb)
+  }
+
+  /** IVFADC (the Jegou et al. composition): the k-means IVF cells bound
+    * WHICH codes a query scans (top-3 probe cells), PQ-ADC ranks inside
+    * them, exact rerank of the top-50 as the third stage. This is the
+    * production billion-scale layout: cell id = partition key (a probe
+    * reads only its cells' files), codes = the in-RAM scan, floats
+    * touched only for the shortlist. Variant note: codebooks quantize
+    * RAW vectors, not per-cell residuals (one shared codebook keeps the
+    * oracle tractable; residual PQ is the classical refinement). */
+  private def ivfadcRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeansQuantizer
+    val cent = fittedCentroids(spark, dir)
+    val cb = pqCodebook(spark, dir)
+    val emb = Tables.embeddings(spark, dir).persist()
+    val coded = pqCoded(emb.select(col("vec_id"), col("embedding")), cb)
+      .withColumn("cell",
+        KMeansQuantizer.assignCell(col("embedding"), cent))
+    val q = pqQueryFrame(coded, cb)
+      .withColumn("probes",
+        KMeansQuantizer.probeCells(col("qv"), cent, 3))
+    val pairsAll = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+    val cand = pairsAll.filter(array_contains(col("probes"), col("cell")))
+    graft.core.CachePin.sealAndRelease(
+      adcRecallCore(q, pairsAll, cand, withNc = true), emb)
   }
 
   /** d2 between embedding column `e`'s subspace (1-based dims s*8+1..s*8+8,
@@ -896,41 +950,49 @@ object Embeddings extends QueryModule {
        |             * (CAST($e.embedding[($s) * $pqSub + j] AS DOUBLE) - $cv[j]))),
        |        (acc, x) -> acc + x)""".stripMargin
 
-  private def pqAdcRecallSql =
-    s"""WITH seedg AS MATERIALIZED (
+  /** PQ training + encoding CTEs with a name prefix, so they compose
+    * with the k-means fit CTEs (whose names a1/per1 would collide) in
+    * the IVFADC oracle: `${p}seedg` (subvector seeds), `${p}a1`/
+    * `${p}per1`/`${p}cbd` (one Lloyd round, empty codes keep seeds),
+    * `${p}cb` (codebook), `${p}a2` (final codes). */
+  private def pqTrainCtes(p: String) =
+    s"""${p}seedg AS MATERIALIZED (
        |  SELECT ss.s, CAST(e.vec_id AS BIGINT) AS c,
        |    list_transform(range(1, ${pqSub + 1}),
        |      j -> CAST(e.embedding[ss.s * $pqSub + j] AS DOUBLE)) AS cv
        |  FROM embeddings e, (SELECT unnest(range($pqM)) AS s) ss
        |  WHERE e.vec_id < $pqK
-       |), a1 AS (
+       |), ${p}a1 AS (
        |  SELECT vec_id, s, c AS code FROM (
        |    SELECT e.vec_id, sd.s, sd.c,
        |      row_number() OVER (PARTITION BY e.vec_id, sd.s
        |        ORDER BY ${pqD2Sub("e", "sd.s", "sd.cv")}, sd.c) AS rn
-       |    FROM embeddings e, seedg sd) WHERE rn = 1
-       |), per1 AS (
+       |    FROM embeddings e, ${p}seedg sd) WHERE rn = 1
+       |), ${p}per1 AS (
        |  SELECT a.s, a.code, jj.j,
        |    SUM(CAST(FLOOR(CAST(e.embedding[a.s * $pqSub + jj.j + 1] AS DOUBLE)
        |          * 1000000.0) AS BIGINT)) / 1000000.0 / COUNT(*) AS mean_dim
-       |  FROM a1 a JOIN embeddings e USING (vec_id),
+       |  FROM ${p}a1 a JOIN embeddings e USING (vec_id),
        |       (SELECT unnest(range($pqSub)) AS j) jj
        |  GROUP BY a.s, a.code, jj.j
-       |), cbd AS (
+       |), ${p}cbd AS (
        |  SELECT sd.s, sd.c AS code, jj.j,
        |    COALESCE(p.mean_dim, sd.cv[jj.j + 1]) AS v
-       |  FROM seedg sd
+       |  FROM ${p}seedg sd
        |  CROSS JOIN (SELECT unnest(range($pqSub)) AS j) jj
-       |  LEFT JOIN per1 p ON p.s = sd.s AND p.code = sd.c AND p.j = jj.j
-       |), cb AS MATERIALIZED (
-       |  SELECT s, code, list(v ORDER BY j) AS cv FROM cbd GROUP BY s, code
-       |), a2 AS MATERIALIZED (
+       |  LEFT JOIN ${p}per1 p ON p.s = sd.s AND p.code = sd.c AND p.j = jj.j
+       |), ${p}cb AS MATERIALIZED (
+       |  SELECT s, code, list(v ORDER BY j) AS cv FROM ${p}cbd GROUP BY s, code
+       |), ${p}a2 AS MATERIALIZED (
        |  SELECT vec_id, s, code FROM (
        |    SELECT e.vec_id, cb.s, cb.code,
        |      row_number() OVER (PARTITION BY e.vec_id, cb.s
        |        ORDER BY ${pqD2Sub("e", "cb.s", "cb.cv")}, cb.code) AS rn
-       |    FROM embeddings e, cb) WHERE rn = 1
-       |), q AS MATERIALIZED (
+       |    FROM embeddings e, ${p}cb cb) WHERE rn = 1
+       |)""".stripMargin
+
+  private def pqAdcRecallSql =
+    s"""WITH ${pqTrainCtes("")}, q AS MATERIALIZED (
        |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20
        |), subd AS (
        |  SELECT q.query_id, a.vec_id, a.s,
@@ -991,8 +1053,97 @@ object Embeddings extends QueryModule {
        |LEFT JOIN rhits r USING (query_id)
        |ORDER BY q.query_id""".stripMargin
 
+  /** IVFADC oracle: k-means fit CTEs (coarse cells) + prefixed PQ CTEs
+    * (codes), candidates = top-3 probed cells, ADC + rerank inside them,
+    * ground truth = global exact top-10. */
+  private def ivfadcRecallSql =
+    s"""WITH $kmFitCtes, ${pqTrainCtes("p")}, q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20
+       |), cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${kmDist2("e", "c")}, c.cell) AS rn
+       |    FROM embeddings e, cent$kmIters c) WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${kmDist2("q", "c")}, c.cell) AS rn
+       |    FROM q, cent$kmIters c) WHERE rn <= 3
+       |), cand AS MATERIALIZED (
+       |  SELECT p.query_id, cl.vec_id
+       |  FROM probes p JOIN cells cl ON cl.cell = p.cell
+       |  WHERE cl.vec_id <> p.query_id
+       |), subd AS (
+       |  SELECT cd.query_id, cd.vec_id, a.s,
+       |    ${pqD2Sub("q", "a.s", "cb.cv")} AS sd2
+       |  FROM cand cd
+       |  JOIN pa2 a ON a.vec_id = cd.vec_id
+       |  JOIN pcb cb ON cb.s = a.s AND cb.code = a.code
+       |  JOIN q ON q.query_id = cd.query_id
+       |), adc AS (
+       |  SELECT query_id, vec_id,
+       |    ROUND(list_reduce(list_prepend(0.0, list(sd2 ORDER BY s)),
+       |      (acc, x) -> acc + x), 6) AS adc
+       |  FROM subd GROUP BY query_id, vec_id
+       |), adcrn AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+       |  FROM adc
+       |), adctop AS (
+       |  SELECT query_id, vec_id FROM adcrn WHERE rn <= 10
+       |), adc50 AS (
+       |  SELECT query_id, vec_id FROM adcrn WHERE rn <= 50
+       |), rerank AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT s.query_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY ROUND(list_reduce(list_prepend(0.0,
+       |          list_transform(range(1, 65),
+       |            j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE))
+       |               * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE)))),
+       |          (acc, x) -> acc + x), 6), s.vec_id) AS rn
+       |    FROM adc50 s JOIN embeddings e ON e.vec_id = s.vec_id
+       |    JOIN q ON q.query_id = s.query_id) WHERE rn <= 10
+       |), brute AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ROUND(list_reduce(list_prepend(0.0,
+       |          list_transform(range(1, 65),
+       |            j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE))
+       |               * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE)))),
+       |          (acc, x) -> acc + x), 6), e.vec_id) AS rn
+       |    FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 10
+       |), hits AS (
+       |  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM brute b JOIN adctop t
+       |    ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+       |  GROUP BY b.query_id
+       |), rhits AS (
+       |  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS rerank_n_hits
+       |  FROM brute b JOIN rerank t
+       |    ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+       |  GROUP BY b.query_id
+       |), nc AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       |  FROM cand GROUP BY query_id
+       |)
+       |SELECT q.query_id,
+       |  COALESCE(n.n_candidates, 0) AS n_candidates,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) / 10.0 AS recall_at_10,
+       |  COALESCE(r.rerank_n_hits, 0) AS rerank_n_hits,
+       |  COALESCE(r.rerank_n_hits, 0) / 10.0 AS rerank_recall_at_10
+       |FROM q LEFT JOIN nc n USING (query_id)
+       |LEFT JOIN hits h USING (query_id)
+       |LEFT JOIN rhits r USING (query_id)
+       |ORDER BY q.query_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pq_adc_recall" -> (pqAdcRecall _),
+    "emb_ivfadc_recall" -> (ivfadcRecall _),
     "emb_knn_bruteforce" -> (knnBrute _),
     "emb_centroids" -> (centroids _),
     "emb_lsh_buckets" -> (lshBuckets _),
@@ -1005,6 +1156,7 @@ object Embeddings extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "emb_pq_adc_recall" -> pqAdcRecallSql,
+    "emb_ivfadc_recall" -> ivfadcRecallSql,
     "emb_ivf_recall" -> ivfRecallSql,
     "emb_knn_bruteforce" -> knnBruteSql,
     "emb_centroids" -> centroidsSql,
