@@ -61,6 +61,29 @@ object ScaleCheck {
       .withColumn("ts", timestamp_millis(col("ems")))
   }
 
+  /** Deterministic synthetic documents: 64 md5-derived tokens from a
+    * 32-word vocab; every 10th doc repeats an earlier doc's content, so
+    * the streaming near-dup path exercises real suppression. Doc count
+    * is n/10 (documents are bigger units than events; 1x here matches
+    * the sf0.1 corpus within 2x). */
+  private def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "batch", "window", "spark", "order", "data",
+      "column", "join", "small", "line", "customer", "query", "big",
+      "stream", "group", "sort", "the", "a", "filter", "vector", "merge",
+      "click", "view")
+    spark.range(0, n)
+      .withColumn("e",
+        when(pmod(col("id"), lit(10L)) === 9, expr("id div 10"))
+          .otherwise(col("id")))
+      .select(col("id").as("doc_id"),
+        expr(s"""concat_ws(' ', transform(sequence(0, 63),
+          |  j -> element_at(array(${vocab.map("'" + _ + "'").mkString(",")}),
+          |    cast(pmod(cast(conv(substring(md5(cast(concat(e, '_', j) as binary)),
+          |      1, 8), 16, 10) as bigint), 32) as int) + 1)))""".stripMargin)
+          .as("text"))
+  }
+
   private def timed[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
@@ -136,6 +159,24 @@ object ScaleCheck {
         StatefulFeatures.sessionStepsUpdateExpiring(in).toDF(), "update",
         "scalecheck_sessions_update").count()
     }
+    // streaming near-dup (round 6): per-doc banding is the map-heavy part
+    // (62 shingle md5s/doc), state is one winner id per band bucket — wall
+    // must scale ~linearly in docs, state never super-linear in buckets
+    def stageDocs(n: Long): String = {
+      val dir = s"$base/docs_$n"
+      synthDocs(spark, n / 10).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def dedupStream(dir: String): Double = timed {
+      val sch = spark.read.parquet(dir).schema
+      val in = graft.queries.TextAnalysis.lshBandRows(
+          spark.readStream.schema(sch).parquet(dir)
+            .select(col("doc_id"), col("text")))
+        .as[StatefulFeatures.BandIn]
+      StreamingPipelines.runToMemory(spark,
+        StatefulFeatures.bucketFirstUpdate(in).toDF(), "update",
+        "scalecheck_dedup").count()
+    }
     def upsert(n: Long): Double = {
       import graft.store.{FeatureView, OnlineStore, Registry}
       import org.apache.spark.sql.types._
@@ -164,14 +205,16 @@ object ScaleCheck {
 
     val d1 = stage(n1); val d10 = stage(n1 * 10)
     val s1 = stageSkewed(n1); val s10 = stageSkewed(n1 * 10)
+    val dd1 = stageDocs(n1); val dd10 = stageDocs(n1 * 10)
     // warm the JIT/codegen on the small corpus before any timed run
-    anchored(d1); sessions(d1)
+    anchored(d1); sessions(d1); dedupStream(dd1)
     val out = Seq(
       ("anchored_stats", anchored(d1), anchored(d10)),
       ("anchored_stats_hotkey", anchored(s1), anchored(s10)),
       ("session_steps", sessions(d1), sessions(d10)),
       ("stats_update_hotkey", statsUpdate(s1), statsUpdate(s10)),
       ("session_update_hotkey", sessionsUpdate(s1), sessionsUpdate(s10)),
+      ("stream_dedup_minhash", dedupStream(dd1), dedupStream(dd10)),
       ("store_upsert_fixed_batch", upsert(n1), upsert(n1 * 10)))
     out.foreach { case (name, t1, t10) =>
       println(f"[scalecheck] $name%-26s 1x=$t1%8.2fs 10x=$t10%8.2fs ratio=${t10 / t1}%5.2f")
