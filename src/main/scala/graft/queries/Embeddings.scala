@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -792,38 +792,71 @@ object Embeddings extends QueryModule {
   private val pqCache =
     new scala.collection.concurrent.TrieMap[String, Seq[Seq[Seq[Double]]]]()
 
-  /** codebook(s)(c) = 8-dim double centroid of code c in subspace s. */
+  /** Trains the codebook on any (vec_id, embedding: array&lt;float|double&gt;)
+    * frame — raw vectors for plain PQ, per-cell residuals for residual
+    * PQ. codebook(s)(c) = 8-dim double centroid of code c in subspace s. */
+  private def pqTrainOn(vecs: DataFrame): Seq[Seq[Seq[Double]]] = {
+    import graft.operators.KMeansQuantizer.pqCode
+    val seedRows = vecs.filter(col("vec_id") < pqK).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+      })
+    val seeds: Seq[Seq[Seq[Double]]] = (0 until pqM).map(s =>
+      (0 until pqK).map(c => seedRows(c).slice(s * pqSub, (s + 1) * pqSub)))
+    val codes0 = array((0 until pqM).map(s =>
+      pqCode(col("embedding"), s, pqSub, seeds(s))): _*)
+    // one Lloyd round: 1e-6-quantized integer sums per (s, code, dim),
+    // k x m x sub groups, map-side partials — one scan + tiny shuffle
+    val sums = vecs.select(col("vec_id"), codes0.as("codes"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(expr("CAST(pos div " + pqSub + " AS INT)").as("s"),
+        expr("CAST(element_at(codes, CAST(pos div " + pqSub +
+          " AS INT) + 1) AS INT)").as("code"),
+        pmod(col("pos"), lit(pqSub)).as("j"),
+        floor(col("x").cast("double") * 1000000.0).cast("long").as("q"))
+      .groupBy(col("s"), col("code"), col("j"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3).toDouble / 1000000.0 / r.getLong(4)))
+      .toMap
+    (0 until pqM).map(s => (0 until pqK).map(c =>
+      (0 until pqSub).map(j => sums.getOrElse((s, c, j), seeds(s)(c)(j)))
+        : Seq[Double]))
+  }
+
   private def pqCodebook(spark: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
     pqCache.getOrElseUpdate(dir + "@" + embFingerprint(dir), {
-      import graft.operators.KMeansQuantizer.pqCode
       val emb = Tables.embeddings(spark, dir).persist()
-      try {
-        val seedRows = emb.filter(col("vec_id") < pqK).orderBy(col("vec_id"))
-          .select(col("embedding")).collect()
-          .map(_.getSeq[Float](0).map(_.toDouble))
-        val seeds: Seq[Seq[Seq[Double]]] = (0 until pqM).map(s =>
-          (0 until pqK).map(c => seedRows(c).slice(s * pqSub, (s + 1) * pqSub)))
-        val codes0 = array((0 until pqM).map(s =>
-          pqCode(col("embedding"), s, pqSub, seeds(s))): _*)
-        // one Lloyd round: 1e-6-quantized integer sums per (s, code, dim),
-        // k x m x sub groups, map-side partials — one scan + tiny shuffle
-        val sums = emb.select(col("vec_id"), codes0.as("codes"),
-            posexplode(col("embedding")).as(Seq("pos", "x")))
-          .select(expr("CAST(pos div " + pqSub + " AS INT)").as("s"),
-            expr("CAST(element_at(codes, CAST(pos div " + pqSub +
-              " AS INT) + 1) AS INT)").as("code"),
-            pmod(col("pos"), lit(pqSub)).as("j"),
-            floor(col("x").cast("double") * 1000000.0).cast("long").as("q"))
-          .groupBy(col("s"), col("code"), col("j"))
-          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
-            (r.getLong(3).toDouble / 1000000.0 / r.getLong(4)))
-          .toMap
-        (0 until pqM).map(s => (0 until pqK).map(c =>
-          (0 until pqSub).map(j => sums.getOrElse((s, c, j), seeds(s)(c)(j)))
-            : Seq[Double]))
-      } finally emb.unpersist(blocking = false)
+      try pqTrainOn(emb)
+      finally emb.unpersist(blocking = false)
+    })
+
+  /** Per-cell residual column: embedding − its cell's centroid, in
+    * double (the residual-PQ encoding source). Centroids broadcast as a
+    * cell-indexed literal (cells are 0..k−1 by the fixed-id seeding). */
+  private def residCol(cent: Seq[(Long, Seq[Double])], emb: Column,
+      cell: Column): Column = {
+    val byCell = cent.sortBy(_._1).map { case (_, cv) =>
+      array(cv.map(lit): _*)
+    }
+    zip_with(emb, element_at(array(byCell: _*), cell.cast("int") + 1),
+      (x, c) => x.cast("double") - c)
+  }
+
+  /** Residual-PQ codebook: trained on (x − centroid(cell)) vectors. */
+  private def pqResidCodebook(spark: SparkSession, dir: String,
+      cent: Seq[(Long, Seq[Double])]): Seq[Seq[Seq[Double]]] =
+    pqCache.getOrElseUpdate(dir + "@resid@" + embFingerprint(dir), {
+      import graft.operators.KMeansQuantizer.assignCell
+      val emb = Tables.embeddings(spark, dir).persist()
+      try pqTrainOn(emb
+        .withColumn("cell", assignCell(col("embedding"), cent))
+        .select(col("vec_id"),
+          residCol(cent, col("embedding"), col("cell")).as("embedding")))
+      finally emb.unpersist(blocking = false)
     })
 
   /** Codes column for the whole corpus + query frame with the per-query
@@ -941,6 +974,42 @@ object Embeddings extends QueryModule {
       adcRecallCore(q, pairsAll, cand, withNc = true), emb)
   }
 
+  /** Residual IVFADC — the classical refinement (Jegou et al. §III):
+    * codebooks quantize x − centroid(cell) instead of raw vectors, so
+    * the 24 bits spend their resolution on the WITHIN-cell variance the
+    * coarse quantizer leaves behind; the query builds one distance table
+    * per probed cell from its own residual against that cell. Same scan
+    * shape and cost as emb_ivfadc_recall; the recall delta is what the
+    * residual buys. */
+  private def ivfadcResidualRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeansQuantizer.{assignCell, probeCells, pqCode, dist2SubTo}
+    val cent = fittedCentroids(spark, dir)
+    val cb = pqResidCodebook(spark, dir, cent)
+    val emb = Tables.embeddings(spark, dir).persist()
+    val coded = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", assignCell(col("embedding"), cent))
+      .withColumn("resid", residCol(cent, col("embedding"), col("cell")))
+      .withColumn("codes", array((0 until pqM).map(s =>
+        pqCode(col("resid"), s, pqSub, cb(s))): _*))
+      .drop("resid")
+    val q0 = coded.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // one distance table per (query, probed cell), over the query's
+    // residual against THAT cell — candidates join on their own cell
+    val qp = q0
+      .withColumn("cell", explode(probeCells(col("qv"), cent, 3)))
+      .withColumn("qresid", residCol(cent, col("qv"), col("cell")))
+      .withColumn("dtable", array((for (s <- 0 until pqM; c <- 0 until pqK)
+        yield dist2SubTo(col("qresid"), s, pqSub, cb(s)(c))): _*))
+      .drop("qresid")
+    val pairsAll = coded.drop("cell").crossJoin(broadcast(q0))
+      .filter(col("vec_id") =!= col("query_id"))
+    val cand = coded.join(broadcast(qp), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    graft.core.CachePin.sealAndRelease(
+      adcRecallCore(q0, pairsAll, cand, withNc = true), emb)
+  }
+
   /** d2 between embedding column `e`'s subspace (1-based dims s*8+1..s*8+8,
     * with `s` an SQL expression) and a double-list `cv` — the oracle
     * mirror of KMeansQuantizer.dist2SubTo. */
@@ -955,24 +1024,24 @@ object Embeddings extends QueryModule {
     * the IVFADC oracle: `${p}seedg` (subvector seeds), `${p}a1`/
     * `${p}per1`/`${p}cbd` (one Lloyd round, empty codes keep seeds),
     * `${p}cb` (codebook), `${p}a2` (final codes). */
-  private def pqTrainCtes(p: String) =
+  private def pqTrainCtes(p: String, src: String = "embeddings") =
     s"""${p}seedg AS MATERIALIZED (
        |  SELECT ss.s, CAST(e.vec_id AS BIGINT) AS c,
        |    list_transform(range(1, ${pqSub + 1}),
        |      j -> CAST(e.embedding[ss.s * $pqSub + j] AS DOUBLE)) AS cv
-       |  FROM embeddings e, (SELECT unnest(range($pqM)) AS s) ss
+       |  FROM $src e, (SELECT unnest(range($pqM)) AS s) ss
        |  WHERE e.vec_id < $pqK
        |), ${p}a1 AS (
        |  SELECT vec_id, s, c AS code FROM (
        |    SELECT e.vec_id, sd.s, sd.c,
        |      row_number() OVER (PARTITION BY e.vec_id, sd.s
        |        ORDER BY ${pqD2Sub("e", "sd.s", "sd.cv")}, sd.c) AS rn
-       |    FROM embeddings e, ${p}seedg sd) WHERE rn = 1
+       |    FROM $src e, ${p}seedg sd) WHERE rn = 1
        |), ${p}per1 AS (
        |  SELECT a.s, a.code, jj.j,
        |    SUM(CAST(FLOOR(CAST(e.embedding[a.s * $pqSub + jj.j + 1] AS DOUBLE)
        |          * 1000000.0) AS BIGINT)) / 1000000.0 / COUNT(*) AS mean_dim
-       |  FROM ${p}a1 a JOIN embeddings e USING (vec_id),
+       |  FROM ${p}a1 a JOIN $src e USING (vec_id),
        |       (SELECT unnest(range($pqSub)) AS j) jj
        |  GROUP BY a.s, a.code, jj.j
        |), ${p}cbd AS (
@@ -988,7 +1057,7 @@ object Embeddings extends QueryModule {
        |    SELECT e.vec_id, cb.s, cb.code,
        |      row_number() OVER (PARTITION BY e.vec_id, cb.s
        |        ORDER BY ${pqD2Sub("e", "cb.s", "cb.cv")}, cb.code) AS rn
-       |    FROM embeddings e, ${p}cb cb) WHERE rn = 1
+       |    FROM $src e, ${p}cb cb) WHERE rn = 1
        |)""".stripMargin
 
   private def pqAdcRecallSql =
@@ -1056,6 +1125,107 @@ object Embeddings extends QueryModule {
   /** IVFADC oracle: k-means fit CTEs (coarse cells) + prefixed PQ CTEs
     * (codes), candidates = top-3 probed cells, ADC + rerank inside them,
     * ground truth = global exact top-10. */
+  /** Residual-IVFADC oracle: cells + per-vector residual source CTE feed
+    * the SAME prefixed PQ training CTEs (the source table is a
+    * parameter); the ADC sub-distance subtracts the candidate's cell
+    * centroid from the query inline. */
+  private def ivfadcResidualSql =
+    s"""WITH $kmFitCtes, q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20
+       |), cells AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${kmDist2("e", "c")}, c.cell) AS rn
+       |    FROM embeddings e, cent$kmIters c) WHERE rn = 1
+       |), rsrc AS MATERIALIZED (
+       |  SELECT e.vec_id, list_transform(range(1, 65),
+       |    j -> CAST(e.embedding[j] AS DOUBLE) - c.cv[j]) AS embedding
+       |  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id
+       |  JOIN cent$kmIters c ON c.cell = cl.cell
+       |), ${pqTrainCtes("p", "rsrc")}, probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${kmDist2("q", "c")}, c.cell) AS rn
+       |    FROM q, cent$kmIters c) WHERE rn <= 3
+       |), cand AS MATERIALIZED (
+       |  SELECT p.query_id, cl.vec_id
+       |  FROM probes p JOIN cells cl ON cl.cell = p.cell
+       |  WHERE cl.vec_id <> p.query_id
+       |), subd AS (
+       |  SELECT cd.query_id, cd.vec_id, a.s,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${pqSub + 1}),
+       |      j -> ((CAST(q.embedding[a.s * $pqSub + j] AS DOUBLE)
+       |              - ct.cv[a.s * $pqSub + j]) - cb.cv[j])
+       |         * ((CAST(q.embedding[a.s * $pqSub + j] AS DOUBLE)
+       |              - ct.cv[a.s * $pqSub + j]) - cb.cv[j]))),
+       |      (acc, x) -> acc + x) AS sd2
+       |  FROM cand cd
+       |  JOIN cells cl ON cl.vec_id = cd.vec_id
+       |  JOIN cent$kmIters ct ON ct.cell = cl.cell
+       |  JOIN pa2 a ON a.vec_id = cd.vec_id
+       |  JOIN pcb cb ON cb.s = a.s AND cb.code = a.code
+       |  JOIN q ON q.query_id = cd.query_id
+       |), adc AS (
+       |  SELECT query_id, vec_id,
+       |    ROUND(list_reduce(list_prepend(0.0, list(sd2 ORDER BY s)),
+       |      (acc, x) -> acc + x), 6) AS adc
+       |  FROM subd GROUP BY query_id, vec_id
+       |), adcrn AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+       |  FROM adc
+       |), adctop AS (
+       |  SELECT query_id, vec_id FROM adcrn WHERE rn <= 10
+       |), adc50 AS (
+       |  SELECT query_id, vec_id FROM adcrn WHERE rn <= 50
+       |), rerank AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT s.query_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY ROUND(list_reduce(list_prepend(0.0,
+       |          list_transform(range(1, 65),
+       |            j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE))
+       |               * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE)))),
+       |          (acc, x) -> acc + x), 6), s.vec_id) AS rn
+       |    FROM adc50 s JOIN embeddings e ON e.vec_id = s.vec_id
+       |    JOIN q ON q.query_id = s.query_id) WHERE rn <= 10
+       |), brute AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ROUND(list_reduce(list_prepend(0.0,
+       |          list_transform(range(1, 65),
+       |            j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE))
+       |               * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE)))),
+       |          (acc, x) -> acc + x), 6), e.vec_id) AS rn
+       |    FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 10
+       |), hits AS (
+       |  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM brute b JOIN adctop t
+       |    ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+       |  GROUP BY b.query_id
+       |), rhits AS (
+       |  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS rerank_n_hits
+       |  FROM brute b JOIN rerank t
+       |    ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+       |  GROUP BY b.query_id
+       |), nc AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       |  FROM cand GROUP BY query_id
+       |)
+       |SELECT q.query_id,
+       |  COALESCE(n.n_candidates, 0) AS n_candidates,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) / 10.0 AS recall_at_10,
+       |  COALESCE(r.rerank_n_hits, 0) AS rerank_n_hits,
+       |  COALESCE(r.rerank_n_hits, 0) / 10.0 AS rerank_recall_at_10
+       |FROM q LEFT JOIN nc n USING (query_id)
+       |LEFT JOIN hits h USING (query_id)
+       |LEFT JOIN rhits r USING (query_id)
+       |ORDER BY q.query_id""".stripMargin
+
   private def ivfadcRecallSql =
     s"""WITH $kmFitCtes, ${pqTrainCtes("p")}, q AS MATERIALIZED (
        |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20
@@ -1144,6 +1314,7 @@ object Embeddings extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pq_adc_recall" -> (pqAdcRecall _),
     "emb_ivfadc_recall" -> (ivfadcRecall _),
+    "emb_ivfadc_residual" -> (ivfadcResidualRecall _),
     "emb_knn_bruteforce" -> (knnBrute _),
     "emb_centroids" -> (centroids _),
     "emb_lsh_buckets" -> (lshBuckets _),
@@ -1157,6 +1328,7 @@ object Embeddings extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "emb_pq_adc_recall" -> pqAdcRecallSql,
     "emb_ivfadc_recall" -> ivfadcRecallSql,
+    "emb_ivfadc_residual" -> ivfadcResidualSql,
     "emb_ivf_recall" -> ivfRecallSql,
     "emb_knn_bruteforce" -> knnBruteSql,
     "emb_centroids" -> centroidsSql,
