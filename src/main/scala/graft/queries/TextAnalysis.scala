@@ -279,6 +279,74 @@ object TextAnalysis extends QueryModule {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- decontamination
+  /** Train/eval decontamination — the n-gram overlap gate every LLM data
+    * pipeline runs before training (the GPT-3/PaLM 13-gram recipe,
+    * here 8 tokens to fit the corpus's 10-160-token docs): every 50th
+    * document stands in as the held-out eval set, train docs are flagged
+    * when any 8-token gram collides with an eval gram, with the earliest
+    * colliding eval doc as provenance.
+    *
+    * Scale shape: eval grams are the SMALL side by construction (the
+    * benchmark suite, not the corpus) — built once, broadcast; the train
+    * side streams through a broadcast hash join on the 60-bit gram hash
+    * and a per-doc rollup. No shuffle of the corpus at any point, so
+    * 100 TB of train data meets a fixed-size eval set at scan speed. */
+  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val g = docs(spark, dir).select(col("doc_id"),
+      expr("""array_distinct(CASE WHEN size(toks) >= 8 THEN
+        |  transform(sequence(1, size(toks) - 7),
+        |    i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, 8))
+        |         as binary)), 1, 15), 16, 10) as bigint))
+        |ELSE array() END)""".stripMargin).as("grams"))
+    val evalGrams = g.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_doc"), explode(col("grams")).as("gram"))
+      .groupBy(col("gram")).agg(min(col("eval_doc")).as("ev_src"))
+    val trainDocs = g.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        col("grams"))
+    val hits = trainDocs
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"), min(col("ev_src")).as("ev_min"))
+    trainDocs.drop("grams").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"),
+        coalesce(col("ev_min"), lit(-1L)).as("eval_src"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 8 THEN
+      |    list_transform(range(1, len(toks) - 6),
+      |      i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),
+      |           1, 15)) AS BIGINT))
+      |  ELSE [] END) AS grams FROM t
+      |), evg AS (
+      |  SELECT gram, MIN(doc_id) AS ev_src FROM (
+      |    SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0)
+      |  GROUP BY gram
+      |), tr AS (
+      |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0
+      |), hits AS (
+      |  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+      |    MIN(evg.ev_src) AS ev_min
+      |  FROM tr JOIN evg USING (gram) GROUP BY tr.doc_id
+      |), td AS (
+      |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM g
+      |  WHERE doc_id % 50 <> 0
+      |)
+      |SELECT td.doc_id, td.n_grams,
+      |  COALESCE(h.n_overlap, 0) AS n_overlap,
+      |  COALESCE(h.n_overlap, 0) > 0 AS contaminated,
+      |  COALESCE(h.ev_min, -1) AS eval_src
+      |FROM td LEFT JOIN hits h USING (doc_id) ORDER BY td.doc_id""".stripMargin
+
   // ------------------------------------------------------------ exact dedup
   /** Exact dedup by content hash: group size and canonical (min doc_id)
     * membership per document — the hash-groupBy dedup that scales to any
@@ -725,6 +793,7 @@ object TextAnalysis extends QueryModule {
     "text_token_stats" -> (tokenStats _),
     "text_quality_score" -> (quality _),
     "text_repetition" -> (repetition _),
+    "text_decontaminate" -> (decontaminate _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "dedup_exact" -> (dedupExact _),
@@ -740,6 +809,7 @@ object TextAnalysis extends QueryModule {
     "text_token_stats" -> tokenStatsSql,
     "text_quality_score" -> qualitySql,
     "text_repetition" -> repetitionSql,
+    "text_decontaminate" -> decontaminateSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "dedup_exact" -> dedupExactSql,
