@@ -128,4 +128,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(snk("kafka.acks") == "all" && snk("kafka.linger.ms") == "10")
     assert(KafkaConfig.dlqTopic("txn.events") == "txn.events.dlq")
   }
+
+  test("PQ family: rerank never loses to raw ADC; recalls and candidates bounded") {
+    // rerank hits >= ADC hits is a THEOREM, not a tuning outcome: the
+    // exact rerank ranks adc50 (a superset of adcTop), and any brute
+    // top-10 member inside adc50 exact-ranks above every non-member, so
+    // |brute10 ∩ rerank10| >= |brute10 ∩ adcTop10|. Pin it per query.
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("emb_pq_adc_recall", "emb_ivfadc_recall",
+        "emb_ivfadc_residual")) {
+      val rows = graft.queries.Embeddings.queries(name)(spark, dir).collect()
+      assert(rows.length == 20, s"$name query count")
+      rows.foreach { r =>
+        val nHits = r.getAs[Long]("n_hits")
+        val rrHits = r.getAs[Long]("rerank_n_hits")
+        val rec = r.getAs[Double]("recall_at_10")
+        assert(rrHits >= nHits, s"$name rerank lost hits: $r")
+        assert(rec >= 0.0 && rec <= 1.0, s"$name recall bounds: $r")
+      }
+      if (name != "emb_pq_adc_recall")
+        rows.foreach { r =>
+          val nc = r.getAs[Long]("n_candidates")
+          assert(nc > 0 && nc < 500, s"$name candidate bounds: $r")
+        }
+    }
+  }
 }
