@@ -1010,6 +1010,66 @@ object Embeddings extends QueryModule {
       adcRecallCore(q0, pairsAll, cand, withNc = true), emb)
   }
 
+  // -------------------------------------------------------- SemDeDup
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via embedding
+    * clusters — assign every vector to its k-means cell, compare pairs
+    * only WITHIN a cell, and suppress the later vector of any pair
+    * whose cosine clears the threshold (keep-earliest,
+    * suppressed-by-anyone, like the MinHash path). The cluster bucket is
+    * the whole scale story: the pair join shuffles on the cell id and
+    * is bounded by cell size, never corpus². Threshold 0.35 is
+    * corpus-appropriate (this synthetic corpus tops out at cos ≈ 0.44;
+    * real duplicate embeddings sit above 0.9 — the knob, not the
+    * mechanics, moves). */
+  private def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeansQuantizer.assignCell
+    val cent = fittedCentroids(spark, dir)
+    val cells = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        assignCell(col("embedding"), cent).as("cell"))
+      .persist()
+    val dups = cells
+      .select(col("cell"), col("vec_id").as("id_a"),
+        col("embedding").as("qv"))
+      .join(cells.select(col("cell"), col("vec_id").as("id_b"),
+        col("embedding")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(expr(cosExpr), 6))
+      .filter(col("cos") >= 0.35)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_min"))
+    graft.core.CachePin.sealAndRelease(
+      cells.select(col("vec_id"), col("cell"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          col("dup_min").isNotNull.as("is_duplicate"),
+          coalesce(col("dup_min"), lit(-1L)).as("dup_of"))
+        .orderBy(col("vec_id")),
+      cells)
+  }
+
+  private def semDedupSql =
+    s"""WITH $kmFitCtes, af AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${kmDist2("e", "c")}, c.cell) AS rn
+       |    FROM embeddings e, cent$kmIters c) WHERE rn = 1
+       |), ce AS MATERIALIZED (
+       |  SELECT af.vec_id, af.cell, e.embedding
+       |  FROM embeddings e JOIN af ON af.vec_id = e.vec_id
+       |), dups AS (
+       |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_min
+       |  FROM ce a JOIN ce b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ROUND(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35
+       |  GROUP BY b.vec_id
+       |)
+       |SELECT af.vec_id, af.cell,
+       |  d.dup_min IS NOT NULL AS is_duplicate,
+       |  COALESCE(d.dup_min, -1) AS dup_of
+       |FROM af LEFT JOIN dups d USING (vec_id)
+       |ORDER BY af.vec_id""".stripMargin
+
   /** d2 between embedding column `e`'s subspace (1-based dims s*8+1..s*8+8,
     * with `s` an SQL expression) and a double-list `cv` — the oracle
     * mirror of KMeansQuantizer.dist2SubTo. */
@@ -1315,6 +1375,7 @@ object Embeddings extends QueryModule {
     "emb_pq_adc_recall" -> (pqAdcRecall _),
     "emb_ivfadc_recall" -> (ivfadcRecall _),
     "emb_ivfadc_residual" -> (ivfadcResidualRecall _),
+    "dedup_semantic" -> (semDedup _),
     "emb_knn_bruteforce" -> (knnBrute _),
     "emb_centroids" -> (centroids _),
     "emb_lsh_buckets" -> (lshBuckets _),
@@ -1329,6 +1390,7 @@ object Embeddings extends QueryModule {
     "emb_pq_adc_recall" -> pqAdcRecallSql,
     "emb_ivfadc_recall" -> ivfadcRecallSql,
     "emb_ivfadc_residual" -> ivfadcResidualSql,
+    "dedup_semantic" -> semDedupSql,
     "emb_ivf_recall" -> ivfRecallSql,
     "emb_knn_bruteforce" -> knnBruteSql,
     "emb_centroids" -> centroidsSql,
