@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -346,6 +346,80 @@ object TextAnalysis extends QueryModule {
       |  COALESCE(h.n_overlap, 0) > 0 AS contaminated,
       |  COALESCE(h.ev_min, -1) AS eval_src
       |FROM td LEFT JOIN hits h USING (doc_id) ORDER BY td.doc_id""".stripMargin
+
+  // ------------------------------------------------- curation funnel
+  /** The corpus-curation funnel every pretraining pipeline reports:
+    * cumulative survivor counts through quality gate → repetition gate →
+    * exact dedup → MinHash near-dedup (the keep-first bucket semantics of
+    * stream_dedup_minhash, batch-evaluated) → train/eval decontamination.
+    * Composes the per-doc verdicts of the five existing operators; each
+    * stage applies on the previous stage's survivors. The oracle embeds
+    * the five already-proven oracle queries as derived tables — one
+    * engine run, one SQL, same verdicts. */
+  private def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val q = quality(spark, dir).select(col("doc_id"), col("keep").as("q"))
+    val r = repetition(spark, dir).select(col("doc_id"), col("keep").as("r"))
+    val e = dedupExact(spark, dir)
+      .select(col("doc_id"), (!col("is_duplicate")).as("e"))
+    val m = lshBandRows(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
+      .withColumn("winner",
+        min(col("doc_id")).over(Window.partitionBy(col("band_val"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("winner") === col("doc_id"), 1L).otherwise(0L))
+        .as("nf"), count(lit(1)).as("nb"))
+      .select(col("doc_id"), (col("nf") === col("nb")).as("m"))
+    val d = decontaminate(spark, dir)
+      .select(col("doc_id"), (!col("contaminated")).as("dc0"))
+    val fl = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(q, "doc_id").join(r, "doc_id").join(e, "doc_id")
+      .join(m, "doc_id").join(d, Seq("doc_id"), "left")
+      .select(col("q"), col("r"), col("e"), col("m"),
+        (col("dc0").isNotNull && col("dc0")).as("dc"))
+    def cum(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val h = fl.agg(
+      count(lit(1)).cast("long"),
+      cum(col("q")),
+      cum(col("q") && col("r")),
+      cum(col("q") && col("r") && col("e")),
+      cum(col("q") && col("r") && col("e") && col("m")),
+      cum(col("q") && col("r") && col("e") && col("m") && col("dc"))).head()
+    import spark.implicits._
+    Seq((1L, "total", h.getLong(0)), (2L, "quality", h.getLong(1)),
+      (3L, "repetition", h.getLong(2)), (4L, "exact_dedup", h.getLong(3)),
+      (5L, "near_dedup", h.getLong(4)),
+      (6L, "decontaminated", h.getLong(5)))
+      .toDF("stage_id", "stage", "n_docs").orderBy(col("stage_id"))
+  }
+
+  private def curationFunnelSql =
+    s"""WITH qf AS (SELECT doc_id, keep AS q FROM ($qualitySql)),
+       |rf AS (SELECT doc_id, keep AS r FROM ($repetitionSql)),
+       |ef AS (SELECT doc_id, NOT is_duplicate AS e FROM ($dedupExactSql)),
+       |mf AS (SELECT doc_id, NOT is_duplicate AS m FROM ($dedupMinhashStreamSql)),
+       |cf AS (SELECT doc_id, NOT contaminated AS dc0 FROM ($decontaminateSql)),
+       |fl AS (
+       |  SELECT qf.q, rf.r, ef.e, mf.m,
+       |    (cf.doc_id IS NOT NULL AND cf.dc0) AS dc
+       |  FROM documents d
+       |  JOIN qf USING (doc_id) JOIN rf USING (doc_id)
+       |  JOIN ef USING (doc_id) JOIN mf USING (doc_id)
+       |  LEFT JOIN cf USING (doc_id)
+       |)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage_id, 'total' AS stage,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM fl
+       |  UNION ALL SELECT CAST(2 AS BIGINT), 'quality',
+       |    CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) FROM fl
+       |  UNION ALL SELECT CAST(3 AS BIGINT), 'repetition',
+       |    CAST(SUM(CASE WHEN q AND r THEN 1 ELSE 0 END) AS BIGINT) FROM fl
+       |  UNION ALL SELECT CAST(4 AS BIGINT), 'exact_dedup',
+       |    CAST(SUM(CASE WHEN q AND r AND e THEN 1 ELSE 0 END) AS BIGINT) FROM fl
+       |  UNION ALL SELECT CAST(5 AS BIGINT), 'near_dedup',
+       |    CAST(SUM(CASE WHEN q AND r AND e AND m THEN 1 ELSE 0 END) AS BIGINT) FROM fl
+       |  UNION ALL SELECT CAST(6 AS BIGINT), 'decontaminated',
+       |    CAST(SUM(CASE WHEN q AND r AND e AND m AND dc THEN 1 ELSE 0 END) AS BIGINT) FROM fl
+       |) ORDER BY stage_id""".stripMargin
 
   // ------------------------------------------------------------ exact dedup
   /** Exact dedup by content hash: group size and canonical (min doc_id)
@@ -794,6 +868,7 @@ object TextAnalysis extends QueryModule {
     "text_quality_score" -> (quality _),
     "text_repetition" -> (repetition _),
     "text_decontaminate" -> (decontaminate _),
+    "corpus_curation_funnel" -> (curationFunnel _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "dedup_exact" -> (dedupExact _),
@@ -810,6 +885,7 @@ object TextAnalysis extends QueryModule {
     "text_quality_score" -> qualitySql,
     "text_repetition" -> repetitionSql,
     "text_decontaminate" -> decontaminateSql,
+    "corpus_curation_funnel" -> curationFunnelSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "dedup_exact" -> dedupExactSql,
