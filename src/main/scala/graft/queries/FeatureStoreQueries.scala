@@ -32,9 +32,13 @@ object FeatureStoreQueries extends QueryModule {
     schema = StructType(Seq(
       StructField("n_events", LongType), StructField("sum_value", DoubleType))))
 
+  /** nBuckets sized to the verify/bench corpus (~40 k daily rows → ~5 k
+    * rows per bucket ≈ one task's worth, per the store's own guidance);
+    * the 32-bucket default is a 100×-store layout. AsOfProbe measured
+    * 8 buckets fastest at this scale (ARCHITECTURE.md, round 7). */
   private def tempStore(spark: SparkSession): OnlineStore =
     new OnlineStore(spark,
-      Files.createTempDirectory("graft_store_").toString)
+      Files.createTempDirectory("graft_store_").toString, nBuckets = 8)
 
   private val dailySqlCte =
     """daily AS (

@@ -82,11 +82,15 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32,
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** One manifest entry: the bucket's current snapshot version plus its
-    * min(timestampField) — the per-bucket stat that lets TTL prune
-    * buckets with nothing expired (the same file-skipping a Delta
-    * MERGE/OPTIMIZE gets from per-file column stats). Long.MinValue =
-    * stat unknown (legacy manifest line): always eligible for rewrite. */
+  /** One manifest entry: the bucket's current snapshot version plus a
+    * LOWER BOUND on its min(timestampField) — the per-bucket stat that
+    * lets TTL prune buckets with nothing expired (the same file-skipping
+    * a Delta MERGE/OPTIMIZE gets from per-file column stats). Upserts
+    * maintain it as min(prev stat, batch min) without a read-back
+    * (round-7); applyTtl rewrites record the exact min, so a stat left
+    * stale-low by key updates self-corrects at the next TTL pass.
+    * Long.MinValue = stat unknown (legacy manifest line): always
+    * eligible for rewrite. */
   private[store] case class BucketRef(version: String, minTs: Long)
 
   /** Per-bucket current snapshot versions (+ min-timestamp stats). */
@@ -258,8 +262,20 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32,
       .parquet(path("history", view.name, s"batch=$batchId"))
 
     val bucketed = stamped.withColumn(BucketCol, bucketOf(keys))
-    val touched = bucketed.select(col(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).sorted
+    // ONE pre-pass job yields both the touched-bucket set and the batch's
+    // per-bucket min(timestampField) — round-7: this replaces the separate
+    // touched-distinct job AND the post-write versionMins read-back (two
+    // jobs + a fresh-file re-scan per upsert). The manifest stat becomes
+    // min(batchMin, prevMin), a LOWER BOUND on the merged bucket's true
+    // min (every merged row is a prev row >= prevMin or a batch row >=
+    // batchMin; re-ranking only removes rows, never lowers the min). A
+    // too-low stat is TTL-safe — applyTtl may rewrite a bucket with
+    // nothing actually expired (and then records the exact min, so the
+    // stat self-corrects) but can never skip one with expired rows.
+    val batchMins = bucketed.groupBy(col(BucketCol))
+      .agg(min(col(view.timestampField)).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val touched = batchMins.keys.toArray.sorted
     val prevM = manifest(view).getOrElse(Map.empty)
 
     val prevPaths = touched.toSeq
@@ -282,12 +298,15 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32,
     merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(path("online", view.name, s"v$batchId"))
 
-    // min-timestamp stats for the rewritten buckets: one read-back of
-    // just this version (touched buckets only) via partition discovery
-    val mins = versionMins(view, s"v$batchId")
     writeManifest(view,
-      prevM ++ touched.map(b =>
-        b -> BucketRef(s"v$batchId", mins.getOrElse(b, Long.MaxValue))),
+      prevM ++ touched.toSeq.map { b =>
+        val stat = prevM.get(b).map(_.minTs) match {
+          case Some(Long.MinValue) => Long.MinValue // legacy unknown stays
+          case Some(pm) => math.min(pm, batchMins(b)) // MaxValue folds away
+          case None => batchMins(b)
+        }
+        b -> BucketRef(s"v$batchId", stat)
+      },
       batchId.toString)
     Files.createDirectories(marker.getParent)
     Files.createFile(marker)
