@@ -224,6 +224,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.dedupFirstStateful(s, d)),
     "stream_dedup_minhash" ->
       ((s: SparkSession, d: String) => StreamingPipelines.dedupMinhashStream(s, d)),
+    "stream_decontaminate" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.decontaminateStream(s, d)),
     "stream_hll_distinct" ->
       ((s: SparkSession, d: String) => StreamingPipelines.hllDistinctStream(s, d)),
     "stream_cms_topk" ->
@@ -246,6 +248,7 @@ object StreamingQueries extends QueryModule {
     "stream_session_late_update" -> sessionLateSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,
     "stream_dedup_minhash" -> TextAnalysis.dedupMinhashStreamSql,
+    "stream_decontaminate" -> TextAnalysis.decontaminateSql,
     "stream_hll_distinct" -> Sketches.hllDistinctSql,
     "stream_cms_topk" -> Sketches.cmsTopkSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)

@@ -292,16 +292,31 @@ object TextAnalysis extends QueryModule {
     * side streams through a broadcast hash join on the 60-bit gram hash
     * and a per-doc rollup. No shuffle of the corpus at any point, so
     * 100 TB of train data meets a fixed-size eval set at scan speed. */
-  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val g = docs(spark, dir).select(col("doc_id"),
-      expr("""array_distinct(CASE WHEN size(toks) >= 8 THEN
-        |  transform(sequence(1, size(toks) - 7),
-        |    i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, 8))
-        |         as binary)), 1, 15), 16, 10) as bigint))
-        |ELSE array() END)""".stripMargin).as("grams"))
-    val evalGrams = g.filter(col("doc_id") % 50 === 0)
+  /** (doc_id, grams): distinct 60-bit hashes of every 8-token window —
+    * the decontamination fingerprint, shared verbatim by the batch gate
+    * and its streaming twin so the two can never hash apart. Input needs
+    * (doc_id, text). */
+  private[graft] def gramRows(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        expr("""array_distinct(CASE WHEN size(toks) >= 8 THEN
+          |  transform(sequence(1, size(toks) - 7),
+          |    i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, 8))
+          |         as binary)), 1, 15), 16, 10) as bigint))
+          |ELSE array() END)""".stripMargin).as("grams"))
+
+  /** The held-out suite's gram set: (gram, earliest eval doc). SMALL by
+    * construction (the benchmark suite, not the corpus) — safe to
+    * broadcast or driver-collect. */
+  private[graft] def evalGramTable(spark: SparkSession, dir: String): DataFrame =
+    gramRows(Tables.documents(spark, dir))
+      .filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("eval_doc"), explode(col("grams")).as("gram"))
       .groupBy(col("gram")).agg(min(col("eval_doc")).as("ev_src"))
+
+  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val g = gramRows(Tables.documents(spark, dir))
+    val evalGrams = evalGramTable(spark, dir)
     val trainDocs = g.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
         col("grams"))
@@ -318,7 +333,7 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val decontaminateSql =
+  private[graft] val decontaminateSql =
     """WITH t AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
       |), g AS (

@@ -1,16 +1,22 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Round-6 follow-up to IntervalJoinProbe: the interval join's wall at
   * verify scale is ~per-batch fixed cost, and that cost is
   * O(state partitions) — every micro-batch commits every state store in
   * every partition (×4 stores for a stream-stream join). The knob now
   * threads through `runToMemory` per query, so this sweep measures the
-  * REAL sf0.1 pipeline at the default 8 chunks across state partitions
-  * in {2, 4, 8}, median-of-3 warm, to find the right per-query pin for
-  * the suite's worst bench query. Run:
-  * `sbt "runMain graft.tools.PartsSweep"`.
+  * REAL sf0.1 pipelines across state partitions in {2, 4, 8},
+  * median-of-3 warm, to find the right per-query pin.
+  *
+  * Round 7 (verdict #7) extends the sweep beyond the interval join to
+  * every remaining heavy streaming pipeline: the aligned window pair and
+  * the three late-update (W7) pipelines. Select with
+  * `SPARK_GRAFT_SWEEP=ivjoin|aligned|alignedappend|lateupdate|
+  * latestatsupdate|latesessionupdate|all`.
+  * Run: `sbt "runMain graft.tools.PartsSweep"`. Pins recorded in
+  * ARCHITECTURE.md (§ state partitions).
   */
 object PartsSweep {
 
@@ -21,6 +27,7 @@ object PartsSweep {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val which = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "all")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,16 +35,27 @@ object PartsSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    import graft.streaming.StreamingPipelines._
+    val pipelines: Seq[(String, String => DataFrame)] = Seq(
+      "ivjoin" -> ((p: String) => intervalJoinStream(spark, dir, 8, p)),
+      "aligned" -> ((p: String) => alignedWindowAgg(spark, dir, p)),
+      "alignedappend" -> ((p: String) => alignedWindowAppend(spark, dir, p)),
+      "lateupdate" -> ((p: String) => anchoredLateUpdate(spark, dir, p)),
+      "latestatsupdate" ->
+        ((p: String) => anchoredStatsLateUpdate(spark, dir, 8, p)),
+      "latesessionupdate" ->
+        ((p: String) => sessionStepsLateUpdate(spark, dir, 8, p)))
+
     val parts = Seq("2", "4", "8")
-    parts.foreach(p => graft.streaming.StreamingPipelines
-      .intervalJoinStream(spark, dir, 8, p).count()) // warm-up
-    parts.foreach { p =>
-      val ts = (1 to 3).map(_ => timed(
-        graft.streaming.StreamingPipelines
-          .intervalJoinStream(spark, dir, 8, p).count())).sorted
-      println(f"[psweep] parts=$p%3s median=${ts(1)}%7.2fs " +
-        f"(min=${ts.head}%.2f max=${ts.last}%.2f)")
-    }
+    pipelines.filter { case (n, _) => which == "all" || which == n }
+      .foreach { case (name, fn) =>
+        parts.foreach(p => fn(p).count()) // warm-up (and per-parts plans)
+        parts.foreach { p =>
+          val ts = (1 to 3).map(_ => timed(fn(p).count())).sorted
+          println(f"[psweep] $name%-18s parts=$p%3s median=${ts(1)}%7.2fs " +
+            f"(min=${ts.head}%.2f max=${ts.last}%.2f)")
+        }
+      }
     spark.stop()
   }
 }

@@ -203,11 +203,29 @@ object ScaleCheck {
       }
     }
 
+    // corpus-curation funnel at 1x vs 10x (round-7 verdict #6): the five
+    // composed stages' intermediates must stay ~linear in docs. Staged as
+    // a full documents table (the funnel's operators want the real
+    // schema); the funnel runs through the registered query itself.
+    def stageCorpus(n: Long): String = {
+      val dir = s"$base/corpus_$n"
+      synthDocs(spark, n / 10)
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("synth"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def funnel(dir: String): Double = timed {
+      graft.SparkEntry.queries("corpus_curation_funnel")(spark, dir).count()
+    }
+
     val d1 = stage(n1); val d10 = stage(n1 * 10)
     val s1 = stageSkewed(n1); val s10 = stageSkewed(n1 * 10)
     val dd1 = stageDocs(n1); val dd10 = stageDocs(n1 * 10)
+    val c1 = stageCorpus(n1); val c10 = stageCorpus(n1 * 10)
     // warm the JIT/codegen on the small corpus before any timed run
-    anchored(d1); sessions(d1); dedupStream(dd1)
+    anchored(d1); sessions(d1); dedupStream(dd1); funnel(c1)
     val out = Seq(
       ("anchored_stats", anchored(d1), anchored(d10)),
       ("anchored_stats_hotkey", anchored(s1), anchored(s10)),
@@ -215,7 +233,25 @@ object ScaleCheck {
       ("stats_update_hotkey", statsUpdate(s1), statsUpdate(s10)),
       ("session_update_hotkey", sessionsUpdate(s1), sessionsUpdate(s10)),
       ("stream_dedup_minhash", dedupStream(dd1), dedupStream(dd10)),
-      ("store_upsert_fixed_batch", upsert(n1), upsert(n1 * 10)))
+      ("store_upsert_fixed_batch", upsert(n1), upsert(n1 * 10)),
+      ("curation_funnel", funnel(c1), funnel(c10)))
+
+    // IVFADC index build vs query split (round-7 verdict #4): the build
+    // (Lloyd fit + PQ train + corpus coding + store writes) is paid ONCE;
+    // the query half answers from the persisted tables alone. Timed on
+    // the real sf0.1 embeddings; build is cold (includes training).
+    val annDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val annStore = new graft.store.OnlineStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_scalecheck_ann_")
+        .toString, nBuckets = 8)
+    val tBuild = timed(
+      graft.queries.Embeddings.buildPersistedIvfadc(spark, annDir, annStore))
+    val tQ = (1 to 3).map(_ => timed(
+      graft.queries.Embeddings.ivfadcAnswerFrom(spark, annStore).count()))
+    println(f"[scalecheck] ann_index_split            " +
+      f"build=$tBuild%8.2fs query_median=${tQ.sorted.apply(1)}%8.2fs " +
+      f"(q_min=${tQ.min}%.2f q_max=${tQ.max}%.2f)")
     out.foreach { case (name, t1, t10) =>
       println(f"[scalecheck] $name%-26s 1x=$t1%8.2fs 10x=$t10%8.2fs ratio=${t10 / t1}%5.2f")
     }

@@ -17,6 +17,24 @@ class EndToEndSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("doc query counts match SparkEntry.queries (round-7 verdict #8)") {
+    // every query must carry an oracle, and the documented counts must
+    // track the registry so they cannot drift again (r6 found 118/119/120)
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+    val n = SparkEntry.queries.size
+    val stated = Seq("README.md" -> raw"(\d+) queries".r,
+        "README.md" -> raw"All (\d+) declared queries".r,
+        "ARCHITECTURE.md" -> raw"All (\d+) queries".r)
+      .flatMap { case (f, re) =>
+        val text = new String(Files.readAllBytes(java.nio.file.Paths.get(f)))
+        re.findAllMatchIn(text).map(m => (f, m.group(1).toInt))
+      }
+    assert(stated.nonEmpty)
+    stated.foreach { case (f, c) =>
+      assert(c == n, s"$f states $c queries, SparkEntry has $n")
+    }
+  }
+
   private def syntheticTxns(n: Int): Seq[TransactionEvent] = {
     val base = 1704067200000L
     (0 until n).map { i =>

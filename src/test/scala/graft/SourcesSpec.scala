@@ -102,6 +102,29 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("mjpeg synth->decode roundtrip is bit-exact through a real JPEG codec") {
+    import spark.implicits._
+    val ids = spark.range(0, 8).toDF("doc_id")
+    val decoded = Multimodal.decodeMjpegVideo(
+        Multimodal.synthMjpegTable(spark, ids))
+      .collect().sortBy(_.media_id)
+    assert(decoded.length == 8)
+    decoded.foreach { d =>
+      val id = d.media_id
+      val (w, h, nf, fps) = (10 + id % 9, 9 + id % 8, 2 + id % 3, 10 + id % 5)
+      assert(d.width == w && d.height == h && d.n_frames == nf)
+      assert(d.usec_per_frame == 1000000L / fps)
+      // closed-form fold from the block-gray formula: only holds if the
+      // lossy encode->decode roundtripped every pixel bit-exactly
+      var expect = 0L
+      for (f <- 0L until nf; y <- 0L until h; x <- 0L until w) {
+        val c = (7 * (x / 8) + 13 * (y / 8) + 17 * f + 29 * id) % 256
+        expect += ((f * h + y) * w + x + 1) * (c * 65536 + c * 256 + c)
+      }
+      assert(d.pix_sum == expect)
+    }
+  }
+
   test("transaction event model: risk domains match the reference lists") {
     assert(TransactionEvent.highRiskMcc.contains("6011"))
     assert(TransactionEvent.highRiskCountries.contains("RU"))

@@ -150,6 +150,10 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(_.toString),
       // keep-first-per-bucket LSH dedup state (round 6)
       "minhashdedup" -> StreamingPipelines.dedupMinhashStream(spark, sfDir)
+        .collect().map(_.toString),
+      // stateless broadcast gate (round 7) — no state store, included to
+      // pin that the provider swap cannot perturb a map-only pipeline
+      "decontaminate" -> StreamingPipelines.decontaminateStream(spark, sfDir)
         .collect().map(_.toString))
     val default = run()
     val prev = spark.conf.getOption(key)
