@@ -362,6 +362,138 @@ object TextAnalysis extends QueryModule {
       |  COALESCE(h.ev_min, -1) AS eval_src
       |FROM td LEFT JOIN hits h USING (doc_id) ORDER BY td.doc_id""".stripMargin
 
+  // --------------------------------------------- BPE merge-rule training
+  /** BPE tokenizer training (Sennrich et al. 2016; the GPT-2 recipe):
+    * 8 merge rounds over the corpus — each round counts adjacent symbol
+    * pairs (weighted by word frequency), merges the most frequent pair
+    * everywhere (left-to-right greedy), and records the rule. Symbols
+    * start as characters plus a `</w>` end-of-word marker. Output: the
+    * learned merge table, the artifact a tokenizer ships.
+    *
+    * Distributed shape (the classic trainer optimization): training runs
+    * over the DISTINCT-WORD table with counts — vastly smaller than the
+    * corpus under Zipf — as (word, pos, symbol) rows; pair counting is a
+    * map-side aggregation, the per-round argmax is a 1-row driver
+    * collect (bounded), and the merge itself is per-word window
+    * arithmetic partitioned by word (greedy non-overlap for equal-symbol
+    * runs via gaps-and-islands parity — for a != b adjacent matches
+    * cannot overlap). Each round ends in an eager localCheckpoint (the
+    * iterative-plan-growth rule). Tie-break: (count DESC, left ASC,
+    * right ASC) — total, so the whole 8-round trajectory is
+    * deterministic and the oracle re-runs it move for move in SQL. */
+  private val bpeRounds = 8
+
+  private def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val words = docs(spark, dir)
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var cur = words.select(col("w"), col("cnt"),
+        posexplode(expr("concat(transform(sequence(1, length(w)), " +
+          "i -> substring(w, i, 1)), array('</w>'))")).as(Seq("p", "sym")))
+      .select(col("w"), col("cnt"), col("p").cast("long").as("pos"),
+        col("sym"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to bpeRounds if !exhausted) {
+      val withNext = cur.withColumn("nxt", lead(col("sym"), 1).over(wWin))
+      val topRows = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      // a tiny corpus can run out of pairs before the round budget — the
+      // oracle's empty t{r} CTEs contribute no rows the same way
+      exhausted = topRows.isEmpty
+      if (exhausted) () else {
+      val top = topRows(0)
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r.toLong, a, b, a + b, c))
+      // greedy left-to-right merge: for a != b matches never overlap; for
+      // a == b a run of k matches keeps every other one (island parity)
+      val matches = withNext
+        .filter(col("sym") === a && col("nxt") === b)
+        .select(col("w"), col("pos"))
+        .withColumn("isl",
+          col("pos") - row_number().over(wWin))
+      val valid = matches
+        .withColumn("off", col("pos") -
+          min(col("pos")).over(Window.partitionBy(col("w"), col("isl"))))
+        .filter(col("off") % 2 === 0)
+        .select(col("w"), col("pos"))
+      cur = cur
+        .join(valid.withColumn("v", lit(1)), Seq("w", "pos"), "left")
+        .join(valid.select(col("w"), (col("pos") + 1).as("pos"))
+          .withColumn("d", lit(1)), Seq("w", "pos"), "left")
+        .filter(col("d").isNull)
+        .withColumn("sym", when(col("v") === 1, lit(a + b))
+          .otherwise(col("sym")))
+        .withColumn("pos", row_number().over(wWin).cast("long"))
+        .select(col("w"), col("cnt"), col("pos"), col("sym"))
+        .localCheckpoint(true)
+      }
+    }
+    merges.result().toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  private val bpeMergesSql = {
+    val base =
+      """w AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents)
+        |  GROUP BY w
+        |), r0 AS MATERIALIZED (
+        |  SELECT w, cnt, CAST(i.range AS BIGINT) AS pos,
+        |    CASE WHEN i.range < length(w)
+        |         THEN substr(w, CAST(i.range + 1 AS INT), 1)
+        |         ELSE '</w>' END AS sym
+        |  FROM w, range(32) i WHERE i.range <= length(w)
+        |)""".stripMargin
+    val rounds = (1 to bpeRounds).map { r =>
+      val prev = s"r${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT w, cnt, pos, sym,
+         |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |  FROM $prev
+         |), t$r AS MATERIALIZED (
+         |  SELECT a, b, c FROM (
+         |    SELECT sym AS a, nxt AS b, CAST(SUM(cnt) AS BIGINT) AS c,
+         |      row_number() OVER (ORDER BY SUM(cnt) DESC, sym, nxt) AS rn
+         |    FROM p$r WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+         |  WHERE rn = 1
+         |), v$r AS MATERIALIZED (
+         |  SELECT w, pos FROM (
+         |    SELECT w, pos,
+         |      pos - MIN(pos) OVER (PARTITION BY w, isl) AS off
+         |    FROM (
+         |      SELECT m.w, m.pos,
+         |        m.pos - row_number() OVER (PARTITION BY m.w ORDER BY m.pos)
+         |          AS isl
+         |      FROM p$r m, t$r t WHERE m.sym = t.a AND m.nxt = t.b))
+         |  WHERE off % 2 = 0
+         |), r$r AS MATERIALIZED (
+         |  SELECT s.w, s.cnt,
+         |    CAST(row_number() OVER (PARTITION BY s.w ORDER BY s.pos)
+         |      AS BIGINT) AS pos,
+         |    CASE WHEN v.pos IS NOT NULL THEN (SELECT a || b FROM t$r)
+         |         ELSE s.sym END AS sym
+         |  FROM $prev s
+         |  LEFT JOIN v$r v ON s.w = v.w AND s.pos = v.pos
+         |  LEFT JOIN v$r d ON s.w = d.w AND s.pos = d.pos + 1
+         |  WHERE d.pos IS NULL
+         |)""".stripMargin
+    }.mkString(", ")
+    val out = (1 to bpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, " +
+        s"a || b AS merged, c AS pair_count FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $base, $rounds\n$out\nORDER BY round"
+  }
+
   // ------------------------------------------------- curation funnel
   /** The corpus-curation funnel every pretraining pipeline reports:
     * cumulative survivor counts through quality gate → repetition gate →
@@ -883,6 +1015,7 @@ object TextAnalysis extends QueryModule {
     "text_quality_score" -> (quality _),
     "text_repetition" -> (repetition _),
     "text_decontaminate" -> (decontaminate _),
+    "text_bpe_merges" -> (bpeMerges _),
     "corpus_curation_funnel" -> (curationFunnel _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
@@ -900,6 +1033,7 @@ object TextAnalysis extends QueryModule {
     "text_quality_score" -> qualitySql,
     "text_repetition" -> repetitionSql,
     "text_decontaminate" -> decontaminateSql,
+    "text_bpe_merges" -> bpeMergesSql,
     "corpus_curation_funnel" -> curationFunnelSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,

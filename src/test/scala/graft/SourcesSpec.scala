@@ -125,6 +125,27 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe merge training follows the hand-computed greedy trajectory") {
+    import spark.implicits._
+    // corpus: "aaaa" x2, "ab" x1 — exercises the equal-symbol-run parity
+    // (aaaa merges at positions 0 and 2, not 0 and 1), the lexicographic
+    // tie-break ((aa,</w>) beats (aa,aa) at equal count because '<'<'a'),
+    // and early exhaustion (pairs run out after 5 of the 8 rounds)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_spec_")
+    Seq((0L, "aaaa aaaa ab", "en", "spec", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_bpe_merges")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "aa", "</w>", "aa</w>", 2L),
+      (3L, "aa", "aa</w>", "aaaa</w>", 2L),
+      (4L, "a", "b", "ab", 1L),
+      (5L, "ab", "</w>", "ab</w>", 1L)))
+  }
+
   test("transaction event model: risk domains match the reference lists") {
     assert(TransactionEvent.highRiskMcc.contains("6011"))
     assert(TransactionEvent.highRiskCountries.contains("RU"))
