@@ -1091,6 +1091,38 @@ object Embeddings extends QueryModule {
     ivfadcAnswerFrom(spark, store)
   }
 
+  /** Incremental index maintenance (the MERGE story the posting-list
+    * layout promises): the codes view is built in TWO upsert batches —
+    * the bulk corpus first, then a later batch of new vectors (here the
+    * low-id block, which includes every query vector) MERGEs into the
+    * same posting lists through the store's bucketed rewrite. Centroids
+    * and codebooks are trained once on the full corpus and not retrained
+    * on arrival (standard IVFADC practice — the coarse/fine quantizers
+    * are refit offline, far less often than vectors arrive). The answer
+    * must be IDENTICAL to the one-shot index — latest-per-key over
+    * disjoint key sets is their union — so it shares the inline oracle
+    * too: the store merge is what's under test. */
+  private def ivfadcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeansQuantizer.assignCell
+    import spark.implicits._
+    val store = new OnlineStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ann_inc_").toString,
+      nBuckets = 8)
+    val cent = fittedCentroids(spark, dir)
+    val cb = pqCodebook(spark, dir)
+    store.upsert(annCentroidsView,
+      stampTs(cent.toDF("cell", "centroid")), 0L)
+    store.upsert(annCodebookView,
+      stampTs((for (s <- 0 until pqM; c <- 0 until pqK)
+        yield (s, c, cb(s)(c))).toDF("s", "c", "sub_centroid")), 0L)
+    val coded = pqCoded(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")), cb)
+      .withColumn("cell", assignCell(col("embedding"), cent).cast("long"))
+    store.upsert(annCodesView, stampTs(coded.filter(col("vec_id") >= 100)), 0L)
+    store.upsert(annCodesView, stampTs(coded.filter(col("vec_id") < 100)), 1L)
+    ivfadcAnswerFrom(spark, store)
+  }
+
   /** The query half: answers from `store`'s index tables only (no
     * training, no corpus read) — what a serving node runs per batch of
     * queries. Split from the build so AnnIndexSplit (ScaleCheck) can
@@ -1484,6 +1516,7 @@ object Embeddings extends QueryModule {
     "emb_pq_adc_recall" -> (pqAdcRecall _),
     "emb_ivfadc_recall" -> (ivfadcRecall _),
     "emb_ivfadc_persisted" -> (ivfadcPersisted _),
+    "emb_ivfadc_incremental" -> (ivfadcIncremental _),
     "emb_ivfadc_residual" -> (ivfadcResidualRecall _),
     "dedup_semantic" -> (semDedup _),
     "emb_knn_bruteforce" -> (knnBrute _),
@@ -1500,6 +1533,7 @@ object Embeddings extends QueryModule {
     "emb_pq_adc_recall" -> pqAdcRecallSql,
     "emb_ivfadc_recall" -> ivfadcRecallSql,
     "emb_ivfadc_persisted" -> ivfadcRecallSql,
+    "emb_ivfadc_incremental" -> ivfadcRecallSql,
     "emb_ivfadc_residual" -> ivfadcResidualSql,
     "dedup_semantic" -> semDedupSql,
     "emb_ivf_recall" -> ivfRecallSql,
