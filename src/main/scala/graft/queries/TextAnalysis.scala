@@ -362,6 +362,84 @@ object TextAnalysis extends QueryModule {
       |  COALESCE(h.ev_min, -1) AS eval_src
       |FROM td LEFT JOIN hits h USING (doc_id) ORDER BY td.doc_id""".stripMargin
 
+  // ------------------------------------------- exact-substring dedup
+  /** Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the gram-granular
+    * form): a token position is DUPLICATED when its 8-token window also
+    * occurs in an earlier document (keep-earliest, like every dedup op
+    * here); the duplicated-token count is the length of the UNION of
+    * the flagged 8-token windows (the spans the paper would trim), via
+    * a lead() sweep over sorted window starts — min(8, next - cur) per
+    * flagged window, 8 for the last.
+    *
+    * Scale shape: this is the map-reduce form of the paper's suffix
+    * arrays — grams explode corpus-wide and SHUFFLE ON THE GRAM HASH to
+    * find first occurrences (a sorted-grams pass, the one shuffle this
+    * op owns), then verdicts roll up per doc. No doc-to-doc join, no
+    * broadcast of anything corpus-sized. */
+  private def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val g = docs(spark, dir)
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(
+          """CASE WHEN size(toks) >= 8 THEN
+            |  transform(sequence(1, size(toks) - 7),
+            |    i -> cast(conv(substring(md5(cast(concat_ws(' ',
+            |         slice(toks, i, 8)) as binary)), 1, 15), 16, 10)
+            |         as bigint))
+            |ELSE array() END""".stripMargin)).as(Seq("p", "gram")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("gram"))
+    val firstDoc = g.groupBy(col("gram")).agg(min(col("doc_id")).as("fdoc"))
+    val dup = g.join(firstDoc, Seq("gram")).filter(col("doc_id") > col("fdoc"))
+    val sweep = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val cov = dup
+      .withColumn("nxt", lead(col("p"), 1).over(sweep))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(when(col("nxt").isNotNull,
+            least(lit(8L), col("nxt") - col("p"))).otherwise(lit(8L)))
+          .as("dup_tokens"))
+    docs(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        greatest(size(col("toks")).cast("long") - 7, lit(0L))
+          .as("n_windows"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)) /
+          col("n_tokens").cast("double")).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSubstringSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(i.range AS BIGINT) AS p,
+      |    CAST(('0x' || substr(md5(array_to_string(
+      |      toks[CAST(i.range AS INT):CAST(i.range + 7 AS INT)], ' ')),
+      |      1, 15)) AS BIGINT) AS gram
+      |  FROM t, range(1, 200) i WHERE i.range <= len(toks) - 7
+      |), fd AS (
+      |  SELECT gram, MIN(doc_id) AS fdoc FROM g GROUP BY gram
+      |), dup AS (
+      |  SELECT g.doc_id, g.p,
+      |    lead(g.p) OVER (PARTITION BY g.doc_id ORDER BY g.p) AS nxt
+      |  FROM g JOIN fd USING (gram) WHERE g.doc_id > fd.fdoc
+      |), cov AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+      |    CAST(SUM(CASE WHEN nxt IS NOT NULL
+      |      THEN LEAST(8, nxt - p) ELSE 8 END) AS BIGINT) AS dup_tokens
+      |  FROM dup GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(GREATEST(len(toks) - 7, 0) AS BIGINT) AS n_windows,
+      |  COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+      |  COALESCE(c.dup_tokens, 0) AS dup_tokens,
+      |  COALESCE(c.dup_tokens, 0) / CAST(len(toks) AS DOUBLE) AS dup_ratio
+      |FROM t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   // --------------------------------------------- BPE merge-rule training
   /** BPE tokenizer training (Sennrich et al. 2016; the GPT-2 recipe):
     * 8 merge rounds over the corpus — each round counts adjacent symbol
@@ -1016,6 +1094,7 @@ object TextAnalysis extends QueryModule {
     "text_repetition" -> (repetition _),
     "text_decontaminate" -> (decontaminate _),
     "text_bpe_merges" -> (bpeMerges _),
+    "dedup_substring" -> (dedupSubstring _),
     "corpus_curation_funnel" -> (curationFunnel _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
@@ -1034,6 +1113,7 @@ object TextAnalysis extends QueryModule {
     "text_repetition" -> repetitionSql,
     "text_decontaminate" -> decontaminateSql,
     "text_bpe_merges" -> bpeMergesSql,
+    "dedup_substring" -> dedupSubstringSql,
     "corpus_curation_funnel" -> curationFunnelSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
