@@ -226,6 +226,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.dedupMinhashStream(s, d)),
     "stream_decontaminate" ->
       ((s: SparkSession, d: String) => StreamingPipelines.decontaminateStream(s, d)),
+    "stream_corpus_funnel" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.curationFunnelStream(s, d)),
     "stream_hll_distinct" ->
       ((s: SparkSession, d: String) => StreamingPipelines.hllDistinctStream(s, d)),
     "stream_cms_topk" ->
@@ -249,6 +251,7 @@ object StreamingQueries extends QueryModule {
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,
     "stream_dedup_minhash" -> TextAnalysis.dedupMinhashStreamSql,
     "stream_decontaminate" -> TextAnalysis.decontaminateSql,
+    "stream_corpus_funnel" -> TextAnalysis.curationFunnelOracleSql,
     "stream_hll_distinct" -> Sketches.hllDistinctSql,
     "stream_cms_topk" -> Sketches.cmsTopkSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)

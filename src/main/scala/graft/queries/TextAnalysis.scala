@@ -61,9 +61,23 @@ object TextAnalysis extends QueryModule {
   /** Quality scoring per document: length score, stopword ratio, repetition
     * (1 - type/token), composite quality score + keep flag — the classic
     * pretraining-corpus quality gate. */
-  private def quality(spark: SparkSession, dir: String): DataFrame = {
+  private def quality(spark: SparkSession, dir: String): DataFrame =
+    qualityOn(docs(spark, dir)).orderBy(col("doc_id"))
+
+  /** Frame-based core shared by the batch query and the streaming funnel
+    * (input needs doc_id, n_chars, toks) — one expression set, so the
+    * two surfaces cannot drift. */
+  private[graft] def qualityOn(df: DataFrame): DataFrame =
+    withQualityCols(df)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+        col("repetition"), col("length_score"), col("quality_score"),
+        col("keep"))
+
+  /** Column-appending form (keeps the input columns) so the streaming
+    * funnel can stack several gates in ONE pass. */
+  private[graft] def withQualityCols(df: DataFrame): DataFrame = {
     val sw = stopwords.map(s => s"'$s'").mkString(", ")
-    docs(spark, dir)
+    df
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("stop_cnt",
         expr(s"size(filter(toks, t -> t in ($sw)))"))
@@ -76,9 +90,6 @@ object TextAnalysis extends QueryModule {
         lit(0.3) * (lit(1.0) - col("repetition")) +
         lit(0.3) * (lit(1.0) - col("stopword_ratio")))
       .withColumn("keep", col("quality_score") > 0.5)
-      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
-        col("repetition"), col("length_score"), col("quality_score"), col("keep"))
-      .orderBy(col("doc_id"))
   }
 
   private val qualitySql = {
@@ -119,11 +130,26 @@ object TextAnalysis extends QueryModule {
     * shuffle before the final ORDER BY; the distinct-gram scoring inside
     * a doc is O(D^2) in doc grams with tiny constants, bounded by
     * document length, embarrassingly parallel at 100 TB. */
-  private def repetition(spark: SparkSession, dir: String): DataFrame = {
-    docs(spark, dir)
-      // a document with <2 tokens has no 2-gram: dropped on both sides
-      // (the oracle's inner join against the per-gram counts does the same)
-      .filter(size(col("toks")) >= 2)
+  private def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOn(docs(spark, dir)).orderBy(col("doc_id"))
+
+  /** Frame-based core shared with the streaming funnel (input: doc_id,
+    * text, toks). A document with <2 tokens has no 2-gram and DROPS from
+    * the output (the oracle's inner join against the per-gram counts
+    * does the same) — doc_id joins inherit that semantics. */
+  private[graft] def repetitionOn(df: DataFrame): DataFrame =
+    withRepetitionCols(df.filter(size(col("toks")) >= 2))
+      .select(col("doc_id"),
+        col("top2.gram").as("top_2gram"),
+        col("top2.cnt").cast("long").as("top_2gram_cnt"),
+        col("top_2gram_char_frac"),
+        col("dup_3gram_char_frac"),
+        col("keep"))
+
+  /** Column-appending form; caller owns the >=2-token filter (the gate
+    * is meaningless below it) and the final verdict expression. */
+  private[graft] def withRepetitionCols(df: DataFrame): DataFrame = {
+    df
       .withColumn("g2", expr(
         """CASE WHEN size(toks) >= 2 THEN
           |  transform(sequence(0, size(toks)-2),
@@ -153,14 +179,9 @@ object TextAnalysis extends QueryModule {
           / col("nosp").cast("double"))
       .withColumn("dup_3gram_char_frac",
         col("dup3_chars") / col("nosp").cast("double"))
-      .select(col("doc_id"),
-        col("top2.gram").as("top_2gram"),
-        col("top2.cnt").cast("long").as("top_2gram_cnt"),
-        col("top_2gram_char_frac"),
-        col("dup_3gram_char_frac"),
-        (col("top_2gram_char_frac") <= 0.20 &&
-          col("dup_3gram_char_frac") <= 0.10).as("keep"))
-      .orderBy(col("doc_id"))
+      .withColumn("keep",
+        col("top_2gram_char_frac") <= 0.20 &&
+          col("dup_3gram_char_frac") <= 0.10)
   }
 
   /** Oracle note: the obvious lambda formulation — count each distinct
@@ -296,14 +317,18 @@ object TextAnalysis extends QueryModule {
     * the decontamination fingerprint, shared verbatim by the batch gate
     * and its streaming twin so the two can never hash apart. Input needs
     * (doc_id, text). */
+  /** The gram expression itself (input frame must carry `toks`) — shared
+    * by [[gramRows]] and the streaming funnel's stacked stateless pass. */
+  private[graft] def gramCol: Column =
+    expr("""array_distinct(CASE WHEN size(toks) >= 8 THEN
+      |  transform(sequence(1, size(toks) - 7),
+      |    i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, 8))
+      |         as binary)), 1, 15), 16, 10) as bigint))
+      |ELSE array() END)""".stripMargin)
+
   private[graft] def gramRows(df: DataFrame): DataFrame =
     df.withColumn("toks", split(trim(col("text")), "\\s+"))
-      .select(col("doc_id"),
-        expr("""array_distinct(CASE WHEN size(toks) >= 8 THEN
-          |  transform(sequence(1, size(toks) - 7),
-          |    i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, 8))
-          |         as binary)), 1, 15), 16, 10) as bigint))
-          |ELSE array() END)""".stripMargin).as("grams"))
+      .select(col("doc_id"), gramCol.as("grams"))
 
   /** The held-out suite's gram set: (gram, earliest eval doc). SMALL by
     * construction (the benchmark suite, not the corpus) — safe to
@@ -596,7 +621,18 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), (col("nf") === col("nb")).as("m"))
     val d = decontaminate(spark, dir)
       .select(col("doc_id"), (!col("contaminated")).as("dc0"))
-    val fl = Tables.documents(spark, dir).select(col("doc_id"))
+    funnelRollup(spark, Tables.documents(spark, dir), q, r, e, m, d)
+  }
+
+  /** Shared funnel tail: joins the five per-doc verdict frames
+    * (q/r/e/m as (doc_id, <flag>); dc0 as (doc_id, dc0) covering train
+    * docs only — absent rows grade false) and folds the cumulative
+    * survivor counts. Used verbatim by the batch funnel and its
+    * streaming twin, so the two report through one code path. */
+  private[graft] def funnelRollup(spark: SparkSession, documents: DataFrame,
+      q: DataFrame, r: DataFrame, e: DataFrame, m: DataFrame,
+      d: DataFrame): DataFrame = {
+    val fl = documents.select(col("doc_id"))
       .join(q, "doc_id").join(r, "doc_id").join(e, "doc_id")
       .join(m, "doc_id").join(d, Seq("doc_id"), "left")
       .select(col("q"), col("r"), col("e"), col("m"),
@@ -616,6 +652,9 @@ object TextAnalysis extends QueryModule {
       (6L, "decontaminated", h.getLong(5)))
       .toDF("stage_id", "stage", "n_docs").orderBy(col("stage_id"))
   }
+
+  /** Exposed for the streaming funnel twin (same report, same oracle). */
+  private[graft] def curationFunnelOracleSql: String = curationFunnelSql
 
   private def curationFunnelSql =
     s"""WITH qf AS (SELECT doc_id, keep AS q FROM ($qualitySql)),

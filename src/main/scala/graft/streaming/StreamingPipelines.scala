@@ -595,13 +595,15 @@ object StreamingPipelines {
     * key, state is one id per bucket, and the verdict per doc is a
     * 4-row rollup. The batch oracle mirrors with a window MIN per
     * band_val. */
-  def dedupMinhashStream(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashStream(spark: SparkSession, dir: String,
+      nChunks: Int = 4,
+      stateParts: String = StatePartitions): DataFrame = {
     import spark.implicits._
     val in = graft.queries.TextAnalysis.lshBandRows(
-        docStreamReplay(spark, dir).select(col("doc_id"), col("text")))
+        docStreamReplay(spark, dir, nChunks).select(col("doc_id"), col("text")))
       .as[StatefulFeatures.BandIn]
     val out = StatefulFeatures.bucketFirstUpdate(in).toDF()
-    val sink = runToMemory(spark, out, "update", "minhashdedup")
+    val sink = runToMemory(spark, out, "update", "minhashdedup", stateParts)
     sink.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_bands"),
         sum(when(col("winner_id") === col("doc_id"), 1L).otherwise(0L))
@@ -650,6 +652,78 @@ object StreamingPipelines {
     }.toDF("doc_id", "n_grams", "n_overlap", "contaminated", "eval_src")
     runToMemory(spark, out, "append", "decontam")
       .orderBy(col("doc_id"))
+  }
+
+  /** The full corpus-curation funnel with every stage in STREAMING form
+    * (round-7 composition flagship): the doc replay feeds five stage
+    * verdicts — quality and repetition gates as stateless single-pass
+    * maps (the shared frame-based cores, so batch and stream cannot
+    * drift), train/eval decontamination as the broadcast gate, exact
+    * dedup as keep-first state on the content hash (one bucket per
+    * distinct text — `bucketFirstUpdate` reused with md5(text) as the
+    * band), and MinHash near-dedup via the existing banded bucket
+    * state. Each stage is its own streaming query (Spark does not chain
+    * two flatMapGroupsWithState operators in one query — and a staged
+    * curation pipeline is also the production shape: stages
+    * checkpoint independently and restart independently); the survivor
+    * rollup is the SAME `funnelRollup` the batch funnel reports
+    * through, so the oracle is the batch funnel's SQL verbatim. */
+  def curationFunnelStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.TextAnalysis
+    // the three STATELESS gates stack in ONE single-trigger pass (the
+    // column-appending cores; multi-trigger replay only exercises state
+    // semantics, which these gates have none of). Docs with <2 tokens
+    // drop here, matching the batch funnel's inner join against the
+    // repetition gate.
+    val evalGrams: Set[Long] = TextAnalysis.evalGramTable(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val bc = spark.sparkContext.broadcast(evalGrams)
+    val stateless = {
+      import spark.implicits._
+      runToMemory(spark,
+        TextAnalysis.withRepetitionCols(
+            TextAnalysis.withQualityCols(
+                docStreamReplay(spark, dir, nChunks = 1)
+                  .withColumn("toks", split(trim(col("text")), "\\s+"))
+                  .filter(size(col("toks")) >= 2))
+              .withColumnRenamed("keep", "q"))
+          .withColumnRenamed("keep", "r")
+          .withColumn("grams", TextAnalysis.gramCol)
+          .select(col("doc_id"), col("q"), col("r"), col("grams"))
+          .as[(Long, Boolean, Boolean, Seq[Long])]
+          .map { case (id, q, r, grams) =>
+            // eval docs (every 50th) carry no train verdict, like the
+            // batch gate's output; train docs probe the broadcast set
+            val dc0: Option[Boolean] =
+              if (id % 50 == 0) None
+              else Some(!grams.exists(bc.value.contains))
+            (id, q, r, dc0)
+          }.toDF("doc_id", "q", "r", "dc0"),
+        "append", "funnelqrd")
+    }
+    // the two stateful stages replay at 2 chunks (cross-batch keep-first
+    // still genuinely exercised — the standalone stream_dedup_minhash
+    // keeps the full 4) with state partitions at the swept pin of 4
+    val eIn = {
+      import spark.implicits._
+      docStreamReplay(spark, dir, nChunks = 2)
+        .select(md5(col("text").cast("binary")).as("band_val"), col("doc_id"))
+        .as[StatefulFeatures.BandIn]
+    }
+    val e = runToMemory(spark,
+      StatefulFeatures.bucketFirstUpdate(eIn).toDF(), "update", "funnele",
+      LateUpdateParts)
+      .select(col("doc_id"), (col("winner_id") === col("doc_id")).as("e"))
+    val m = dedupMinhashStream(spark, dir, nChunks = 2,
+        stateParts = LateUpdateParts)
+      .select(col("doc_id"), (!col("is_duplicate")).as("m"))
+    TextAnalysis.funnelRollup(spark,
+      graft.core.Tables.documents(spark, dir),
+      stateless.select(col("doc_id"), col("q")),
+      stateless.select(col("doc_id"), col("r")),
+      e, m,
+      stateless.filter(col("dc0").isNotNull)
+        .select(col("doc_id"), col("dc0")))
   }
 
   /** Streaming keep-first dedup (StatefulFeatures.dedupFirstUpdate) in
