@@ -1012,6 +1012,182 @@ object Embeddings extends QueryModule {
       adcRecallCore(q0, pairsAll, cand, withNc = true), emb)
   }
 
+  // --------------------------------------------- SQ8 scalar quantization
+  /** SQ8 scalar quantization (the faiss `SQ8` baseline — the OTHER
+    * classic quantizer next to PQ): each dimension gets an affine 8-bit
+    * code against per-dim [min, max] training stats, so a 64-dim float
+    * vector compresses 4× with NO codebook training. The scan
+    * reconstructs each stored vector at its code's bin center
+    * (mn + (code + 0.5) * (mx − mn)/256) and ranks by exact-order
+    * squared L2 against the FULL-PRECISION query (queries are never
+    * quantized — standard SQ search), then exact-reranks the top-50
+    * like the PQ family. Training stats are one scan + 64 bounded rows
+    * to the driver (broadcast as literals); codes are map-side;
+    * recall@10 vs exact is measured per query. Constant dimensions
+    * (mx == mn) code to 0 and reconstruct to the bin center —
+    * both engines share the guard. */
+  private def sq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir).persist()
+    val stats = emb
+      .select(posexplode(
+        expr("transform(embedding, x -> cast(x as double))"))
+        .as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mnA = array(stats.map(s => lit(s._2)): _*)
+    val mxA = array(stats.map(s => lit(s._3)): _*)
+    val coded = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("mnA", mnA).withColumn("mxA", mxA)
+      .withColumn("codes", expr(
+        """transform(sequence(1, 64), j ->
+          |  CASE WHEN element_at(mxA, j) > element_at(mnA, j) THEN
+          |    least(cast(255 as bigint), greatest(cast(0 as bigint),
+          |      cast(floor((cast(element_at(embedding, j) as double)
+          |             - element_at(mnA, j))
+          |        / (element_at(mxA, j) - element_at(mnA, j)) * 255.0)
+          |        as bigint)))
+          |  ELSE cast(0 as bigint) END)""".stripMargin))
+    val q = coded.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pairs = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+    // reconstruction distance: identical sequential fold both engines
+    val sqCol = expr(
+      """aggregate(sequence(1, 64), cast(0.0 as double), (acc, j) ->
+        |  acc + (cast(element_at(qv, j) as double)
+        |          - (element_at(mnA, j) + (cast(element_at(codes, j) as double)
+        |             + 0.5) * (element_at(mxA, j) - element_at(mnA, j)) / 256.0))
+        |      * (cast(element_at(qv, j) as double)
+        |          - (element_at(mnA, j) + (cast(element_at(codes, j) as double)
+        |             + 0.5) * (element_at(mxA, j) - element_at(mnA, j)) / 256.0)))"""
+        .stripMargin)
+    val exactCol = expr(
+      """aggregate(zip_with(embedding, qv,
+        |    (x, y) -> (cast(x as double) - cast(y as double))
+        |            * (cast(x as double) - cast(y as double))),
+        |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+    val rankSq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sqd").asc, col("vec_id"))
+    val rankExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id"))
+    val sqScored = pairs.withColumn("sqd", round(sqCol, 6))
+      .withColumn("rn", row_number().over(rankSq))
+    val sqTop = sqScored.filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val sq50 = sqScored.filter(col("rn") <= 50)
+      .select(col("query_id"), col("vec_id"))
+    val brute = pairs.withColumn("d2", round(exactCol, 6))
+      .withColumn("rn", row_number().over(rankExact)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val rerank = pairs.join(sq50, Seq("query_id", "vec_id"))
+      .withColumn("d2", round(exactCol, 6))
+      .withColumn("rn", row_number().over(rankExact)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val hits = brute.join(sqTop, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val rhits = brute.join(rerank, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("rerank_n_hits"))
+    graft.core.CachePin.sealAndRelease(
+      q.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .join(rhits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"),
+          coalesce(col("rerank_n_hits"), lit(0L)).as("rerank_n_hits"),
+          (coalesce(col("rerank_n_hits"), lit(0L)) / 10.0)
+            .as("rerank_recall_at_10"))
+        .orderBy(col("query_id")),
+      emb)
+  }
+
+  private val sq8RecallSql = {
+    val recon =
+      """(s.mn[CAST(j AS INT)] +
+        |   (CAST(CASE WHEN s.mx[CAST(j AS INT)] > s.mn[CAST(j AS INT)]
+        |     THEN LEAST(255, GREATEST(0,
+        |       CAST(FLOOR((CAST(e.embedding[CAST(j AS INT)] AS DOUBLE)
+        |              - s.mn[CAST(j AS INT)])
+        |         / (s.mx[CAST(j AS INT)] - s.mn[CAST(j AS INT)])
+        |         * 255.0) AS BIGINT)))
+        |     ELSE 0 END AS DOUBLE) + 0.5)
+        |   * (s.mx[CAST(j AS INT)] - s.mn[CAST(j AS INT)]) / 256.0)"""
+        .stripMargin
+    s"""WITH per_dim AS (
+       |  SELECT j.range AS pos,
+       |    MIN(CAST(embedding[CAST(j.range AS INT)] AS DOUBLE)) AS mn,
+       |    MAX(CAST(embedding[CAST(j.range AS INT)] AS DOUBLE)) AS mx
+       |  FROM embeddings, range(1, 65) j GROUP BY pos
+       |), st AS (
+       |  SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+       |  FROM per_dim
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < 20
+       |), sq AS (
+       |  SELECT e.vec_id, q.query_id,
+       |    ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |      j -> (CAST(q.qv[CAST(j AS INT)] AS DOUBLE) - $recon)
+       |         * (CAST(q.qv[CAST(j AS INT)] AS DOUBLE) - $recon))),
+       |      (acc, x) -> acc + x), 6) AS sqd
+       |  FROM embeddings e CROSS JOIN q CROSS JOIN st s
+       |  WHERE e.vec_id <> q.query_id
+       |), exact AS (
+       |  SELECT e.vec_id, q.query_id,
+       |    ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |      j -> (CAST(e.embedding[CAST(j AS INT)] AS DOUBLE)
+       |             - CAST(q.qv[CAST(j AS INT)] AS DOUBLE))
+       |         * (CAST(e.embedding[CAST(j AS INT)] AS DOUBLE)
+       |             - CAST(q.qv[CAST(j AS INT)] AS DOUBLE)))),
+       |      (acc, x) -> acc + x), 6) AS d2
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.query_id
+       |), sq_top AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sqd, vec_id) AS rn
+       |    FROM sq) WHERE rn <= 10
+       |), sq50 AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sqd, vec_id) AS rn
+       |    FROM sq) WHERE rn <= 50
+       |), brute AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY d2, vec_id) AS rn
+       |    FROM exact) WHERE rn <= 10
+       |), rr AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT x.query_id, x.vec_id,
+       |      row_number() OVER (PARTITION BY x.query_id
+       |        ORDER BY x.d2, x.vec_id) AS rn
+       |    FROM exact x JOIN sq50 USING (query_id, vec_id)) WHERE rn <= 10
+       |), hits AS (
+       |  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM brute b JOIN sq_top t USING (query_id, vec_id)
+       |  GROUP BY b.query_id
+       |), rhits AS (
+       |  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS rerank_n_hits
+       |  FROM brute b JOIN rr USING (query_id, vec_id)
+       |  GROUP BY b.query_id
+       |)
+       |SELECT q.query_id,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) / 10.0 AS recall_at_10,
+       |  COALESCE(r.rerank_n_hits, 0) AS rerank_n_hits,
+       |  COALESCE(r.rerank_n_hits, 0) / 10.0 AS rerank_recall_at_10
+       |FROM q LEFT JOIN hits h USING (query_id)
+       |LEFT JOIN rhits r USING (query_id)
+       |ORDER BY q.query_id""".stripMargin
+  }
+
   // ------------------------------------------- persisted IVFADC index
   /** Round-7 verdict #4: every `emb_*_recall` query retrains its
     * centroids/codebooks and re-encodes codes inline (the per-JVM memo
@@ -1517,6 +1693,7 @@ object Embeddings extends QueryModule {
     "emb_ivfadc_recall" -> (ivfadcRecall _),
     "emb_ivfadc_persisted" -> (ivfadcPersisted _),
     "emb_ivfadc_incremental" -> (ivfadcIncremental _),
+    "emb_sq8_recall" -> (sq8Recall _),
     "emb_ivfadc_residual" -> (ivfadcResidualRecall _),
     "dedup_semantic" -> (semDedup _),
     "emb_knn_bruteforce" -> (knnBrute _),
@@ -1534,6 +1711,7 @@ object Embeddings extends QueryModule {
     "emb_ivfadc_recall" -> ivfadcRecallSql,
     "emb_ivfadc_persisted" -> ivfadcRecallSql,
     "emb_ivfadc_incremental" -> ivfadcRecallSql,
+    "emb_sq8_recall" -> sq8RecallSql,
     "emb_ivfadc_residual" -> ivfadcResidualSql,
     "dedup_semantic" -> semDedupSql,
     "emb_ivf_recall" -> ivfRecallSql,
