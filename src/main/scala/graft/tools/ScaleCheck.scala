@@ -219,6 +219,11 @@ object ScaleCheck {
     def funnel(dir: String): Double = timed {
       graft.SparkEntry.queries("corpus_curation_funnel")(spark, dir).count()
     }
+    // exact-substring dedup (round 7): the corpus-wide gram shuffle is
+    // the one shuffle the op owns — must stay ~linear in docs
+    def substring(dir: String): Double = timed {
+      graft.SparkEntry.queries("dedup_substring")(spark, dir).count()
+    }
 
     val d1 = stage(n1); val d10 = stage(n1 * 10)
     val s1 = stageSkewed(n1); val s10 = stageSkewed(n1 * 10)
@@ -234,7 +239,8 @@ object ScaleCheck {
       ("session_update_hotkey", sessionsUpdate(s1), sessionsUpdate(s10)),
       ("stream_dedup_minhash", dedupStream(dd1), dedupStream(dd10)),
       ("store_upsert_fixed_batch", upsert(n1), upsert(n1 * 10)),
-      ("curation_funnel", funnel(c1), funnel(c10)))
+      ("curation_funnel", funnel(c1), funnel(c10)),
+      ("dedup_substring", substring(c1), substring(c10)))
 
     // IVFADC index build vs query split (round-7 verdict #4): the build
     // (Lloyd fit + PQ train + corpus coding + store writes) is paid ONCE;
