@@ -1125,7 +1125,93 @@ object TextAnalysis extends QueryModule {
       |SELECT doc_id, rnk, term, tf, df, ROUND(score, 6) AS score
       |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // ------------------------------------------------------ BM25 retrieval
+  /** Full-text BM25 retrieval (Robertson/Sparck Jones; k1 = 1.2,
+    * b = 0.75): top-20 documents for a fixed keyword query — the
+    * retrieval pass of a data pipeline (deduplication forensics, corpus
+    * search, RAG indexing). Same rational idf as [[salientTerms]] (no
+    * log — libm-dependent; the rational form is bit-identical
+    * cross-engine and order-isomorphic). Per-doc scores fold
+    * SEQUENTIALLY over term-sorted per-term contributions (the
+    * small-double-reduction rule — a bare SUM's order differs between
+    * engines).
+    *
+    * Scale shape: the term filter prunes the posting explode to the
+    * query's terms AT THE SCAN (a pushed IN filter); tf is one shuffle
+    * on (doc, term) bounded by |Q| terms per doc; df and corpus stats
+    * are tiny aggregates broadcast back; the final top-20 by (score,
+    * doc_id) is a TakeOrdered, not a global sort. */
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25Query = Seq("spark", "stream", "join", "query",
+    "vector", "filter")
+
+  private def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("dl", size(col("toks")).cast("long"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(bm25Query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("tot").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("s",
+        col("idf") * col("tf").cast("double") * lit(bm25K1 + 1.0) /
+          (col("tf").cast("double") + lit(bm25K1) *
+            (lit(1.0 - bm25B) + lit(bm25B) *
+              col("dl").cast("double") / col("avgdl"))))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        expr("""aggregate(array_sort(collect_list(struct(term, s))),
+          |  cast(0.0 as double), (acc, x) -> acc + x.s)""".stripMargin)
+          .as("score0"))
+      .select(col("doc_id"), col("n_terms"),
+        round(col("score0"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25SearchSql = {
+    val q = bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), dd AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d
+       |), st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS tot FROM dd
+       |), tf AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+       |  WHERE term IN ($q) GROUP BY doc_id, dl, term
+       |), df AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+       |      / (CAST(df.df AS DOUBLE) + 0.5))
+       |    * CAST(tf.tf AS DOUBLE) * ${bm25K1 + 1.0}
+       |    / (CAST(tf.tf AS DOUBLE) + $bm25K1 *
+       |        (${1.0 - bm25B} + $bm25B * CAST(tf.dl AS DOUBLE)
+       |          / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS s
+       |  FROM tf JOIN df USING (term), st
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |  ROUND(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+       |    (acc, x) -> acc + x), 6) AS score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_search" -> (bm25Search _),
     "text_salient_terms" -> (salientTerms _),
     "text_bpe_tokens" -> (bpeTokens _),
     "text_token_stats" -> (tokenStats _),
@@ -1145,6 +1231,7 @@ object TextAnalysis extends QueryModule {
     "dedup_clusters" -> (dedupClusters _))
 
   override def oracles: Map[String, String] = Map(
+    "text_bm25_search" -> bm25SearchSql,
     "text_salient_terms" -> salientTermsSql,
     "text_bpe_tokens" -> bpeTokensSql,
     "text_token_stats" -> tokenStatsSql,
