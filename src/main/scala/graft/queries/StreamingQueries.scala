@@ -224,6 +224,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.dedupFirstStateful(s, d)),
     "stream_dedup_minhash" ->
       ((s: SparkSession, d: String) => StreamingPipelines.dedupMinhashStream(s, d)),
+    "stream_dedup_minhash_update" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.dedupMinhashUpdateStream(s, d)),
     "stream_decontaminate" ->
       ((s: SparkSession, d: String) => StreamingPipelines.decontaminateStream(s, d)),
     "stream_corpus_funnel" ->
@@ -250,6 +252,7 @@ object StreamingQueries extends QueryModule {
     "stream_session_late_update" -> sessionLateSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,
     "stream_dedup_minhash" -> TextAnalysis.dedupMinhashStreamSql,
+    "stream_dedup_minhash_update" -> TextAnalysis.dedupMinhashStreamSql,
     "stream_decontaminate" -> TextAnalysis.decontaminateSql,
     "stream_corpus_funnel" -> TextAnalysis.curationFunnelOracleSql,
     "stream_hll_distinct" -> Sketches.hllDistinctSql,

@@ -1142,6 +1142,46 @@ object StatefulFeatures {
       }
   }
 
+  case class BandMembers(winner: Long, members: Array[Long], rev: Long)
+  case class BandOutRev(band_val: String, doc_id: Long, winner_id: Long,
+      rev: Long)
+
+  /** The RETRACTION twin of [[bucketFirstUpdate]] (round 7): keep-MIN
+    * per band bucket under ARBITRARY arrival order. The append form's
+    * keep-first equals keep-min only because the replay is
+    * doc_id-ordered; on an unordered stream a later-arriving smaller
+    * doc_id must RETRACT the verdicts of every member already graded
+    * against the old winner. State per bucket is the winner plus the
+    * member list (bounded by bucket population — near-dup cluster
+    * size, the same bound the batch pair join lives under); a winner
+    * change re-emits every member against the new winner with a higher
+    * rev, and the sink's max-rev row per (band, doc) is the final
+    * verdict — identical to the batch keep-min oracle regardless of
+    * order. */
+  def bucketMinUpdate(ds: Dataset[BandIn]): Dataset[BandOutRev] = {
+    implicit val outEnc = Encoders.product[BandOutRev]
+    implicit val stateEnc = Encoders.product[BandMembers]
+    ds.groupByKey(_.band_val)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (band: String, arrivals: Iterator[BandIn],
+         state: GroupState[BandMembers]) =>
+          val ids = arrivals.map(_.doc_id).toArray
+          java.util.Arrays.sort(ids)
+          val st = state.getOption.getOrElse(
+            BandMembers(Long.MaxValue, Array.empty, 0L))
+          val winner = math.min(st.winner, ids.head)
+          var rev = st.rev
+          val out = Array.newBuilder[BandOutRev]
+          if (winner < st.winner && st.members.nonEmpty)
+            st.members.foreach { m =>
+              rev += 1; out += BandOutRev(band, m, winner, rev)
+            }
+          ids.foreach { d => rev += 1; out += BandOutRev(band, d, winner, rev) }
+          state.update(BandMembers(winner, st.members ++ ids, rev))
+          out.result().iterator
+      }
+  }
+
   // ------------------------------------------------------ streaming dedup
   case class DedupIn(event_id: Long, user_id: Long, event_type: String,
       ems: Long)

@@ -541,16 +541,18 @@ object StreamingPipelines {
     * by doc_id and replaying oldest-file-first reproduces an id-ordered
     * ingestion log). */
   def docStreamReplay(spark: SparkSession, dir: String,
-                      nChunks: Int = 4): DataFrame = {
+                      nChunks: Int = 4,
+                      shuffled: Boolean = false): DataFrame = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
     import java.nio.charset.StandardCharsets
     import scala.jdk.CollectionConverters._
     val path = s"$dir/documents.parquet"
     val src = Paths.get(path)
+    val order = if (shuffled) "shuf" else "id"
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_docreplay_" + path.replaceAll("[^A-Za-z0-9]", "_") +
-        s"_${nChunks}_p$procToken")
+        s"_${nChunks}_${order}_p$procToken")
     val marker = stage.resolve("_staged")
     val sig =
       s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}:v1"
@@ -563,9 +565,18 @@ object StreamingPipelines {
           .iterator().asScala.foreach(Files.delete)
         finally walk.close()
       }
+      // shuffled = chunks range-partitioned on md5(doc_id): doc ids
+      // arrive in hash order across batches, so later micro-batches
+      // genuinely contain SMALLER ids than earlier ones — the arrival
+      // disorder the keep-min retraction ops exist for
+      val orderCol =
+        if (shuffled) md5(col("doc_id").cast("string").cast("binary"))
+        else col("doc_id") // numeric: the id-ORDERED replay contract
       graft.core.Tables.documents(spark, dir)
-        .repartitionByRange(nChunks, col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
+        .withColumn("_ord", orderCol)
+        .repartitionByRange(nChunks, col("_ord"))
+        .sortWithinPartitions(col("_ord"))
+        .drop("_ord")
         .write.mode("overwrite").parquet(stage.toString)
       val listing = Files.list(stage)
       val parts =
@@ -724,6 +735,36 @@ object StreamingPipelines {
       e, m,
       stateless.filter(col("dc0").isNotNull)
         .select(col("doc_id"), col("dc0")))
+  }
+
+  /** RETRACTION twin of [[dedupMinhashStream]] (round 7): the same
+    * MinHash near-dup dedup over a hash-SHUFFLED replay — micro-batches
+    * arrive in md5(doc_id) order, so smaller ids genuinely show up
+    * after larger ones and the keep-first shortcut is wrong by
+    * construction. `bucketMinUpdate` re-emits every affected member
+    * when a bucket's winner improves; the sink's max-rev row per
+    * (band, doc) is the final verdict, and the rollup matches the SAME
+    * order-independent keep-min oracle the ordered stream checks
+    * against — now proven under disorder instead of assumed away. */
+  def dedupMinhashUpdateStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = graft.queries.TextAnalysis.lshBandRows(
+        docStreamReplay(spark, dir, nChunks = 4, shuffled = true)
+          .select(col("doc_id"), col("text")))
+      .as[StatefulFeatures.BandIn]
+    val out = StatefulFeatures.bucketMinUpdate(in).toDF()
+    val sink = runToMemory(spark, out, "update", "minhashupd", LateUpdateParts)
+    latestBy(sink, "rev", "band_val", "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bands"),
+        sum(when(col("winner_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_first"),
+        min(when(col("winner_id") < col("doc_id"), col("winner_id")))
+          .as("dup_of_raw"))
+      .select(col("doc_id"), col("n_bands"), col("n_first"),
+        (col("n_first") < col("n_bands")).as("is_duplicate"),
+        coalesce(col("dup_of_raw"), lit(-1L)).as("dup_of"))
+      .orderBy(col("doc_id"))
   }
 
   /** Streaming keep-first dedup (StatefulFeatures.dedupFirstUpdate) in

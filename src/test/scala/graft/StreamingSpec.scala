@@ -154,6 +154,10 @@ class StreamingSpec extends AnyFunSuite {
       // stateless broadcast gate (round 7) — no state store, included to
       // pin that the provider swap cannot perturb a map-only pipeline
       "decontaminate" -> StreamingPipelines.decontaminateStream(spark, sfDir)
+        .collect().map(_.toString),
+      // keep-min retraction over the hash-shuffled replay (round 7)
+      "minhashupdate" -> StreamingPipelines
+        .dedupMinhashUpdateStream(spark, sfDir)
         .collect().map(_.toString))
     val default = run()
     val prev = spark.conf.getOption(key)
@@ -166,6 +170,27 @@ class StreamingSpec extends AnyFunSuite {
         s"$name diverged under RocksDB state store")
       assert(rows.nonEmpty, s"$name produced no rows")
     }
+  }
+
+  test("minhash keep-min retraction genuinely fires under the shuffled replay") {
+    import spark.implicits._
+    import graft.streaming.{StatefulFeatures, StreamingPipelines}
+    val sfDir = "/root/testdata/sf0.001"
+    // raw retraction stream (before the latest-rev read-back): a (band,
+    // doc) pair emitted more than once means a later smaller id forced a
+    // regrade — the case the doc_id-ordered replay makes impossible and
+    // this op exists for
+    val in = graft.queries.TextAnalysis.lshBandRows(
+        StreamingPipelines.docStreamReplay(spark, sfDir, nChunks = 4,
+            shuffled = true)
+          .select(col("doc_id"), col("text")))
+      .as[StatefulFeatures.BandIn]
+    val sink = StreamingPipelines.runToMemory(spark,
+      StatefulFeatures.bucketMinUpdate(in).toDF(), "update", "minupdspec")
+    val regraded = sink.groupBy(col("band_val"), col("doc_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(regraded > 0,
+      "shuffled replay produced no retractions — disorder not exercised")
   }
 
   test("W7 family members agree on the survivor set and 24 h window") {
