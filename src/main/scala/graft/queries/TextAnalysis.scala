@@ -1136,10 +1136,12 @@ object TextAnalysis extends QueryModule {
     * small-double-reduction rule — a bare SUM's order differs between
     * engines).
     *
-    * Scale shape: the term filter prunes the posting explode to the
-    * query's terms AT THE SCAN (a pushed IN filter); tf is one shuffle
-    * on (doc, term) bounded by |Q| terms per doc; df and corpus stats
-    * are tiny aggregates broadcast back; the final top-20 by (score,
+    * Scale shape: a pre-explode `arrays_overlap` guard drops documents
+    * containing NO query term before any row multiplication (the
+    * whole-row skip an inverted index would give; the IN filter then
+    * prunes the surviving docs' exploded tokens); tf is one shuffle on
+    * (doc, term) bounded by |Q| terms per doc; df and corpus stats are
+    * tiny aggregates broadcast back; the final top-20 by (score,
     * doc_id) is a TakeOrdered, not a global sort. */
   private val bm25K1 = 1.2
   private val bm25B = 0.75
@@ -1149,7 +1151,10 @@ object TextAnalysis extends QueryModule {
   private def bm25Search(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).withColumn("dl", size(col("toks")).cast("long"))
     val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+    val tf = d
+      .filter(arrays_overlap(col("toks"),
+        array(bm25Query.map(lit): _*)))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(bm25Query: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
