@@ -85,6 +85,41 @@ class StoreSpec extends AnyFunSuite {
     assert(manifest.contains("=ttl5500:"), s"expired bucket not rewritten:\n$manifest")
   }
 
+  test("min-stat lower bound is TTL-safe and self-corrects (round-7 pre-pass)") {
+    // upsert maintains the manifest stat as min(prev, batch) WITHOUT a
+    // read-back — a LOWER BOUND that can go stale-low when a key update
+    // removes the oldest row. Stale-low must only ever cause an extra
+    // TTL rewrite (never a skipped one), and that rewrite records the
+    // exact min, after which an identical TTL pass writes nothing.
+    val root = Files.createTempDirectory("graft_minstat_store_").toString
+    val store = new OnlineStore(spark, root)
+    store.upsert(view, rows((1L, 100L, 1.0)), 0L)
+    // key update: the ts=100 row is superseded; true online min is now
+    // 6000, but the manifest stat stays min(100, 6000) = 100
+    store.upsert(view, rows((1L, 6000L, 2.0)), 1L)
+    val manifest1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/online/spec_view/_latest")))
+    assert(manifest1.contains("=v1:100"),
+      s"expected stale-low lower bound in manifest:\n$manifest1")
+    // cutoff 4500 sits between the stale bound and the true min: the
+    // stale stat forces a rewrite (safe direction), nothing expires,
+    // and the pass records the exact min
+    store.applyTtl(view, nowMs = 5500L)
+    val online = store.getOnlineFeatures(view, Seq(1L).toDF("user_id"))
+      .select($"v").as[Double].collect().toSeq
+    assert(online == Seq(2.0), "TTL rewrite must not drop unexpired rows")
+    val manifest2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/online/spec_view/_latest")))
+    assert(manifest2.contains("=ttl5500:6000"),
+      s"TTL rewrite did not record the exact min:\n$manifest2")
+    // self-corrected: the same cutoff now prunes — no new version appears
+    store.applyTtl(view, nowMs = 5500L)
+    val manifest3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/online/spec_view/_latest")))
+    assert(manifest3 == manifest2,
+      "second identical TTL pass must be a pruned no-op")
+  }
+
   test("version GC removes unreferenced snapshots; TTL orphans are swept") {
     val root = Files.createTempDirectory("graft_gc_store_").toString
     // gcGraceMs = 0 is the OPT-IN immediate-deletion contract (round 6:
