@@ -12,7 +12,7 @@ import graft.queries._
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    Relational, EventFeatures, EventAnalytics, DriftQuality, TextAnalysis,
+    Relational, RelationalPlus, EventFeatures, EventAnalytics, DriftQuality, TextAnalysis,
     Embeddings, StreamingQueries, FeatureStoreQueries, ServingQueries,
     MultimodalQueries, ExtendedQueries, SourceFormats, CorpusPipeline,
     Sketches, SkewQueries)

@@ -88,6 +88,50 @@ object Embeddings extends QueryModule {
 
   /** Spark-side zip_with needs the same fold; DuckDB side uses ranges. */
 
+  // --------------------------------------------------- hard-negative mining
+  /** Hard-negative mining for contrastive embedding training (the batch
+    * op behind triplet/InfoNCE dataset construction): for each query
+    * vector, the top-5 most-similar vectors with a DIFFERENT label — the
+    * negatives a trainer actually learns from. Same broadcast-query
+    * brute-force scan as [[knnBrute]] (exactness baseline); at corpus
+    * scale the persisted IVFADC index substitutes the scan and the label
+    * predicate filters its candidate list. */
+  private def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("query_label"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("query_label"))
+      .withColumn("cos", round(expr(cosExpr), 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("query_label"), col("rank"),
+        col("vec_id").as("negative_id"), col("cos"),
+        col("label").as("negative_label"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val hardNegativesSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, label AS query_label
+       |  FROM embeddings WHERE vec_id < 5
+       |), scored AS (
+       |  SELECT q.query_id, q.query_label, e.vec_id, e.label,
+       |    ROUND(${duckCos("qv", "e.embedding")}, 6) AS cos
+       |  FROM embeddings e CROSS JOIN q WHERE e.label <> q.query_label
+       |), ranked AS (
+       |  SELECT query_id, query_label, vec_id AS negative_id, cos, label,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+       |      AS rank
+       |  FROM scored)
+       |SELECT query_id, query_label, rank, negative_id, cos,
+       |  label AS negative_label
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // --------------------------------------------------- centroids per label
   /** Per-label centroid norm + count. Floats are quantized to 1e-6 before
     * the cross-row sum (exact integer arithmetic -> partitioning-
@@ -1697,6 +1741,7 @@ object Embeddings extends QueryModule {
     "emb_ivfadc_residual" -> (ivfadcResidualRecall _),
     "dedup_semantic" -> (semDedup _),
     "emb_knn_bruteforce" -> (knnBrute _),
+    "emb_hard_negatives" -> (hardNegatives _),
     "emb_centroids" -> (centroids _),
     "emb_lsh_buckets" -> (lshBuckets _),
     "dedup_embedding_cosine" -> (cosineNearDup _),
@@ -1716,6 +1761,7 @@ object Embeddings extends QueryModule {
     "dedup_semantic" -> semDedupSql,
     "emb_ivf_recall" -> ivfRecallSql,
     "emb_knn_bruteforce" -> knnBruteSql,
+    "emb_hard_negatives" -> hardNegativesSql,
     "emb_centroids" -> centroidsSql,
     "emb_lsh_buckets" -> lshBucketsSql,
     "dedup_embedding_cosine" -> cosineNearDupSql,

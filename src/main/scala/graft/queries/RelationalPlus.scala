@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Exact._
+
+/** Second TPC-H-shape relational pack (Q7/Q8/Q9/Q14/Q15/Q17/Q18/Q19/Q22
+  * adapted to the driver tables — no partsupp/commitdate/phone columns, so
+  * the predicates move to the columns that exist; the plan SHAPES are the
+  * point): bilateral join-through-two-dimension-paths, market-share ratio,
+  * profit rollup, conditional-share projection, scalar-subquery max,
+  * correlated per-group average, group-HAVING top-k, OR-of-ANDs pushdown,
+  * and anti-join with an aggregate threshold.
+  *
+  * Scale notes: every dimension (region/nation/supplier/part and 1-row
+  * aggregates) is broadcast; facts shuffle only for their own group-bys.
+  * The OR-of-ANDs predicate in q19 is pushed to the scan as a residual
+  * filter after partition pruning; q17's per-part average is a
+  * fact-side group-by rejoined broadcast (the two-pass "avg then filter"
+  * plan that avoids a window over the whole fact table).
+  */
+object RelationalPlus extends QueryModule {
+
+  // ---------------------------------------------------------------- Q7
+  /** Volume shipping between two nations: revenue by (supplier nation,
+    * customer nation, ship year) for the NATION_1 <-> NATION_2 pair. */
+  private def q07(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n1 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sk")
+      .join(broadcast(n2), $"c_nationkey" === $"ck")
+      .filter($"supp_nation".isin("NATION_1", "NATION_2") &&
+        $"cust_nation".isin("NATION_1", "NATION_2") &&
+        $"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  private val q07Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- Q8
+  /** Market share: fraction of ASIA-customer revenue supplied by NATION_5,
+    * per order year. Numerator and denominator accumulate exactly in
+    * decimal; the single double division happens identically last. */
+  private def q08(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnation = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".as("ck"))
+    val snation = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(cnation), $"c_nationkey" === $"ck")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(snation), $"s_nationkey" === $"sk")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        (dsum(when($"supp_nation" === "NATION_5", vol).otherwise(lit(0.0))) /
+          dsum(vol)).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_year")
+  }
+
+  private val q08Sql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_5'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+      |    AS mkt_share,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- Q9
+  /** Product-type profit rollup: revenue on 'red' parts by supplier
+    * nation and order year (partsupp cost column absent — revenue-only
+    * profit, the join/rollup shape intact). */
+  private def q09(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val redParts = Tables.part(spark, dir).filter($"p_name".contains("red"))
+      .select($"p_partkey")
+    val snation = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("sk"), $"n_name".as("nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(snation), $"s_nationkey" === $"sk")
+      .groupBy($"nation", year($"o_orderdate").cast("long").as("o_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  private val q09Sql =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---------------------------------------------------------------- Q14
+  /** Conditional-share projection: ECONOMY-type revenue share per ship
+    * month (the PROMO-share shape; month keyed as yyyymm BIGINT). */
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy((year($"l_shipdate") * 100 + month($"l_shipdate"))
+        .cast("long").as("ship_month"))
+      .agg(
+        (lit(100.0) *
+          dsum(when($"p_type" === "ECONOMY", vol).otherwise(lit(0.0))) /
+          dsum(vol)).as("economy_share"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"ship_month")
+  }
+
+  private val q14Sql =
+    """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+      |  100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+      |    AS economy_share,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- Q15
+  /** Top supplier by 1996-H1 revenue (scalar-subquery max shape, done as
+    * a window max so no second scan; decimal-exact revenue makes the
+    * double equality deterministic). */
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-07-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("total_revenue"))
+    rev.withColumn("mx", max($"total_revenue").over(Window.partitionBy()))
+      .filter($"total_revenue" === $"mx")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  private val q15Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q17
+  /** Small-quantity-order revenue: average yearly revenue lost if Brand#7
+    * orders below half the part's average quantity were not taken —
+    * the correlated per-group-average shape, two-pass (group-by then
+    * broadcast rejoin), not a window over the fact table. */
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brand = Tables.part(spark, dir).filter($"p_brand" === "Brand#7")
+      .select($"p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(brand), $"l_partkey" === $"p_partkey")
+    val avgQty = li.groupBy($"l_partkey".as("ak"))
+      .agg(davg($"l_quantity").as("avg_qty"))
+    li.join(broadcast(avgQty), $"l_partkey" === $"ak")
+      .filter($"l_quantity" < lit(0.5) * $"avg_qty")
+      .agg((dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  private val q17Sql =
+    """WITH li AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#7'
+      |), aq AS (
+      |  SELECT l_partkey AS ak,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+      |      / COUNT(l_quantity) AS DOUBLE) AS avg_qty
+      |  FROM li GROUP BY 1)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_small
+      |FROM li JOIN aq ON l_partkey = ak
+      |WHERE l_quantity < 0.5 * avg_qty""".stripMargin
+
+  // ---------------------------------------------------------------- Q18
+  /** Large-volume orders: HAVING over a fact group-by, rejoined to its
+    * dimensions, top-20 by price. */
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 150.0)
+    bigOrders
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        epochMs($"o_orderdate").as("o_orderdate_ms"), $"o_totalprice",
+        $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  private val q18Sql =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 150.0)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(epoch_ms(o_orderdate) AS BIGINT) AS o_orderdate_ms,
+      |  o_totalprice, sum_qty
+      |FROM big JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- Q19
+  /** OR-of-ANDs predicate pushdown: revenue from three disjoint
+    * (brand, size-range, quantity-range) clauses — one scan, the whole
+    * disjunction evaluated as a residual filter at the scan. */
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cond =
+      ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+        $"l_quantity".between(1.0, 15.0)) ||
+      ($"p_brand" === "Brand#2" && $"p_size".between(10, 30) &&
+        $"l_quantity".between(10.0, 25.0)) ||
+      ($"p_brand" === "Brand#3" && $"p_size".between(20, 50) &&
+        $"l_quantity".between(20.0, 35.0))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .filter(cond)
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q19Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0 AND 15.0)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10.0 AND 25.0)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20.0 AND 35.0)"""
+      .stripMargin
+
+  // ---------------------------------------------------------------- Q22
+  /** Idle high-balance customers: above the average positive balance with
+    * no high-value order — 1-row-aggregate broadcast threshold + anti
+    * join, rolled up by market segment. */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter($"c_acctbal" > 0.0)
+      .agg(davg($"c_acctbal").as("avg_bal"))
+    val bigOrders = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 250000.0).select($"o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q22Sql =
+    """SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+      |      / COUNT(c_acctbal) AS DOUBLE)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q07_volume_shipping" -> (q07 _),
+    "rel_q08_market_share" -> (q08 _),
+    "rel_q09_product_profit" -> (q09 _),
+    "rel_q14_type_share" -> (q14 _),
+    "rel_q15_top_supplier" -> (q15 _),
+    "rel_q17_small_quantity" -> (q17 _),
+    "rel_q18_large_orders" -> (q18 _),
+    "rel_q19_disjunctive" -> (q19 _),
+    "rel_q22_idle_customers" -> (q22 _))
+
+  override def oracles: Map[String, String] = Map(
+    "rel_q07_volume_shipping" -> q07Sql,
+    "rel_q08_market_share" -> q08Sql,
+    "rel_q09_product_profit" -> q09Sql,
+    "rel_q14_type_share" -> q14Sql,
+    "rel_q15_top_supplier" -> q15Sql,
+    "rel_q17_small_quantity" -> q17Sql,
+    "rel_q18_large_orders" -> q18Sql,
+    "rel_q19_disjunctive" -> q19Sql,
+    "rel_q22_idle_customers" -> q22Sql)
+}

@@ -488,6 +488,18 @@ object TextAnalysis extends QueryModule {
 
   private def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val (merges, _) = bpeTrain(spark, dir)
+    merges.toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  /** Shared trainer core: runs the [[bpeRounds]] merge rounds and returns
+    * both the learned rule trajectory AND the final (w, cnt, pos, sym)
+    * symbol table — i.e. every distinct corpus word already encoded with
+    * all trained merges applied. [[bpeMerges]] reports the former,
+    * [[bpeEncode]] the latter, so training and encoding cannot drift. */
+  private def bpeTrain(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
     val words = docs(spark, dir)
       .select(explode(col("toks")).as("w"))
@@ -538,11 +550,190 @@ object TextAnalysis extends QueryModule {
         .localCheckpoint(true)
       }
     }
-    merges.result().toDF("round", "lhs", "rhs", "merged", "pair_count")
-      .orderBy(col("round"))
+    (merges.result(), cur)
   }
 
-  private val bpeMergesSql = {
+  // ----------------------------------------------------- BPE encoding
+  /** BPE tokenizer APPLICATION: every distinct corpus word encoded with the
+    * full trained merge table (the serving half of the Sennrich trainer —
+    * what a tokenizer does to new text at data-pipeline time). Output per
+    * word: its corpus frequency, subword count after merging, and the
+    * subword sequence itself. The distributed shape is the trainer's: the
+    * distinct-word table (Zipf-small vs the corpus) carries the symbols;
+    * at 100 TB encoding raw documents is then a broadcast join of this
+    * word->subwords table onto the token stream — never per-document
+    * re-merging. Oracle: the same unrolled 8-round SQL chain as
+    * text_bpe_merges, read at its final round instead of the rule list. */
+  private def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, fin) = bpeTrain(spark, dir)
+    fin.groupBy(col("w"), col("cnt"))
+      .agg(
+        count(lit(1)).cast("long").as("n_syms"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
+            x => x.getField("sym")), " ").as("subwords"))
+      .select(col("w"), col("cnt"), col("n_syms"), col("subwords"))
+      .orderBy(col("w"))
+  }
+
+  private def bpeEncodeSql =
+    s"""$bpeChainSql
+       |SELECT w, cnt, CAST(COUNT(*) AS BIGINT) AS n_syms,
+       |  string_agg(sym, ' ' ORDER BY pos) AS subwords
+       |FROM r$bpeRounds GROUP BY w, cnt ORDER BY w""".stripMargin
+
+  // ------------------------------------------- n-gram LM quality surrogate
+  /** Bigram language-model quality scoring — the CCNet/Gopher "perplexity
+    * filter" shape with an integer-log surrogate. Trains corpus bigram /
+    * left-context counts, then scores each document by the sum over its
+    * bigram occurrences of floor-log2-ish `bitlen(count(a,b)) -
+    * bitlen(count(a,·))` (bit length == `length(bin(n))`, identical in
+    * both engines). Real pipelines use a KenLM float perplexity; the
+    * bit-length surrogate keeps everything in exact BIGINT arithmetic so
+    * the oracle hash-matches (ln/log2 are libm-dependent — the same
+    * reason the HLL linear-counting correction is omitted,
+    * queries/Sketches.scala) while preserving the ranking to within log2
+    * quantization.
+    *
+    * Scale: the count tables are vocab-bounded (≪ corpus under Zipf) and
+    * broadcast onto the bigram stream; the only shuffle is the final
+    * per-doc sum, keyed by doc_id. */
+  private def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val big = docs(spark, dir)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val uni = big.groupBy(col("a")).agg(count(lit(1)).as("ucnt"))
+    val bc = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("bcnt"))
+    val sc = big
+      .join(broadcast(bc), Seq("a", "b"))
+      .join(broadcast(uni), Seq("a"))
+      .withColumn("lp",
+        (length(bin(col("bcnt"))) - length(bin(col("ucnt")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lm_score"))
+    val avg = when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+      col("lm_score") / col("n_bigrams").cast("double")).otherwise(lit(0.0))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"),
+        avg.as("avg_logp"),
+        (avg > -5.0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle CTE prefix: per-doc token arrays -> zipped bigram
+    * stream (DuckDB parallel unnests zip). */
+  private val bigramCtes =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), big AS MATERIALIZED (
+      |  SELECT doc_id, unnest(toks[:len(toks)-1]) AS a, unnest(toks[2:]) AS b
+      |  FROM t WHERE len(toks) >= 2
+      |), bc AS MATERIALIZED (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS bcnt FROM big GROUP BY a, b
+      |)""".stripMargin
+
+  private val lmScoreSql =
+    s"""$bigramCtes,
+       |uni AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ucnt FROM big GROUP BY a),
+       |sc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(length(bin(bcnt)) - length(bin(ucnt))) AS BIGINT) AS lm_score
+       |  FROM big JOIN bc USING (a, b) JOIN uni USING (a) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(lm_score, 0) AS lm_score,
+       |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+       |       THEN lm_score / CAST(n_bigrams AS DOUBLE) ELSE 0.0 END AS avg_logp,
+       |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+       |       THEN lm_score / CAST(n_bigrams AS DOUBLE) ELSE 0.0 END > -5.0 AS keep
+       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------- TextRank keywords
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the word co-occurrence graph (adjacent-word edges,
+    * undirected, self-loops dropped), run for a fixed 5 iterations in
+    * FIXED-POINT integer arithmetic — scores in millionths, damping 0.85
+    * as 850000/150000, every division an integer `div` — so both engines
+    * walk the identical trajectory (float PageRank would diverge in the
+    * last bits under different summation orders).
+    *
+    * Scale: the graph is vocab-bounded (nodes = vocabulary, edges ≤
+    * adjacency pairs actually seen), orders smaller than the corpus;
+    * score vectors broadcast into the edge join each round; per-round
+    * localCheckpoint caps plan growth (CLAUDE.md rule). */
+  private val prIters = 5
+
+  private def textRank(spark: SparkSession, dir: String): DataFrame = {
+    val big = docs(spark, dir)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("bcnt"))
+    val ed = big.select(col("a").as("src"), col("b").as("dst"), col("bcnt").as("c"))
+      .unionAll(big.select(col("b").as("src"), col("a").as("dst"), col("bcnt").as("c")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("wt"))
+    val ow = ed.groupBy(col("src")).agg(sum(col("wt")).as("wsrc"))
+    val edges = ed.join(ow, "src").localCheckpoint(true)
+    var s = edges.select(col("src").as("w")).distinct()
+      .withColumn("sc", lit(1000000L))
+    for (_ <- 1 to prIters) {
+      s = edges.join(broadcast(s.withColumnRenamed("w", "src")), "src")
+        .withColumn("contrib", expr("(sc * wt) div wsrc"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("inflow"))
+        .select(col("dst").as("w"),
+          (lit(150000L) + expr("(850000 * inflow) div 1000000")).as("sc"))
+        .localCheckpoint(true)
+    }
+    import org.apache.spark.sql.expressions.Window
+    s.withColumn("rank",
+        row_number().over(Window.orderBy(col("sc").desc, col("w"))).cast("long"))
+      .select(col("rank"), col("w"), col("sc").as("score"))
+      .orderBy(col("rank"))
+  }
+
+  private val textRankSql = {
+    val rounds = (1 to prIters).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT e.dst AS w,
+         |    CAST(150000 + (850000 * SUM((s.sc * e.wt) // e.wsrc)) // 1000000
+         |      AS BIGINT) AS sc
+         |  FROM e JOIN s${r - 1} s ON e.src = s.w GROUP BY e.dst
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""$bigramCtes,
+       |ed AS MATERIALIZED (
+       |  SELECT src, dst, CAST(SUM(c) AS BIGINT) AS wt FROM (
+       |    SELECT a AS src, b AS dst, bcnt AS c FROM bc WHERE a <> b
+       |    UNION ALL
+       |    SELECT b AS src, a AS dst, bcnt AS c FROM bc WHERE a <> b)
+       |  GROUP BY src, dst
+       |), ow AS MATERIALIZED (
+       |  SELECT src, CAST(SUM(wt) AS BIGINT) AS wsrc FROM ed GROUP BY src
+       |), e AS MATERIALIZED (
+       |  SELECT ed.src, ed.dst, ed.wt, ow.wsrc FROM ed JOIN ow USING (src)
+       |), s0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS w, CAST(1000000 AS BIGINT) AS sc FROM ed
+       |), $rounds
+       |SELECT CAST(row_number() OVER (ORDER BY sc DESC, w) AS BIGINT) AS rank,
+       |  w, sc AS score
+       |FROM s$prIters ORDER BY rank""".stripMargin
+  }
+
+  /** The WITH-chain shared by the merges and encode oracles: distinct
+    * words -> char symbols -> bpeRounds unrolled merge rounds (each
+    * materialized — DuckDB's inliner otherwise multiplies parquet scans
+    * exponentially; see CLAUDE.md). */
+  private lazy val bpeChainSql: String = {
     val base =
       """w AS MATERIALIZED (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -590,11 +781,15 @@ object TextAnalysis extends QueryModule {
          |  WHERE d.pos IS NULL
          |)""".stripMargin
     }.mkString(", ")
+    s"WITH $base, $rounds"
+  }
+
+  private def bpeMergesSql = {
     val out = (1 to bpeRounds).map(r =>
       s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, " +
         s"a || b AS merged, c AS pair_count FROM t$r")
       .mkString("\nUNION ALL ")
-    s"WITH $base, $rounds\n$out\nORDER BY round"
+    s"$bpeChainSql\n$out\nORDER BY round"
   }
 
   // ------------------------------------------------- curation funnel
@@ -1224,6 +1419,9 @@ object TextAnalysis extends QueryModule {
     "text_repetition" -> (repetition _),
     "text_decontaminate" -> (decontaminate _),
     "text_bpe_merges" -> (bpeMerges _),
+    "text_bpe_encode" -> (bpeEncode _),
+    "text_lm_score" -> (lmScore _),
+    "text_rank_keywords" -> (textRank _),
     "dedup_substring" -> (dedupSubstring _),
     "corpus_curation_funnel" -> (curationFunnel _),
     "text_lang_id" -> (langId _),
@@ -1244,6 +1442,9 @@ object TextAnalysis extends QueryModule {
     "text_repetition" -> repetitionSql,
     "text_decontaminate" -> decontaminateSql,
     "text_bpe_merges" -> bpeMergesSql,
+    "text_bpe_encode" -> bpeEncodeSql,
+    "text_lm_score" -> lmScoreSql,
+    "text_rank_keywords" -> textRankSql,
     "dedup_substring" -> dedupSubstringSql,
     "corpus_curation_funnel" -> curationFunnelSql,
     "text_lang_id" -> langIdSql,

@@ -131,4 +131,68 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2L)._1 == "y x" && out(2L)._2 == 1L) // tie -> smallest gram
     assert(out(2L)._4 == 0.0)
   }
+
+  test("text_lm_score: hand-computed bit-length bigram surrogate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    // bigram stream: (x,x),(x,y) | (x,z); left-context count x=3 (bitlen 2),
+    // every bigram count 1 (bitlen 1) -> lp = -1 per occurrence;
+    // doc 2 has one token -> zero bigrams, score 0, keep (0 > -5)
+    Seq(
+      (0L, "x x y", "en", "spec", 5L),
+      (1L, "x z", "en", "spec", 3L),
+      (2L, "q", "en", "spec", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_lm_score")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, -2L, -1.0, true),
+      (1L, 1L, -1L, -1.0, true),
+      (2L, 0L, 0L, 0.0, true)))
+  }
+
+  test("text_rank_keywords: fixed-point trajectory matches scalar reference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tr").toString
+    // graph from "a b a c": a-b weight 2 (both adjacencies), a-c weight 1;
+    // out-weights a=3, b=2, c=1 -> asymmetric convergence, a ranks first
+    Seq((0L, "a b a c", "en", "spec", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_rank_keywords")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // independent scalar replay of the same fixed-point recurrence
+    val edges = Map(("a", "b") -> 2L, ("b", "a") -> 2L,
+      ("a", "c") -> 1L, ("c", "a") -> 1L)
+    val ow = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
+    var sc = Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L)
+    for (_ <- 1 to 5) {
+      sc = sc.keys.map { v =>
+        val inflow = edges.collect {
+          case ((u, d), wt) if d == v => (sc(u) * wt) / ow(u)
+        }.sum
+        v -> (150000L + (850000L * inflow) / 1000000L)
+      }.toMap
+    }
+    val expect = sc.toSeq.sortBy { case (k, s) => (-s, k) }.zipWithIndex
+      .map { case ((k, s), i) => ((i + 1).toLong, k, s) }
+    assert(got.toSeq == expect)
+    assert(got.head._2 == "a") // the hub word wins
+  }
+
+  test("emb_hard_negatives: never the query label, cosine-descending ranks") {
+    val out = SparkEntry.queries("emb_hard_negatives")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 25)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 5)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      assert(rows.forall(r =>
+        r.getAs[Int]("negative_label") != r.getAs[Int]("query_label")))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
 }

@@ -146,6 +146,22 @@ class SourcesSpec extends AnyFunSuite {
       (5L, "ab", "</w>", "ab</w>", 1L)))
   }
 
+  test("bpe encode applies the trained merges to every distinct word") {
+    import spark.implicits._
+    // same corpus as the merges spec: both words collapse to a single
+    // symbol once all five reachable merges apply
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_enc_spec_")
+    Seq((0L, "aaaa aaaa ab", "en", "spec", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_bpe_encode")(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("aaaa", 2L, 1L, "aaaa</w>"),
+      ("ab", 1L, 1L, "ab</w>")))
+  }
+
   test("transaction event model: risk domains match the reference lists") {
     assert(TransactionEvent.highRiskMcc.contains("6011"))
     assert(TransactionEvent.highRiskCountries.contains("RU"))
