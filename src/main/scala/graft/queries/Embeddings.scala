@@ -352,6 +352,131 @@ object Embeddings extends QueryModule {
        |ORDER BY q.query_id""".stripMargin
   }
 
+  // ------------------------------------- random-projection (JL) ANN variant
+  /** Johnson–Lindenstrauss random-projection ANN: a deterministic 16×64
+    * Rademacher (±1) matrix — sign = parity of the house md5 hash of
+    * ("rp_", j, "_", i), identical expression both engines — compresses
+    * every vector 64→16 dims in ONE scan; candidates are the top-50 by
+    * cosine in the projected space, then exact-reranked in full
+    * precision. The JL lemma bounds the distortion, and the measured
+    * recall beside the raw projected-space top-10 quantifies it. At
+    * 100 TB the 4× shorter vectors cut the scan's flops and bytes the
+    * same way SQ8 cuts them by width — this is the dimension-side member
+    * of the compression ladder (PQ/SQ8 are the code-side members).
+    * Query set and output schema match the other recall queries. */
+  private val rpProjExpr =
+    """transform(sequence(0, 15), j ->
+      |  aggregate(zip_with(embedding, sequence(1, 64), (x, i) ->
+      |    cast(x as double) *
+      |    (case when cast(conv(substr(md5(concat('rp_', j, '_', i)), 1, 8), 16, 10) as bigint) % 2 = 0
+      |          then 1.0D else -1.0D end)),
+      |    0D, (acc, v) -> acc + v))""".stripMargin.replaceAll("\n", " ")
+
+  private def rpRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("proj", expr(rpProjExpr)).persist()
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("proj").as("qp"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rpcos", round(expr(cosOf("qp", "proj")), 6))
+    val rpW = Window.partitionBy(col("query_id"))
+      .orderBy(col("rpcos").desc, col("vec_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val rpTop = scored.withColumn("rn", row_number().over(rpW))
+      .filter(col("rn") <= 10).select(col("query_id"), col("vec_id"))
+    val rerank = scored.withColumn("rn", row_number().over(rpW))
+      .filter(col("rn") <= 50)
+      .withColumn("cos", round(expr(cosExpr), 6))
+      .withColumn("rk", row_number().over(rankW)).filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val brute = scored.withColumn("cos", round(expr(cosExpr), 6))
+      .withColumn("rn", row_number().over(rankW)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val hitsRp = brute.join(rpTop, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits_rp"))
+    val hits = brute.join(rerank, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    graft.core.CachePin.sealAndRelease(
+      q.select(col("query_id"))
+        .join(hitsRp, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits_rp"), lit(0L)).as("n_hits_rp"),
+          (coalesce(col("n_hits_rp"), lit(0L)) / 10.0).as("recall_rp"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"))
+        .orderBy(col("query_id")),
+      emb)
+  }
+
+  private val rpRecallSql = {
+    def cosFrag(a: String, b: String, n: Int) =
+      s"""ROUND(
+         |      list_reduce(list_prepend(0.0, list_transform(range(1, $n), i ->
+         |        CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)
+         |      / (SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, $n), i ->
+         |           CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), (acc, x) -> acc + x))
+         |         * SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, $n), i ->
+         |           CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)))
+         |    , 6)""".stripMargin
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_transform(range(16), j ->
+       |      list_reduce(list_prepend(0.0, list_transform(range(1, 65), i ->
+       |        CAST(embedding[i] AS DOUBLE) *
+       |        (CASE WHEN CAST('0x' || substr(md5('rp_' || j || '_' || i), 1, 8) AS BIGINT) % 2 = 0
+       |              THEN 1.0 ELSE -1.0 END))),
+       |        (acc, v) -> acc + v)) AS proj
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, proj AS qp
+       |  FROM p WHERE vec_id < 20
+       |), scored AS MATERIALIZED (
+       |  SELECT q.query_id, e.vec_id,
+       |    ${cosFrag("qp", "e.proj", 17)} AS rpcos,
+       |    ${cosFrag("qv", "e.embedding", 65)} AS cos
+       |  FROM p e CROSS JOIN q WHERE e.vec_id <> q.query_id
+       |), rptop AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY rpcos DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= 10
+       |), rerank AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |    FROM (
+       |      SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY rpcos DESC, vec_id) AS rn
+       |      FROM scored) WHERE rn <= 50) WHERE rk <= 10
+       |), brute AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= 10
+       |), hitsrp AS (
+       |  SELECT b.query_id, count(*) AS n_hits_rp
+       |  FROM brute b JOIN rptop t ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+       |  GROUP BY b.query_id
+       |), hits AS (
+       |  SELECT b.query_id, count(*) AS n_hits
+       |  FROM brute b JOIN rerank r ON b.query_id = r.query_id AND b.vec_id = r.vec_id
+       |  GROUP BY b.query_id
+       |)
+       |SELECT q.query_id,
+       |  COALESCE(hr.n_hits_rp, 0) AS n_hits_rp,
+       |  COALESCE(hr.n_hits_rp, 0) / 10.0 AS recall_rp,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) / 10.0 AS recall_at_10
+       |FROM q LEFT JOIN hitsrp hr ON q.query_id = hr.query_id
+       |LEFT JOIN hits h ON q.query_id = h.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
+
   // ------------------------------------------------------- IVF ANN variant
   /** IVF (inverted-file) ANN: the per-label centroids act as the coarse
     * quantizer — every vector is assigned to its nearest-centroid CELL
@@ -1742,6 +1867,7 @@ object Embeddings extends QueryModule {
     "dedup_semantic" -> (semDedup _),
     "emb_knn_bruteforce" -> (knnBrute _),
     "emb_hard_negatives" -> (hardNegatives _),
+    "emb_rp_recall" -> (rpRecall _),
     "emb_centroids" -> (centroids _),
     "emb_lsh_buckets" -> (lshBuckets _),
     "dedup_embedding_cosine" -> (cosineNearDup _),
@@ -1762,6 +1888,7 @@ object Embeddings extends QueryModule {
     "emb_ivf_recall" -> ivfRecallSql,
     "emb_knn_bruteforce" -> knnBruteSql,
     "emb_hard_negatives" -> hardNegativesSql,
+    "emb_rp_recall" -> rpRecallSql,
     "emb_centroids" -> centroidsSql,
     "emb_lsh_buckets" -> lshBucketsSql,
     "dedup_embedding_cosine" -> cosineNearDupSql,

@@ -228,6 +228,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.dedupMinhashUpdateStream(s, d)),
     "stream_decontaminate" ->
       ((s: SparkSession, d: String) => StreamingPipelines.decontaminateStream(s, d)),
+    "stream_lm_score" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.lmScoreStream(s, d)),
     "stream_corpus_funnel" ->
       ((s: SparkSession, d: String) => StreamingPipelines.curationFunnelStream(s, d)),
     "stream_hll_distinct" ->
@@ -254,6 +256,7 @@ object StreamingQueries extends QueryModule {
     "stream_dedup_minhash" -> TextAnalysis.dedupMinhashStreamSql,
     "stream_dedup_minhash_update" -> TextAnalysis.dedupMinhashStreamSql,
     "stream_decontaminate" -> TextAnalysis.decontaminateSql,
+    "stream_lm_score" -> TextAnalysis.lmScoreSql,
     "stream_corpus_funnel" -> TextAnalysis.curationFunnelOracleSql,
     "stream_hll_distinct" -> Sketches.hllDistinctSql,
     "stream_cms_topk" -> Sketches.cmsTopkSql,

@@ -599,14 +599,7 @@ object TextAnalysis extends QueryModule {
     * broadcast onto the bigram stream; the only shuffle is the final
     * per-doc sum, keyed by doc_id. */
   private def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val big = docs(spark, dir)
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
-        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
-      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
-    val uni = big.groupBy(col("a")).agg(count(lit(1)).as("ucnt"))
-    val bc = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("bcnt"))
+    val (big, uni, bc) = lmCountTables(spark, dir)
     val sc = big
       .join(broadcast(bc), Seq("a", "b"))
       .join(broadcast(uni), Seq("a"))
@@ -626,6 +619,23 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** The trained LM artifacts: (bigram occurrence stream, left-context
+    * counts, bigram counts). Shared by the batch query and the streaming
+    * gate (which driver-collects the vocab-bounded count tables and
+    * broadcasts them), so the two score with the same model. */
+  private[graft] def lmCountTables(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val big = docs(spark, dir)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val uni = big.groupBy(col("a")).agg(count(lit(1)).as("ucnt"))
+    val bc = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("bcnt"))
+    (big, uni, bc)
+  }
+
   /** Shared oracle CTE prefix: per-doc token arrays -> zipped bigram
     * stream (DuckDB parallel unnests zip). */
   private val bigramCtes =
@@ -639,7 +649,7 @@ object TextAnalysis extends QueryModule {
       |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS bcnt FROM big GROUP BY a, b
       |)""".stripMargin
 
-  private val lmScoreSql =
+  private[graft] val lmScoreSql =
     s"""$bigramCtes,
        |uni AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ucnt FROM big GROUP BY a),
        |sc AS (

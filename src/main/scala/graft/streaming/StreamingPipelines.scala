@@ -665,6 +665,49 @@ object StreamingPipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming bigram-LM quality gate: the model (vocab-bounded bigram /
+    * left-context count tables, trained batch-side on the same corpus) is
+    * driver-collected once and broadcast; every arriving doc is scored
+    * STATELESSLY in one pass with the identical integer bit-length
+    * surrogate as text_lm_score — same oracle. At 100 TB the trained
+    * counts are the bounded side (vocabulary, not corpus) and the doc
+    * stream is scored at scan speed: a map, not an aggregation, so no
+    * shuffle and no state store. In production the model would be
+    * trained on yesterday's corpus; here it is trained on the replayed
+    * corpus itself so the batch oracle grades the stream verdicts
+    * exactly. */
+  def lmScoreStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, uni, bi) = graft.queries.TextAnalysis.lmCountTables(spark, dir)
+    val uniM: Map[String, Long] =
+      uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val biM: Map[(String, String), Long] =
+      bi.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    val bcU = spark.sparkContext.broadcast(uniM)
+    val bcB = spark.sparkContext.broadcast(biM)
+    // bit length of a positive count == length(bin(n)) in both engines
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val in = docStreamReplay(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val out = in.map { case (docId, text) =>
+      val toks = text.trim.split("\\s+")
+      val u = bcU.value; val b = bcB.value
+      var n = 0L
+      var s = 0L
+      var i = 0
+      while (i < toks.length - 1) {
+        s += bitlen(b((toks(i), toks(i + 1)))) - bitlen(u(toks(i)))
+        n += 1
+        i += 1
+      }
+      val avg = if (n > 0) s.toDouble / n else 0.0
+      (docId, n, s, avg, avg > -5.0)
+    }.toDF("doc_id", "n_bigrams", "lm_score", "avg_logp", "keep")
+    runToMemory(spark, out, "append", "lmscore")
+      .orderBy(col("doc_id"))
+  }
+
   /** The full corpus-curation funnel with every stage in STREAMING form
     * (round-7 composition flagship): the doc replay feeds five stage
     * verdicts — quality and repetition gates as stateless single-pass

@@ -158,6 +158,9 @@ class StreamingSpec extends AnyFunSuite {
       // keep-min retraction over the hash-shuffled replay (round 7)
       "minhashupdate" -> StreamingPipelines
         .dedupMinhashUpdateStream(spark, sfDir)
+        .collect().map(_.toString),
+      // broadcast bigram-LM gate (round 7) — map-only like decontaminate
+      "lmscore" -> StreamingPipelines.lmScoreStream(spark, sfDir)
         .collect().map(_.toString))
     val default = run()
     val prev = spark.conf.getOption(key)
