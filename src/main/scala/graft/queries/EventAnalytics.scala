@@ -402,7 +402,99 @@ object EventAnalytics extends QueryModule {
       |   CASE WHEN value < 5.0 THEN 1 ELSE 0 END) AS n_risk_factors
       |FROM scored ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------- conversion funnel
+  /** Ordered conversion funnel over event time: signup → view → click →
+    * purchase, each stage's timestamp the user's FIRST occurrence AT OR
+    * AFTER the previous stage's (the product-analytics funnel semantics —
+    * out-of-order occurrences don't count). Each stage is a conditional
+    * min + rejoin; stage frames shrink monotonically, so at scale each
+    * pass joins the full event scan against an ever-smaller
+    * user-timestamp table (broadcast once under ~100 M users). One
+    * survivor-count row. */
+  private def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ems"))
+    def stage(prev: DataFrame, evType: String, tPrev: String,
+        tCur: String): DataFrame =
+      e.filter(col("event_type") === evType)
+        .join(prev, Seq("user_id"))
+        .filter(col("ems") >= col(tPrev))
+        .groupBy(col("user_id")).agg(min(col("ems")).as(tCur))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ems")).as("t1"))
+    val s2 = stage(s1, "view", "t1", "t2")
+    val s3 = stage(s2, "click", "t2", "t3")
+    val s4 = stage(s3, "purchase", "t3", "t4")
+    e.agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+      .crossJoin(broadcast(s1.agg(count(lit(1)).as("n_signup"))))
+      .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_view_after"))))
+      .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_click_after"))))
+      .crossJoin(broadcast(s4.agg(count(lit(1)).as("n_purchase_after"))))
+  }
+
+  private val funnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ems FROM events
+      |), s1 AS (
+      |  SELECT user_id, MIN(ems) AS t1 FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(ems) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'view' AND ems >= t1 GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(ems) AS t3 FROM e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'click' AND ems >= t2 GROUP BY e.user_id
+      |), s4 AS (
+      |  SELECT e.user_id, MIN(ems) AS t4 FROM e JOIN s3 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ems >= t3 GROUP BY e.user_id
+      |)
+      |SELECT
+      |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_view_after,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_click_after,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s4) AS n_purchase_after""".stripMargin
+
+  // --------------------------------------------------- retention cohorts
+  /** Weekly retention cohorts: cohort = week index of the user's first
+    * event, activity = week index of each event; n_users per
+    * (cohort_week, activity_week) cell — the product-analytics retention
+    * triangle. Week indexing is pure BIGINT `div` arithmetic from the
+    * 2024-01-01 epoch, so both engines bucket identically. Scale: one
+    * group-by for first events (user-keyed), one distinct on
+    * (user, cohort, activity) — both shuffles on bounded keys. */
+  private def cohorts(spark: SparkSession, dir: String): DataFrame = {
+    val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+    val week = 7L * 24 * 3600 * 1000
+    val e = ev(spark, dir).select(col("user_id"), col("ems"))
+    val first = e.groupBy(col("user_id")).agg(min(col("ems")).as("fe"))
+    e.join(first, Seq("user_id"))
+      .select(col("user_id"),
+        expr(s"(fe - ${t0}L) div ${week}L").as("cohort_week"),
+        expr(s"(ems - ${t0}L) div ${week}L").as("activity_week"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("activity_week"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("activity_week"))
+  }
+
+  private val cohortsSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ems FROM events
+      |), f AS (
+      |  SELECT user_id, MIN(ems) AS fe FROM e GROUP BY user_id
+      |), c AS (
+      |  SELECT DISTINCT e.user_id,
+      |    (fe - 1704067200000) // 604800000 AS cohort_week,
+      |    (ems - 1704067200000) // 604800000 AS activity_week
+      |  FROM e JOIN f USING (user_id)
+      |)
+      |SELECT cohort_week, activity_week, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_conversion_funnel" -> (funnel _),
+    "evt_retention_cohorts" -> (cohorts _),
     "evt_asof_join" -> (asOfJoinQ _),
     "evt_interval_join" -> (intervalJoinQ _),
     "evt_latest_snapshot" -> (latestSnapshot _),
@@ -415,6 +507,8 @@ object EventAnalytics extends QueryModule {
     "evt_fraud_pipeline" -> (fraudPipeline _))
 
   override def oracles: Map[String, String] = Map(
+    "evt_conversion_funnel" -> funnelSql,
+    "evt_retention_cohorts" -> cohortsSql,
     "evt_asof_join" -> asOfJoinSql,
     "evt_interval_join" -> intervalJoinSql,
     "evt_latest_snapshot" -> latestSnapshotSql,

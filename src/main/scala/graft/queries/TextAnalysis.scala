@@ -1107,6 +1107,67 @@ object TextAnalysis extends QueryModule {
       |    -1) AS dup_of
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- triangle counting
+  /** Triangle counting over the near-dup candidate graph (node = doc,
+    * edge = pair sharing ≥ 1 LSH band bucket): the Suri–Vassilvitskii
+    * MapReduce join-plan — edges ORIENTED a<b so each triangle
+    * materializes exactly once as e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a<b<c.
+    * Candidate edges come from the same banding core as dedup_minhash_lsh
+    * (bucket-wise, never all-pairs); both triangle joins shuffle on a
+    * single doc-id key. Duplicate clusters of size k show up as
+    * C(k,3)-triangle cliques — triangle density is the classic
+    * cluster-coherence check on a dedup graph. Output: per-doc triangle
+    * participation. */
+  private def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val bands = lshBandRows(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val e = bands.select(col("band_val"), col("doc_id").as("a"))
+      .join(bands.select(col("band_val"), col("doc_id").as("b")),
+        Seq("band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val tri = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(e.select(col("a"), col("b").as("c"), lit(1).as("closed")),
+        Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val trianglesSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), mh AS (
+      |  SELECT doc_id, list_transform(range(8), j -> list_min(list_transform(sh,
+      |    s -> ((2*j + 1) * CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+      |          + 97*j + 13) % 2147483647))) AS mh
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id,
+      |    b || ':' || mh[2*b + 1] || ':' || mh[2*b + 2] AS band_val
+      |  FROM mh, (SELECT unnest(range(4)) AS b)
+      |), e AS MATERIALIZED (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.band_val = y.band_val AND x.doc_id < y.doc_id
+      |), tri AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      |  SELECT a AS doc_id FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- SimHash
   /** 32-bit SimHash per document over md5-derived token hashes: majority
     * vote per bit position. Near-dup docs differ in few bits (Hamming). */
@@ -1441,7 +1502,8 @@ object TextAnalysis extends QueryModule {
     "dedup_minhash_lsh" -> (minHashLsh _),
     "dedup_simhash" -> (simHash _),
     "dedup_simhash_pairs" -> (simHashPairs _),
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "graph_triangles" -> (triangles _))
 
   override def oracles: Map[String, String] = Map(
     "text_bm25_search" -> bm25SearchSql,
@@ -1464,5 +1526,6 @@ object TextAnalysis extends QueryModule {
     "dedup_minhash_lsh" -> minHashLshSql,
     "dedup_simhash" -> simHashSql,
     "dedup_simhash_pairs" -> simHashPairsSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "graph_triangles" -> trianglesSql)
 }

@@ -224,6 +224,14 @@ object ScaleCheck {
     def substring(dir: String): Double = timed {
       graft.SparkEntry.queries("dedup_substring")(spark, dir).count()
     }
+    // bigram-LM scoring + TextRank (round 7): count tables / graph are
+    // vocab-bounded, so the corpus scan must dominate — ~linear in docs
+    def lmScore(dir: String): Double = timed {
+      graft.SparkEntry.queries("text_lm_score")(spark, dir).count()
+    }
+    def textRank(dir: String): Double = timed {
+      graft.SparkEntry.queries("text_rank_keywords")(spark, dir).count()
+    }
 
     val d1 = stage(n1); val d10 = stage(n1 * 10)
     val s1 = stageSkewed(n1); val s10 = stageSkewed(n1 * 10)
@@ -240,7 +248,9 @@ object ScaleCheck {
       ("stream_dedup_minhash", dedupStream(dd1), dedupStream(dd10)),
       ("store_upsert_fixed_batch", upsert(n1), upsert(n1 * 10)),
       ("curation_funnel", funnel(c1), funnel(c10)),
-      ("dedup_substring", substring(c1), substring(c10)))
+      ("dedup_substring", substring(c1), substring(c10)),
+      ("text_lm_score", lmScore(c1), lmScore(c10)),
+      ("text_rank_keywords", textRank(c1), textRank(c10)))
 
     // IVFADC index build vs query split (round-7 verdict #4): the build
     // (Lloyd fit + PQ train + corpus coding + store writes) is paid ONCE;
