@@ -1107,6 +1107,89 @@ object TextAnalysis extends QueryModule {
       |    -1) AS dup_of
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- prefix-filtering similarity join
+  /** EXACT set-similarity self-join with prefix filtering (Chaudhuri et
+    * al. 2006 / PPJoin, Xiao et al. 2008): the deterministic complement
+    * to MinHash banding — NO false negatives at the threshold. Each doc's
+    * distinct-token set is canonically ordered by (global frequency asc,
+    * token asc); two sets with Jaccard ≥ t MUST share a token within
+    * their first |x| − ⌈t·|x|⌉ + 1 tokens, so candidate generation is a
+    * join on PREFIX tokens only — rare tokens first, which is what keeps
+    * bucket sizes small under Zipf (the hot "the"-style tokens never
+    * reach a prefix). Threshold t = 0.6 computed in pure integer
+    * arithmetic (⌈3n/5⌉ = (3n+4) div 5) so both engines cut identical
+    * prefixes; survivors are verified with the exact Jaccard. The join
+    * runs over 3-gram SHINGLE sets (the MinHash queries' shingles) — on
+    * this corpus's 31-word vocabulary raw token sets are degenerate
+    * (nearly all pairs pass 0.6), while the shingle space is selective,
+    * which is also the production choice. At 100 TB: one scan to count
+    * frequencies, one shuffle on prefix shingle for candidates (bounded
+    * by rare-shingle df), exact verify per candidate pair — the
+    * all-pairs product never materializes. */
+  private def prefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sorted = tok.join(freq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
+        .as("stoks"))
+      .withColumn("n", size(col("stoks")).cast("long"))
+      // prefix length for Jaccard t=0.6: n - ceil(0.6n) + 1, all integer
+      .withColumn("plen", col("n") - expr("(3 * n + 4) div 5") + 1)
+    val pref = sorted.select(col("doc_id"), col("stoks"),
+      explode(expr("slice(stoks, 1, cast(plen as int))")).as("ptok"))
+    val cand = pref.select(col("ptok"), col("doc_id").as("doc_a"),
+        col("stoks").as("ta"))
+      .join(pref.select(col("ptok"), col("doc_id").as("doc_b"),
+        col("stoks").as("tb")), Seq("ptok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"))
+      .distinct()
+    cand
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("un",
+        size(col("ta")).cast("long") + size(col("tb")) - col("inter"))
+      .withColumn("jaccard", col("inter") / col("un").cast("double"))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val prefixJoinSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), tok AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS tok
+      |  FROM t
+      |), freq AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY tok
+      |), sorted AS MATERIALIZED (
+      |  SELECT doc_id, list(tok ORDER BY df, tok) AS stoks,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tok JOIN freq USING (tok) GROUP BY doc_id
+      |), pref AS MATERIALIZED (
+      |  SELECT doc_id, stoks,
+      |    unnest(stoks[:CAST(n - (3 * n + 4) // 5 + 1 AS INT)]) AS ptok
+      |  FROM sorted
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.stoks AS ta, b.stoks AS tb
+      |  FROM pref a JOIN pref b ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+      |), scored AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+      |    CAST(len(ta) + len(tb) - len(list_intersect(ta, tb)) AS BIGINT) AS un
+      |  FROM cand
+      |)
+      |SELECT doc_a, doc_b, inter, un,
+      |  inter / CAST(un AS DOUBLE) AS jaccard
+      |FROM scored WHERE inter / CAST(un AS DOUBLE) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------- triangle counting
   /** Triangle counting over the near-dup candidate graph (node = doc,
     * edge = pair sharing ≥ 1 LSH band bucket): the Suri–Vassilvitskii
@@ -1503,7 +1586,8 @@ object TextAnalysis extends QueryModule {
     "dedup_simhash" -> (simHash _),
     "dedup_simhash_pairs" -> (simHashPairs _),
     "dedup_clusters" -> (dedupClusters _),
-    "graph_triangles" -> (triangles _))
+    "graph_triangles" -> (triangles _),
+    "dedup_prefix_join" -> (prefixJoin _))
 
   override def oracles: Map[String, String] = Map(
     "text_bm25_search" -> bm25SearchSql,
@@ -1527,5 +1611,6 @@ object TextAnalysis extends QueryModule {
     "dedup_simhash" -> simHashSql,
     "dedup_simhash_pairs" -> simHashPairsSql,
     "dedup_clusters" -> dedupClustersSql,
-    "graph_triangles" -> trianglesSql)
+    "graph_triangles" -> trianglesSql,
+    "dedup_prefix_join" -> prefixJoinSql)
 }

@@ -180,6 +180,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.head._2 == "a") // the hub word wins
   }
 
+  test("dedup_prefix_join finds EVERY pair at the threshold (no false negatives)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppj").toString
+    val texts = Seq(
+      "a b c d e f", "a b c d e f g", "a b c d e f", // near/exact dups
+      "x y z w q r", "x y z w q t",                  // partial overlap
+      "p q r s t u v")                               // distinct
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "spec", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_prefix_join")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    // independent brute force over ALL pairs
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = texts.map(shingles)
+    val expect = (for {
+      a <- sets.indices; b <- sets.indices if a < b
+      inter = (sets(a) & sets(b)).size
+      un = (sets(a) | sets(b)).size
+      j = inter.toDouble / un if j >= 0.6
+    } yield ((a.toLong, b.toLong), j)).toMap
+    assert(got == expect)
+    assert(expect.nonEmpty && expect.values.exists(_ < 1.0))
+  }
+
   test("emb_hard_negatives: never the query label, cosine-descending ranks") {
     val out = SparkEntry.queries("emb_hard_negatives")(
       spark, "/root/testdata/sf0.001").collect()
