@@ -113,6 +113,91 @@ object DriftQuality extends QueryModule {
        |  ks_stat > 1.36 * SQRT((n_ref + n_cur) / (n_ref * n_cur)) AS drifted
        |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------- M9 (W1 form)
+  /** 1-Wasserstein (earth-mover) drift distance between the reference and
+    * current value distributions: W1 = ∫|F_ref − F_cur|dx, computed
+    * EXACTLY in integer units. `value` carries two decimal digits by
+    * construction, so vi = round(100·value) is lossless, and
+    * W1·(100·n1·n2) = Σ over sorted distinct vi of
+    * (next vi − vi)·|c1·n2 − c2·n1| is pure BIGINT — bounded by
+    * value-range·n1·n2 (no overflow below ~10⁶ rows per side; DECIMAL
+    * accumulation is the escape hatch past that) — with the single double
+    * division last, identical in both engines. Distributed with the same
+    * bucketed-prefix machinery as the KS statistic (no single-partition
+    * sort): group by distinct value, range-bucket, per-bucket prefix sums
+    * + driver offsets; the cross-bucket value gap is the next bucket's
+    * min, shipped with the offsets. KS is the max of |F₁−F₂|; W1 is its
+    * integral — the pair covers both classic drift magnitudes. */
+  private def wasserstein(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeBuckets
+    val g = ev(spark, dir)
+      .select(expr("cast(round(value * 100) as bigint)").as("vi"),
+        col("is_ref"))
+      .groupBy(col("vi"))
+      .agg(sum(col("is_ref")).as("r"), sum(lit(1) - col("is_ref")).as("c"))
+      .persist()
+    val cuts = RangeBuckets.cuts(g, col("vi"))
+    val bucketed = g.withColumn("bucket",
+      RangeBuckets.ascBucket(cuts, col("vi")))
+    val stats = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("r")).as("t1"), sum(col("c")).as("t2"),
+        min(col("vi")).as("mn"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .sortBy(_._1).toSeq
+    val n1 = stats.map(_._2._1).sum
+    val n2 = stats.map(_._2._2).sum
+    val offs = RangeBuckets.exclusivePrefix(stats, (0L, 0L)) {
+      case ((a1, a2), (b1, b2, _)) => (a1 + b1, a2 + b2)
+    }
+    // each bucket also ships the NEXT bucket's smallest value — the gap
+    // term for its last row (None for the global maximum, which has no gap)
+    val rows = offs.zipWithIndex.map { case ((b, (o1, o2)), i) =>
+      val nm = if (i + 1 < stats.size) Some(stats(i + 1)._2._3) else None
+      (b, o1, o2, nm)
+    }
+    val offsetsDf = spark.createDataFrame(rows)
+      .toDF("bucket", "o1", "o2", "nextmn")
+    val local = Window.partitionBy(col("bucket")).orderBy(col("vi"))
+    val contrib = bucketed
+      .withColumn("l1", sum(col("r")).over(local))
+      .withColumn("l2", sum(col("c")).over(local))
+      .withColumn("nl", lead(col("vi"), 1).over(local))
+      .join(broadcast(offsetsDf), Seq("bucket"))
+      .withColumn("nvi", coalesce(col("nl"), col("nextmn")))
+      .filter(col("nvi").isNotNull)
+      .select(((col("nvi") - col("vi")) *
+        abs((col("l1") + col("o1")) * n2 - (col("l2") + col("o2")) * n1))
+        .as("contrib"))
+    val out = contrib.agg(sum(col("contrib")).as("w1i"))
+      .select((col("w1i") / lit(100.0 * n1 * n2)).as("w1"),
+        lit(n1).as("n_ref"), lit(n2).as("n_cur"))
+    graft.core.CachePin.sealAndRelease(out, g)
+  }
+
+  private val wassersteinSql =
+    s"""WITH s AS (
+       |  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vi,
+       |    CASE WHEN epoch_ms(ts) < $cutoffMs THEN 1 ELSE 0 END AS is_ref
+       |  FROM events
+       |), g AS (
+       |  SELECT vi, CAST(SUM(is_ref) AS BIGINT) AS r,
+       |    CAST(SUM(1 - is_ref) AS BIGINT) AS c
+       |  FROM s GROUP BY vi
+       |), p AS (
+       |  SELECT vi,
+       |    SUM(r) OVER (ORDER BY vi) AS c1,
+       |    SUM(c) OVER (ORDER BY vi) AS c2,
+       |    LEAD(vi) OVER (ORDER BY vi) AS nvi,
+       |    SUM(r) OVER () AS n1, SUM(c) OVER () AS n2
+       |  FROM g
+       |), agg AS (
+       |  SELECT CAST(SUM((nvi - vi) * ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS w1i,
+       |    CAST(MAX(n1) AS BIGINT) AS n_ref, CAST(MAX(n2) AS BIGINT) AS n_cur
+       |  FROM p WHERE nvi IS NOT NULL)
+       |SELECT w1i / (100.0 * n_ref * n_cur) AS w1, n_ref, n_cur FROM agg"""
+      .stripMargin
+
   // ------------------------------------------------------------------ M11
   /** Population Stability Index with 10 quantile buckets from the reference
     * window, epsilon 1e-6 (drift_check.py:138-169, thresholds 0.1/0.2).
@@ -302,6 +387,7 @@ object DriftQuality extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "drift_ks_statistic" -> (ks _),
+    "drift_wasserstein" -> (wasserstein _),
     "drift_psi" -> (psi _),
     "drift_chi2" -> (chi2 _),
     "quality_quantiles" -> (quantiles _),
@@ -310,6 +396,7 @@ object DriftQuality extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "drift_ks_statistic" -> ksSql,
+    "drift_wasserstein" -> wassersteinSql,
     "drift_psi" -> psiSql,
     "drift_chi2" -> chi2Sql,
     "quality_quantiles" -> quantilesSql,
