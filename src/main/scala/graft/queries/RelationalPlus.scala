@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import Exact._
 
-/** Second TPC-H-shape relational pack (Q7/Q8/Q9/Q14/Q15/Q17/Q18/Q19/Q22
-  * adapted to the driver tables — no partsupp/commitdate/phone columns, so
-  * the predicates move to the columns that exist; the plan SHAPES are the
-  * point): bilateral join-through-two-dimension-paths, market-share ratio,
-  * profit rollup, conditional-share projection, scalar-subquery max,
-  * correlated per-group average, group-HAVING top-k, OR-of-ANDs pushdown,
-  * and anti-join with an aggregate threshold.
+/** Second TPC-H-shape relational pack (Q7/Q8/Q9/Q11/Q14/Q15/Q16/Q17/Q18/
+  * Q19/Q20/Q21/Q22 adapted to the driver tables — no partsupp/commitdate/
+  * phone columns, so the predicates move to the columns that exist; the
+  * plan SHAPES are the point): bilateral join-through-two-dimension-paths,
+  * market-share ratio, profit rollup, global-fraction HAVING (Q11),
+  * conditional-share projection, scalar-subquery max, NOT-IN distinct
+  * rollup (Q16), correlated per-group average, group-HAVING top-k,
+  * OR-of-ANDs pushdown, nested-semi-join threshold chain (Q20),
+  * exists/not-exists waiting-supplier count (Q21), and anti-join with an
+  * aggregate threshold. With Q1-Q6/Q10/Q12/Q13 elsewhere this completes
+  * all 22 TPC-H query shapes.
   *
   * Scale notes: every dimension (region/nation/supplier/part and 1-row
   * aggregates) is broadcast; facts shuffle only for their own group-bys.
@@ -25,7 +29,7 @@ object RelationalPlus extends QueryModule {
 
   // ---------------------------------------------------------------- Q7
   /** Volume shipping between two nations: revenue by (supplier nation,
-    * customer nation, ship year) for the NATION_1 <-> NATION_2 pair. */
+    * customer nation, ship year) for the NATION_3 <-> NATION_19 pair. */
   private def q07(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n1 = Tables.nation(spark, dir)
@@ -38,8 +42,8 @@ object RelationalPlus extends QueryModule {
       .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
       .join(broadcast(n1), $"s_nationkey" === $"sk")
       .join(broadcast(n2), $"c_nationkey" === $"ck")
-      .filter($"supp_nation".isin("NATION_1", "NATION_2") &&
-        $"cust_nation".isin("NATION_1", "NATION_2") &&
+      .filter($"supp_nation".isin("NATION_3", "NATION_19") &&
+        $"cust_nation".isin("NATION_3", "NATION_19") &&
         $"supp_nation" =!= $"cust_nation")
       .groupBy($"supp_nation", $"cust_nation",
         year($"l_shipdate").cast("long").as("l_year"))
@@ -59,8 +63,8 @@ object RelationalPlus extends QueryModule {
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |WHERE n1.n_name IN ('NATION_3', 'NATION_19')
+      |  AND n2.n_name IN ('NATION_3', 'NATION_19')
       |  AND n1.n_name <> n2.n_name
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
@@ -305,7 +309,7 @@ object RelationalPlus extends QueryModule {
     val avgBal = cust.filter($"c_acctbal" > 0.0)
       .agg(davg($"c_acctbal").as("avg_bal"))
     val bigOrders = Tables.orders(spark, dir)
-      .filter($"o_totalprice" > 250000.0).select($"o_custkey")
+      .filter($"o_totalprice" > 400000.0).select($"o_custkey")
     cust.crossJoin(broadcast(avgBal))
       .filter($"c_acctbal" > $"avg_bal")
       .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
@@ -324,13 +328,196 @@ object RelationalPlus extends QueryModule {
       |    FROM customer WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (
       |    SELECT 1 FROM orders
-      |    WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+      |    WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- Q11
+  /** Important-stock rollup (partsupp absent — lineitem is the supply
+    * fact): per-part supply value from NATION_3 suppliers, kept when the
+    * part's value exceeds 0.1% of the nation's total. The total is the
+    * same decimal accumulation as the per-part sums (decimal addition is
+    * exact and associative), broadcast as a 1-row aggregate. */
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val suppIn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter($"n_name" === "NATION_3")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(suppIn), $"l_suppkey" === $"s_suppkey")
+      .select($"l_partkey", $"l_extendedprice")
+    val total = li.agg(dsum($"l_extendedprice").as("tot"))
+    li.groupBy($"l_partkey")
+      .agg(dsum($"l_extendedprice").as("value"))
+      .crossJoin(broadcast(total))
+      .filter($"value" > lit(0.001) * $"tot")
+      .select($"l_partkey", $"value")
+      .orderBy($"value".desc, $"l_partkey")
+  }
+
+  private val q11Sql =
+    """WITH supp AS (
+      |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_3'),
+      |li AS MATERIALIZED (
+      |  SELECT l_partkey, l_extendedprice
+      |  FROM lineitem JOIN supp ON l_suppkey = s_suppkey),
+      |val AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS value
+      |  FROM li GROUP BY 1)
+      |SELECT l_partkey, value FROM val
+      |WHERE value > 0.001 *
+      |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) FROM li)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q16
+  /** Parts/supplier relationship count (s_comment absent — negative
+    * balance stands in for the complaint filter): distinct suppliers per
+    * (brand, type, size) over a NOT-IN-excluded supplier set, ordered by
+    * count. The part filter is broadcast; the anti join against the
+    * 6-row complainer set is broadcast too. */
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir)
+      .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "STANDARD" &&
+        $"p_size".isin(1, 4, 9, 14, 19, 24, 29, 34))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val complainers = Tables.supplier(spark, dir)
+      .filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(complainers), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'STANDARD'
+      |  AND p_size IN (1,4,9,14,19,24,29,34)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---------------------------------------------------------------- Q20
+  /** Potential part promotion (availqty absent — a supplier "holds excess
+    * stock" when it shipped over 30% of a blue part's 1996 volume):
+    * EUROPE suppliers semi-joined through the nested
+    * per-(supplier,part) vs per-part aggregate threshold. Both aggregate
+    * sides shuffle once on l_partkey; everything else is broadcast. */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blueParts = Tables.part(spark, dir)
+      .filter($"p_name".contains("blue")).select($"p_partkey")
+    val li96 = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(blueParts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+    val per = li96.groupBy($"l_partkey", $"l_suppkey")
+      .agg(dsum($"l_quantity").as("qty"))
+    val tot = li96.groupBy($"l_partkey".as("tk"))
+      .agg(dsum($"l_quantity").as("tqty"))
+    val excess = per.join(tot, $"l_partkey" === $"tk")
+      .filter($"qty" > lit(0.3) * $"tqty")
+      .select($"l_suppkey").distinct()
+    val euroNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    Tables.supplier(spark, dir)
+      .join(broadcast(euroNations), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(excess), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
+  }
+
+  private val q20Sql =
+    """WITH li96 AS MATERIALIZED (
+      |  SELECT l_partkey, l_suppkey, l_quantity
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%blue%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'),
+      |per AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty
+      |  FROM li96 GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS tqty
+      |  FROM li96 GROUP BY 1)
+      |SELECT s_suppkey, s_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM per JOIN tot USING (l_partkey)
+      |    WHERE qty > 0.3 * tqty)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q21
+  /** Suppliers who kept orders waiting (commitdate/receiptdate absent —
+    * "late" = shipped more than 60 days after the order date): NATION_19
+    * suppliers that were the SOLE late supplier on a multi-supplier 'F'
+    * order. The exists / not-exists pair compiles to per-order distinct
+    * counts (nsupp > 1, nlate = 1) — one shuffle on l_orderkey instead of
+    * two correlated subquery scans. */
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l1 = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).as("late"))
+    val perOrder = l1.groupBy($"l_orderkey".as("ok"))
+      .agg(countDistinct($"l_suppkey").as("nsupp"),
+        countDistinct(when($"late", $"l_suppkey")).as("nlate"))
+    l1.filter($"late").select($"l_orderkey", $"l_suppkey").distinct()
+      .join(perOrder, $"l_orderkey" === $"ok")
+      .filter($"nsupp" > 1 && $"nlate" === 1)
+      .join(broadcast(Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir).filter($"n_name" === "NATION_19")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(100)
+  }
+
+  private val q21Sql =
+    """WITH l1 AS MATERIALIZED (
+      |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F')
+      |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM l1
+      |      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY) w
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_19'
+      |  AND EXISTS (SELECT 1 FROM l1 x
+      |    WHERE x.l_orderkey = w.l_orderkey AND x.l_suppkey <> w.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM l1 y
+      |    WHERE y.l_orderkey = w.l_orderkey AND y.l_suppkey <> w.l_suppkey
+      |      AND y.l_shipdate > y.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_q07_volume_shipping" -> (q07 _),
     "rel_q08_market_share" -> (q08 _),
     "rel_q09_product_profit" -> (q09 _),
+    "rel_q11_important_stock" -> (q11 _),
+    "rel_q16_supplier_counts" -> (q16 _),
+    "rel_q20_excess_stock" -> (q20 _),
+    "rel_q21_waiting_supplier" -> (q21 _),
     "rel_q14_type_share" -> (q14 _),
     "rel_q15_top_supplier" -> (q15 _),
     "rel_q17_small_quantity" -> (q17 _),
@@ -342,6 +529,10 @@ object RelationalPlus extends QueryModule {
     "rel_q07_volume_shipping" -> q07Sql,
     "rel_q08_market_share" -> q08Sql,
     "rel_q09_product_profit" -> q09Sql,
+    "rel_q11_important_stock" -> q11Sql,
+    "rel_q16_supplier_counts" -> q16Sql,
+    "rel_q20_excess_stock" -> q20Sql,
+    "rel_q21_waiting_supplier" -> q21Sql,
     "rel_q14_type_share" -> q14Sql,
     "rel_q15_top_supplier" -> q15Sql,
     "rel_q17_small_quantity" -> q17Sql,
