@@ -492,7 +492,88 @@ object EventAnalytics extends QueryModule {
       |SELECT cohort_week, activity_week, CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------ B9
+  /** First-order Markov transition matrix over per-user event sequences:
+    * lead(event_type) over (user, time) gives consecutive pairs, counted
+    * into (from, to) cells; row-stochastic probabilities are BIGINT-count
+    * ratios (exact double division, no float accumulation). The per-user
+    * window shuffles once on user_id; the 5x5 cell table is tiny
+    * regardless of corpus size — the canonical next-event-prediction /
+    * clickstream-modeling rollup. Ties within a timestamp break on
+    * event_id so both engines walk the same sequence. */
+  private def markov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ems", $"event_id")
+    val t = ev(spark, dir)
+      .select($"user_id", $"event_type", $"ems", $"event_id")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+    t.groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", $"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"from_type")).cast("double"))
+      .select($"from_type", $"to_type", $"n", $"p")
+      .orderBy($"from_type", $"to_type")
+  }
+
+  private[queries] val markovSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ems, event_id FROM events
+      |), t AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ems, event_id)
+      |      AS to_type
+      |  FROM e
+      |), c AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  // ----------------------------------------------------------------- B10
+  /** Sequence-pattern matching (the MATCH_RECOGNIZE shape at DataFrame
+    * level): each user's time-ordered event-type initials collapse into
+    * one string, and the view->click->purchase funnel pattern is counted
+    * by regex over it. The per-user sequence is bounded by user activity
+    * (collect_list is per-key, sorted deterministically via array_sort
+    * over (ems, id) structs — NOT relying on collect_list order, which
+    * is partition-dependent); a 100 TB clickstream would sessionize
+    * first so each collected sequence stays small. */
+  private def sequencePattern(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seqs = ev(spark, dir)
+      .select($"user_id", substring($"event_type", 1, 1).as("c"),
+        $"ems", $"event_id")
+      .groupBy($"user_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct($"ems", $"event_id", $"c"))),
+          x => x.getField("c")),
+        "").as("seq"))
+    seqs.filter($"seq".rlike("vcp"))
+      .select($"user_id",
+        length($"seq").cast("long").as("n_events"),
+        regexp_count($"seq", lit("vcp")).cast("long").as("n_funnels"))
+      .orderBy($"user_id")
+  }
+
+  private val sequencePatternSql =
+    """WITH e AS (
+      |  SELECT user_id, substr(event_type, 1, 1) AS c,
+      |    epoch_ms(ts) AS ems, event_id
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, string_agg(c, '' ORDER BY ems, event_id) AS seq
+      |  FROM e GROUP BY 1)
+      |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+      |  CAST(len(regexp_extract_all(seq, 'vcp')) AS BIGINT) AS n_funnels
+      |FROM s WHERE regexp_matches(seq, 'vcp')
+      |ORDER BY user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_markov_transitions" -> (markov _),
+    "evt_sequence_pattern" -> (sequencePattern _),
     "evt_conversion_funnel" -> (funnel _),
     "evt_retention_cohorts" -> (cohorts _),
     "evt_asof_join" -> (asOfJoinQ _),
@@ -507,6 +588,8 @@ object EventAnalytics extends QueryModule {
     "evt_fraud_pipeline" -> (fraudPipeline _))
 
   override def oracles: Map[String, String] = Map(
+    "evt_markov_transitions" -> markovSql,
+    "evt_sequence_pattern" -> sequencePatternSql,
     "evt_conversion_funnel" -> funnelSql,
     "evt_retention_cohorts" -> cohortsSql,
     "evt_asof_join" -> asOfJoinSql,

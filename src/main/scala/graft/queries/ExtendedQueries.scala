@@ -257,7 +257,83 @@ object ExtendedQueries extends QueryModule {
       |GROUP BY c_custkey, c_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Entity resolution / fuzzy record linkage over part names: distinct
+    * names are paired within a blocking key (the noun token) and matched
+    * by edit distance <= 3 via Spark's THRESHOLDED levenshtein — the
+    * banded early-exit form (O(k*n) per pair, returns -1 past the bound)
+    * that a 100 TB similarity join needs, vs the full O(n^2) DP the
+    * 2-arg builtin runs. Scale design: dedupe-before-pair (64 distinct
+    * names stand for 2000 parts — pair weight = multiplicity product),
+    * block-bounded candidates, never corpus x corpus. */
+  private def fuzzyParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = Tables.part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", split($"p_name", " ").getItem(1))
+    val a = names.select($"p_name".as("name_a"), $"noun", $"n_parts".as("na"))
+    val b = names.select($"p_name".as("name_b"), $"noun".as("noun_b"),
+      $"n_parts".as("nb"))
+    a.join(b, $"noun" === $"noun_b" && $"name_a" < $"name_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b", 3))
+      .filter($"dist" >= 0)
+      .select($"name_a", $"name_b", $"dist".cast("long").as("dist"),
+        ($"na" * $"nb").as("n_pairs"))
+      .orderBy($"name_a", $"name_b")
+  }
+
+  private val fuzzyPartsSql =
+    """WITH names AS (
+      |  SELECT p_name, split_part(p_name, ' ', 2) AS noun,
+      |    CAST(COUNT(*) AS BIGINT) AS n_parts
+      |  FROM part GROUP BY 1, 2)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+      |  a.n_parts * b.n_parts AS n_pairs
+      |FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
+  /** Top-N per group (the "group-limit" shape): top-3 parts by revenue
+    * within each supplier nation — row_number over a per-group window on
+    * the PRE-AGGREGATED (nation, part) rollup, so the window input is
+    * dimension-bounded (nations x parts), never the fact table; ties
+    * break on partkey. At 100 TB the rollup shuffles once on its own
+    * group key and the window adds no extra exchange (same partitioning). */
+  private def topnPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snation = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("sk"), $"n_name".as("nation"))
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(snation), $"s_nationkey" === $"sk")
+      .groupBy($"nation", $"l_partkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    val w = Window.partitionBy($"nation")
+      .orderBy($"revenue".desc, $"l_partkey")
+    rev.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"nation", $"rnk", $"l_partkey", $"revenue")
+      .orderBy($"nation", $"rnk")
+  }
+
+  private val topnPerGroupSql =
+    """WITH rev AS (
+      |  SELECT n_name AS nation, l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT nation, l_partkey, revenue,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY nation
+      |      ORDER BY revenue DESC, l_partkey) AS BIGINT) AS rnk
+      |  FROM rev)
+      |SELECT nation, rnk, l_partkey, revenue FROM rk WHERE rnk <= 3
+      |ORDER BY nation, rnk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_fuzzy_parts" -> (fuzzyParts _),
+    "rel_topn_per_group" -> (topnPerGroup _),
     "evt_rolling_gauges" -> (rollingGauges _),
     "evt_cross_entity" -> (crossEntity _),
     "evt_schema_evolution" -> (schemaEvolution _),
@@ -267,6 +343,8 @@ object ExtendedQueries extends QueryModule {
     "rel_q10_returned_topk" -> (returned _))
 
   override def oracles: Map[String, String] = Map(
+    "er_fuzzy_parts" -> fuzzyPartsSql,
+    "rel_topn_per_group" -> topnPerGroupSql,
     "evt_rolling_gauges" -> rollingGaugesSql,
     "evt_cross_entity" -> crossEntitySql,
     "evt_schema_evolution" -> schemaEvolutionSql,

@@ -220,6 +220,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredStatsLateUpdate(s, d)),
     "stream_session_late_update" ->
       ((s: SparkSession, d: String) => StreamingPipelines.sessionStepsLateUpdate(s, d)),
+    "stream_markov_transitions" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.markovStream(s, d)),
     "stream_dedup_first" ->
       ((s: SparkSession, d: String) => StreamingPipelines.dedupFirstStateful(s, d)),
     "stream_dedup_minhash" ->
@@ -252,6 +254,7 @@ object StreamingQueries extends QueryModule {
     "stream_anchored_late_update" -> anchoredLateSql,
     "stream_anchored_stats_late_update" -> anchoredStatsLateSql,
     "stream_session_late_update" -> sessionLateSql,
+    "stream_markov_transitions" -> EventAnalytics.markovSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,
     "stream_dedup_minhash" -> TextAnalysis.dedupMinhashStreamSql,
     "stream_dedup_minhash_update" -> TextAnalysis.dedupMinhashStreamSql,

@@ -55,6 +55,42 @@ object StatefulFeatures {
 
   case class EventIn(event_id: Long, user_id: Long, ems: Long, value: Double)
 
+  // ------------------------------------------------- Markov transitions
+  case class MarkovEventIn(event_id: Long, user_id: Long, ems: Long,
+      event_type: String)
+  /** Last-seen event per user — the entire Markov state (3 primitives). */
+  case class MarkovLast(ems: Long, id: Long, etype: String)
+  case class MarkovTransition(from_type: String, to_type: String)
+
+  /** Per-user first-order Markov transition emission: each arrival pairs
+    * with the key's previous event (state = last (ems, id, type) only —
+    * O(1) per key regardless of history length). Within a micro-batch
+    * arrivals sort by (ems, event_id); across batches the chunked replay
+    * is globally time-ordered, so the emitted pair sequence equals the
+    * batch lead() walk. Downstream a streaming groupBy(from,to) count
+    * keeps the in-flight result at |types|^2 rows. */
+  def markovTransitions(ds: Dataset[MarkovEventIn])
+      : Dataset[MarkovTransition] = {
+    implicit val outEnc = Encoders.product[MarkovTransition]
+    implicit val stateEnc = Encoders.product[MarkovLast]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[MarkovEventIn],
+         state: GroupState[MarkovLast]) =>
+          var st = state.getOption.orNull
+          val out = events.toVector.sortBy(e => (e.ems, e.event_id))
+            .flatMap { e =>
+              val pair =
+                if (st == null) None
+                else Some(MarkovTransition(st.etype, e.event_type))
+              st = MarkovLast(e.ems, e.event_id, e.event_type)
+              pair
+            }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** EventIn + the watermarked event-time column: EventTimeTimeout needs
     * the watermark attribute to survive into the stateful operator's
     * input, so the expiring variants carry `ts` alongside the epoch-ms

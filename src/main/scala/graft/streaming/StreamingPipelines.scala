@@ -879,6 +879,29 @@ object StreamingPipelines {
       .withWatermark("ts", ReplayDelay)
   }
 
+  /** B9 streaming Markov transition matrix: per-user last-event state
+    * pairs each arrival with its predecessor (flatMapGroupsWithState,
+    * O(1) state per key), then a streaming groupBy(from, to) count in
+    * complete mode holds the |types|^2-cell matrix — the result never
+    * grows with the corpus. Runs over the 8-chunk time-ordered replay so
+    * cross-batch state carry is exercised; row-stochastic probabilities
+    * are computed on the final 25-row matrix. Same oracle as the batch
+    * evt_markov_transitions. */
+  def markovStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = eventStreamReplay(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"), col("event_type"))
+      .as[StatefulFeatures.MarkovEventIn]
+    val agg = StatefulFeatures.markovTransitions(in)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(spark, agg.toDF(), "complete", "markov")
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("from_type"))).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** W5 per-event session steps (the Flink MapState clickstream path):
     * constant-size running session state per key, one output row per
     * event. */

@@ -45,6 +45,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(5) == 2L)
   }
 
+  test("streaming Markov transitions: cross-batch state carry, batch-internal (ems, id) order") {
+    import graft.streaming.StatefulFeatures.MarkovEventIn
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[MarkovEventIn]
+    val q = StatefulFeatures.markovTransitions(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("markov_test")
+      .outputMode("append").start()
+    try {
+      // batch 1 ARRIVES out of order; the sorted walk is signup -> view,
+      // with the tied-ems pair (2,3) broken by event_id: view then error
+      in.addData(
+        MarkovEventIn(3, 7, 2000L, "error"),
+        MarkovEventIn(2, 7, 2000L, "view"),
+        MarkovEventIn(1, 7, 1000L, "signup"))
+      q.processAllAvailable()
+      // batch 2: click pairs with the CARRIED state (error), not with a
+      // batch-local predecessor; a second user contributes nothing yet
+      in.addData(
+        MarkovEventIn(4, 7, 3000L, "click"),
+        MarkovEventIn(5, 8, 1000L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("markov_test")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got.sorted == Seq(
+      ("error", "click"), ("signup", "view"), ("view", "error")))
+  }
+
   test("allowed lateness: within-budget late rows are buffered+reprocessed, beyond-budget dropped") {
     import graft.streaming.StatefulFeatures.EventInTs
     implicit val ctx = spark.sqlContext
