@@ -385,7 +385,94 @@ object DriftQuality extends QueryModule {
       |FROM events GROUP BY event_type, fold
       |ORDER BY event_type, fold""".stripMargin
 
+  /** Class rebalancing for training: every event class downsampled to
+    * the MINORITY class size, selection deterministic by md5 rank (the
+    * same md5-derived pseudo-randomness the stratified split uses, so
+    * resampling is a pure function of the data). Output is the per-class
+    * audit (selected count == min class size, id checksum). The per-class
+    * rank is a window here (|classes| partitions — bounded); at 100 TB
+    * with huge classes the same selection runs through the two-phase
+    * distributed rank (operators/RankedWindow) per class. */
+  private def classRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"event_type", $"event_id")
+    val minN = e.groupBy($"event_type").count()
+      .agg(min($"count").as("min_n"))
+    val ranked = e
+      .withColumn("hk",
+        conv(substring(md5($"event_id".cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"hk", $"event_id")))
+    ranked.crossJoin(broadcast(minN))
+      .filter($"rk" <= $"min_n")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_selected"), sum($"event_id").as("id_sum"))
+      .orderBy($"event_type")
+  }
+
+  private val classRebalanceSql =
+    """WITH ranked AS (
+      |  SELECT event_type, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT),
+      |        event_id) AS rk
+      |  FROM events),
+      |mn AS (SELECT MIN(n) AS min_n FROM
+      |  (SELECT COUNT(*) AS n FROM events GROUP BY event_type))
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_selected,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM ranked, mn WHERE rk <= min_n
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The hashing trick (feature hashing a la Weinberger et al. /
+    * spark.ml FeatureHasher, md5-derived for cross-engine exactness):
+    * three categorical features per event hash into a 16-bucket signed
+    * vector, summed per user. Entirely map-side until the one
+    * (user, bucket) shuffle; the vector dimension is fixed so output
+    * never grows with vocabulary — the point of the trick at 100 TB. */
+  private def featureHashing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Tables.events(spark, dir).select($"user_id",
+      explode(array(
+        concat(lit("et="), $"event_type"),
+        concat(lit("ub="), ($"user_id" % 50).cast("string")),
+        concat(lit("vb="), floor($"value" / 50.0).cast("long").cast("string"))
+      )).as("feat"))
+    feats
+      .withColumn("bucket",
+        conv(substring(md5($"feat".cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 16)
+      .withColumn("sgn",
+        when(conv(substring(md5($"feat".cast("binary")), 9, 1), 16, 10)
+            .cast("long") % 2 === 0,
+          lit(1)).otherwise(lit(-1)))
+      .groupBy($"user_id", $"bucket")
+      .agg(sum($"sgn").cast("long").as("w"))
+      .filter($"w" =!= 0)
+      .orderBy($"user_id", $"bucket")
+  }
+
+  private val featureHashingSql =
+    """WITH feats AS (
+      |  SELECT user_id, unnest(list_value(
+      |    'et=' || event_type,
+      |    'ub=' || CAST(user_id % 50 AS VARCHAR),
+      |    'vb=' || CAST(CAST(FLOOR(value / 50.0) AS BIGINT) AS VARCHAR))) AS feat
+      |  FROM events),
+      |hashed AS (
+      |  SELECT user_id,
+      |    CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 16 AS bucket,
+      |    CASE WHEN CAST('0x' || substr(md5(feat), 9, 1) AS BIGINT) % 2 = 0
+      |      THEN 1 ELSE -1 END AS sgn
+      |  FROM feats)
+      |SELECT user_id, bucket, CAST(SUM(sgn) AS BIGINT) AS w
+      |FROM hashed GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+      |ORDER BY user_id, bucket""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_class_rebalance" -> (classRebalance _),
+    "ml_feature_hashing" -> (featureHashing _),
     "drift_ks_statistic" -> (ks _),
     "drift_wasserstein" -> (wasserstein _),
     "drift_psi" -> (psi _),
@@ -401,5 +488,7 @@ object DriftQuality extends QueryModule {
     "drift_chi2" -> chi2Sql,
     "quality_quantiles" -> quantilesSql,
     "quality_iqr_outliers" -> iqrOutliersSql,
-    "ml_stratified_split" -> stratifiedSplitSql)
+    "ml_stratified_split" -> stratifiedSplitSql,
+    "ml_class_rebalance" -> classRebalanceSql,
+    "ml_feature_hashing" -> featureHashingSql)
 }

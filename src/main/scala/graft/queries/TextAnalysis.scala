@@ -1564,7 +1564,42 @@ object TextAnalysis extends QueryModule {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Phrase search over a POSITIONAL inverted index: each phrase word's
+    * posting list is filtered at the scan (word = literal pushes down),
+    * then adjacency is an equality join on (doc_id, position+offset) —
+    * the real phrase-query plan: posting lists stay word-sized, never
+    * corpus-sized, and the join keys are co-partitionable on doc_id.
+    * posexplode is 0-based vs the oracle's 1-based subscripts; only
+    * RELATIVE offsets enter the join, so the bases cancel. */
+  private def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "w")))
+    def posting(word: String, off: Int) =
+      toks.filter($"w" === word)
+        .select($"doc_id".as(s"d$off"), ($"p" - off).as(s"a$off"))
+    posting("stream", 0)
+      .join(posting("table", 1), $"d0" === $"d1" && $"a0" === $"a1")
+      .join(posting("hash", 2), $"d0" === $"d2" && $"a0" === $"a2")
+      .groupBy($"d0".as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id")
+  }
+
+  private val phraseSearchSql =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |    generate_subscripts(string_split(text, ' '), 1) AS p
+      |  FROM documents)
+      |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |FROM toks a
+      |JOIN toks b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      |JOIN toks c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+      |WHERE a.w = 'stream' AND b.w = 'table' AND c.w = 'hash'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_phrase_search" -> (phraseSearch _),
     "text_bm25_search" -> (bm25Search _),
     "text_salient_terms" -> (salientTerms _),
     "text_bpe_tokens" -> (bpeTokens _),
@@ -1590,6 +1625,7 @@ object TextAnalysis extends QueryModule {
     "dedup_prefix_join" -> (prefixJoin _))
 
   override def oracles: Map[String, String] = Map(
+    "text_phrase_search" -> phraseSearchSql,
     "text_bm25_search" -> bm25SearchSql,
     "text_salient_terms" -> salientTermsSql,
     "text_bpe_tokens" -> bpeTokensSql,
