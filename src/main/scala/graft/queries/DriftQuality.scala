@@ -470,9 +470,45 @@ object DriftQuality extends QueryModule {
       |FROM hashed GROUP BY 1, 2 HAVING SUM(sgn) <> 0
       |ORDER BY user_id, bucket""".stripMargin
 
+  /** StandardScaler training statistics (spark.ml StandardScaler's fit
+    * half, made cross-engine exact): per class n / mean / sample std via
+    * DECIMAL sum and sum-of-squares (value carries 2 decimals, its square
+    * 4 — scale 6 holds both losslessly), then identical double formulas
+    * last, incl. the z-range of the observed extremes. One partial-
+    * aggregated pass; no second scan for the variance. */
+  private def featureScaling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.events(spark, dir).groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      dsum($"value").as("s1"),
+      dsum($"value" * $"value").as("s2"),
+      min($"value").as("mn"), max($"value").as("mx"))
+    def std = sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1))
+    s.select($"event_type", $"n",
+        ($"s1" / $"n").as("mean"),
+        std.as("std"),
+        (($"mn" - $"s1" / $"n") / std).as("min_z"),
+        (($"mx" - $"s1" / $"n") / std).as("max_z"))
+      .orderBy($"event_type")
+  }
+
+  private val featureScalingSql =
+    """WITH s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) AS s2,
+      |    MIN(value) AS mn, MAX(value) AS mx
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n, s1 / n AS mean,
+      |  SQRT((s2 - s1 * s1 / n) / (n - 1)) AS std,
+      |  (mn - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1)) AS min_z,
+      |  (mx - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1)) AS max_z
+      |FROM s ORDER BY event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_class_rebalance" -> (classRebalance _),
     "ml_feature_hashing" -> (featureHashing _),
+    "ml_feature_scaling" -> (featureScaling _),
     "drift_ks_statistic" -> (ks _),
     "drift_wasserstein" -> (wasserstein _),
     "drift_psi" -> (psi _),
@@ -490,5 +526,6 @@ object DriftQuality extends QueryModule {
     "quality_iqr_outliers" -> iqrOutliersSql,
     "ml_stratified_split" -> stratifiedSplitSql,
     "ml_class_rebalance" -> classRebalanceSql,
-    "ml_feature_hashing" -> featureHashingSql)
+    "ml_feature_hashing" -> featureHashingSql,
+    "ml_feature_scaling" -> featureScalingSql)
 }

@@ -571,9 +571,64 @@ object EventAnalytics extends QueryModule {
       |FROM s WHERE regexp_matches(seq, 'vcp')
       |ORDER BY user_id""".stripMargin
 
+  // ----------------------------------------------------------------- B11
+  /** SCD Type-2 dimension build from the change log (the CDC-to-warehouse
+    * shape): consecutive runs of the same per-user event_type collapse
+    * into validity intervals via gaps-and-islands — change flag by lag(),
+    * island id by running sum, interval close by lead() of the next
+    * island's start (half-open; -1 = current version). One shuffle on
+    * user_id; every window shares that partitioning. */
+  private def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ems", $"event_id")
+    val f = ev(spark, dir)
+      .filter($"user_id" < 40)
+      .select($"user_id", $"event_type", $"ems", $"event_id")
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(w).isNull ||
+          lag($"event_type", 1).over(w) =!= $"event_type", 1).otherwise(0))
+      .withColumn("island", sum($"chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    f.groupBy($"user_id", $"island", $"event_type")
+      .agg(min($"ems").as("valid_from_ms"), count(lit(1)).as("n_rows"))
+      .withColumn("valid_to_ms", coalesce(
+        lead($"valid_from_ms", 1).over(
+          Window.partitionBy($"user_id").orderBy($"island")),
+        lit(-1L)))
+      .select($"user_id", $"island".cast("long").as("version"),
+        $"event_type", $"valid_from_ms", $"valid_to_ms", $"n_rows")
+      .orderBy($"user_id", $"version")
+  }
+
+  private val scd2IntervalsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ems, event_id
+      |  FROM events WHERE user_id < 40
+      |), f AS (
+      |  SELECT user_id, event_type, ems, event_id,
+      |    CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+      |      THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ems, event_id)
+      |), isl AS (
+      |  SELECT user_id, event_type, ems,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ems, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM f
+      |), g AS (
+      |  SELECT user_id, island, event_type,
+      |    MIN(ems) AS valid_from_ms, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM isl GROUP BY 1, 2, 3)
+      |SELECT user_id, CAST(island AS BIGINT) AS version, event_type,
+      |  valid_from_ms,
+      |  COALESCE(LEAD(valid_from_ms) OVER (PARTITION BY user_id
+      |    ORDER BY island), -1) AS valid_to_ms,
+      |  n_rows
+      |FROM g ORDER BY user_id, version""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_markov_transitions" -> (markov _),
     "evt_sequence_pattern" -> (sequencePattern _),
+    "evt_scd2_intervals" -> (scd2Intervals _),
     "evt_conversion_funnel" -> (funnel _),
     "evt_retention_cohorts" -> (cohorts _),
     "evt_asof_join" -> (asOfJoinQ _),
@@ -590,6 +645,7 @@ object EventAnalytics extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "evt_markov_transitions" -> markovSql,
     "evt_sequence_pattern" -> sequencePatternSql,
+    "evt_scd2_intervals" -> scd2IntervalsSql,
     "evt_conversion_funnel" -> funnelSql,
     "evt_retention_cohorts" -> cohortsSql,
     "evt_asof_join" -> asOfJoinSql,

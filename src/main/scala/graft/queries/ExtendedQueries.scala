@@ -331,9 +331,90 @@ object ExtendedQueries extends QueryModule {
       |SELECT nation, rnk, l_partkey, revenue FROM rk WHERE rnk <= 3
       |ORDER BY nation, rnk""".stripMargin
 
+  /** PageRank on the bidirectional supplier<->customer trade graph
+    * (Brin/Page with the 1/N-normalized teleport, 5 synchronous rounds):
+    * FIXED-POINT trillionths arithmetic with integer `div` at every
+    * division so both engines walk the identical trajectory (float
+    * PageRank would drift in the last ulps; same discipline as the
+    * TextRank word graph). Per round: one shuffle on dst for the inflow
+    * sum; ranks localCheckpoint'd so the plan doesn't nest; dangling
+    * mass is dropped (documented standard simplification — here the
+    * symmetrized graph has none). The node/edge tables are bounded by
+    * the dimension sizes (suppliers x customers), so the driver-side
+    * count(N) is bounded too. */
+  private def pagerankTrade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Scale = 1000000000000L
+    val rel = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select(($"l_suppkey" * 2).as("sid"), ($"o_custkey" * 2 + 1).as("cid"))
+      .distinct()
+    val ed = rel.select($"sid".as("src"), $"cid".as("dst"))
+      .union(rel.select($"cid".as("src"), $"sid".as("dst")))
+    val nodes = ed.select($"src".as("id")).distinct().persist()
+    val e = ed.join(
+        ed.groupBy($"src".as("osrc")).agg(count(lit(1)).as("odeg")),
+        $"src" === $"osrc")
+      .select($"src", $"dst", $"odeg").persist()
+    val n = nodes.count()
+    val r0 = Scale / n
+    val base = (15L * r0) / 100L
+    var s = nodes.select($"id", lit(r0).as("sc")).localCheckpoint(true)
+    for (_ <- 1 to 5) {
+      val inflow = e.join(s, e("src") === s("id"))
+        .select($"dst", expr("sc div odeg").as("ct"))
+        .groupBy($"dst").agg(sum($"ct").as("isum"))
+      s = nodes.join(inflow, nodes("id") === inflow("dst"), "left")
+        .select($"id",
+          expr(s"$base + (85 * coalesce(isum, 0L)) div 100").as("sc"))
+        .localCheckpoint(true)
+    }
+    s.select(
+        row_number().over(Window.orderBy($"sc".desc, $"id"))
+          .cast("long").as("rank"),
+        $"id", $"sc".as("score"))
+      .orderBy($"rank").limit(20)
+  }
+
+  private val pagerankTradeSql = {
+    val rounds = (1 to 5).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT n.id AS id,
+         |    base + (85 * COALESCE(CAST(SUM(s.sc // e.odeg) AS BIGINT), 0)) // 100 AS sc
+         |  FROM nodes n
+         |  CROSS JOIN params
+         |  LEFT JOIN e ON e.dst = n.id
+         |  LEFT JOIN s${r - 1} s ON s.id = e.src
+         |  GROUP BY n.id, base
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH rel AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey * 2 AS sid, o_custkey * 2 + 1 AS cid
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |ed AS MATERIALIZED (
+       |  SELECT sid AS src, cid AS dst FROM rel
+       |  UNION ALL SELECT cid AS src, sid AS dst FROM rel),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM ed),
+       |od AS MATERIALIZED (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM ed GROUP BY src),
+       |e AS MATERIALIZED (
+       |  SELECT ed.src, ed.dst, od.odeg FROM ed JOIN od USING (src)),
+       |params AS MATERIALIZED (
+       |  SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS r0,
+       |    CAST((15 * (1000000000000 // COUNT(*))) // 100 AS BIGINT) AS base
+       |  FROM nodes),
+       |s0 AS MATERIALIZED (
+       |  SELECT id, r0 AS sc FROM nodes CROSS JOIN params),
+       |$rounds
+       |SELECT CAST(row_number() OVER (ORDER BY sc DESC, id) AS BIGINT) AS rank,
+       |  id, sc AS score
+       |FROM s5 ORDER BY rank LIMIT 20""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_fuzzy_parts" -> (fuzzyParts _),
     "rel_topn_per_group" -> (topnPerGroup _),
+    "graph_pagerank_trade" -> (pagerankTrade _),
     "evt_rolling_gauges" -> (rollingGauges _),
     "evt_cross_entity" -> (crossEntity _),
     "evt_schema_evolution" -> (schemaEvolution _),
@@ -345,6 +426,7 @@ object ExtendedQueries extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "er_fuzzy_parts" -> fuzzyPartsSql,
     "rel_topn_per_group" -> topnPerGroupSql,
+    "graph_pagerank_trade" -> pagerankTradeSql,
     "evt_rolling_gauges" -> rollingGaugesSql,
     "evt_cross_entity" -> crossEntitySql,
     "evt_schema_evolution" -> schemaEvolutionSql,
