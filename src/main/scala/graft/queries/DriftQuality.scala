@@ -492,7 +492,7 @@ object DriftQuality extends QueryModule {
       .orderBy($"event_type")
   }
 
-  private val featureScalingSql =
+  private[graft] val featureScalingSql =
     """WITH s AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,

@@ -600,7 +600,7 @@ object EventAnalytics extends QueryModule {
       .orderBy($"user_id", $"version")
   }
 
-  private val scd2IntervalsSql =
+  private val scd2BaseSql =
     """WITH e AS (
       |  SELECT user_id, event_type, epoch_ms(ts) AS ems, event_id
       |  FROM events WHERE user_id < 40
@@ -623,7 +623,18 @@ object EventAnalytics extends QueryModule {
       |  COALESCE(LEAD(valid_from_ms) OVER (PARTITION BY user_id
       |    ORDER BY island), -1) AS valid_to_ms,
       |  n_rows
-      |FROM g ORDER BY user_id, version""".stripMargin
+      |FROM g""".stripMargin
+
+  private val scd2IntervalsSql =
+    scd2BaseSql + "\nORDER BY user_id, version"
+
+  /** The streaming twin can only emit CLOSED versions (an open interval
+    * may still extend) — the oracle is the batch build minus the open
+    * tail rows. */
+  private[queries] val scd2ClosedSql =
+    s"""SELECT * FROM (
+       |$scd2BaseSql
+       |) t WHERE valid_to_ms <> -1 ORDER BY user_id, version""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_markov_transitions" -> (markov _),

@@ -411,10 +411,69 @@ object ExtendedQueries extends QueryModule {
        |FROM s5 ORDER BY rank LIMIT 20""".stripMargin
   }
 
+  /** BFS hop profile from a seed supplier over the symmetrized trade
+    * graph (the recursive-CTE / shortest-unweighted-path shape done as
+    * synchronous frontier expansion): 4 rounds of frontier-join +
+    * visited anti-join, per-round localCheckpoint. All-integer, so the
+    * hop assignment is exact; the output is the per-hop reachability
+    * profile. Frontiers and the visited set are node-table-bounded. */
+  private def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seedId = 2L // supplier s_suppkey = 1
+    val rel = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select(($"l_suppkey" * 2).as("sid"), ($"o_custkey" * 2 + 1).as("cid"))
+      .distinct()
+    val e = rel.select($"sid".as("src"), $"cid".as("dst"))
+      .union(rel.select($"cid".as("src"), $"sid".as("dst"))).persist()
+    var visited = Seq((seedId, 0L)).toDF("id", "hop").localCheckpoint(true)
+    var frontier = visited.select($"id")
+    for (h <- 1 to 4) {
+      val next = e.join(frontier.withColumnRenamed("id", "fid"),
+          $"src" === $"fid")
+        .select($"dst".as("id")).distinct()
+        .join(visited.select($"id".as("vid")), $"id" === $"vid", "left_anti")
+        .localCheckpoint(true)
+      visited = visited.union(next.withColumn("hop", lit(h.toLong)))
+        .localCheckpoint(true)
+      frontier = next
+    }
+    visited.groupBy($"hop")
+      .agg(count(lit(1)).as("n_nodes"), min($"id").as("min_id"),
+        max($"id").as("max_id"))
+      .orderBy($"hop")
+  }
+
+  private val bfsHopsSql = {
+    val rounds = (1 to 4).map { h =>
+      s"""f$h AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS id FROM e JOIN f${h - 1} f ON e.src = f.id
+         |  WHERE e.dst NOT IN (SELECT id FROM v${h - 1})
+         |), v$h AS MATERIALIZED (
+         |  SELECT id, hop FROM v${h - 1}
+         |  UNION ALL SELECT id, CAST($h AS BIGINT) AS hop FROM f$h
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH rel AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey * 2 AS sid, o_custkey * 2 + 1 AS cid
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT sid AS src, cid AS dst FROM rel
+       |  UNION ALL SELECT cid AS src, sid AS dst FROM rel),
+       |f0 AS MATERIALIZED (SELECT CAST(2 AS BIGINT) AS id),
+       |v0 AS MATERIALIZED (
+       |  SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS hop),
+       |$rounds
+       |SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  MIN(id) AS min_id, MAX(id) AS max_id
+       |FROM v4 GROUP BY hop ORDER BY hop""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_fuzzy_parts" -> (fuzzyParts _),
     "rel_topn_per_group" -> (topnPerGroup _),
     "graph_pagerank_trade" -> (pagerankTrade _),
+    "graph_bfs_hops" -> (bfsHops _),
     "evt_rolling_gauges" -> (rollingGauges _),
     "evt_cross_entity" -> (crossEntity _),
     "evt_schema_evolution" -> (schemaEvolution _),
@@ -427,6 +486,7 @@ object ExtendedQueries extends QueryModule {
     "er_fuzzy_parts" -> fuzzyPartsSql,
     "rel_topn_per_group" -> topnPerGroupSql,
     "graph_pagerank_trade" -> pagerankTradeSql,
+    "graph_bfs_hops" -> bfsHopsSql,
     "evt_rolling_gauges" -> rollingGaugesSql,
     "evt_cross_entity" -> crossEntitySql,
     "evt_schema_evolution" -> schemaEvolutionSql,

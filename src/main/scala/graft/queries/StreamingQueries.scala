@@ -222,6 +222,10 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.sessionStepsLateUpdate(s, d)),
     "stream_markov_transitions" ->
       ((s: SparkSession, d: String) => StreamingPipelines.markovStream(s, d)),
+    "stream_feature_scaling" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.featureScalingStream(s, d)),
+    "stream_scd2_intervals" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.scd2Stream(s, d)),
     "stream_dedup_first" ->
       ((s: SparkSession, d: String) => StreamingPipelines.dedupFirstStateful(s, d)),
     "stream_dedup_minhash" ->
@@ -255,6 +259,8 @@ object StreamingQueries extends QueryModule {
     "stream_anchored_stats_late_update" -> anchoredStatsLateSql,
     "stream_session_late_update" -> sessionLateSql,
     "stream_markov_transitions" -> EventAnalytics.markovSql,
+    "stream_feature_scaling" -> DriftQuality.featureScalingSql,
+    "stream_scd2_intervals" -> EventAnalytics.scd2ClosedSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,
     "stream_dedup_minhash" -> TextAnalysis.dedupMinhashStreamSql,
     "stream_dedup_minhash_update" -> TextAnalysis.dedupMinhashStreamSql,

@@ -55,6 +55,49 @@ object StatefulFeatures {
 
   case class EventIn(event_id: Long, user_id: Long, ems: Long, value: Double)
 
+  // ------------------------------------------------------ SCD2 intervals
+  case class Scd2EventIn(event_id: Long, user_id: Long, ems: Long,
+      event_type: String)
+  /** The open (not-yet-closed) version — the entire SCD2 state per key. */
+  case class Scd2State(lastType: String, island: Long, openStart: Long,
+      openRows: Long)
+  case class Scd2Row(user_id: Long, version: Long, event_type: String,
+      valid_from_ms: Long, valid_to_ms: Long, n_rows: Long)
+
+  /** Streaming SCD Type-2 build: each key's state is its single OPEN
+    * version; a type change closes it (valid_to = the new version's
+    * start, half-open like the batch build) and emits the closed row.
+    * Open versions stay in state — they may still extend — so the
+    * output is exactly the batch build minus the open tails
+    * (scd2ClosedSql). In-order replay contract like the append-mode
+    * family: a late arrival older than the open version cannot reopen a
+    * closed interval. */
+  def scd2Intervals(ds: Dataset[Scd2EventIn]): Dataset[Scd2Row] = {
+    implicit val outEnc = Encoders.product[Scd2Row]
+    implicit val stateEnc = Encoders.product[Scd2State]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Scd2EventIn],
+         state: GroupState[Scd2State]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[Scd2Row]
+          events.toVector.sortBy(e => (e.ems, e.event_id)).foreach { e =>
+            st match {
+              case null =>
+                st = Scd2State(e.event_type, 1L, e.ems, 1L)
+              case s if s.lastType == e.event_type =>
+                st = s.copy(openRows = s.openRows + 1)
+              case s =>
+                out += Scd2Row(uid, s.island, s.lastType, s.openStart,
+                  e.ems, s.openRows)
+                st = Scd2State(e.event_type, s.island + 1, e.ems, 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   // ------------------------------------------------- Markov transitions
   case class MarkovEventIn(event_id: Long, user_id: Long, ems: Long,
       event_type: String)

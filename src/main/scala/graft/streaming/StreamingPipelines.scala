@@ -879,6 +879,44 @@ object StreamingPipelines {
       .withWatermark("ts", ReplayDelay)
   }
 
+  /** M2-streaming: StandardScaler fit statistics as a streaming
+    * aggregation — DECIMAL sums/sum-of-squares are associative and
+    * mergeable, so the running per-class state is 5 scalars and the
+    * complete-mode result after the last batch is bit-identical to the
+    * batch fit (same oracle). The z-projection runs on the final 5-row
+    * table. */
+  def featureScalingStream(spark: SparkSession, dir: String): DataFrame = {
+    val s = eventStream(spark, dir)
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("s1"),
+        dsum(col("value") * col("value")).as("s2"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    def std = sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+      (col("n") - 1))
+    runToMemory(spark, s, "complete", "featscale")
+      .select(col("event_type"), col("n"),
+        (col("s1") / col("n")).as("mean"),
+        std.as("std"),
+        ((col("mn") - col("s1") / col("n")) / std).as("min_z"),
+        ((col("mx") - col("s1") / col("n")) / std).as("max_z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** B11 streaming SCD2 build over the chunked replay: per-user open-
+    * version state (4 primitives), closed versions emitted in append
+    * mode — result = batch build minus open tails (scd2ClosedSql). */
+  def scd2Stream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = eventStreamReplay(spark, dir)
+      .filter(col("user_id") < 40)
+      .select(col("event_id"), col("user_id"), col("ems"), col("event_type"))
+      .as[StatefulFeatures.Scd2EventIn]
+    val out = StatefulFeatures.scd2Intervals(in).toDF()
+    runToMemory(spark, out, "append", "scd2")
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** B9 streaming Markov transition matrix: per-user last-event state
     * pairs each arrival with its predecessor (flatMapGroupsWithState,
     * O(1) state per key), then a streaming groupBy(from, to) count in

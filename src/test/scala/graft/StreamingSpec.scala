@@ -189,6 +189,12 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(_.toString),
       // broadcast bigram-LM gate (round 7) — map-only like decontaminate
       "lmscore" -> StreamingPipelines.lmScoreStream(spark, sfDir)
+        .collect().map(_.toString),
+      // last-event pair state feeding a downstream streaming agg (round 7)
+      "markov" -> StreamingPipelines.markovStream(spark, sfDir)
+        .collect().map(_.toString),
+      // open-version SCD2 state, closed rows emitted append-mode (round 7)
+      "scd2" -> StreamingPipelines.scd2Stream(spark, sfDir)
         .collect().map(_.toString))
     val default = run()
     val prev = spark.conf.getOption(key)
