@@ -228,13 +228,60 @@ object CorpusPipeline extends QueryModule {
       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
       |FROM t GROUP BY file_id ORDER BY file_id""".stripMargin
 
+  /** Data selection under a token budget (the quality-ranked greedy
+    * knapsack every pretraining mixture runs): docs ranked per language
+    * by lexical-diversity score (distinct/total tokens — an exact
+    * integer ratio), cumulative token sum per language, keep while the
+    * running total fits 2000 tokens. The prefix sum is a per-language
+    * window (|langs| bounded partitions); at 100 TB the same selection
+    * runs through the bucketed-prefix machinery the KS statistic uses
+    * (RangeBuckets), ranked by score instead of value. */
+  private def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.documents(spark, dir).select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tok"),
+        size(array_distinct(split($"text", " "))).cast("long").as("n_uniq"))
+      .withColumn("score", $"n_uniq".cast("double") / $"n_tok".cast("double"))
+    val w = Window.partitionBy($"lang").orderBy($"score".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.withColumn("cum_tok", sum($"n_tok").over(w))
+      .filter($"cum_tok" <= 2000L)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tokens_used"),
+        min($"score").as("marginal_score"))
+      .orderBy($"lang")
+  }
+
+  private val budgetSelectSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE) AS score
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, lang, n_tok, score,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+      |  FROM s)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens_used,
+      |  MIN(score) AS marginal_score
+      |FROM c WHERE cum_tok <= 2000
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_budget_select" -> (budgetSelect _),
     "doc_zorder_layout" -> (zorderLayout _),
     "text_pii_scrub" -> (piiScrub _),
     "ml_mixture_weights" -> (mixtureWeights _),
     "doc_pack_bins" -> (packBins _))
 
   override def oracles: Map[String, String] = Map(
+    "corpus_budget_select" -> budgetSelectSql,
     "doc_zorder_layout" -> zorderLayoutSql,
     "text_pii_scrub" -> piiScrubSql,
     "ml_mixture_weights" -> mixtureWeightsSql,

@@ -304,7 +304,61 @@ object FeatureStoreQueries extends QueryModule {
        |SELECT user_id, feature_timestamp, n_events, sum_value
        |FROM latest WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------- bonus: version diff
+  /** Time-travel DIFF between two store versions (the Delta CDF /
+    * table_changes shape on the hand-rolled store): materialize two
+    * upsert batches, read the as-of snapshot at each, and classify every
+    * key added / updated / unchanged. Append-only upserts mean no
+    * removals — the diff is a left join from the newer snapshot, both
+    * sides bucket-pruned store reads. The day-19724 cut puts 16 users in
+    * only the second batch, so all three statuses are exercised. */
+  private def versionDiff(spark: SparkSession, dir: String): DataFrame = {
+    val store = tempStore(spark)
+    val feats = dailyFeatures(spark, dir)
+    store.upsert(userDailyView, feats.filter(col("day") < 19724L), 0L)
+    store.upsert(userDailyView, feats.filter(col("day") >= 19724L), 1L)
+    val v0 = store.onlineAsOf(userDailyView, maxBatchId = 0L)
+      .select(col("user_id").as("u0"), col("n_events").as("old_n"),
+        col("sum_value").as("old_sum"))
+    val v1 = store.onlineAsOf(userDailyView, maxBatchId = 1L)
+      .select(col("user_id"), col("n_events").as("new_n"),
+        col("sum_value").as("new_sum"))
+    v1.join(v0, col("user_id") === col("u0"), "left")
+      .select(col("user_id"),
+        when(col("u0").isNull, "added")
+          .when(col("old_n") =!= col("new_n") ||
+            col("old_sum") =!= col("new_sum"), "updated")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("old_n"), lit(-1L)).as("old_n"), col("new_n"),
+        coalesce(col("old_sum"), lit(-1.0)).as("old_sum"), col("new_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  private val versionDiffSql =
+    s"""WITH $dailySqlCte,
+       | v0 AS (
+       |  SELECT user_id, n_events, sum_value FROM (
+       |    SELECT user_id, n_events, sum_value,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+       |    FROM daily WHERE day < 19724) WHERE rn = 1
+       |), v1 AS (
+       |  SELECT user_id, n_events, sum_value FROM (
+       |    SELECT user_id, n_events, sum_value,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+       |    FROM daily) WHERE rn = 1
+       |)
+       |SELECT v1.user_id,
+       |  CASE WHEN v0.user_id IS NULL THEN 'added'
+       |       WHEN v0.n_events <> v1.n_events OR v0.sum_value <> v1.sum_value
+       |         THEN 'updated'
+       |       ELSE 'unchanged' END AS status,
+       |  COALESCE(v0.n_events, -1) AS old_n, v1.n_events AS new_n,
+       |  COALESCE(v0.sum_value, -1.0) AS old_sum, v1.sum_value AS new_sum
+       |FROM v1 LEFT JOIN v0 ON v0.user_id = v1.user_id
+       |ORDER BY v1.user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_version_diff" -> (versionDiff _),
     "fs_online_roundtrip" -> (roundtrip _),
     "fs_historical_pit" -> (pit _),
     "fs_service_pit" -> (servicePit _),
@@ -313,6 +367,7 @@ object FeatureStoreQueries extends QueryModule {
     "fs_pit_consistency" -> (pitConsistency _))
 
   override def oracles: Map[String, String] = Map(
+    "fs_version_diff" -> versionDiffSql,
     "fs_online_roundtrip" -> roundtripSql,
     "fs_historical_pit" -> pitSql,
     "fs_service_pit" -> servicePitSql,
