@@ -1,0 +1,441 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+import Exact._
+
+/** Feature-engineering + data-quality operators a production feature
+  * platform layers on top of the core engine (ref features/, the reference
+  * computes EWMA-style decayed aggregates in streaming/core/windowing.py and
+  * ships validation checks with its feature views):
+  *
+  *   - per-key EWMA features (the classic decayed counter, exact sequential
+  *     fold — identical left-fold in both engines, never a bare SUM);
+  *   - CUSUM changepoint detection (the max(0, ...) recurrence rewritten as
+  *     cumsum minus running-min so it is pure DECIMAL window algebra — exact
+  *     and summation-order-independent, safe under DuckDB's segment trees);
+  *   - out-of-fold smoothed target encoding (the standard leakage-safe mean
+  *     encoder, integer counts + one double formula shared verbatim);
+  *   - exact Pearson correlation matrix (values lifted to integer cents so
+  *     every moment accumulates exactly; doubles appear only in the final
+  *     closed-form, written identically in both engines);
+  *   - market-basket association rules (support/lift over co-ordered parts;
+  *     the pair join is bounded by order size, never catalog²);
+  *   - Deequ-style column profiling and constraint verification (the data
+  *     contracts run before features are trusted).
+  *
+  * 100 TB notes: EWMA/CUSUM shuffle once on the entity key and their state
+  * per key is O(events-per-key) only inside the fold (the streaming twin
+  * keeps O(1)); target encoding and profiling are single-pass aggregations;
+  * the basket self-join fans out ≤ (order size choose 2) per order.
+  */
+object AnalyticsOps extends QueryModule {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("ems", epochMs(col("ts")))
+
+  // ------------------------------------------------------------------ EWMA
+  /** Per-user exponentially-weighted moving average of `value` (α = 0.25),
+    * folded left over the (ems, event_id)-sorted event list. Both engines
+    * run the identical `0.25*x + 0.75*acc` double recurrence — a bare SUM
+    * over decay weights would be summation-order-dependent. */
+  private def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ev(spark, dir)
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"ems", $"event_id", $"value")))
+        .as("evs"))
+      .select($"user_id",
+        size($"evs").cast("long").as("n_events"),
+        element_at($"evs", -1).getField("ems").as("last_ems"),
+        expr("aggregate(slice(evs, 2, size(evs) - 1), evs[0].value," +
+          " (acc, x) -> 0.25D * x.value + 0.75D * acc)").as("ewma_value"))
+      .orderBy($"user_id")
+  }
+
+  /** Shared with the streaming twin (stream_ewma). */
+  val ewmaSql =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    list(value ORDER BY epoch_ms(ts), event_id) AS vs,
+      |    count(*) AS n_events,
+      |    max(epoch_ms(ts)) AS last_ems
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, last_ems,
+      |  list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma_value
+      |FROM s ORDER BY user_id""".stripMargin
+
+  // ----------------------------------------------------------------- CUSUM
+  /** Per-user one-sided CUSUM changepoint detector against the fixed target
+    * level 50 (the corpus mean): S_i = max(0, S_{i-1} + (x_i - 50)), alarm
+    * when S_i > 100. The recurrence is rewritten as
+    * S_i = C_i - min(0, min_{j<=i} C_j) over the DECIMAL cumulative sum C,
+    * so both engines do exact decimal algebra — no float fold at all, and
+    * DuckDB's segment-tree window order cannot matter. */
+  private def cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ems", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(spark, dir)
+      .withColumn("dev",
+        col("value").cast(DecimalType(25, 6)) - lit(50).cast(DecimalType(25, 6)))
+      .withColumn("csum", sum($"dev").over(w))
+      .withColumn("runmin", min($"csum").over(w))
+      // NOT least(): DuckDB LEAST over mixed decimal widths coerces to
+      // DOUBLE; the CASE keeps both engines in exact decimal algebra.
+      .withColumn("pos",
+        when($"runmin" < 0, $"csum" - $"runmin").otherwise($"csum"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"pos" > 100, 1L).otherwise(0L)).as("n_alarms"),
+        max($"pos").cast("double").as("max_cusum"))
+      .orderBy($"user_id")
+  }
+
+  private val cusumSql =
+    """WITH d AS (
+      |  SELECT user_id, epoch_ms(ts) AS ems, event_id,
+      |    CAST(value AS DECIMAL(25,6)) - CAST(50 AS DECIMAL(25,6)) AS dev
+      |  FROM events
+      |), cs AS (
+      |  SELECT user_id, ems, event_id, SUM(dev) OVER w AS csum
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ems, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), c AS (
+      |  SELECT user_id, csum, MIN(csum) OVER w AS runmin
+      |  FROM cs
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ems, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), p AS (
+      |  SELECT user_id,
+      |    CASE WHEN runmin < 0 THEN csum - runmin ELSE csum END AS pos
+      |  FROM c)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(SUM(CASE WHEN pos > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+      |  CAST(MAX(pos) AS DOUBLE) AS max_cusum
+      |FROM p GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------- smoothed target encoding
+  /** Out-of-fold smoothed target encoding of event_type against the binary
+    * target (value > 75): fold f's encoding uses only the OTHER folds'
+    * rows — the standard leakage guard — shrunk toward the global prior
+    * with pseudo-count m = 10. Counts stay BIGINT end-to-end; the single
+    * double formula is shared verbatim between engines. */
+  private def targetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir).select($"event_type",
+      ($"event_id" % 5).as("fold"),
+      when($"value" > 75.0, 1L).otherwise(0L).as("y"))
+    val perFold = e.groupBy($"event_type", $"fold")
+      .agg(count(lit(1)).as("n"), sum($"y").as("pos"))
+    val wCat = Window.partitionBy($"event_type")
+    val g = e.agg(count(lit(1)).as("gn"), sum($"y").as("gpos"))
+    perFold
+      .withColumn("n_other", sum($"n").over(wCat) - $"n")
+      .withColumn("pos_other", sum($"pos").over(wCat) - $"pos")
+      .crossJoin(broadcast(g))
+      .select($"event_type", $"fold", $"n_other",
+        (($"pos_other".cast("double") +
+          lit(10.0) * ($"gpos".cast("double") / $"gn".cast("double"))) /
+          ($"n_other".cast("double") + lit(10.0))).as("encoded"))
+      .orderBy($"event_type", $"fold")
+  }
+
+  private val targetEncodingSql =
+    """WITH e AS (
+      |  SELECT event_type, event_id % 5 AS fold,
+      |    CASE WHEN value > 75.0 THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |), pf AS (
+      |  SELECT event_type, fold, count(*) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM e GROUP BY 1, 2
+      |), g AS (
+      |  SELECT count(*) AS gn, CAST(SUM(y) AS BIGINT) AS gpos FROM e)
+      |SELECT event_type, fold,
+      |  SUM(n) OVER (PARTITION BY event_type) - n AS n_other,
+      |  (CAST(SUM(pos) OVER (PARTITION BY event_type) - pos AS DOUBLE) +
+      |     10.0 * (CAST(gpos AS DOUBLE) / CAST(gn AS DOUBLE))) /
+      |    (CAST(SUM(n) OVER (PARTITION BY event_type) - n AS DOUBLE) + 10.0)
+      |    AS encoded
+      |FROM pf, g
+      |ORDER BY event_type, fold""".stripMargin
+
+  // ------------------------------------------------------ Pearson correlation
+  /** Exact Pearson correlation matrix over lineitem's four numeric measures.
+    * Values are lifted to integer cents (floor(x*100 + 0.5) — all four
+    * columns carry at most 2 true decimals), so every moment (Sx, Sxx, Sxy)
+    * accumulates EXACTLY (Spark DECIMAL(38,0) sums == DuckDB HUGEINT sums).
+    * Doubles appear only in the final closed-form
+    * (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)), written identically
+    * in both engines — sqrt and the four basic ops are IEEE-exact. */
+  private def correlation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def cents(c: String) = floor(col(c) * 100.0 + 0.5)
+    val names = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val short = Map("l_quantity" -> "q", "l_extendedprice" -> "p",
+      "l_discount" -> "d", "l_tax" -> "t")
+    val base = Tables.lineitem(spark, dir)
+      .select(names.map(n => cents(n).as(short(n))): _*)
+    def s38(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(38, 0)))
+    val aggCols =
+      Seq(count(lit(1)).as("n")) ++
+        names.map(n => s38(col(short(n))).as(s"s_${short(n)}")) ++
+        names.map(n => s38(col(short(n)) * col(short(n)))
+          .as(s"s_${short(n)}${short(n)}")) ++
+        names.combinations(2).toSeq.map { case Seq(a, b) =>
+          s38(col(short(a)) * col(short(b))).as(s"s_${short(a)}${short(b)}")
+        }
+    val m = base.agg(aggCols.head, aggCols.tail: _*)
+    def corr(a: String, b: String) = {
+      val nn = col("n").cast("double")
+      val sx = col(s"s_${short(a)}").cast("double")
+      val sy = col(s"s_${short(b)}").cast("double")
+      val sxx = col(s"s_${short(a)}${short(a)}").cast("double")
+      val syy = col(s"s_${short(b)}${short(b)}").cast("double")
+      val sxy = col(s"s_${short(a)}${short(b)}").cast("double")
+      (nn * sxy - sx * sy) /
+        (sqrt(nn * sxx - sx * sx) * sqrt(nn * syy - sy * sy))
+    }
+    val pairs = names.combinations(2).toSeq
+    m.select(explode(array(pairs.map { case Seq(a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"),
+          col("n").cast("long").as("n"), corr(a, b).as("pearson_r"))
+      }: _*)).as("r"))
+      .select($"r.col_x", $"r.col_y", $"r.n", $"r.pearson_r")
+      .orderBy($"col_x", $"col_y")
+  }
+
+  private val correlationSql = {
+    val names = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val short = Map("l_quantity" -> "q", "l_extendedprice" -> "p",
+      "l_discount" -> "d", "l_tax" -> "t")
+    val moments =
+      (Seq("count(*) AS n") ++
+        names.map(n => s"SUM(${short(n)}) AS s_${short(n)}") ++
+        names.map(n => s"SUM(${short(n)} * ${short(n)}) AS s_${short(n)}${short(n)}") ++
+        names.combinations(2).toSeq.map { case Seq(a, b) =>
+          s"SUM(${short(a)} * ${short(b)}) AS s_${short(a)}${short(b)}"
+        }).mkString(",\n    ")
+    val arms = names.combinations(2).toSeq.map { case Seq(a, b) =>
+      val (x, y) = (short(a), short(b))
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n,
+         |  (CAST(n AS DOUBLE) * CAST(s_$x$y AS DOUBLE)
+         |     - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE)) /
+         |  (sqrt(CAST(n AS DOUBLE) * CAST(s_$x$x AS DOUBLE)
+         |     - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE)) *
+         |   sqrt(CAST(n AS DOUBLE) * CAST(s_$y$y AS DOUBLE)
+         |     - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))) AS pearson_r
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH c AS (
+       |  SELECT ${names.map(n =>
+            s"CAST(floor($n * 100.0 + 0.5) AS BIGINT) AS ${short(n)}")
+            .mkString(", ")}
+       |  FROM lineitem
+       |), m AS (
+       |  SELECT $moments
+       |  FROM c)
+       |$arms
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
+  // --------------------------------------------------------- market basket
+  /** Association rules over co-ordered parts: support = distinct orders
+    * containing both parts, lift = support·n_orders / (n1·n2). The pair
+    * join fans out ≤ (order size choose 2) per order — bounded by the
+    * schema, never catalog² — and item counts broadcast. Top 50 by
+    * (support desc, p1, p2). */
+  private def marketBasket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val io = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val itemN = io.groupBy($"pk").agg(count(lit(1)).as("n_item"))
+    val nOrders = io.select($"ok").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = io.as("a")
+      .join(io.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+    pairs
+      .join(broadcast(itemN.withColumnRenamed("pk", "p1")
+        .withColumnRenamed("n_item", "n1")), Seq("p1"))
+      .join(broadcast(itemN.withColumnRenamed("pk", "p2")
+        .withColumnRenamed("n_item", "n2")), Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .select($"p1", $"p2", $"support", $"n1", $"n2",
+        (($"support".cast("double") * $"n_orders".cast("double")) /
+          ($"n1".cast("double") * $"n2".cast("double"))).as("lift"))
+      .orderBy($"support".desc, $"p1", $"p2")
+      .limit(50)
+  }
+
+  private val marketBasketSql =
+    """WITH io AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), item_n AS (
+      |  SELECT pk, count(*) AS n_item FROM io GROUP BY 1
+      |), no AS (
+      |  SELECT count(DISTINCT ok) AS n_orders FROM io
+      |), pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+      |  FROM io a JOIN io b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT p1, p2, support, i1.n_item AS n1, i2.n_item AS n2,
+      |  (CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)) /
+      |    (CAST(i1.n_item AS DOUBLE) * CAST(i2.n_item AS DOUBLE)) AS lift
+      |FROM pairs
+      |JOIN item_n i1 ON i1.pk = p1
+      |JOIN item_n i2 ON i2.pk = p2
+      |CROSS JOIN no
+      |ORDER BY support DESC, p1, p2
+      |LIMIT 50""".stripMargin
+
+  // ------------------------------------------------------------ dq profile
+  /** Deequ-style column profile of `orders`: row count, nulls,
+    * completeness, distinct count, numeric min/max — one scan, one row per
+    * profiled column. */
+  private def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val stringy = Seq("o_orderstatus", "o_orderpriority")
+    val aggCols =
+      Seq(count(lit(1)).as("n")) ++
+        (numeric ++ stringy).flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+            countDistinct(col(c)).cast("long").as(s"dist_$c"))
+        } ++
+        numeric.flatMap { c =>
+          Seq(min(col(c)).cast("double").as(s"min_$c"),
+            max(col(c)).cast("double").as(s"max_$c"))
+        }
+    val m = o.agg(aggCols.head, aggCols.tail: _*)
+    def row(c: String, isNum: Boolean) = struct(
+      lit(c).as("column"), col("n").cast("long").as("n_rows"),
+      col(s"null_$c").as("n_null"),
+      (($"n".cast("double") - col(s"null_$c").cast("double")) /
+        $"n".cast("double")).as("completeness"),
+      col(s"dist_$c").as("n_distinct"),
+      (if (isNum) col(s"min_$c") else lit(null).cast("double")).as("min_num"),
+      (if (isNum) col(s"max_$c") else lit(null).cast("double")).as("max_num"))
+    m.select(explode(array(
+        numeric.map(row(_, isNum = true)) ++
+          stringy.map(row(_, isNum = false)): _*)).as("r"))
+      .select($"r.*")
+      .orderBy($"column")
+  }
+
+  private val dqProfileSql = {
+    val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val stringy = Seq("o_orderstatus", "o_orderpriority")
+    def arm(c: String, isNum: Boolean) = {
+      val mn = if (isNum) s"CAST(min_$c AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx = if (isNum) s"CAST(max_$c AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS "column", n AS n_rows, null_$c AS n_null,
+         |  (CAST(n AS DOUBLE) - CAST(null_$c AS DOUBLE)) / CAST(n AS DOUBLE)
+         |    AS completeness,
+         |  dist_$c AS n_distinct, $mn AS min_num, $mx AS max_num
+         |FROM m""".stripMargin
+    }
+    val moments =
+      (Seq("count(*) AS n") ++
+        (numeric ++ stringy).flatMap { c =>
+          Seq(s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_$c",
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS dist_$c")
+        } ++
+        numeric.flatMap { c => Seq(s"min($c) AS min_$c", s"max($c) AS max_$c") })
+        .mkString(",\n    ")
+    s"""WITH m AS (
+       |  SELECT $moments
+       |  FROM orders)
+       |${(numeric.map(arm(_, isNum = true)) ++
+            stringy.map(arm(_, isNum = false))).mkString("\nUNION ALL\n")}
+       |ORDER BY "column"""".stripMargin
+  }
+
+  // -------------------------------------------------------- dq constraints
+  /** Constraint verification across the warehouse — the contracts a feature
+    * pipeline asserts before trusting its inputs: key uniqueness,
+    * referential integrity (anti-join violation count), range checks,
+    * completeness. Each check is an independent scan-shaped aggregate;
+    * violations are BIGINT, status derives from them. */
+  private def dqConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val cu = Tables.customer(spark, dir)
+    val e = Tables.events(spark, dir)
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check_name"),
+        col("violations").cast("long").as("violations"),
+        when(col("violations") === 0, "pass").otherwise("fail").as("status"))
+    val uniq = o.agg((count(lit(1)) - countDistinct($"o_orderkey"))
+      .as("violations"))
+    val fk = o.join(broadcast(cu),
+        o("o_custkey") === cu("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    val price = o.agg(sum(when($"o_totalprice" <= 0, 1L).otherwise(0L))
+      .as("violations"))
+    val disc = li.agg(sum(when($"l_discount" < 0 || $"l_discount" > 0.1, 1L)
+      .otherwise(0L)).as("violations"))
+    val complete = e.agg(sum(when($"value".isNull, 1L).otherwise(0L))
+      .as("violations"))
+    check("orders_orderkey_unique", uniq)
+      .unionAll(check("orders_custkey_fk", fk))
+      .unionAll(check("orders_totalprice_positive", price))
+      .unionAll(check("lineitem_discount_range", disc))
+      .unionAll(check("events_value_complete", complete))
+      .orderBy($"check_name")
+  }
+
+  private val dqConstraintsSql =
+    """WITH checks AS (
+      |  SELECT 'orders_orderkey_unique' AS check_name,
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_custkey_fk',
+      |    CAST(count(*) AS BIGINT)
+      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL
+      |  SELECT 'orders_totalprice_positive',
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_range',
+      |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+      |                  THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'events_value_complete',
+      |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM events)
+      |SELECT check_name, violations,
+      |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM checks ORDER BY check_name""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_ewma" -> (ewma _),
+    "evt_cusum" -> (cusum _),
+    "ml_target_encoding" -> (targetEncoding _),
+    "ml_correlation" -> (correlation _),
+    "rel_market_basket" -> (marketBasket _),
+    "dq_profile" -> (dqProfile _),
+    "dq_constraints" -> (dqConstraints _))
+
+  override def oracles: Map[String, String] = Map(
+    "evt_ewma" -> ewmaSql,
+    "evt_cusum" -> cusumSql,
+    "ml_target_encoding" -> targetEncodingSql,
+    "ml_correlation" -> correlationSql,
+    "rel_market_basket" -> marketBasketSql,
+    "dq_profile" -> dqProfileSql,
+    "dq_constraints" -> dqConstraintsSql)
+}

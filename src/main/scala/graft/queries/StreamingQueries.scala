@@ -222,6 +222,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.sessionStepsLateUpdate(s, d)),
     "stream_markov_transitions" ->
       ((s: SparkSession, d: String) => StreamingPipelines.markovStream(s, d)),
+    "stream_ewma" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.ewmaStream(s, d)),
     "stream_feature_scaling" ->
       ((s: SparkSession, d: String) => StreamingPipelines.featureScalingStream(s, d)),
     "stream_scd2_intervals" ->
@@ -259,6 +261,7 @@ object StreamingQueries extends QueryModule {
     "stream_anchored_stats_late_update" -> anchoredStatsLateSql,
     "stream_session_late_update" -> sessionLateSql,
     "stream_markov_transitions" -> EventAnalytics.markovSql,
+    "stream_ewma" -> AnalyticsOps.ewmaSql,
     "stream_feature_scaling" -> DriftQuality.featureScalingSql,
     "stream_scd2_intervals" -> EventAnalytics.scd2ClosedSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,

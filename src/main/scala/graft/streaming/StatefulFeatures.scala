@@ -134,6 +134,42 @@ object StatefulFeatures {
       }
   }
 
+  // --------------------------------------------------------------- EWMA
+  case class EwmaEventIn(event_id: Long, user_id: Long, ems: Long,
+      value: Double)
+  /** Running EWMA per user — the whole state is 4 primitives. */
+  case class EwmaState(ewma: Double, n: Long, lastEms: Long)
+  case class EwmaStep(user_id: Long, n_events: Long, last_ems: Long,
+      ewma_value: Double)
+
+  /** Per-user EWMA (α = 0.25) over the time-ordered replay: each arrival
+    * folds `0.25*x + 0.75*acc` onto O(1) state — the classic decayed
+    * feature a streaming feature store serves. Within a micro-batch
+    * arrivals sort by (ems, event_id); across batches the chunked replay
+    * is globally time-ordered, so the fold sequence — and therefore the
+    * exact double result — equals the batch left fold (same oracle as
+    * evt_ewma). Emits the post-arrival state per event (append); the
+    * final row per key is the feature value. */
+  def ewmaSteps(ds: Dataset[EwmaEventIn]): Dataset[EwmaStep] = {
+    implicit val outEnc = Encoders.product[EwmaStep]
+    implicit val stateEnc = Encoders.product[EwmaState]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[EwmaEventIn],
+         state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0L, 0L))
+          val out = events.toVector.sortBy(e => (e.ems, e.event_id))
+            .map { e =>
+              val acc = if (st.n == 0L) e.value
+                        else 0.25 * e.value + 0.75 * st.ewma
+              st = EwmaState(acc, st.n + 1L, math.max(st.lastEms, e.ems))
+              EwmaStep(uid, st.n, st.lastEms, st.ewma)
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** EventIn + the watermarked event-time column: EventTimeTimeout needs
     * the watermark attribute to survive into the stateful operator's
     * input, so the expiring variants carry `ts` alongside the epoch-ms

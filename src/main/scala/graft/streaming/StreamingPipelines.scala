@@ -940,6 +940,25 @@ object StreamingPipelines {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Streaming EWMA features: per-user O(1) decayed-average state over
+    * the 8-chunk time-ordered replay, per-event emission in append mode;
+    * the final row per key (max n — n is strictly increasing per user)
+    * is the served feature and is bit-identical to the batch fold (same
+    * oracle as evt_ewma). */
+  def ewmaStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = eventStreamReplay(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"), col("value"))
+      .as[StatefulFeatures.EwmaEventIn]
+    val out = StatefulFeatures.ewmaSteps(in).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    runToMemory(spark, out, "append", "ewma")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .orderBy(col("user_id"))
+  }
+
   /** W5 per-event session steps (the Flink MapState clickstream path):
     * constant-size running session state per key, one output row per
     * event. */

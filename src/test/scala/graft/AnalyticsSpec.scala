@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties of the AnalyticsOps module that the oracle hash can't pin on
+  * its own: the CUSUM window rewrite equals the direct max(0,·) recurrence,
+  * target encoding really excludes the row's own fold, Pearson r matches a
+  * from-scratch recompute, and basket pairs match a brute-force count. */
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("evt_ewma equals a direct per-user Scala fold") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS ems",
+        "event_id", "value")
+      .as[(Long, Long, Long, Double)].collect()
+    val expected = events.groupBy(_._1).map { case (uid, evs) =>
+      val vs = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      uid -> vs.tail.foldLeft(vs.head)((acc, x) => 0.25 * x + 0.75 * acc)
+    }
+    val got = q("evt_ewma").select("user_id", "ewma_value")
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (uid, e) =>
+      assert(got(uid) == e, s"user $uid: got ${got(uid)} want $e")
+    }
+  }
+
+  test("evt_cusum window rewrite equals the direct max(0,.) recurrence") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS ems",
+        "event_id", "value")
+      .as[(Long, Long, Long, Double)].collect()
+    // exact decimal recurrence in micro-units (value has <= 2 decimals)
+    val expected = events.groupBy(_._1).map { case (uid, evs) =>
+      val devs = evs.sortBy(e => (e._2, e._3))
+        .map(e => math.round(e._4 * 1e6) - 50000000L)
+      var s = 0L; var alarms = 0L; var mx = 0L
+      devs.foreach { d =>
+        s = math.max(0L, s + d)
+        if (s > 100000000L) alarms += 1
+        mx = math.max(mx, s)
+      }
+      uid -> ((alarms, mx / 1e6))
+    }
+    val got = q("evt_cusum").select("user_id", "n_alarms", "max_cusum")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (uid, (al, mx)) =>
+      assert(got(uid)._1 == al, s"user $uid alarms: got ${got(uid)._1} want $al")
+      assert(math.abs(got(uid)._2 - mx) < 1e-6, s"user $uid max")
+    }
+  }
+
+  test("ml_target_encoding excludes the row's own fold (leakage guard)") {
+    val e = spark.read.parquet(s"$sf0001/events.parquet")
+      .selectExpr("event_type", "event_id % 5 AS fold",
+        "CASE WHEN value > 75.0 THEN 1L ELSE 0L END AS y")
+      .as[(String, Long, Long)].collect()
+    val gn = e.length.toDouble
+    val gpos = e.map(_._3).sum.toDouble
+    val enc = q("ml_target_encoding")
+      .select("event_type", "fold", "n_other", "encoded")
+      .as[(String, Long, Long, Double)].collect()
+    enc.foreach { case (et, fold, nOther, encoded) =>
+      val others = e.filter(r => r._1 == et && r._2 != fold)
+      assert(others.length.toLong == nOther, s"($et,$fold) n_other")
+      val want = (others.map(_._3).sum.toDouble + 10.0 * (gpos / gn)) /
+        (others.length.toDouble + 10.0)
+      assert(encoded == want, s"($et,$fold): got $encoded want $want")
+    }
+  }
+
+  test("ml_correlation matches a from-scratch recompute and |r| <= 1") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .as[(Double, Double, Double, Double)].collect()
+    def cents(x: Double) = math.floor(x * 100.0 + 0.5).toLong
+    val cols = Map(
+      "l_quantity" -> li.map(r => cents(r._1)),
+      "l_extendedprice" -> li.map(r => cents(r._2)),
+      "l_discount" -> li.map(r => cents(r._3)),
+      "l_tax" -> li.map(r => cents(r._4)))
+    def corr(a: Array[Long], b: Array[Long]): Double = {
+      val n = a.length.toDouble
+      val sx = a.sum.toDouble; val sy = b.sum.toDouble
+      val sxx = a.map(v => v * v).sum.toDouble
+      val syy = b.map(v => v * v).sum.toDouble
+      val sxy = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val got = q("ml_correlation").select("col_x", "col_y", "pearson_r")
+      .as[(String, String, Double)].collect()
+    assert(got.length == 6)
+    got.foreach { case (cx, cy, r) =>
+      assert(math.abs(r) <= 1.0)
+      val want = corr(cols(cx), cols(cy))
+      assert(math.abs(r - want) < 1e-12, s"($cx,$cy): got $r want $want")
+    }
+  }
+
+  test("rel_market_basket support/lift match a brute-force recount") {
+    val io = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = io.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        support((parts(i), parts(j))) = support.getOrElse((parts(i), parts(j)), 0L) + 1
+    }
+    val itemN = io.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nOrders = byOrder.size.toDouble
+    val got = q("rel_market_basket")
+      .select("p1", "p2", "support", "n1", "n2", "lift")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (p1, p2, s, n1, n2, lift) =>
+      assert(support((p1, p2)) == s, s"($p1,$p2) support")
+      assert(itemN(p1) == n1 && itemN(p2) == n2)
+      val want = (s.toDouble * nOrders) / (n1.toDouble * n2.toDouble)
+      assert(lift == want, s"($p1,$p2) lift")
+      assert(s >= 2)
+    }
+  }
+
+  test("dq_profile completeness and dq_constraints statuses are coherent") {
+    val prof = q("dq_profile").collect()
+    assert(prof.length == 5)
+    prof.foreach { r =>
+      val n = r.getAs[Long]("n_rows"); val nn = r.getAs[Long]("n_null")
+      assert(r.getAs[Double]("completeness") == (n - nn).toDouble / n)
+      assert(r.getAs[Long]("n_distinct") <= n)
+    }
+    val checks = q("dq_constraints").collect()
+    assert(checks.length == 5)
+    checks.foreach { r =>
+      val v = r.getAs[Long]("violations")
+      val st = r.getAs[String]("status")
+      assert(if (v == 0) st == "pass" else st == "fail")
+    }
+  }
+}
