@@ -25,7 +25,7 @@ import Exact._
 object DriftQuality extends QueryModule {
 
   /** 2024-01-16T00:00:00Z — midpoint of the 30-day event range. */
-  private val cutoffMs = 1705363200000L
+  val cutoffMs = 1705363200000L
 
   private def ev(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -205,10 +205,7 @@ object DriftQuality extends QueryModule {
     * bit-for-bit; values equal to an edge fall in the lower bucket. */
   private def psi(spark: SparkSession, dir: String): DataFrame = {
     val e = ev(spark, dir)
-    val edges = e.filter(col("is_ref") === 1).agg(
-      expr("transform(percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), x -> round(x, 6))")
-        .as("edges"))
-    val bucketed = e.crossJoin(broadcast(edges))
+    val bucketed = e.crossJoin(broadcast(psiEdges(spark, dir)))
       .withColumn("bucket", expr("size(filter(edges, e -> e < value))"))
     val refC = bucketed.filter(col("is_ref") === 1)
       .groupBy(col("bucket")).agg(count(lit(1)).as("ref_n"))
@@ -218,6 +215,23 @@ object DriftQuality extends QueryModule {
       .select(col("bucket"),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    psiRollup(joined)
+  }
+
+  /** The reference window's decile edges (rounded to 6 dp — see psi doc),
+    * one row, one array column `edges`. Shared with the streaming twin:
+    * the reference profile is fixed, so the stream trains it batch-side
+    * and broadcasts it, exactly like the LM/decontamination gates. */
+  def psiEdges(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir).filter(col("is_ref") === 1).agg(
+      expr("transform(percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), x -> round(x, 6))")
+        .as("edges"))
+
+  /** PSI closed form over a (bucket, ref_n, cur_n) count table (≤10 rows):
+    * epsilon-clamped shares, sorted-fold contribution sum, thresholds
+    * 0.1/0.2. Shared by the batch query and the streaming twin so both
+    * produce bit-identical doubles from identical counts. */
+  def psiRollup(joined: DataFrame): DataFrame = {
     val tot = Window.partitionBy()
     val withPct = joined
       .withColumn("e_pct", greatest(col("ref_n") / sum(col("ref_n")).over(tot), lit(1e-6)))
@@ -237,7 +251,7 @@ object DriftQuality extends QueryModule {
   private def dsumRaw(colName: String) =
     expr(s"aggregate(array_sort(collect_list($colName)), 0D, (acc, x) -> acc + x)")
 
-  private val psiSql =
+  val psiSql =
     s"""WITH s AS (
        |  SELECT value,
        |    CASE WHEN epoch_ms(ts) < $cutoffMs THEN 1 ELSE 0 END AS is_ref

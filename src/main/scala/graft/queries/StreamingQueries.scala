@@ -224,6 +224,10 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.markovStream(s, d)),
     "stream_ewma" ->
       ((s: SparkSession, d: String) => StreamingPipelines.ewmaStream(s, d)),
+    "stream_throttle" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.throttleStream(s, d)),
+    "stream_drift_psi" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.psiStream(s, d)),
     "stream_feature_scaling" ->
       ((s: SparkSession, d: String) => StreamingPipelines.featureScalingStream(s, d)),
     "stream_scd2_intervals" ->
@@ -262,6 +266,8 @@ object StreamingQueries extends QueryModule {
     "stream_session_late_update" -> sessionLateSql,
     "stream_markov_transitions" -> EventAnalytics.markovSql,
     "stream_ewma" -> AnalyticsOps.ewmaSql,
+    "stream_throttle" -> AnalyticsOps.throttleSql,
+    "stream_drift_psi" -> DriftQuality.psiSql,
     "stream_feature_scaling" -> DriftQuality.featureScalingSql,
     "stream_scd2_intervals" -> EventAnalytics.scd2ClosedSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,

@@ -170,6 +170,41 @@ object StatefulFeatures {
       }
   }
 
+  // ----------------------------------------------------------- throttle
+  case class ThrottleEventIn(event_id: Long, user_id: Long, ems: Long)
+  /** Cooldown state: last KEPT timestamp + kept/seen counters. */
+  case class ThrottleState(lastKept: Long, kept: Long, n: Long)
+  case class ThrottleStep(user_id: Long, n_events: Long, n_kept: Long,
+      last_kept_ems: Long)
+
+  /** Streaming cooldown deduplication (12 h per user, same constant as
+    * the batch fold): keep an arrival only if >= cooldown since the last
+    * KEPT event. Greedy and order-dependent by definition — the chunked
+    * replay's global time order makes the walk identical to the batch
+    * fold (same oracle). State is 3 primitives per key. */
+  def throttleSteps(ds: Dataset[ThrottleEventIn],
+      cooldownMs: Long = 43200000L): Dataset[ThrottleStep] = {
+    implicit val outEnc = Encoders.product[ThrottleStep]
+    implicit val stateEnc = Encoders.product[ThrottleState]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[ThrottleEventIn],
+         state: GroupState[ThrottleState]) =>
+          var st = state.getOption.orNull
+          val out = events.toVector.sortBy(e => (e.ems, e.event_id))
+            .map { e =>
+              st =
+                if (st == null) ThrottleState(e.ems, 1L, 1L)
+                else if (e.ems - st.lastKept >= cooldownMs)
+                  ThrottleState(e.ems, st.kept + 1L, st.n + 1L)
+                else st.copy(n = st.n + 1L)
+              ThrottleStep(uid, st.n, st.kept, st.lastKept)
+            }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** EventIn + the watermarked event-time column: EventTimeTimeout needs
     * the watermark attribute to survive into the stateful operator's
     * input, so the expiring variants carry `ts` alongside the epoch-ms

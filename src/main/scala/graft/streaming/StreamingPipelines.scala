@@ -959,6 +959,47 @@ object StreamingPipelines {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming cooldown dedup (throttle): per-user 3-primitive state over
+    * the time-ordered replay; final per-key row (max n_events) equals the
+    * batch greedy fold (same oracle as evt_throttle). */
+  def throttleStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = eventStreamReplay(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"))
+      .as[StatefulFeatures.ThrottleEventIn]
+    val out = StatefulFeatures.throttleSteps(in).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    runToMemory(spark, out, "append", "throttle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .orderBy(col("user_id"))
+  }
+
+  /** M11 streaming PSI: the reference decile profile is fixed, so it is
+    * trained batch-side and inlined as an array literal (the broadcast-
+    * centroid pattern); the stream does a stateless bucket map + an
+    * additive (bucket × window) count in complete mode — in-flight state
+    * is ≤ 10 rows and order never matters. The final epsilon-clamped fold
+    * runs on the 10-row result via the SAME rollup as the batch query
+    * (bit-identical doubles, same oracle). */
+  def psiStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.DriftQuality
+    val edgeArr = DriftQuality.psiEdges(spark, dir)
+      .head().getSeq[Double](0)
+    val edgesLit = array(edgeArr.map(lit(_)): _*)
+    val b = eventStream(spark, dir)
+      .withColumn("is_ref",
+        (col("ems") < DriftQuality.cutoffMs).cast("int"))
+      .withColumn("bucket",
+        size(filter(edgesLit, e => e < col("value"))))
+      .groupBy(col("bucket"))
+      .agg(sum(col("is_ref")).cast("long").as("ref_n"),
+        sum(lit(1) - col("is_ref")).cast("long").as("cur_n"))
+    val counts = runToMemory(spark, b, "complete", "psistream")
+    DriftQuality.psiRollup(counts)
+  }
+
   /** W5 per-event session steps (the Flink MapState clickstream path):
     * constant-size running session state per key, one output row per
     * event. */

@@ -129,6 +129,51 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("evt_throttle greedy cooldown matches a direct walk") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS ems",
+        "event_id")
+      .as[(Long, Long, Long)].collect()
+    val expected = events.groupBy(_._1).map { case (uid, evs) =>
+      val ts = evs.sortBy(e => (e._2, e._3)).map(_._2)
+      var lastKept = ts.head; var kept = 1L
+      ts.tail.foreach { t =>
+        if (t - lastKept >= 43200000L) { lastKept = t; kept += 1 }
+      }
+      uid -> ((kept, lastKept))
+    }
+    val got = q("evt_throttle")
+      .select("user_id", "n_kept", "last_kept_ems")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (uid, want) =>
+      assert(got(uid) == want, s"user $uid: got ${got(uid)} want $want")
+    }
+    // the cooldown must actually drop events somewhere, or the operator
+    // degenerates to a count
+    assert(expected.exists { case (_, (k, _)) => k < events.count(_._1 == 1) } ||
+      expected.values.map(_._1).sum < events.length)
+  }
+
+  test("evt_attribution credits the nearest prior non-purchase event") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS ems",
+        "event_id", "event_type", "value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val credits = events.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      sorted.zipWithIndex.collect { case ((_, _, _, "purchase", v), i) =>
+        val ch = sorted.take(i).reverse.find(_._4 != "purchase")
+          .map(_._4).getOrElse("none")
+        (ch, v)
+      }
+    }
+    val wantN = credits.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = q("evt_attribution").select("channel", "n_purchases")
+      .as[(String, Long)].collect().toMap
+    assert(got == wantN)
+  }
+
   test("dq_profile completeness and dq_constraints statuses are coherent") {
     val prof = q("dq_profile").collect()
     assert(prof.length == 5)

@@ -179,6 +179,12 @@ class StreamingSpec extends AnyFunSuite {
       // keep-first-per-bucket LSH dedup state (round 6)
       "minhashdedup" -> StreamingPipelines.dedupMinhashStream(spark, sfDir)
         .collect().map(_.toString),
+      // O(1)-per-key running EWMA fold (round 7)
+      "ewma" -> StreamingPipelines.ewmaStream(spark, sfDir)
+        .collect().map(_.toString),
+      // greedy cooldown state (round 7)
+      "throttle" -> StreamingPipelines.throttleStream(spark, sfDir)
+        .collect().map(_.toString),
       // stateless broadcast gate (round 7) — no state store, included to
       // pin that the provider swap cannot perturb a map-only pipeline
       "decontaminate" -> StreamingPipelines.decontaminateStream(spark, sfDir)
