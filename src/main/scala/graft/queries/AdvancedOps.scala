@@ -1,0 +1,529 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Exact._
+
+/** Experimentation + ranking-metric operators (ref inference/ — the
+  * reference evaluates its fraud scorer and serves personalization
+  * variants; these are the measurement tools that sit beside that loop):
+  *
+  *   - two-proportion z-test A/B analysis (counts exact BIGINT, the one
+  *     shared double formula written identically in both engines);
+  *   - EXACT feature AUC via the Mann-Whitney U statistic — computed from
+  *     per-distinct-value aggregates with midrank algebra kept in doubled
+  *     integers (2·ranksum), so the AUC is one double division of two
+  *     exactly-computed integers, never a float rank sum;
+  *   - item-item cosine similarity top-k (the co-occurrence
+  *     recommendation primitive; support/√(n₁n₂) — sqrt is IEEE-exact);
+  *   - asymmetric containment dedup (catches a short doc embedded in a
+  *     long one, which symmetric Jaccard under length-banding cannot);
+  *   - bounded-round k-core peel over the trade graph (community-core
+  *     extraction; fixed rounds like the Bellman-Ford query, oracle
+  *     unrolls them).
+  *
+  * 100 TB notes: AUC aggregates by distinct feature value (cardinality-
+  * bounded, one shuffle + one |values| window); the A/B test is a
+  * single-pass aggregation; item pairs fan out ≤ (order size choose 2)
+  * per order; containment candidates come from lang buckets here and
+  * from the MinHash band buckets at corpus scale (same swap note as
+  * dedup_ngram_jaccard); k-core joins are node-table-bounded per round
+  * with localCheckpoint against plan nesting.
+  */
+object AdvancedOps extends QueryModule {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("ems", epochMs(col("ts")))
+
+  // ------------------------------------------------------- A/B z-test
+  /** Two-proportion z-test: variant = user_id parity (the deterministic
+    * hash-split of an experimentation system), conversion = value > 75.
+    * Counts are exact; p0/p1/pooled-p/z follow ONE shared formula whose
+    * operation order is written identically in both engines. */
+  private def abTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = ev(spark, dir).select(
+        ($"user_id" % 2).as("variant"),
+        when($"value" > 75.0, 1L).otherwise(0L).as("conv"))
+      .groupBy()
+      .agg(
+        sum(when($"variant" === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"variant" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"variant" === 0, $"conv").otherwise(0L)).as("c0"),
+        sum(when($"variant" === 1, $"conv").otherwise(0L)).as("c1"))
+    val p0 = $"c0".cast("double") / $"n0".cast("double")
+    val p1 = $"c1".cast("double") / $"n1".cast("double")
+    val pp = ($"c0" + $"c1").cast("double") / ($"n0" + $"n1").cast("double")
+    m.select($"n0", $"n1", $"c0", $"c1",
+      p0.as("p0"), p1.as("p1"),
+      ((p1 - p0) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / $"n0".cast("double") + lit(1.0) / $"n1".cast("double"))))
+        .as("z"))
+  }
+
+  /** Shared with stream_ab_test. */
+  private[graft] val abTestSql =
+    """WITH m AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND value > 75.0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND value > 75.0 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM events)
+      |SELECT n0, n1, c0, c1,
+      |  CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+      |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |  (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |     - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+      |  sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      |    * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      |    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z
+      |FROM m""".stripMargin
+
+  // -------------------------------------------- exact Mann-Whitney AUC
+  /** One-vs-rest AUC of `value` for each event_type, via the exact
+    * Mann-Whitney identity AUC = U/(n₁n₀) with midranks for ties. The
+    * whole computation lives on per-distinct-value aggregates: for a
+    * value with t rows after c smaller rows, each row's DOUBLED midrank
+    * is 2c + t + 1 (an integer — doubling clears the ½ steps), so
+    * 2·ranksum = Σ pos_v·(2c + t + 1) accumulates exactly and
+    * AUC = (2·ranksum − n₁(n₁+1)) / (2 n₁ n₀) is one double division.
+    * One shuffle on value + one |distinct values| window — never a
+    * global per-row rank. */
+  private def featureAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir)
+    val vt = e.groupBy($"value").agg(count(lit(1)).as("t"))
+      .withColumn("c", sum($"t").over(
+        Window.orderBy($"value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"t")
+    val vp = e.groupBy($"value", $"event_type").agg(count(lit(1)).as("pos"))
+    val n = e.count() // driver scalar: total rows (bounded metadata)
+    vp.join(vt, Seq("value"))
+      .groupBy($"event_type")
+      .agg(sum($"pos").as("n_pos"),
+        sum($"pos" * (lit(2) * $"c" + $"t" + 1)).as("ranksum2"))
+      .select($"event_type", $"n_pos".cast("long").as("n_pos"),
+        (lit(n) - $"n_pos").cast("long").as("n_neg"),
+        (($"ranksum2" - $"n_pos" * ($"n_pos" + 1)).cast("double") /
+          (lit(2L) * $"n_pos" * (lit(n) - $"n_pos")).cast("double")).as("auc"))
+      .orderBy($"event_type")
+  }
+
+  private val featureAucSql =
+    """WITH vt AS (
+      |  SELECT value, count(*) AS t FROM events GROUP BY 1
+      |), vc AS (
+      |  SELECT value, t,
+      |    SUM(t) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS c
+      |  FROM vt
+      |), vp AS (
+      |  SELECT value, event_type, count(*) AS pos FROM events GROUP BY 1, 2
+      |), n AS (SELECT count(*) AS n FROM events)
+      |SELECT vp.event_type,
+      |  CAST(SUM(vp.pos) AS BIGINT) AS n_pos,
+      |  CAST(n.n - SUM(vp.pos) AS BIGINT) AS n_neg,
+      |  CAST(SUM(vp.pos * (2 * vc.c + vc.t + 1))
+      |       - SUM(vp.pos) * (SUM(vp.pos) + 1) AS DOUBLE)
+      |    / CAST(2 * SUM(vp.pos) * (n.n - SUM(vp.pos)) AS DOUBLE) AS auc
+      |FROM vp JOIN vc ON vp.value = vc.value CROSS JOIN n
+      |GROUP BY vp.event_type, n.n
+      |ORDER BY vp.event_type""".stripMargin
+
+  // ------------------------------------------- item-item similarity
+  /** Item-item cosine similarity over order co-occurrence: for each part,
+    * the top-3 most co-ordered parts by support/√(n₁n₂) (support ≥ 2).
+    * The normalized sibling of rel_market_basket's lift — cosine rewards
+    * symmetric affinity, lift rewards rarity. Pair fan-out bounded by
+    * order size; item counts broadcast; per-item ranking is a window
+    * over the (bounded) pair table. */
+  private def itemSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val io = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val itemN = io.groupBy($"pk").agg(count(lit(1)).as("n_item"))
+    val pairs = io.as("a")
+      .join(io.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+    val sym = pairs.unionByName(
+      pairs.select($"p2".as("p1"), $"p1".as("p2"), $"support"))
+    val scored = sym
+      .join(broadcast(itemN.withColumnRenamed("pk", "p1")
+        .withColumnRenamed("n_item", "n1")), Seq("p1"))
+      .join(broadcast(itemN.withColumnRenamed("pk", "p2")
+        .withColumnRenamed("n_item", "n2")), Seq("p2"))
+      .withColumn("sim", $"support".cast("double") /
+        sqrt(($"n1" * $"n2").cast("double")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"p1").orderBy($"sim".desc, $"p2")).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"p1", $"rk", $"p2", $"support", $"sim")
+      .orderBy($"p1", $"rk")
+  }
+
+  private val itemSimilaritySql =
+    """WITH io AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), item_n AS (
+      |  SELECT pk, count(*) AS n_item FROM io GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+      |  FROM io a JOIN io b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), sym AS (
+      |  SELECT p1, p2, support FROM pairs
+      |  UNION ALL SELECT p2 AS p1, p1 AS p2, support FROM pairs
+      |), scored AS (
+      |  SELECT s.p1, s.p2, s.support,
+      |    CAST(s.support AS DOUBLE)
+      |      / sqrt(CAST(i1.n_item * i2.n_item AS DOUBLE)) AS sim
+      |  FROM sym s
+      |  JOIN item_n i1 ON i1.pk = s.p1
+      |  JOIN item_n i2 ON i2.pk = s.p2)
+      |SELECT p1, rk, p2, support, sim FROM (
+      |  SELECT p1, p2, support, sim, CAST(row_number() OVER (
+      |    PARTITION BY p1 ORDER BY sim DESC, p2) AS BIGINT) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3 ORDER BY p1, rk""".stripMargin
+
+  // ----------------------------------------------- containment dedup
+  /** Asymmetric containment dedup: containment(A→B) = |A∩B| / |A| finds a
+    * short document embedded in a longer one — the case symmetric Jaccard
+    * under length-banding structurally misses. Same hashed-shingle +
+    * codegen'd two-pointer intersect machinery as dedup_ngram_jaccard;
+    * candidates are lang-bucketed here, and at corpus scale come from the
+    * MinHash band buckets (containment is a scoring swap on the same
+    * candidate stream). Top 50 directed pairs with containment ≥ 0.5. */
+  private def containment(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SortedIntersectCount.register(spark)
+    val sh = Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), col("lang"),
+        expr("""array_sort(array_distinct(transform(sequence(1, size(toks) - 2),
+          i -> cast(conv(substring(md5(cast(concat_ws(' ', element_at(toks, i),
+                 element_at(toks, i + 1), element_at(toks, i + 2)) as binary)),
+                 1, 15), 16, 10) as bigint))))""").as("sh"))
+    val a = sh.select(col("lang"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val b = sh.select(col("lang"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
+      .withColumn("containment",
+        round(col("inter") / size(col("sh_a")).cast("double"), 6))
+      .filter(col("containment") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+        col("containment"))
+      .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  private val containmentSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT))) AS sh
+      |  FROM t
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+      |    len(a.sh) AS na
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.doc_id <> b.doc_id)
+      |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+      |  ROUND(inter / CAST(na AS DOUBLE), 6) AS containment
+      |FROM pairs
+      |WHERE ROUND(inter / CAST(na AS DOUBLE), 6) >= 0.5
+      |ORDER BY containment DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
+  // ------------------------------------------------- k-core peel
+  /** Bounded-round k-core extraction (k = 3, 3 peels) on the
+    * supplier↔customer trade graph: each round drops nodes with degree
+    * < 3 among survivors — the standard community-core filter. Rounds are
+    * FIXED (the Bellman-Ford discipline: deterministic output whether or
+    * not converged, oracle unrolls them); per-round work is one
+    * node-bounded aggregation + semi-joins, localCheckpoint against plan
+    * nesting. */
+  private def kcore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rel = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"l_suppkey" * 2).as("src"), ($"o_custkey" * 2 + 1).as("dst"))
+      .distinct()
+    val edges = rel.unionByName(rel.select($"dst".as("src"), $"src".as("dst")))
+      .persist()
+    var nodes = edges.select($"src".as("id")).distinct()
+    for (_ <- 1 to 3) {
+      val deg = edges
+        .join(nodes.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(nodes.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .groupBy($"src").agg(count(lit(1)).as("deg"))
+      nodes = deg.filter($"deg" >= 3).select($"src".as("id"))
+        .localCheckpoint(true)
+    }
+    val finalDeg = edges
+      .join(nodes.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(nodes.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .groupBy($"src").agg(count(lit(1)).as("deg"))
+    // top-50 via TakeOrdered (orderBy+limit), THEN rank the 50 survivors —
+    // never a global row_number window over the full node table
+    val top = finalDeg.select($"src".as("id"), $"deg")
+      .orderBy($"deg".desc, $"id").limit(50)
+    val out = top
+      .select(row_number().over(Window.orderBy($"deg".desc, $"id"))
+          .cast("long").as("rank"), $"id", $"deg")
+      .orderBy($"rank")
+    edges.unpersist()
+    out
+  }
+
+  private val kcoreSql = {
+    val rounds = (1 to 3).map { r =>
+      s"""n$r AS MATERIALIZED (
+         |  SELECT src AS id FROM (
+         |    SELECT e.src, count(*) AS deg
+         |    FROM e
+         |    JOIN n${r - 1} a ON e.src = a.id
+         |    JOIN n${r - 1} b ON e.dst = b.id
+         |    GROUP BY e.src)
+         |  WHERE deg >= 3)""".stripMargin
+    }.mkString(", ")
+    s"""WITH rel AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst FROM rel
+       |  UNION ALL SELECT dst AS src, src AS dst FROM rel),
+       |n0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+       |$rounds,
+       |fd AS (
+       |  SELECT e.src AS id, count(*) AS deg
+       |  FROM e
+       |  JOIN n3 a ON e.src = a.id
+       |  JOIN n3 b ON e.dst = b.id
+       |  GROUP BY e.src)
+       |SELECT rank, id, deg FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY deg DESC, id) AS BIGINT)
+       |    AS rank, id, CAST(deg AS BIGINT) AS deg
+       |  FROM fd)
+       |WHERE rank <= 50 ORDER BY rank""".stripMargin
+  }
+
+  // --------------------------- Brown double exponential smoothing
+  /** Per-user Brown double exponential smoothing (α = 0.25, the evt_ewma
+    * constant): s₁' = αx + (1−α)s₁ and the second smoothing in its
+    * EXPANDED old-state form s₂' = α²x + α(1−α)s₁ + (1−α)s₂ (all
+    * binary-exact constants; algebraically the textbook s₂' = αs₁' +
+    * (1−α)s₂). level = 2s₁ − s₂, trend = (α/(1−α))(s₁−s₂) = (s₁−s₂)/3,
+    * forecast₁ = level + trend — the trend-aware upgrade of evt_ewma.
+    *
+    * The expansion matters cross-engine: DuckDB 1.0.0's list_reduce
+    * evaluates struct-accumulator fields SEQUENTIALLY from the second
+    * application on (a later field referencing an earlier one reads the
+    * freshly UPDATED value — measured in round 7; the first application
+    * is simultaneous), so a correct shared fold must only reference
+    * own-or-later fields and the element. The expanded form does exactly
+    * that ('s2' listed first, referencing s1 forward); the naive
+    * "recompute l' inside b'" Holt form silently diverges. Shared by the
+    * streaming twin (stream_brown, 4-primitive state). */
+  private def brown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ev(spark, dir)
+      .groupBy($"user_id")
+      .agg(expr("transform(array_sort(collect_list(struct(ems, event_id," +
+        " value))), p -> p.value)").as("vs"))
+      .select($"user_id", size($"vs").cast("long").as("n_events"),
+        expr("""aggregate(slice(vs, 2, size(vs) - 1),
+          named_struct('s2', vs[0], 's1', vs[0]),
+          (acc, x) -> named_struct(
+            's2', 0.0625D * x + 0.1875D * acc.s1 + 0.75D * acc.s2,
+            's1', 0.25D * x + 0.75D * acc.s1))""").as("f"))
+      .select($"user_id", $"n_events",
+        (lit(2.0) * $"f".getField("s1") - $"f".getField("s2")).as("level"),
+        (($"f".getField("s1") - $"f".getField("s2")) / lit(3.0)).as("trend"),
+        ((lit(2.0) * $"f".getField("s1") - $"f".getField("s2")) +
+          ($"f".getField("s1") - $"f".getField("s2")) / lit(3.0))
+          .as("forecast_1"))
+      .orderBy($"user_id")
+  }
+
+  /** Shared with stream_brown. */
+  private[graft] val brownSql =
+    """WITH s AS (
+      |  SELECT user_id, list(value ORDER BY epoch_ms(ts), event_id) AS vs
+      |  FROM events GROUP BY 1
+      |), f AS (
+      |  SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+      |    list_reduce(
+      |      list_prepend({'s2': vs[1], 's1': vs[1]},
+      |        list_transform(vs[2:], e -> {'s2': e, 's1': e})),
+      |      (acc, x) -> {
+      |        's2': 0.0625 * x.s1 + 0.1875 * acc.s1 + 0.75 * acc.s2,
+      |        's1': 0.25 * x.s1 + 0.75 * acc.s1}) AS f
+      |  FROM s)
+      |SELECT user_id, n_events,
+      |  2.0 * f.s1 - f.s2 AS level,
+      |  (f.s1 - f.s2) / 3.0 AS trend,
+      |  (2.0 * f.s1 - f.s2) + (f.s1 - f.s2) / 3.0 AS forecast_1
+      |FROM f ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------- k-anonymity gate
+  /** k-anonymity publication gate (k = 10): aggregates over the
+    * quasi-identifier (event_type, k-bucket from props) are published only
+    * when the group holds ≥ k distinct users — the privacy floor an
+    * analytics export applies before leaving the trust boundary.
+    * Suppressed-group/row totals ride along as audit columns. Single-pass
+    * aggregation; the 1-row audit summary is broadcast back. */
+  private def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = ev(spark, dir)
+      .select($"event_type",
+        expr("CAST(get_json_object(props, '$.k') AS LONG) div 10")
+          .as("kbucket"),
+        $"user_id", $"value")
+      .groupBy($"event_type", $"kbucket")
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_rows"), dsum($"value").as("sum_value"))
+    val audit = g.agg(
+      sum(when($"n_users" < 10, 1L).otherwise(0L)).as("suppressed_groups"),
+      sum(when($"n_users" < 10, $"n_rows").otherwise(0L)).as("suppressed_rows"))
+    g.filter($"n_users" >= 10)
+      .crossJoin(broadcast(audit))
+      .orderBy($"event_type", $"kbucket")
+  }
+
+  private val kAnonymitySql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS kbucket,
+      |    count(DISTINCT user_id) AS n_users, count(*) AS n_rows,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2
+      |), audit AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN n_users < 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS suppressed_groups,
+      |    CAST(SUM(CASE WHEN n_users < 10 THEN n_rows ELSE 0 END) AS BIGINT)
+      |      AS suppressed_rows
+      |  FROM g)
+      |SELECT event_type, kbucket, n_users, n_rows, sum_value,
+      |  suppressed_groups, suppressed_rows
+      |FROM g CROSS JOIN audit
+      |WHERE n_users >= 10
+      |ORDER BY event_type, kbucket""".stripMargin
+
+  // -------------------------------------------- time-to-convert funnel
+  /** Signup→purchase latency distribution: per user, minutes from the
+    * FIRST signup to the first purchase AT-OR-AFTER it (the funnel
+    * queries' ordering convention); distribution summarized with the
+    * suite's exact-percentile ROUND(...,6) parity discipline. Two
+    * entity-key aggregations + one broadcast-size summary. */
+  private def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir)
+    val s = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ems").as("signup_ems"))
+    val latency = e.filter($"event_type" === "purchase")
+      .join(s, Seq("user_id"))
+      .filter($"ems" >= $"signup_ems")
+      .groupBy($"user_id")
+      .agg(expr("(min(ems) - any_value(signup_ems)) div 60000")
+        .cast("long").as("mins"))
+    latency.agg(count(lit(1)).as("n_converted"),
+        min($"mins").as("min_mins"),
+        expr("round(percentile(mins, 0.5), 6)").as("median_mins"),
+        expr("round(percentile(mins, 0.9), 6)").as("p90_mins"),
+        max($"mins").as("max_mins"))
+  }
+
+  private val timeToConvertSql =
+    """WITH s AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS signup_ems
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1
+      |), lat AS (
+      |  SELECT e.user_id,
+      |    (min(epoch_ms(e.ts)) - any_value(s.signup_ems)) // 60000 AS mins
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.signup_ems
+      |  GROUP BY e.user_id)
+      |SELECT count(*) AS n_converted,
+      |  min(mins) AS min_mins,
+      |  ROUND(quantile_cont(mins, 0.5), 6) AS median_mins,
+      |  ROUND(quantile_cont(mins, 0.9), 6) AS p90_mins,
+      |  max(mins) AS max_mins
+      |FROM lat""".stripMargin
+
+  // ------------------------------------------------------ winsorization
+  /** Winsorized feature transform per event_type: values clipped to the
+    * [p05, p95] cut points (round-6 percentile parity), clip counts +
+    * the DECIMAL-exact winsorized sum — the outlier-robust preprocessing
+    * twin of quality_iqr_outliers that REPLACES instead of dropping. */
+  private def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir)
+    val cuts = e.groupBy($"event_type")
+      .agg(expr("round(percentile(value, 0.05), 6)").as("p05"),
+        expr("round(percentile(value, 0.95), 6)").as("p95"))
+    e.join(broadcast(cuts), Seq("event_type"))
+      .withColumn("w", least(greatest($"value", $"p05"), $"p95"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"value" < $"p05", 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when($"value" > $"p95", 1L).otherwise(0L)).as("n_clipped_high"),
+        first($"p05").as("p05"), first($"p95").as("p95"),
+        dsum($"w").as("sum_winsorized"))
+      .orderBy($"event_type")
+  }
+
+  private val winsorizeSql =
+    """WITH cuts AS (
+      |  SELECT event_type,
+      |    ROUND(quantile_cont(value, 0.05), 6) AS p05,
+      |    ROUND(quantile_cont(value, 0.95), 6) AS p95
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(SUM(CASE WHEN e.value < c.p05 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_low,
+      |  CAST(SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_high,
+      |  any_value(c.p05) AS p05, any_value(c.p95) AS p95,
+      |  CAST(SUM(CAST(LEAST(GREATEST(e.value, c.p05), c.p95)
+      |    AS DECIMAL(25,6))) AS DOUBLE) AS sum_winsorized
+      |FROM events e JOIN cuts c ON e.event_type = c.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_k_anonymity" -> (kAnonymity _),
+    "evt_time_to_convert" -> (timeToConvert _),
+    "quality_winsorize" -> (winsorize _),
+    "evt_brown_forecast" -> (brown _),
+    "ml_ab_test" -> (abTest _),
+    "ml_feature_auc" -> (featureAuc _),
+    "rel_item_similarity" -> (itemSimilarity _),
+    "dedup_containment" -> (containment _),
+    "graph_kcore" -> (kcore _))
+
+  override def oracles: Map[String, String] = Map(
+    "dq_k_anonymity" -> kAnonymitySql,
+    "evt_time_to_convert" -> timeToConvertSql,
+    "quality_winsorize" -> winsorizeSql,
+    "evt_brown_forecast" -> brownSql,
+    "ml_ab_test" -> abTestSql,
+    "ml_feature_auc" -> featureAucSql,
+    "rel_item_similarity" -> itemSimilaritySql,
+    "dedup_containment" -> containmentSql,
+    "graph_kcore" -> kcoreSql)
+}

@@ -477,6 +477,116 @@ object Embeddings extends QueryModule {
        |ORDER BY q.query_id""".stripMargin
   }
 
+  // --------------------------------------------- Matryoshka truncation
+  /** Matryoshka-style head-dimension truncation ANN (Kusupati et al.
+    * 2022): candidates ranked by cosine over the FIRST 16 of 64 dims —
+    * the "nested representation" read pattern, where a prefix of the
+    * stored vector is itself a usable embedding. Same 4× compression,
+    * query set, and recall harness as emb_rp_recall, so the ladder
+    * directly contrasts the three compression axes at equal ratio:
+    * prefix-truncation (this), random projection (JL), and width
+    * quantization (SQ8). NOTE these embeddings were not TRAINED with
+    * matryoshka losses, so the prefix carries no privileged information —
+    * the measured recall is the honest no-retraining baseline. */
+  private def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("head", expr("slice(embedding, 1, 16)")).persist()
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("head").as("qh"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hcos", round(expr(cosOf("qh", "head")), 6))
+    val hW = Window.partitionBy(col("query_id"))
+      .orderBy(col("hcos").desc, col("vec_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val hTop = scored.withColumn("rn", row_number().over(hW))
+      .filter(col("rn") <= 10).select(col("query_id"), col("vec_id"))
+    val rerank = scored.withColumn("rn", row_number().over(hW))
+      .filter(col("rn") <= 50)
+      .withColumn("cos", round(expr(cosExpr), 6))
+      .withColumn("rk", row_number().over(rankW)).filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val brute = scored.withColumn("cos", round(expr(cosExpr), 6))
+      .withColumn("rn", row_number().over(rankW)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val hitsH = brute.join(hTop, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits_head"))
+    val hits = brute.join(rerank, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    graft.core.CachePin.sealAndRelease(
+      q.select(col("query_id"))
+        .join(hitsH, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits_head"), lit(0L)).as("n_hits_head"),
+          (coalesce(col("n_hits_head"), lit(0L)) / 10.0).as("recall_head"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"))
+        .orderBy(col("query_id")),
+      emb)
+  }
+
+  private val matryoshkaRecallSql = {
+    def cosFrag(a: String, b: String, n: Int) =
+      s"""ROUND(
+         |      list_reduce(list_prepend(0.0, list_transform(range(1, $n), i ->
+         |        CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)
+         |      / (SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, $n), i ->
+         |           CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), (acc, x) -> acc + x))
+         |         * SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, $n), i ->
+         |           CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)))
+         |    , 6)""".stripMargin
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT vec_id, embedding, embedding[1:16] AS head FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, head AS qh
+       |  FROM p WHERE vec_id < 20
+       |), scored AS MATERIALIZED (
+       |  SELECT q.query_id, e.vec_id,
+       |    ${cosFrag("qh", "e.head", 17)} AS hcos,
+       |    ${cosFrag("qv", "e.embedding", 65)} AS cos
+       |  FROM p e CROSS JOIN q WHERE e.vec_id <> q.query_id
+       |), htop AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY hcos DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= 10
+       |), rerank AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |    FROM (
+       |      SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY hcos DESC, vec_id) AS rn
+       |      FROM scored) WHERE rn <= 50)
+       |  WHERE rk <= 10
+       |), brute AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= 10
+       |), hitsh AS (
+       |  SELECT b.query_id, count(*) AS n_hits_head
+       |  FROM brute b JOIN htop t ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+       |  GROUP BY b.query_id
+       |), hits AS (
+       |  SELECT b.query_id, count(*) AS n_hits
+       |  FROM brute b JOIN rerank r ON b.query_id = r.query_id AND b.vec_id = r.vec_id
+       |  GROUP BY b.query_id
+       |)
+       |SELECT q.query_id,
+       |  COALESCE(hh.n_hits_head, 0) AS n_hits_head,
+       |  COALESCE(hh.n_hits_head, 0) / 10.0 AS recall_head,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) / 10.0 AS recall_at_10
+       |FROM q LEFT JOIN hitsh hh ON q.query_id = hh.query_id
+       |LEFT JOIN hits h ON q.query_id = h.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
+
   // ------------------------------------------------------- IVF ANN variant
   /** IVF (inverted-file) ANN: the per-label centroids act as the coarse
     * quantizer — every vector is assigned to its nearest-centroid CELL
@@ -1868,6 +1978,7 @@ object Embeddings extends QueryModule {
     "emb_knn_bruteforce" -> (knnBrute _),
     "emb_hard_negatives" -> (hardNegatives _),
     "emb_rp_recall" -> (rpRecall _),
+    "emb_matryoshka_recall" -> (matryoshkaRecall _),
     "emb_centroids" -> (centroids _),
     "emb_lsh_buckets" -> (lshBuckets _),
     "dedup_embedding_cosine" -> (cosineNearDup _),
@@ -1889,6 +2000,7 @@ object Embeddings extends QueryModule {
     "emb_knn_bruteforce" -> knnBruteSql,
     "emb_hard_negatives" -> hardNegativesSql,
     "emb_rp_recall" -> rpRecallSql,
+    "emb_matryoshka_recall" -> matryoshkaRecallSql,
     "emb_centroids" -> centroidsSql,
     "emb_lsh_buckets" -> lshBucketsSql,
     "dedup_embedding_cosine" -> cosineNearDupSql,

@@ -357,7 +357,54 @@ object FeatureStoreQueries extends QueryModule {
        |FROM v1 LEFT JOIN v0 ON v0.user_id = v1.user_id
        |ORDER BY v1.user_id""".stripMargin
 
+  // ---------------------------------------------------- GDPR erasure
+  /** Right-to-be-forgotten: materialize the daily features, erase every
+    * 7th user, then read back BOTH the serving snapshot and the
+    * time-travel path (onlineAsOf reconstructs from the REWRITTEN
+    * history, so an erased subject must be gone there too — the check a
+    * snapshot-only delete would fail). Output per surviving user: the
+    * served latest row plus the history row count. Erased keys appearing
+    * anywhere, or a served row the log can no longer reproduce, breaks
+    * the count/hash. */
+  private def gdprErase(spark: SparkSession, dir: String): DataFrame = {
+    val store = tempStore(spark)
+    val feats = dailyFeatures(spark, dir)
+    store.upsert(userDailyView, feats, batchId = 0L)
+    val erased = feats.select(col("user_id")).distinct()
+      .filter(col("user_id") % 7 === 0)
+    store.erase(userDailyView, erased, eraseTag = "gdpr1")
+    val days = store.history(userDailyView)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_days"))
+    val asOf = store.onlineAsOf(userDailyView, maxBatchId = 0L)
+      .select(col("user_id"), lit(1L).as("in_log"))
+    store.online(userDailyView)
+      .select(col("user_id"), col("feature_timestamp"), col("n_events"),
+        col("sum_value"))
+      .join(days, Seq("user_id"))
+      .join(asOf, Seq("user_id"), "left")
+      .select(col("user_id"), col("feature_timestamp"), col("n_events"),
+        col("sum_value"), col("n_days"), coalesce(col("in_log"), lit(0L))
+          .as("in_log"))
+      .orderBy(col("user_id"))
+  }
+
+  private val gdprEraseSql =
+    s"""WITH $dailySqlCte,
+       | keep AS (
+       |  SELECT * FROM daily WHERE user_id % 7 <> 0
+       |), latest AS (
+       |  SELECT user_id, feature_timestamp, n_events, sum_value,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+       |  FROM keep
+       |), days AS (
+       |  SELECT user_id, count(*) AS n_days FROM keep GROUP BY 1)
+       |SELECT l.user_id, l.feature_timestamp, l.n_events, l.sum_value,
+       |  CAST(d.n_days AS BIGINT) AS n_days, CAST(1 AS BIGINT) AS in_log
+       |FROM latest l JOIN days d ON l.user_id = d.user_id
+       |WHERE l.rn = 1 ORDER BY l.user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_gdpr_erasure" -> (gdprErase _),
     "fs_version_diff" -> (versionDiff _),
     "fs_online_roundtrip" -> (roundtrip _),
     "fs_historical_pit" -> (pit _),
@@ -367,6 +414,7 @@ object FeatureStoreQueries extends QueryModule {
     "fs_pit_consistency" -> (pitConsistency _))
 
   override def oracles: Map[String, String] = Map(
+    "fs_gdpr_erasure" -> gdprEraseSql,
     "fs_version_diff" -> versionDiffSql,
     "fs_online_roundtrip" -> roundtripSql,
     "fs_historical_pit" -> pitSql,

@@ -226,6 +226,12 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.ewmaStream(s, d)),
     "stream_throttle" ->
       ((s: SparkSession, d: String) => StreamingPipelines.throttleStream(s, d)),
+    "stream_trend_slope" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.trendSlopeStream(s, d)),
+    "stream_brown" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.brownStream(s, d)),
+    "stream_ab_test" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.abTestStream(s, d)),
     "stream_drift_psi" ->
       ((s: SparkSession, d: String) => StreamingPipelines.psiStream(s, d)),
     "stream_feature_scaling" ->
@@ -267,6 +273,9 @@ object StreamingQueries extends QueryModule {
     "stream_markov_transitions" -> EventAnalytics.markovSql,
     "stream_ewma" -> AnalyticsOps.ewmaSql,
     "stream_throttle" -> AnalyticsOps.throttleSql,
+    "stream_trend_slope" -> FeatureOps.trendSlopeSql,
+    "stream_brown" -> AdvancedOps.brownSql,
+    "stream_ab_test" -> AdvancedOps.abTestSql,
     "stream_drift_psi" -> DriftQuality.psiSql,
     "stream_feature_scaling" -> DriftQuality.featureScalingSql,
     "stream_scd2_intervals" -> EventAnalytics.scd2ClosedSql,

@@ -387,6 +387,166 @@ class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32,
       }
     }
 
+  /** GDPR right-to-be-forgotten erasure: removes EVERY row for the given
+    * entity keys from the serving snapshot AND the append-only history.
+    * Unlike `applyTtl` (cache maintenance on the snapshot), erasure IS a
+    * log operation — time travel must not resurrect an erased subject —
+    * so the affected `batch=<id>` history directories are rewritten in
+    * place (two atomic renames per directory, the compactHistory swap
+    * discipline), and the pre-erase copies are deleted IMMEDIATELY:
+    * the store's normal gcGraceMs retention would keep the subject
+    * readable, which is exactly what an erasure request forbids, so
+    * erase() ends with a retention-0 sweep (the Delta equivalent is
+    * DELETE + VACUUM RETAIN 0 HOURS, the documented GDPR recipe).
+    *
+    * Scale shape: one scan finds the affected history batches (at 100 TB
+    * a bucketed/Z-ordered history prunes this to footer stats); each
+    * rewrite is proportional to its batch directory, and the snapshot
+    * rewrite touches only the buckets the keys hash into — erasure
+    * requests are bounded key lists, so the whole operation is
+    * O(affected data), never O(store).
+    *
+    * Same single-writer contract as upsert/applyTtl: quiesce readers of
+    * the affected view (the history swap renames paths a pinned
+    * FileIndex may hold — and deliberately so). */
+  def erase(view: FeatureView, keyDf: DataFrame, eraseTag: String): Unit = {
+    val keys = view.entities.map(_.joinKey)
+    val keyRows = keyDf.select(keys.map(col): _*).distinct().cache()
+    try {
+      // ---- history: rewrite ONLY the batch directories holding the keys
+      val histRoot = path("history", view.name)
+      if (exists(histRoot)) {
+        healEraseLeftovers(view)
+        // compactHistory's grace-parked pre-compaction copies also hold
+        // the subject — GDPR forbids retaining them
+        locally {
+          import scala.jdk.CollectionConverters._
+          val hd = Paths.get(path("history"))
+          if (Files.isDirectory(hd)) {
+            val listing = Files.list(hd)
+            try listing.iterator().asScala
+              .filter(_.getFileName.toString
+                .startsWith(s"_compact_retired_${view.name}_"))
+              .foreach(deleteRecursive)
+            finally listing.close()
+          }
+        }
+        val affected = history(view).join(keyRows, keys, "left_semi")
+          .select(col("_batch_seq")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        affected.foreach { b =>
+          val live = path("history", view.name, s"batch=$b")
+          val tmp = path("history", view.name, s"_erase_tmp_$b")
+          val old = path("history", view.name, s"_erase_old_$b")
+          spark.read.parquet(live)
+            .join(keyRows, keys, "left_anti")
+            .write.mode(SaveMode.Overwrite).parquet(tmp)
+          Files.move(Paths.get(live), Paths.get(old),
+            StandardCopyOption.ATOMIC_MOVE)
+          Files.move(Paths.get(tmp), Paths.get(live),
+            StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursive(Paths.get(old)) // GDPR: no retained copy
+        }
+      }
+      // ---- snapshot: new version for ONLY the buckets the keys hash into
+      manifest(view).foreach { m =>
+        val touched = keyRows.select(bucketOf(keys).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val hit = m.filter { case (b, r) =>
+          touched(b) && exists(bucketPath(view, r.version, b)) }
+        if (hit.nonEmpty) {
+          val used = m.values.map(_.version).toSet
+          val version = (Iterator(s"er$eraseTag") ++
+            Iterator.from(2).map(i => s"er${eraseTag}_$i")).find(!used(_)).get
+          val paths = hit.toSeq.sortBy(_._1)
+            .map { case (b, r) => bucketPath(view, r.version, b) }
+          spark.read.parquet(paths: _*)
+            .withColumn(BucketCol, bucketOf(keys))
+            .join(keyRows, keys, "left_anti")
+            .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+            .parquet(path("online", view.name, version))
+          // erasing rows can only RAISE a bucket's true min — recompute
+          // exactly for the rewritten buckets (all-erased buckets leave
+          // no directory: MaxValue, the applyTtl convention)
+          val mins = versionMins(view, version)
+          writeManifest(view,
+            m ++ hit.keys.map(b =>
+              b -> BucketRef(version, mins.getOrElse(b, Long.MaxValue))),
+            version)
+        }
+      }
+      // GDPR: superseded versions must go NOW, not after the grace window
+      gcVersionsImmediate(view)
+      // ... and version dirs are SHARED across buckets, so a version still
+      // live for other buckets can hold the subject's bucket under a
+      // (bucket -> version) pair the manifest no longer references —
+      // upsert leaves those stale subdirs behind (harmless to reads,
+      // reclaimed wholesale when the version dies) but erasure must purge
+      // them per-bucket
+      manifest(view).foreach { m =>
+        val touched = keyRows.select(bucketOf(keys).as("b")).distinct()
+          .collect().map(_.getInt(0))
+        val dir = Paths.get(path("online", view.name))
+        if (Files.isDirectory(dir)) {
+          import scala.jdk.CollectionConverters._
+          val listing = Files.list(dir)
+          val versions =
+            try listing.iterator().asScala.map(_.getFileName.toString)
+              .filter(n => Files.isDirectory(dir.resolve(n)) &&
+                !n.startsWith("_")).toList
+            finally listing.close()
+          for (v <- versions; b <- touched
+               if !m.get(b).map(_.version).contains(v))
+            deleteRecursive(dir.resolve(v).resolve(s"$BucketCol=$b"))
+        }
+      }
+    } finally keyRows.unpersist()
+  }
+
+  /** Crash recovery for erase's per-batch swap: a leftover `_erase_old_*`
+    * means the swap completed (live is the erased copy) — delete it; a
+    * leftover `_erase_tmp_*` with live present is a pre-swap orphan —
+    * delete it; tmp WITHOUT live means the crash hit between the renames —
+    * tmp is the fully-written erased copy, promote it. */
+  private def healEraseLeftovers(view: FeatureView): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path("history", view.name))
+    if (!Files.isDirectory(dir)) return
+    val listing = Files.list(dir)
+    val entries =
+      try listing.iterator().asScala.map(_.getFileName.toString).toList
+      finally listing.close()
+    entries.filter(_.startsWith("_erase_old_"))
+      .foreach(n => deleteRecursive(dir.resolve(n)))
+    entries.filter(_.startsWith("_erase_tmp_")).foreach { n =>
+      val b = n.stripPrefix("_erase_tmp_")
+      val live = dir.resolve(s"batch=$b")
+      if (Files.exists(live)) deleteRecursive(dir.resolve(n))
+      else Files.move(dir.resolve(n), live, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Retention-0 version sweep (erase's closing step): deletes every
+    * unreferenced snapshot version immediately and clears the pending
+    * ledger — the VACUUM RETAIN 0 HOURS of this store. */
+  private def gcVersionsImmediate(view: FeatureView): Unit =
+    manifest(view).foreach { m =>
+      import scala.jdk.CollectionConverters._
+      val live = m.values.map(_.version).toSet
+      val dir = Paths.get(path("online", view.name))
+      if (Files.isDirectory(dir)) {
+        val listing = Files.list(dir)
+        val stale =
+          try listing.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            Files.isDirectory(p) && !n.startsWith("_") && !live.contains(n)
+          }.toList
+          finally listing.close()
+        stale.foreach(deleteRecursive)
+        writePending(view, Map.empty)
+      }
+    }
+
   /** Time-travel read: the MERGE state of the log AS OF batch
     * `maxBatchId`, reconstructed from the append-only history (latest row
     * per key among batches <= maxBatchId, the same winner ordering upsert

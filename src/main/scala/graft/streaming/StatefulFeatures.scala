@@ -170,6 +170,84 @@ object StatefulFeatures {
       }
   }
 
+  // -------------------------------------------------------- trend slope
+  case class TrendEventIn(event_id: Long, user_id: Long, ems: Long,
+      value: Double)
+  /** Running OLS moments per user — 5 long primitives. x = minutes since
+    * 2024-01-01, y = value in integer micros; every moment is an exact
+    * integer, so arrival ORDER cannot matter (sums commute) and the final
+    * slope is bit-identical to the batch closed form. Σxy is the widest
+    * moment (~1.4e16 at sf0.1); it overflows a long only past ~10^5× this
+    * corpus per key — at that scale the state would move to two-long
+    * (hi, lo) limbs, the arithmetic staying exact. */
+  case class TrendState(n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long)
+  case class TrendStep(user_id: Long, n: Long, sx: Long, sy: Long,
+      sxy: Long, sxx: Long)
+
+  /** Per-user OLS moment accumulation (same closed form as
+    * evt_trend_slope — graft.queries.FeatureOps.trendFinalize turns the
+    * final per-key moments into the slope). Emits post-arrival moments per
+    * event in append mode; n is strictly increasing per key, so the max-n
+    * row is the feature. */
+  def trendSteps(ds: Dataset[TrendEventIn]): Dataset[TrendStep] = {
+    implicit val outEnc = Encoders.product[TrendStep]
+    implicit val stateEnc = Encoders.product[TrendState]
+    val origin = 28401120L // minutes at 2024-01-01T00:00Z, shared w/ batch
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[TrendEventIn],
+         state: GroupState[TrendState]) =>
+          var st = state.getOption.getOrElse(TrendState(0L, 0L, 0L, 0L, 0L))
+          val out = events.map { e =>
+            val x = e.ems / 60000L - origin
+            val y = math.rint(e.value * 1e6).toLong // exact: ≤ 6 decimals
+            st = TrendState(st.n + 1L, st.sx + x, st.sy + y,
+              st.sxy + x * y, st.sxx + x * x)
+            TrendStep(uid, st.n, st.sx, st.sy, st.sxy, st.sxx)
+          }.toVector
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  // ------------------------------------- Brown double smoothing
+  case class BrownEventIn(event_id: Long, user_id: Long, ems: Long,
+      value: Double)
+  /** Brown double-exponential state — 4 primitives per user. */
+  case class BrownState(s1: Double, s2: Double, n: Long, lastEms: Long)
+  case class BrownStep(user_id: Long, n_events: Long, s1: Double,
+      s2: Double)
+
+  /** Per-user Brown double exponential smoothing (α = 0.25; the batch
+    * query's expanded recurrence s₂' = α²x + α(1−α)s₁ + (1−α)s₂, s₁' =
+    * αx + (1−α)s₁ — s₂ updated FIRST from old state, exactly the fold
+    * order both engines run). Within a micro-batch arrivals sort by
+    * (ems, event_id); the chunked replay is globally time-ordered, so
+    * the doubles equal the batch fold bit-for-bit (same oracle as
+    * evt_brown_forecast). */
+  def brownSteps(ds: Dataset[BrownEventIn]): Dataset[BrownStep] = {
+    implicit val outEnc = Encoders.product[BrownStep]
+    implicit val stateEnc = Encoders.product[BrownState]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[BrownEventIn],
+         state: GroupState[BrownState]) =>
+          var st = state.getOption.getOrElse(BrownState(0.0, 0.0, 0L, 0L))
+          val out = events.toVector.sortBy(e => (e.ems, e.event_id))
+            .map { e =>
+              st =
+                if (st.n == 0L) BrownState(e.value, e.value, 1L, e.ems)
+                else BrownState(
+                  0.25 * e.value + 0.75 * st.s1,
+                  0.0625 * e.value + 0.1875 * st.s1 + 0.75 * st.s2,
+                  st.n + 1L, math.max(st.lastEms, e.ems))
+              BrownStep(uid, st.n, st.s1, st.s2)
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ----------------------------------------------------------- throttle
   case class ThrottleEventIn(event_id: Long, user_id: Long, ems: Long)
   /** Cooldown state: last KEPT timestamp + kept/seen counters. */

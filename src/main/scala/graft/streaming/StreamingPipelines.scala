@@ -959,6 +959,80 @@ object StreamingPipelines {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming OLS trend slope: per-user 5-long moment state over the
+    * replay (order-independent — integer sums commute), final per-key
+    * moments finalized through the SAME exact-integer closed form as the
+    * batch query (graft.queries.FeatureOps.trendFinalize; same oracle as
+    * evt_trend_slope). */
+  def trendSlopeStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = eventStreamReplay(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"), col("value"))
+      .as[StatefulFeatures.TrendEventIn]
+    val out = StatefulFeatures.trendSteps(in).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n").desc)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val finalRows = runToMemory(spark, out, "append", "trend")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n"),
+        col("sx").cast(d38).as("sx"), col("sy").cast(d38).as("sy"),
+        col("sxy").cast(d38).as("sxy"), col("sxx").cast(d38).as("sxx"))
+    graft.queries.FeatureOps.trendFinalize(finalRows)
+  }
+
+  /** Streaming A/B monitor: stateless (variant, conversion) map, 4
+    * additive counters in complete mode (in-flight state = 1 row), the
+    * z-test closed form applied to the final counts via the SAME
+    * expressions as the batch query — the live experiment readout (same
+    * oracle as ml_ab_test). Order never matters: counts are additive. */
+  def abTestStream(spark: SparkSession, dir: String): DataFrame = {
+    val in = eventStreamReplay(spark, dir)
+    val agg = in.select((col("user_id") % 2).as("variant"),
+        when(col("value") > 75.0, 1L).otherwise(0L).as("conv"))
+      .groupBy()
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"))
+    val m = runToMemory(spark, agg, "complete", "abtest")
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val pp = (col("c0") + col("c1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    m.select(col("n0"), col("n1"), col("c0"), col("c1"),
+      p0.as("p0"), p1.as("p1"),
+      ((p1 - p0) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n0").cast("double") +
+           lit(1.0) / col("n1").cast("double")))).as("z"))
+  }
+
+  /** Streaming Brown double-smoothing features: per-user 4-primitive
+    * (s₁, s₂) state over the time-ordered replay; the final per-key row
+    * finalized with the SAME level/trend/forecast expressions as the
+    * batch query (same oracle as evt_brown_forecast). */
+  def brownStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = eventStreamReplay(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"), col("value"))
+      .as[StatefulFeatures.BrownEventIn]
+    val out = StatefulFeatures.brownSteps(in).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    runToMemory(spark, out, "append", "brown")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .select(col("user_id"), col("n_events"),
+        (lit(2.0) * col("s1") - col("s2")).as("level"),
+        ((col("s1") - col("s2")) / lit(3.0)).as("trend"),
+        ((lit(2.0) * col("s1") - col("s2")) +
+          (col("s1") - col("s2")) / lit(3.0)).as("forecast_1"))
+      .orderBy(col("user_id"))
+  }
+
   /** Streaming cooldown dedup (throttle): per-user 3-primitive state over
     * the time-ordered replay; final per-key row (max n_events) equals the
     * batch greedy fold (same oracle as evt_throttle). */

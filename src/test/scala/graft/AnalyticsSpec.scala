@@ -190,4 +190,115 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(if (v == 0) st == "pass" else st == "fail")
     }
   }
+
+  test("evt_trend_slope matches a from-scratch OLS on exact integers") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS ems",
+        "value")
+      .as[(Long, Long, Double)].collect()
+    val expected = events.groupBy(_._1).map { case (uid, evs) =>
+      val xs = evs.map(e => BigInt(e._2 / 60000L - 28401120L))
+      val ys = evs.map(e => BigInt(math.rint(e._3 * 1e6).toLong))
+      val n = BigInt(evs.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val den = (n * sxx - sx * sx) * 1000000
+      val slope = if (den == 0) None
+        else Some((n * sxy - sx * sy).toDouble / den.toDouble)
+      uid -> slope
+    }
+    val got = q("evt_trend_slope").select("user_id", "slope")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (uid, s) =>
+      assert(got(uid) == s, s"user $uid: got ${got(uid)} want $s")
+    }
+  }
+
+  test("evt_gapfill_locf fills every interior gap hour with the prior value") {
+    // hand corpus: user 1 has events in hours 0, 3 (two in-hour rows: the
+    // later (ems, event_id) must win), and 5 -> 6 grid hours, 3 gaps
+    val rows = Seq(
+      (1L, 0L * 3600000L + 10, 100L, 1.5),
+      (1L, 3L * 3600000L + 20, 101L, 2.0),
+      (1L, 3L * 3600000L + 20, 102L, 7.0), // same ems, higher id wins
+      (1L, 5L * 3600000L + 30, 103L, 4.0))
+      .toDF("user_id", "ems", "event_id", "value")
+      .selectExpr("user_id", "CAST(timestamp_micros(ems * 1000) AS TIMESTAMP) AS ts",
+        "event_id", "value", "'c' AS event_type", "'{}' AS props")
+    val dir = java.nio.file.Files.createTempDirectory("gapfill_").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("evt_gapfill_locf")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_hours") == 6L)
+    assert(r.getAs[Long]("n_gap_hours") == 3L)
+    // filled series: 1.5, 1.5, 1.5, 7.0 (id tie-break), 7.0, 4.0
+    assert(math.abs(r.getAs[Double]("sum_filled") - 22.5) < 1e-9)
+    assert(r.getAs[Double]("last_filled") == 4.0)
+  }
+
+  test("ml_feature_auc equals the brute-force pairwise-comparison AUC") {
+    val rows = spark.read.parquet(s"$sf0001/events.parquet")
+      .selectExpr("event_type", "value").as[(String, Double)].collect()
+    val types = rows.map(_._1).distinct.sorted
+    val got = q("ml_feature_auc").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[Double]("auc")))).toMap
+    types.foreach { t =>
+      val pos = rows.filter(_._1 == t).map(_._2)
+      val neg = rows.filter(_._1 != t).map(_._2)
+      // brute force: wins + half-ties over all pos × neg pairs, in
+      // doubled integers (2·wins + ties), then ONE double division —
+      // the same arithmetic shape the query promises
+      var num2 = 0L
+      for (p <- pos; n <- neg)
+        num2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+      val want = num2.toDouble / (2L * pos.length * neg.length).toDouble
+      val (n1, n0, auc) = got(t)
+      assert(n1 == pos.length && n0 == neg.length)
+      assert(auc == want, s"$t: got $auc want $want")
+    }
+  }
+
+  test("evt_brown_forecast equals a direct per-user Scala fold") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS ems",
+        "event_id", "value")
+      .as[(Long, Long, Long, Double)].collect()
+    val expected = events.groupBy(_._1).map { case (uid, evs) =>
+      val vs = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      var s1 = vs.head; var s2 = vs.head
+      vs.tail.foreach { x =>
+        val s2n = 0.0625 * x + 0.1875 * s1 + 0.75 * s2
+        val s1n = 0.25 * x + 0.75 * s1
+        s1 = s1n; s2 = s2n
+      }
+      // textbook identity: the expanded s2 recurrence == alpha*s1' +
+      // (1-alpha)*s2 applied to the updated s1 — spot-check it too
+      uid -> ((2.0 * s1 - s2, (s1 - s2) / 3.0))
+    }
+    val got = q("evt_brown_forecast")
+      .select("user_id", "level", "trend", "forecast_1")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (uid, (l, b)) =>
+      assert(got(uid) == ((l, b, l + b)), s"user $uid")
+    }
+  }
+
+  test("dq_benford digits cover 1-9 and millionths are consistent") {
+    val rows = q("dq_benford").collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("obs_millionths") ==
+        r.getAs[Long]("cnt") * 1000000L / total)
+      assert(r.getAs[Long]("abs_dev_millionths") ==
+        math.abs(r.getAs[Long]("obs_millionths") - r.getAs[Long]("exp_millionths")))
+    }
+  }
 }

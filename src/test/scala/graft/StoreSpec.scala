@@ -310,4 +310,43 @@ class StoreSpec extends AnyFunSuite {
       .select($"user_id", $"v").as[(Long, Double)].collect().toMap
     assert(online == Map(1L -> 3.0, 2L -> 4.0))
   }
+
+  test("erase removes keys from disk (snapshot + history + superseded versions), others intact") {
+    val root = Files.createTempDirectory("graft_erase_store_").toString
+    val store = new OnlineStore(spark, root) // default 10-min grace
+    store.upsert(view, rows((1L, 100L, 1.0), (2L, 100L, 2.0),
+      (3L, 100L, 3.0)), 0L)
+    store.upsert(view, rows((1L, 200L, 9.0), (4L, 200L, 4.0)), 1L)
+    store.erase(view, Seq(1L).toDF("user_id"), "t1")
+    // raw on-disk sweep, NOT through the store's read path: no parquet
+    // file anywhere under the view may still hold user 1
+    def allRows() = {
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      val parquets =
+        try {
+          import scala.jdk.CollectionConverters._
+          files.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toList
+        } finally files.close()
+      spark.read.parquet(parquets: _*).select($"user_id").as[Long].collect()
+    }
+    val survivors = allRows()
+    assert(!survivors.contains(1L), "erased key still on disk")
+    assert(survivors.toSet == Set(2L, 3L, 4L))
+    // NB the raw sweep above is the strong claim: it catches both
+    // grace-retained superseded versions AND stale gbucket= subdirs left
+    // inside versions still live for OTHER buckets (the shared-version
+    // leak this spec originally found)
+    // read paths agree: online, point lookup, and time travel all erased
+    assert(store.online(view).filter($"user_id" === 1L).isEmpty)
+    assert(store.onlineAsOf(view, 1L).filter($"user_id" === 1L).isEmpty)
+    // other keys' serving values untouched
+    val online = store.getOnlineFeatures(view, Seq(2L, 3L, 4L).toDF("user_id"))
+      .select($"user_id", $"v").as[(Long, Double)].collect().toMap
+    assert(online == Map(2L -> 2.0, 3L -> 3.0, 4L -> 4.0))
+    // erasing an absent key is a no-op on serving state
+    store.erase(view, Seq(99L).toDF("user_id"), "t2")
+    assert(store.online(view).count() == 3L)
+    assert(store.history(view).count() == 3L)
+  }
 }

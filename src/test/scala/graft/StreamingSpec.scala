@@ -677,4 +677,34 @@ class StatefulStatsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(late.getAs[Double]("mins_since_last") == 500 / 60000.0)
     assert(late.getAs[Long]("n_24h") == 2) // events 1 and 3 (not 2)
   }
+
+  test("streaming trend slope: moments are arrival-order independent across batches") {
+    import graft.streaming.StatefulFeatures.{TrendEventIn, trendSteps}
+    implicit val ctx = spark.sqlContext
+    val origin = 28401120L * 60000L
+    val events = Seq( // minutes 0, 10, 20, 30 with values 1.5, 2.25, 4.0, 3.5
+      TrendEventIn(1, 7, origin, 1.5),
+      TrendEventIn(2, 7, origin + 600000L, 2.25),
+      TrendEventIn(3, 7, origin + 1200000L, 4.0),
+      TrendEventIn(4, 7, origin + 1800000L, 3.5))
+    def run(name: String, batches: Seq[Seq[TrendEventIn]]): (Long, Long, Long, Long, Long) = {
+      val in = MemoryStream[TrendEventIn]
+      val q = trendSteps(in.toDS()).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val last = spark.table(name).orderBy(org.apache.spark.sql.functions
+        .col("n").desc).head()
+      (last.getAs[Long]("n"), last.getAs[Long]("sx"), last.getAs[Long]("sy"),
+        last.getAs[Long]("sxy"), last.getAs[Long]("sxx"))
+    }
+    val ordered = run("trend_fwd", Seq(events.take(2), events.drop(2)))
+    val shuffled = run("trend_rev", Seq(Seq(events(3), events(0)),
+      Seq(events(2), events(1))))
+    assert(ordered == shuffled) // integer sums commute — order cannot matter
+    assert(ordered._1 == 4L && ordered._2 == 60L) // n, Σx = 0+10+20+30
+    assert(ordered._3 == 11250000L) // Σy micros
+  }
 }
