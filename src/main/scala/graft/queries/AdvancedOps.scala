@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import Exact._
 
@@ -471,12 +472,19 @@ object AdvancedOps extends QueryModule {
     * [p05, p95] cut points (round-6 percentile parity), clip counts +
     * the DECIMAL-exact winsorized sum — the outlier-robust preprocessing
     * twin of quality_iqr_outliers that REPLACES instead of dropping. */
+  /** The per-type [p05, p95] cut points — shared with the streaming twin
+    * (stream_winsorize), which broadcasts them into the replay stream. */
+  private[graft] def winsorizeCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ev(spark, dir).groupBy($"event_type")
+      .agg(expr("round(percentile(value, 0.05), 6)").as("p05"),
+        expr("round(percentile(value, 0.95), 6)").as("p95"))
+  }
+
   private def winsorize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = ev(spark, dir)
-    val cuts = e.groupBy($"event_type")
-      .agg(expr("round(percentile(value, 0.05), 6)").as("p05"),
-        expr("round(percentile(value, 0.95), 6)").as("p95"))
+    val cuts = winsorizeCuts(spark, dir)
     e.join(broadcast(cuts), Seq("event_type"))
       .withColumn("w", least(greatest($"value", $"p05"), $"p95"))
       .groupBy($"event_type")
@@ -488,7 +496,8 @@ object AdvancedOps extends QueryModule {
       .orderBy($"event_type")
   }
 
-  private val winsorizeSql =
+  /** Shared with stream_winsorize. */
+  private[graft] val winsorizeSql =
     """WITH cuts AS (
       |  SELECT event_type,
       |    ROUND(quantile_cont(value, 0.05), 6) AS p05,
@@ -505,7 +514,134 @@ object AdvancedOps extends QueryModule {
       |FROM events e JOIN cuts c ON e.event_type = c.event_type
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  // ------------------------------------------------- link prediction
+  /** Adamic-Adar link prediction over the bipartite trade graph:
+    * supplier pairs ranked by their shared customers, each shared
+    * customer weighted down by its degree — the classic
+    * Σ 1/log(deg) score with the suite's integer-log surrogate
+    * (1000000 div bitlen(deg), bitlen = length(bin(deg)) — ln is
+    * libm-dependent and breaks bit-exact oracles, the HLL/LM rule).
+    * All-integer scores; fan-out = Σ deg(customer)² — bounded by the
+    * co-purchase density, never suppliers²; at 100 TB hub customers
+    * get a degree cap (they contribute ~0 weight anyway). Top 50
+    * predicted links. */
+  private def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rel = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey".as("s"), $"o_custkey".as("c")).distinct()
+    val deg = rel.groupBy($"c").agg(count(lit(1)).as("dc"))
+    val weighted = rel.join(broadcast(deg), Seq("c"))
+      .withColumn("w", expr("1000000 div length(bin(dc))"))
+    weighted.as("a").join(weighted.as("b"),
+        col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2"), col("a.w").as("w"))
+      .groupBy($"s1", $"s2")
+      .agg(count(lit(1)).as("common_customers"),
+        sum($"w").as("aa_millionths"))
+      .orderBy($"aa_millionths".desc, $"s1", $"s2")
+      .limit(50)
+  }
+
+  private val linkPredictionSql =
+    """WITH rel AS (
+      |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), deg AS (
+      |  SELECT c, count(*) AS dc FROM rel GROUP BY 1
+      |), w AS (
+      |  SELECT rel.s, rel.c, 1000000 // length(bin(deg.dc)) AS w
+      |  FROM rel JOIN deg ON rel.c = deg.c)
+      |SELECT a.s AS s1, b.s AS s2, count(*) AS common_customers,
+      |  CAST(SUM(a.w) AS BIGINT) AS aa_millionths
+      |FROM w a JOIN w b ON a.c = b.c AND a.s < b.s
+      |GROUP BY 1, 2
+      |ORDER BY aa_millionths DESC, s1, s2
+      |LIMIT 50""".stripMargin
+
+  // --------------------------------------------------- pinball loss
+  /** Quantile-regression evaluation: the pinball (quantile) loss of the
+    * per-type q90 predictor at τ = 0.9, entirely in DECIMAL algebra —
+    * y and ŷ carry ≤ 6 decimals, τ is an exact decimal literal, every
+    * per-row loss is a DECIMAL(·,7) product and the sum is exact; the
+    * only double op is the final mean division. The metric that grades
+    * a quantile forecaster (and, at τ = 0.9, SHOULD leave ~10% of rows
+    * above the predictor — over_rate reports exactly that). */
+  private def pinballLoss(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tau = lit(new java.math.BigDecimal("0.9"))
+    val e = ev(spark, dir)
+    val cuts = e.groupBy($"event_type")
+      .agg(expr("round(percentile(value, 0.9), 6)").as("p90"))
+    e.join(broadcast(cuts), Seq("event_type"))
+      .withColumn("yd", $"value".cast(DecimalType(25, 6)))
+      .withColumn("pd", $"p90".cast(DecimalType(25, 6)))
+      .withColumn("loss",
+        when($"yd" >= $"pd", tau * ($"yd" - $"pd"))
+          .otherwise((lit(new java.math.BigDecimal("0.1"))) * ($"pd" - $"yd")))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), first($"p90").as("p90"),
+        sum(when($"yd" > $"pd", 1L).otherwise(0L)).as("n_over"),
+        (sum($"loss").cast("double") / count(lit(1))).as("mean_pinball"))
+      .orderBy($"event_type")
+  }
+
+  private val pinballLossSql =
+    """WITH cuts AS (
+      |  SELECT event_type, ROUND(quantile_cont(value, 0.9), 6) AS p90
+      |  FROM events GROUP BY 1
+      |), l AS (
+      |  SELECT e.event_type, c.p90,
+      |    CAST(e.value AS DECIMAL(25,6)) AS yd,
+      |    CAST(c.p90 AS DECIMAL(25,6)) AS pd
+      |  FROM events e JOIN cuts c ON e.event_type = c.event_type)
+      |SELECT event_type, count(*) AS n, any_value(p90) AS p90,
+      |  CAST(SUM(CASE WHEN yd > pd THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+      |  CAST(SUM(CASE WHEN yd >= pd
+      |    THEN CAST(0.9 AS DECIMAL(2,1)) * (yd - pd)
+      |    ELSE CAST(0.1 AS DECIMAL(2,1)) * (pd - yd) END) AS DOUBLE)
+      |    / count(*) AS mean_pinball
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------- calibration bins
+  /** Score-calibration reliability table: an integer rule score (the
+    * evt_risk_flags family — value/hour/entity tests, all exact) binned
+    * directly, with the empirical positive rate per bin — the
+    * calibration curve without a libm sigmoid anywhere. Rates are one
+    * double division of exact counts. */
+  private def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ev(spark, dir)
+      .withColumn("score",
+        when($"value" > 50.0, 1L).otherwise(0L) +
+        when($"value" > 80.0, 1L).otherwise(0L) +
+        when(expr("(ems div 3600000) % 24") < 6, 1L).otherwise(0L) +
+        when($"user_id" % 3 === 0, 1L).otherwise(0L))
+      .withColumn("y", when($"event_type" === "purchase", 1L).otherwise(0L))
+      .groupBy($"score")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+        (sum($"y").cast("double") / count(lit(1))).as("pos_rate"))
+      .orderBy($"score")
+  }
+
+  private val calibrationBinsSql =
+    """WITH s AS (
+      |  SELECT
+      |    (CASE WHEN value > 50.0 THEN 1 ELSE 0 END
+      |     + CASE WHEN value > 80.0 THEN 1 ELSE 0 END
+      |     + CASE WHEN (epoch_ms(ts) // 3600000) % 24 < 6 THEN 1 ELSE 0 END
+      |     + CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS score,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events)
+      |SELECT CAST(score AS BIGINT) AS score, count(*) AS n,
+      |  CAST(SUM(y) AS BIGINT) AS n_pos,
+      |  CAST(SUM(y) AS DOUBLE) / count(*) AS pos_rate
+      |FROM s GROUP BY score ORDER BY score""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_prediction" -> (linkPrediction _),
+    "ml_pinball_loss" -> (pinballLoss _),
+    "ml_calibration_bins" -> (calibrationBins _),
     "dq_k_anonymity" -> (kAnonymity _),
     "evt_time_to_convert" -> (timeToConvert _),
     "quality_winsorize" -> (winsorize _),
@@ -517,6 +653,9 @@ object AdvancedOps extends QueryModule {
     "graph_kcore" -> (kcore _))
 
   override def oracles: Map[String, String] = Map(
+    "graph_link_prediction" -> linkPredictionSql,
+    "ml_pinball_loss" -> pinballLossSql,
+    "ml_calibration_bins" -> calibrationBinsSql,
     "dq_k_anonymity" -> kAnonymitySql,
     "evt_time_to_convert" -> timeToConvertSql,
     "quality_winsorize" -> winsorizeSql,

@@ -435,12 +435,22 @@ object FeatureOps extends QueryModule {
     * baseline — the additive seasonal-naive decomposition a monitoring
     * pipeline runs before alerting on raw values. Two passes over one
     * (type, hod) shuffle; the 120-row baseline broadcasts back. */
+  /** The 120-row (type, hour-of-day) baseline — shared with the
+    * streaming twin (stream_seasonality), which broadcasts it into the
+    * replay stream. */
+  private[graft] def seasonalityBase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ev(spark, dir)
+      .withColumn("hod", expr("(ems div 3600000) % 24"))
+      .groupBy($"event_type", $"hod")
+      .agg(davg($"value").as("mean_value"))
+  }
+
   private def seasonality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = ev(spark, dir)
       .withColumn("hod", expr("(ems div 3600000) % 24"))
-    val base = e.groupBy($"event_type", $"hod")
-      .agg(davg($"value").as("mean_value"))
+    val base = seasonalityBase(spark, dir)
     e.join(broadcast(base), Seq("event_type", "hod"))
       .groupBy($"event_type", $"hod")
       .agg(count(lit(1)).as("n"), first($"mean_value").as("mean_value"),
@@ -449,7 +459,8 @@ object FeatureOps extends QueryModule {
       .orderBy($"event_type", $"hod")
   }
 
-  private val seasonalitySql =
+  /** Shared with stream_seasonality. */
+  private[graft] val seasonalitySql =
     """WITH base AS (
       |  SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hod,
       |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value)
@@ -504,7 +515,94 @@ object FeatureOps extends QueryModule {
       |ORDER BY dist, name_a, name_b
       |LIMIT 50""".stripMargin
 
+  // ------------------------------------------- source overlap matrix
+  /** Cross-source contamination matrix: for every source pair, the count
+    * of shared distinct 8-token grams — the corpus-level generalization
+    * of train/eval decontamination (which 8-gram does my "independent"
+    * sources actually share?). Distinct (source, gram) rows shuffle on
+    * the gram; per-gram fan-out is bounded by the SOURCE COUNT, never by
+    * corpus size — the same reason the pair join can't blow up at
+    * 100 TB. */
+  private def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .select($"source", explode(expr(
+        """transform(sequence(1, size(toks) - 7),
+          |  i -> concat_ws(' ', slice(toks, i, 8)))""".stripMargin))
+        .as("gram"))
+      .distinct()
+    g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  private val sourceOverlapSql =
+    """WITH t AS (
+      |  SELECT source, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents
+      |), g AS (
+      |  SELECT DISTINCT source, array_to_string(ts[i:i+7], ' ') AS gram
+      |  FROM t, unnest(generate_series(1, len(ts) - 7)) AS s(i))
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  count(*) AS shared_grams
+      |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- capped sessions
+  /** Gap-sessionization with a MAX-DURATION cap (the Flink/Beam
+    * bounded-session variant Spark's session_window lacks): 30-min gap
+    * starts a session, and a session additionally SPLITS at every 2 h
+    * boundary from its own start — runaway sessions can't grow unbounded
+    * state. Sub-session id is a closed-form function of (ems − session
+    * start), so the split costs nothing beyond the base sessionize. */
+  private def sessionCapped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ems", $"event_id")
+    val cum = Window.partitionBy($"user_id").orderBy($"ems", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(spark, dir)
+      .withColumn("prev", lag($"ems", 1).over(w))
+      .withColumn("is_new",
+        when($"prev".isNull || $"ems" - $"prev" > 1800000L, 1L).otherwise(0L))
+      .withColumn("sess", sum($"is_new").over(cum))
+      .withColumn("sess_start",
+        min($"ems").over(Window.partitionBy($"user_id", $"sess")))
+      .withColumn("sub", expr("(ems - sess_start) div 7200000"))
+      .groupBy($"user_id", $"sess", $"sub")
+      .agg(count(lit(1)).as("n_events"), min($"ems").as("start_ems"),
+        max($"ems").as("end_ems"), dsum($"value").as("sum_value"))
+      .orderBy($"user_id", $"sess", $"sub")
+  }
+
+  private val sessionCappedSql =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, value, epoch_ms(ts) AS ems,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER uw IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER uw > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW uw AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), sess AS (
+      |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ems, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS sess
+      |  FROM seq
+      |), sub AS (
+      |  SELECT *, (ems - MIN(ems) OVER (PARTITION BY user_id, sess))
+      |    // 7200000 AS sub
+      |  FROM sess)
+      |SELECT user_id, sess, sub, count(*) AS n_events,
+      |  min(ems) AS start_ems, max(ems) AS end_ems,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |FROM sub GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_source_overlap" -> (sourceOverlap _),
+    "evt_session_capped" -> (sessionCapped _),
     "evt_rfm_scores" -> (rfmScores _),
     "ml_churn_labels" -> (churnLabels _),
     "evt_seasonality" -> (seasonality _),
@@ -516,6 +614,8 @@ object FeatureOps extends QueryModule {
     "text_collocations" -> (collocations _))
 
   override def oracles: Map[String, String] = Map(
+    "text_source_overlap" -> sourceOverlapSql,
+    "evt_session_capped" -> sessionCappedSql,
     "evt_rfm_scores" -> rfmScoresSql,
     "ml_churn_labels" -> churnLabelsSql,
     "evt_seasonality" -> seasonalitySql,

@@ -232,6 +232,10 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.brownStream(s, d)),
     "stream_ab_test" ->
       ((s: SparkSession, d: String) => StreamingPipelines.abTestStream(s, d)),
+    "stream_seasonality" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.seasonalityStream(s, d)),
+    "stream_winsorize" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.winsorizeStream(s, d)),
     "stream_drift_psi" ->
       ((s: SparkSession, d: String) => StreamingPipelines.psiStream(s, d)),
     "stream_feature_scaling" ->
@@ -276,6 +280,8 @@ object StreamingQueries extends QueryModule {
     "stream_trend_slope" -> FeatureOps.trendSlopeSql,
     "stream_brown" -> AdvancedOps.brownSql,
     "stream_ab_test" -> AdvancedOps.abTestSql,
+    "stream_seasonality" -> FeatureOps.seasonalitySql,
+    "stream_winsorize" -> AdvancedOps.winsorizeSql,
     "stream_drift_psi" -> DriftQuality.psiSql,
     "stream_feature_scaling" -> DriftQuality.featureScalingSql,
     "stream_scd2_intervals" -> EventAnalytics.scd2ClosedSql,

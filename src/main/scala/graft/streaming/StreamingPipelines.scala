@@ -982,6 +982,53 @@ object StreamingPipelines {
     graft.queries.FeatureOps.trendFinalize(finalRows)
   }
 
+  /** Streaming seasonality monitor: the 120-row (type, hour-of-day)
+    * baseline is trained batch-side and broadcast into the replay stream
+    * (stream-static join — the feature-store enrichment shape); residual
+    * anomaly counts accumulate additively in complete mode (in-flight
+    * state ≤ 120 rows, order-free). Same oracle as evt_seasonality. */
+  def seasonalityStream(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.queries.FeatureOps.seasonalityBase(spark, dir)
+    val in = eventStreamReplay(spark, dir)
+      .withColumn("hod", expr("(ems div 3600000) % 24"))
+    val agg = in.join(broadcast(base), Seq("event_type", "hod"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("mean_value")) > 40.0, 1L)
+          .otherwise(0L)).as("n_anomalies"))
+    runToMemory(spark, agg, "complete", "seasonal")
+      .join(broadcast(base), Seq("event_type", "hod"))
+      .select(col("event_type"), col("hod"), col("n"), col("mean_value"),
+        col("n_anomalies"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  /** Streaming winsorization: per-type [p05, p95] cut points trained
+    * batch-side and broadcast into the replay; clip counts and the
+    * DECIMAL-exact winsorized sum accumulate additively in complete mode
+    * (decimal addition is exact and commutative — arrival order cannot
+    * matter). Same oracle as quality_winsorize. */
+  def winsorizeStream(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = graft.queries.AdvancedOps.winsorizeCuts(spark, dir)
+    val in = eventStreamReplay(spark, dir)
+    val agg = in.join(broadcast(cuts), Seq("event_type"))
+      .withColumn("w", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        sum(col("w").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .as("sum_dec"))
+    runToMemory(spark, agg, "complete", "winsor")
+      .join(broadcast(cuts), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("n_clipped_low"),
+        col("n_clipped_high"), col("p05"), col("p95"),
+        col("sum_dec").cast("double").as("sum_winsorized"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming A/B monitor: stateless (variant, conversion) map, 4
     * additive counters in complete mode (in-flight state = 1 row), the
     * z-test closed form applied to the final counts via the SAME
