@@ -1531,9 +1531,11 @@ object TextAnalysis extends QueryModule {
       .limit(20)
   }
 
-  private val bm25SearchSql = {
+  /** Shared CTE chain producing `cand(doc_id, n_terms, score)` — the
+    * BM25 top-20 — so the MMR oracle reuses the scorer verbatim. */
+  private val bm25CandCtes = {
     val q = bm25Query.map(t => s"'$t'").mkString(", ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |  FROM documents
        |), dd AS (
@@ -1547,7 +1549,7 @@ object TextAnalysis extends QueryModule {
        |  WHERE term IN ($q) GROUP BY doc_id, dl, term
        |), df AS (
        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
-       |), scored AS (
+       |), bscored AS (
        |  SELECT tf.doc_id, tf.term,
        |    ((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
        |      / (CAST(df.df AS DOUBLE) + 0.5))
@@ -1556,12 +1558,118 @@ object TextAnalysis extends QueryModule {
        |        (${1.0 - bm25B} + $bm25B * CAST(tf.dl AS DOUBLE)
        |          / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS s
        |  FROM tf JOIN df USING (term), st
+       |), cand AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    ROUND(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+       |      (acc, x) -> acc + x), 6) AS score
+       |  FROM bscored GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id LIMIT 20
+       |)""".stripMargin
+  }
+
+  private val bm25SearchSql =
+    s"""WITH $bm25CandCtes
+       |SELECT doc_id, n_terms, score FROM cand
+       |ORDER BY score DESC, doc_id""".stripMargin
+
+  // --------------------------------------------------- MMR rerank
+  /** Maximal Marginal Relevance diversified rerank of the BM25 top-20
+    * (Carbonell–Goldstein 1998): greedily select 5 results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-selected (λ = 0.7),
+    * similarity = token-set Jaccard. The greedy argmax chain is
+    * inherently sequential over a TOP-K-BOUNDED candidate set, so the
+    * selection runs on the driver over the collected 20 rows — the
+    * serving-side rerank shape, legitimate because candidates are
+    * bounded by construction, never corpus-sized. Every score is a
+    * shared double formula (0.7·s − 0.3·m; Jaccard = one division of
+    * exact integers), so the oracle's 5 unrolled argmax rounds walk the
+    * identical trajectory. */
+  private def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cands = bm25Search(spark, dir).select($"doc_id", $"score")
+    val toksets = docs(spark, dir)
+      .select($"doc_id", array_distinct($"toks").as("ts"))
+    val rows = cands.join(toksets, Seq("doc_id"))
+      .select($"doc_id", $"score", $"ts")
+      .collect() // bounded: top-20 candidates by construction
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[String](2).toSet))
+    def jac(a: Set[String], b: Set[String]): Double =
+      (a & b).size.toDouble / (a | b).size.toDouble
+    var remaining = rows.toList
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double, Double)]
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[String])]
+    for (k <- 1 to 5) {
+      val scored = remaining.map { case (id, s, t) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(sel => jac(t, sel._2)).max
+        (id, s, t, maxSim, 0.7 * s - 0.3 * maxSim)
+      }
+      val pick = scored.reduceLeft { (p, q) =>
+        if (q._5 > p._5 || (q._5 == p._5 && q._1 < p._1)) q else p
+      }
+      out += ((k.toLong, pick._1, pick._2, pick._4, pick._5))
+      selected += ((pick._1, pick._3))
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("rank", "doc_id", "bm25_score", "max_sim", "mmr_score")
+      .orderBy($"rank")
+  }
+
+  private val mmrSql = {
+    // 5 unrolled greedy rounds; selection state selN accumulates by
+    // UNION ALL; max_sim over pairwise candidate Jaccard (unnest+join —
+    // never a nested lambda, per the DuckDB 1.0.0 mis-binding rule)
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT doc_id, score, max_sim,
+         |    0.7 * score - 0.3 * max_sim AS mmr
+         |  FROM (
+         |    SELECT c.doc_id, c.score,
+         |      COALESCE(MAX(q.sim), CAST(0 AS DOUBLE)) AS max_sim
+         |    FROM cand c
+         |    LEFT JOIN (SELECT s.da, s.sim FROM sim s
+         |               JOIN sel${k - 1} p ON s.db = p.doc_id) q
+         |      ON q.da = c.doc_id
+         |    WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${k - 1})
+         |    GROUP BY c.doc_id, c.score)
+         |  ORDER BY mmr DESC, doc_id LIMIT 1
+         |), sel$k AS (
+         |  SELECT doc_id FROM sel${k - 1}
+         |  UNION ALL SELECT doc_id FROM r$k)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $bm25CandCtes,
+       |ts AS (
+       |  SELECT doc_id, list_distinct(toks) AS ts FROM d
+       |), ct AS (
+       |  SELECT c.doc_id, unnest(ts.ts) AS tok
+       |  FROM cand c JOIN ts ON c.doc_id = ts.doc_id
+       |), sz AS (
+       |  SELECT doc_id, count(*) AS n FROM ct GROUP BY 1
+       |), iv AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM ct a JOIN ct b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2
+       |), sim AS (
+       |  SELECT da, db,
+       |    CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS sim
+       |  FROM iv
+       |  JOIN sz sa ON sa.doc_id = da
+       |  JOIN sz sb ON sb.doc_id = db
+       |), sel0 AS (
+       |  SELECT CAST(NULL AS BIGINT) AS doc_id WHERE false
+       |), $rounds
+       |SELECT rank, doc_id, bm25_score, max_sim, mmr_score FROM (
+       |  ${(1 to 5).map(k =>
+            s"SELECT CAST($k AS BIGINT) AS rank, doc_id, " +
+              "score AS bm25_score, max_sim, mmr AS mmr_score FROM r" + k)
+            .mkString("\n  UNION ALL ")}
        |)
-       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-       |  ROUND(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
-       |    (acc, x) -> acc + x), 6) AS score
-       |FROM scored GROUP BY doc_id
-       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+       |ORDER BY rank""".stripMargin
   }
 
   /** Phrase search over a POSITIONAL inverted index: each phrase word's
@@ -1601,6 +1709,7 @@ object TextAnalysis extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_phrase_search" -> (phraseSearch _),
     "text_bm25_search" -> (bm25Search _),
+    "text_mmr_rerank" -> (mmrRerank _),
     "text_salient_terms" -> (salientTerms _),
     "text_bpe_tokens" -> (bpeTokens _),
     "text_token_stats" -> (tokenStats _),
@@ -1627,6 +1736,7 @@ object TextAnalysis extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "text_phrase_search" -> phraseSearchSql,
     "text_bm25_search" -> bm25SearchSql,
+    "text_mmr_rerank" -> mmrSql,
     "text_salient_terms" -> salientTermsSql,
     "text_bpe_tokens" -> bpeTokensSql,
     "text_token_stats" -> tokenStatsSql,

@@ -211,7 +211,10 @@ object ScaleCheck {
       val dir = s"$base/corpus_$n"
       synthDocs(spark, n / 10)
         .withColumn("lang", lit("en"))
-        .withColumn("source", lit("synth"))
+        // 20 sources (doc-count scales, source count fixed — how real
+        // corpora grow) so the overlap-matrix row has real pair fan-out
+        .withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20L))))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       dir
@@ -233,6 +236,36 @@ object ScaleCheck {
       graft.SparkEntry.queries("text_rank_keywords")(spark, dir).count()
     }
 
+    // round-7 session-2 additions: the source-overlap matrix owns one
+    // gram-keyed shuffle with source-bounded fan-out, and link prediction
+    // owns a Σ deg(customer)² pair expansion — both must stay ~linear
+    // when entities scale WITH the data (constant per-key density)
+    def srcOverlap(dir: String): Double = timed {
+      graft.SparkEntry.queries("text_source_overlap")(spark, dir).count()
+    }
+    def stageTrade(n: Long): String = {
+      val dir = s"$base/trade_$n"
+      val suppliers = math.max(n / 500L, 10L)
+      val customers = math.max(n / 40L, 10L)
+      // expr form: the local `substring(dir)` timer shadows
+      // functions.substring here
+      val df = spark.range(0, n)
+        .withColumn("h", expr(
+          "cast(conv(substr(md5(cast(cast(id as string) as binary)), 1, 8), 16, 10) as bigint)"))
+        .withColumn("h2", expr(
+          "cast(conv(substr(md5(cast(cast(id as string) as binary)), 9, 8), 16, 10) as bigint)"))
+      df.select(col("id").as("l_orderkey"),
+          pmod(col("h"), lit(suppliers)).as("l_suppkey"))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      df.select(col("id").as("o_orderkey"),
+          pmod(col("h2"), lit(customers)).as("o_custkey"))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    def linkPred(dir: String): Double = timed {
+      graft.SparkEntry.queries("graph_link_prediction")(spark, dir).count()
+    }
+
     val d1 = stage(n1); val d10 = stage(n1 * 10)
     val s1 = stageSkewed(n1); val s10 = stageSkewed(n1 * 10)
     val dd1 = stageDocs(n1); val dd10 = stageDocs(n1 * 10)
@@ -250,7 +283,12 @@ object ScaleCheck {
       ("curation_funnel", funnel(c1), funnel(c10)),
       ("dedup_substring", substring(c1), substring(c10)),
       ("text_lm_score", lmScore(c1), lmScore(c10)),
-      ("text_rank_keywords", textRank(c1), textRank(c10)))
+      ("text_rank_keywords", textRank(c1), textRank(c10)),
+      ("text_source_overlap", srcOverlap(c1), srcOverlap(c10)),
+      {
+        val t1 = stageTrade(n1); val t10 = stageTrade(n1 * 10)
+        ("graph_link_prediction", linkPred(t1), linkPred(t10))
+      })
 
     // IVFADC index build vs query split (round-7 verdict #4): the build
     // (Lloyd fit + PQ train + corpus coding + store writes) is paid ONCE;
