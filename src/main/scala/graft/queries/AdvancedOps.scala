@@ -426,6 +426,59 @@ object AdvancedOps extends QueryModule {
       |WHERE n_users >= 10
       |ORDER BY event_type, kbucket""".stripMargin
 
+  // ------------------------------------------------- l-diversity gate
+  /** l-diversity publication gate (l = 3): k-anonymity's k-distinct-users
+    * floor still leaks when everyone in a group shares the sensitive
+    * value, so the export additionally requires ≥ l DISTINCT sensitive
+    * values per quasi-identifier group (Machanavajjhala et al., ICDE'06).
+    * Quasi-identifier = (event_type, k-bucket); sensitive attribute =
+    * the value decile. Same single-pass + broadcast-audit shape as
+    * [[kAnonymity]]; at 100 TB both gates are one shuffle on the
+    * quasi-identifier. */
+  private def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = ev(spark, dir)
+      .select($"event_type",
+        expr("CAST(get_json_object(props, '$.k') AS LONG) div 10")
+          .as("kbucket"),
+        expr("CAST(FLOOR(value) AS LONG) div 10").as("sensitive"),
+        $"user_id", $"value")
+      .groupBy($"event_type", $"kbucket")
+      .agg(countDistinct($"user_id").as("n_users"),
+        countDistinct($"sensitive").as("l_div"),
+        count(lit(1)).as("n_rows"), dsum($"value").as("sum_value"))
+    val audit = g.agg(
+      sum(when($"n_users" < 10 || $"l_div" < 3, 1L).otherwise(0L))
+        .as("suppressed_groups"),
+      sum(when($"n_users" >= 10 && $"l_div" < 3, 1L).otherwise(0L))
+        .as("k_pass_l_fail_groups"))
+    g.filter($"n_users" >= 10 && $"l_div" >= 3)
+      .crossJoin(broadcast(audit))
+      .orderBy($"event_type", $"kbucket")
+  }
+
+  private val lDiversitySql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS kbucket,
+      |    count(DISTINCT user_id) AS n_users,
+      |    count(DISTINCT CAST(FLOOR(value) AS BIGINT) // 10) AS l_div,
+      |    count(*) AS n_rows,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2
+      |), audit AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN n_users < 10 OR l_div < 3 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS suppressed_groups,
+      |    CAST(SUM(CASE WHEN n_users >= 10 AND l_div < 3 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k_pass_l_fail_groups
+      |  FROM g)
+      |SELECT event_type, kbucket, n_users, l_div, n_rows, sum_value,
+      |  suppressed_groups, k_pass_l_fail_groups
+      |FROM g CROSS JOIN audit
+      |WHERE n_users >= 10 AND l_div >= 3
+      |ORDER BY event_type, kbucket""".stripMargin
+
   // -------------------------------------------- time-to-convert funnel
   /** Signup→purchase latency distribution: per user, minutes from the
     * FIRST signup to the first purchase AT-OR-AFTER it (the funnel
@@ -643,6 +696,7 @@ object AdvancedOps extends QueryModule {
     "ml_pinball_loss" -> (pinballLoss _),
     "ml_calibration_bins" -> (calibrationBins _),
     "dq_k_anonymity" -> (kAnonymity _),
+    "dq_l_diversity" -> (lDiversity _),
     "evt_time_to_convert" -> (timeToConvert _),
     "quality_winsorize" -> (winsorize _),
     "evt_brown_forecast" -> (brown _),
@@ -657,6 +711,7 @@ object AdvancedOps extends QueryModule {
     "ml_pinball_loss" -> pinballLossSql,
     "ml_calibration_bins" -> calibrationBinsSql,
     "dq_k_anonymity" -> kAnonymitySql,
+    "dq_l_diversity" -> lDiversitySql,
     "evt_time_to_convert" -> timeToConvertSql,
     "quality_winsorize" -> winsorizeSql,
     "evt_brown_forecast" -> brownSql,

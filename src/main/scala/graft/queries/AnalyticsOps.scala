@@ -487,6 +487,139 @@ object AnalyticsOps extends QueryModule {
       |    AS mean_value
       |FROM r GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // ------------------------------------------------------------ gains table
+  /** Cumulative-gains table (the model-evaluation companion to the
+    * decile bins): rank events by value DESC through the two-phase
+    * distributed ntile (operators/RankedWindow — no single-partition
+    * sort), then per decile the positive count (purchase) and the
+    * cumulative capture rate (gain) against cumulative depth — the
+    * "top 20% of scores captures X% of conversions" curve. Cumulative
+    * sums run over the 10-row decile table; totals broadcast back. */
+  private def gainsTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vals = ev(spark, dir).select($"value", $"event_id",
+      when($"event_type" === "purchase", 1L).otherwise(0L).as("pos"))
+    val per = graft.operators.RankedWindow
+      .rankDesc(vals, $"value", $"event_id", tiles = 10, sealOutput = false)
+      .groupBy($"quartile".cast("long").as("decile"))
+      .agg(count(lit(1)).as("n"), sum($"pos").as("positives"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum($"positives").as("total_pos"),
+      sum($"n").as("total_n"))
+    per.withColumn("cum_pos", sum($"positives").over(w))
+      .withColumn("cum_n", sum($"n").over(w))
+      .crossJoin(broadcast(tot))
+      .select($"decile", $"n", $"positives", $"cum_pos",
+        ($"cum_pos".cast("double") / $"total_pos".cast("double")).as("gain"),
+        ($"cum_n".cast("double") / $"total_n".cast("double")).as("depth"))
+      .orderBy($"decile")
+  }
+
+  private val gainsTableSql =
+    """WITH r AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+      |    CAST(ntile(10) OVER (ORDER BY value DESC, event_id) AS BIGINT)
+      |      AS decile
+      |  FROM events
+      |), per AS (
+      |  SELECT decile, count(*) AS n, CAST(SUM(pos) AS BIGINT) AS positives
+      |  FROM r GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(positives) AS BIGINT) AS total_pos,
+      |    CAST(SUM(n) AS BIGINT) AS total_n FROM per
+      |), cum AS (
+      |  SELECT *, CAST(SUM(positives) OVER cw AS BIGINT) AS cum_pos,
+      |    CAST(SUM(n) OVER cw AS BIGINT) AS cum_n
+      |  FROM per
+      |  WINDOW cw AS (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT decile, n, positives, cum_pos,
+      |  CAST(cum_pos AS DOUBLE) / CAST(total_pos AS DOUBLE) AS gain,
+      |  CAST(cum_n AS DOUBLE) / CAST(total_n AS DOUBLE) AS depth
+      |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------- cumulative users
+  /** Daily cumulative distinct users — the growth-accounting curve. The
+    * count-distinct-over-expanding-window anti-pattern collapses to a
+    * first-seen aggregation: min(day) per user (one shuffle), new-user
+    * counts per day, and a running sum over the DAY-DOMAIN-bounded
+    * table — additive, mergeable, no re-expansion at any scale. */
+  private def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDay = ev(spark, dir)
+      .groupBy($"user_id").agg(min(expr("ems div 86400000")).as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    perDay.withColumn("cum_users",
+        sum($"new_users").over(Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy($"day")
+  }
+
+  private[graft] val cumulativeUsersSql =
+    """WITH fs AS (
+      |  SELECT user_id, min(epoch_ms(ts) // 86400000) AS day
+      |  FROM events GROUP BY 1
+      |), per AS (
+      |  SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+      |SELECT day, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM per ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------- Gini concentration
+  /** Traffic-concentration audit: exact Gini coefficient of the per-user
+    * event distribution (rank formula G = (2·Σ i·cᵢ − (n+1)·Σ cᵢ) /
+    * (n·Σ cᵢ) over counts sorted ascending) plus the top-decile share —
+    * the skew measurement that decides whether the hot-key paths
+    * (SkewedAggregate, salting) are needed on a corpus. Every moment is
+    * an exact integer; doubles appear in two final divisions written
+    * identically in both engines. The rank runs over the per-user
+    * AGGREGATE (domain-bounded, same note as ml_class_rebalance: at
+    * 100 TB user counts the identical selection runs through the
+    * two-phase operators/RankedWindow). */
+  private def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = ev(spark, dir).groupBy($"user_id").agg(count(lit(1)).as("c"))
+    val ranked = c.withColumn("i",
+      row_number().over(Window.orderBy($"c", $"user_id")).cast("long"))
+    val tot = c.agg(count(lit(1)).as("nn"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_users"),
+        sum($"c").as("total_events"),
+        sum($"i" * $"c").as("s_ic"),
+        sum(when($"i" > $"nn" - expr("nn div 10"), $"c").otherwise(0L))
+          .as("top_decile_events"),
+        max($"nn").as("nn"))
+      .select($"n_users", $"total_events", $"top_decile_events",
+        ((lit(2.0) * $"s_ic".cast("double")
+          - ($"nn" + 1L).cast("double") * $"total_events".cast("double"))
+          / ($"nn".cast("double") * $"total_events".cast("double")))
+          .as("gini"),
+        ($"top_decile_events".cast("double")
+          / $"total_events".cast("double")).as("top_decile_share"))
+  }
+
+  private val giniConcentrationSql =
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS c FROM events GROUP BY 1
+      |), r AS (
+      |  SELECT c, user_id,
+      |    CAST(row_number() OVER (ORDER BY c, user_id) AS BIGINT) AS i,
+      |    (SELECT count(*) FROM c) AS nn
+      |  FROM c)
+      |SELECT count(*) AS n_users,
+      |  CAST(SUM(c) AS BIGINT) AS total_events,
+      |  CAST(SUM(CASE WHEN i > nn - nn // 10 THEN c ELSE 0 END) AS BIGINT)
+      |    AS top_decile_events,
+      |  (2.0 * CAST(SUM(i * c) AS DOUBLE)
+      |    - CAST(max(nn) + 1 AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+      |    / (CAST(max(nn) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS gini,
+      |  CAST(SUM(CASE WHEN i > nn - nn // 10 THEN c ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(c) AS DOUBLE) AS top_decile_share
+      |FROM r""".stripMargin
+
   // ------------------------------------------------------ throttle/debounce
   /** Cooldown deduplication (throttle): per user, keep an event only if
     * ≥ 12 h passed since the previously KEPT event — the greedy
@@ -607,6 +740,9 @@ object AnalyticsOps extends QueryModule {
     "dq_constraints" -> (dqConstraints _),
     "evt_attribution" -> (attribution _),
     "ml_quantile_bins" -> (quantileBins _),
+    "ml_gains_table" -> (gainsTable _),
+    "evt_cumulative_users" -> (cumulativeUsers _),
+    "evt_gini_concentration" -> (giniConcentration _),
     "evt_throttle" -> (throttle _),
     "graph_shortest_cost" -> (shortestCost _))
 
@@ -620,6 +756,9 @@ object AnalyticsOps extends QueryModule {
     "dq_constraints" -> dqConstraintsSql,
     "evt_attribution" -> attributionSql,
     "ml_quantile_bins" -> quantileBinsSql,
+    "ml_gains_table" -> gainsTableSql,
+    "evt_cumulative_users" -> cumulativeUsersSql,
+    "evt_gini_concentration" -> giniConcentrationSql,
     "evt_throttle" -> throttleSql,
     "graph_shortest_cost" -> shortestCostSql)
 }

@@ -600,8 +600,122 @@ object FeatureOps extends QueryModule {
       |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
       |FROM sub GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------- dynamic-gap sessions
+  /** Sessionization with a PER-EVENT gap — Spark's native
+    * `session_window(ts, gapExpr)` dynamic-gap form (a click keeps the
+    * session alive 30 min, anything else 10 min; the per-event-type
+    * engagement timeout every product-analytics stack wants and
+    * fixed-gap sessionization can't express). Each event contributes
+    * [ts, ts + gap); overlapping windows merge transitively; session end
+    * = max member end. The native operator sessionizes inside one
+    * shuffle on user_id (no per-user window chain); the oracle rebuilds
+    * the merge with a strict-prefix running max of member ends.
+    * MICROSECOND domain throughout: the source carries sub-ms
+    * timestamps, and the merge decision happens at full precision, so
+    * an epoch-ms oracle would round boundary decisions differently. */
+  /** Per-event session gap (30 min for clicks, 10 min otherwise), shared
+    * with the streaming twin. session_window's dynamic gap must be
+    * CalendarIntervalType — make_interval, not an ANSI interval literal
+    * (DayTimeIntervalType). */
+  private[graft] def dynamicGapCol: org.apache.spark.sql.Column =
+    when(col("event_type") === "click",
+      expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+      .otherwise(expr("make_interval(0, 0, 0, 0, 0, 10, 0)"))
+
+  private def sessionDynamic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(session_window($"ts", dynamicGapCol), $"user_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"user_id",
+        unix_micros($"session_window.start".cast("timestamp")).as("start_us"),
+        unix_micros($"session_window.end".cast("timestamp")).as("end_us"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"start_us")
+  }
+
+  /** Oracle for the dynamic-gap sessions; with `frontier` the result is
+    * restricted to sessions the streaming twin's watermark has SEALED
+    * (session end ≤ global max event time − 1 h — same frontier rule as
+    * the fixed-gap stream_session_window oracle, in the µs domain). */
+  private[graft] def sessionDynamicSqlFor(frontier: Boolean): String = {
+    val seal = if (frontier)
+      "\nHAVING max(eus) <= (SELECT max(epoch_us(ts)) FROM events) - 3600000000"
+    else ""
+    sessionDynamicSqlBase.replace("__HAVING__", seal)
+  }
+
+  private val sessionDynamicSqlBase =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+      |    epoch_us(ts) + CASE WHEN event_type = 'click'
+      |      THEN 1800000000 ELSE 600000000 END AS eus
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN max(eus) OVER pw IS NULL
+      |      OR tus >= max(eus) OVER pw THEN 1 ELSE 0 END AS is_new
+      |  FROM seq
+      |  WINDOW pw AS (PARTITION BY user_id ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), sess AS (
+      |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS sess
+      |  FROM flagged)
+      |SELECT user_id, min(tus) AS start_us, max(eus) AS end_us,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, sess__HAVING__
+      |ORDER BY user_id, start_us""".stripMargin
+
+  private val sessionDynamicSql = sessionDynamicSqlFor(frontier = false)
+
+  // -------------------------------------------------- peak detection
+  /** Local-maxima peak detection on each user's value series (the
+    * rate-spike / engagement-burst primitive): a peak is strictly
+    * greater than BOTH neighbors in (ems, event_id) order. Per-user
+    * summary: series length, peak count, and the peak with the largest
+    * value (ties: earliest). Exact double comparisons, integer counts;
+    * one partitioned-window pass. */
+  private def peaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ems", $"event_id")
+    val p = ev(spark, dir)
+      .withColumn("pv", lag($"value", 1).over(w))
+      .withColumn("nv", lead($"value", 1).over(w))
+      .withColumn("is_peak",
+        when($"pv".isNotNull && $"nv".isNotNull &&
+          $"value" > $"pv" && $"value" > $"nv", 1L).otherwise(0L))
+    p.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_points"),
+        sum($"is_peak").as("n_peaks"),
+        max(when($"is_peak" === 1L,
+          struct($"value", (-$"ems").as("nems")))).getField("value")
+          .as("top_peak_value"))
+      .orderBy($"user_id")
+  }
+
+  private val peaksSql =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, value, epoch_ms(ts) AS ems,
+      |    lag(value) OVER uw AS pv, lead(value) OVER uw AS nv
+      |  FROM events
+      |  WINDOW uw AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), flagged AS (
+      |  SELECT *, CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+      |      AND value > pv AND value > nv THEN 1 ELSE 0 END AS is_peak
+      |  FROM seq)
+      |SELECT user_id, count(*) AS n_points,
+      |  CAST(SUM(is_peak) AS BIGINT) AS n_peaks,
+      |  max(CASE WHEN is_peak = 1 THEN struct_pack(value := value,
+      |    nems := -ems) END).value AS top_peak_value
+      |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_source_overlap" -> (sourceOverlap _),
+    "evt_session_dynamic" -> (sessionDynamic _),
+    "evt_peaks" -> (peaks _),
     "evt_session_capped" -> (sessionCapped _),
     "evt_rfm_scores" -> (rfmScores _),
     "ml_churn_labels" -> (churnLabels _),
@@ -615,6 +729,8 @@ object FeatureOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "text_source_overlap" -> sourceOverlapSql,
+    "evt_session_dynamic" -> sessionDynamicSql,
+    "evt_peaks" -> peaksSql,
     "evt_session_capped" -> sessionCappedSql,
     "evt_rfm_scores" -> rfmScoresSql,
     "ml_churn_labels" -> churnLabelsSql,

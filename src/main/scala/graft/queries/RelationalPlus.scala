@@ -510,6 +510,49 @@ object RelationalPlus extends QueryModule {
       |      AND y.l_shipdate > y.o_orderdate + INTERVAL 60 DAY)
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  // ----------------------------------------------------------- skyline
+  /** 2-D skyline (Pareto frontier) over part (minimize size AND retail
+    * price): a part is dominated iff some part is no larger on both
+    * dimensions and strictly better on one. The block-nested-loop
+    * formulation is quadratic; this is the distributed two-phase plan —
+    * (1) per-x min(y) (one shuffle, output bounded by the x DOMAIN, not
+    * the row count), (2) strict-prefix min over that domain-bounded
+    * table (the only unpartitioned window, ≤|x| rows), (3) broadcast the
+    * frontier thresholds back to the fact scan. Survivors: y equals its
+    * x-group min AND beats every strictly-smaller-x group's min; equal
+    * points don't dominate each other, so exact duplicates co-survive. */
+  private def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_size".cast("long").as("p_size"),
+        $"p_retailprice")
+    val perSize = p.groupBy($"p_size").agg(min($"p_retailprice").as("ymin"))
+    val prefix = perSize.withColumn("min_y_lt",
+      min($"ymin").over(Window.orderBy($"p_size")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    p.join(broadcast(prefix), Seq("p_size"))
+      .filter($"p_retailprice" === $"ymin" &&
+        ($"min_y_lt".isNull || $"p_retailprice" < $"min_y_lt"))
+      .select($"p_partkey", $"p_size", $"p_retailprice")
+      .orderBy($"p_size", $"p_partkey")
+  }
+
+  private val skylineSql =
+    """WITH per_size AS (
+      |  SELECT CAST(p_size AS BIGINT) AS p_size,
+      |    min(p_retailprice) AS ymin
+      |  FROM part GROUP BY 1
+      |), prefix AS (
+      |  SELECT p_size, ymin,
+      |    min(ymin) OVER (ORDER BY p_size
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_y_lt
+      |  FROM per_size)
+      |SELECT p.p_partkey, pr.p_size, p.p_retailprice
+      |FROM part p JOIN prefix pr ON CAST(p.p_size AS BIGINT) = pr.p_size
+      |WHERE p.p_retailprice = pr.ymin
+      |  AND (pr.min_y_lt IS NULL OR p.p_retailprice < pr.min_y_lt)
+      |ORDER BY pr.p_size, p.p_partkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_q07_volume_shipping" -> (q07 _),
     "rel_q08_market_share" -> (q08 _),
@@ -523,7 +566,8 @@ object RelationalPlus extends QueryModule {
     "rel_q17_small_quantity" -> (q17 _),
     "rel_q18_large_orders" -> (q18 _),
     "rel_q19_disjunctive" -> (q19 _),
-    "rel_q22_idle_customers" -> (q22 _))
+    "rel_q22_idle_customers" -> (q22 _),
+    "rel_skyline" -> (skyline _))
 
   override def oracles: Map[String, String] = Map(
     "rel_q07_volume_shipping" -> q07Sql,
@@ -538,5 +582,6 @@ object RelationalPlus extends QueryModule {
     "rel_q17_small_quantity" -> q17Sql,
     "rel_q18_large_orders" -> q18Sql,
     "rel_q19_disjunctive" -> q19Sql,
-    "rel_q22_idle_customers" -> q22Sql)
+    "rel_q22_idle_customers" -> q22Sql,
+    "rel_skyline" -> skylineSql)
 }

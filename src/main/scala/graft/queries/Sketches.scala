@@ -249,13 +249,76 @@ object Sketches extends QueryModule {
       |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------- bitmap distinct
+  /** EXACT distinct-user count per event type via bitmap-index words —
+    * the roaring-bitmap aggregation pattern every OLAP engine keeps next
+    * to HLL: bucket the integer key into 64-bit words (word = id div 64,
+    * bit = id mod 64), OR the words per group, popcount-sum the result.
+    *
+    * Scale shape: the shuffle carries (group, word) partial ORs — map-side
+    * combine collapses each partition to ≤ |ids|/64 words per group, and
+    * words MERGE by OR exactly like HLL registers merge by max, so the
+    * same tree-reduce / cross-day rollup works; distinct becomes an
+    * ADDITIVE sum of popcounts with no count-distinct re-expansion. The
+    * ALL row derives from the per-type word table by a second OR-merge,
+    * not a second scan. Exact integers end-to-end — no float, no
+    * estimate column needed. */
+  /** (group, word) partial-OR stage — shared verbatim by the batch query
+    * and the streaming twin (bit_or is algebraic, so the same expression
+    * runs as a streaming aggregation). 32 ids per BIGINT word, not 64:
+    * DuckDB's checked left shift rejects `1 << 63` (sign-bit overflow),
+    * and a sign-safe 63-bit payload costs an extra CASE in both engines
+    * for 3% density — half-full words keep the oracle one shift. */
+  private[graft] def bitmapWordsOf(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr("user_id div 32").as("word_idx"),
+        expr("shiftleft(1L, CAST(user_id % 32 AS INT))").as("w"))
+      .groupBy(col("event_type"), col("word_idx"))
+      .agg(expr("bit_or(w)").as("bits"))
+
+  /** popcount rollup over a (event_type, word_idx, bits) word table:
+    * per-type counts + the OR-merged ALL row. */
+  private[graft] def bitmapRollup(words: DataFrame): DataFrame = {
+    val perType = words.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("bit_count(bits)")).cast("long").as("distinct_users"))
+    val merged = words.groupBy(col("word_idx"))
+      .agg(expr("bit_or(bits)").as("bits"))
+      .agg(lit("ALL").as("event_type"), count(lit(1)).as("n_words"),
+        sum(expr("bit_count(bits)")).cast("long").as("distinct_users"))
+    perType.unionByName(merged).orderBy(col("event_type"))
+  }
+
+  private def bitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    bitmapRollup(bitmapWordsOf(Tables.events(spark, dir)))
+
+  private[graft] val bitmapDistinctSql =
+    """WITH words AS (
+      |  SELECT event_type, user_id // 32 AS word_idx,
+      |    bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+      |  FROM events GROUP BY 1, 2
+      |), per_type AS (
+      |  SELECT event_type, count(*) AS n_words,
+      |    CAST(SUM(bit_count(bits)) AS BIGINT) AS distinct_users
+      |  FROM words GROUP BY 1
+      |), merged_words AS (
+      |  SELECT word_idx, bit_or(bits) AS bits FROM words GROUP BY 1
+      |), merged AS (
+      |  SELECT 'ALL' AS event_type, count(*) AS n_words,
+      |    CAST(SUM(bit_count(bits)) AS BIGINT) AS distinct_users
+      |  FROM merged_words)
+      |SELECT * FROM per_type UNION ALL SELECT * FROM merged
+      |ORDER BY event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll_distinct" -> (hllDistinct _),
     "sketch_cms_topk" -> (cmsTopk _),
-    "rel_bloom_semi_join" -> (bloomSemiJoin _))
+    "rel_bloom_semi_join" -> (bloomSemiJoin _),
+    "sketch_bitmap_distinct" -> (bitmapDistinct _))
 
   override def oracles: Map[String, String] = Map(
     "sketch_hll_distinct" -> hllDistinctSql,
     "sketch_cms_topk" -> cmsTopkSql,
-    "rel_bloom_semi_join" -> bloomSemiJoinSql)
+    "rel_bloom_semi_join" -> bloomSemiJoinSql,
+    "sketch_bitmap_distinct" -> bitmapDistinctSql)
 }

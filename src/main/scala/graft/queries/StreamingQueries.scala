@@ -193,6 +193,37 @@ object StreamingQueries extends QueryModule {
       |HAVING win_start_ms + 21600000 <= (SELECT MAX(epoch_ms(ts)) FROM events) - 3600000
       |ORDER BY user_id, win_start_ms""".stripMargin
 
+  /** Oracle for the TRUE left-outer stream-stream interval join: the
+    * batch left-outer count, restricted to the engine-emittable frontier.
+    * Matched purchases emit eagerly (always present); an UNMATCHED
+    * purchase's null row emits only once the GLOBAL watermark proves no
+    * click with c_ts < p_ts can still arrive. The global watermark is the
+    * MIN across the query's watermark nodes — each side's node sees only
+    * its own filtered stream, so W = least(max purchase ts, max click ts)
+    * − 1 h (measured: frontier rows between max−1h and W stay pending in
+    * join state at shutdown). Unmatched purchases with p_ts ≥ W are
+    * correctly absent. */
+  private val intervalLeftJoinSql =
+    """WITH wm AS (
+      |  SELECT least(
+      |      max(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END),
+      |      max(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END))
+      |    - 3600000 AS w
+      |  FROM events),
+      |p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS ts_ms
+      |      FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_ms(ts) AS c_ms
+      |      FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.purchase_id, p.user_id, p.ts_ms,
+      |        count(c.c_ms) AS clicks_prev_1h
+      |      FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |        AND c.c_ms >= p.ts_ms - 3600000 AND c.c_ms < p.ts_ms
+      |      GROUP BY 1, 2, 3)
+      |SELECT purchase_id, user_id, ts_ms, clicks_prev_1h
+      |FROM j CROSS JOIN wm
+      |WHERE clicks_prev_1h > 0 OR ts_ms < w
+      |ORDER BY purchase_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_aligned_window" ->
       ((s: SparkSession, d: String) => StreamingPipelines.alignedWindowAgg(s, d)),
@@ -200,10 +231,16 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.alignedWindowAppend(s, d)),
     "stream_interval_join" ->
       ((s: SparkSession, d: String) => StreamingPipelines.intervalJoinStream(s, d)),
+    "stream_interval_left_join" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.intervalLeftJoinStream(s, d)),
     "stream_session_window" ->
       ((s: SparkSession, d: String) => StreamingPipelines.sessionWindowAgg(s, d)),
+    "stream_session_dynamic" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.sessionDynamicStream(s, d)),
     "stream_anchored_stateful" ->
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredStateful(s, d)),
+    "stream_anchored_tws" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.anchoredTws(s, d)),
     "stream_anchored_update" ->
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredUpdateStateful(s, d)),
     "stream_anchored_stats_update" ->
@@ -256,6 +293,10 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.curationFunnelStream(s, d)),
     "stream_hll_distinct" ->
       ((s: SparkSession, d: String) => StreamingPipelines.hllDistinctStream(s, d)),
+    "stream_bitmap_distinct" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.bitmapDistinctStream(s, d)),
+    "stream_cumulative_users" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.cumulativeUsersStream(s, d)),
     "stream_cms_topk" ->
       ((s: SparkSession, d: String) => StreamingPipelines.cmsTopkStream(s, d)),
     "gen_synthetic_txns" -> (syntheticTxns _))
@@ -264,8 +305,11 @@ object StreamingQueries extends QueryModule {
     "stream_aligned_window" -> EventFeatures.alignedSlidingSql,
     "stream_aligned_append" -> alignedAppendSql,
     "stream_interval_join" -> EventAnalytics.intervalJoinSql,
+    "stream_interval_left_join" -> intervalLeftJoinSql,
     "stream_session_window" -> sessionStreamSql,
+    "stream_session_dynamic" -> FeatureOps.sessionDynamicSqlFor(frontier = true),
     "stream_anchored_stateful" -> EventFeatures.anchoredCountsSql,
+    "stream_anchored_tws" -> EventFeatures.anchoredCountsSql,
     "stream_anchored_update" -> EventFeatures.anchoredCountsSql,
     "stream_anchored_stats_update" -> EventFeatures.anchoredStatsSql,
     "stream_session_update" -> sessionStepsSql,
@@ -292,6 +336,8 @@ object StreamingQueries extends QueryModule {
     "stream_lm_score" -> TextAnalysis.lmScoreSql,
     "stream_corpus_funnel" -> TextAnalysis.curationFunnelOracleSql,
     "stream_hll_distinct" -> Sketches.hllDistinctSql,
+    "stream_bitmap_distinct" -> Sketches.bitmapDistinctSql,
+    "stream_cumulative_users" -> AnalyticsOps.cumulativeUsersSql,
     "stream_cms_topk" -> Sketches.cmsTopkSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)
 }

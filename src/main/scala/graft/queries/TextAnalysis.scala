@@ -279,6 +279,81 @@ object TextAnalysis extends QueryModule {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ lang-ID confusion
+  /** Confusion matrix of the n-gram language classifier against the
+    * corpus ground truth (the evaluation every classifier in the
+    * pipeline owes its consumers): per (actual, predicted) cell the
+    * count and the row-normalized share — exact counts, one double
+    * division. Composes the langId core, so classifier and evaluation
+    * can never drift. */
+  private def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("predicted_lang"), col("n"),
+        (col("n").cast("double") / col("row_total").cast("double"))
+          .as("share"))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
+  private val langidConfusionSql =
+    s"""WITH pred AS (
+       |${langIdSql.stripSuffix(" ORDER BY doc_id").linesIterator
+          .map("  " + _).mkString("\n")}
+       |), cells AS (
+       |  SELECT lang, predicted_lang, count(*) AS n
+       |  FROM pred GROUP BY 1, 2)
+       |SELECT lang, predicted_lang, n,
+       |  CAST(n AS DOUBLE)
+       |    / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS share
+       |FROM cells ORDER BY lang, predicted_lang""".stripMargin
+
+  // ------------------------------------------------------ Zipf octaves
+  /** Zipf frequency-octave profile of the token distribution — the
+    * log-log diagnostic a corpus curator reads before trusting quality
+    * gates: octave = bit-length of a token's corpus frequency
+    * (`length(bin(freq))`, the repo's libm-free integer log2), and per
+    * octave the distinct-token count, total occurrences, and corpus
+    * share (one double division). A Zipf-shaped corpus decays ~linearly
+    * in log-count across octaves; a bot-inflated or deduplicated-badly
+    * corpus doesn't. Two shuffles (token counts, then the
+    * octave-domain-bounded rollup), output ≤ 64 rows at any scale. */
+  private def zipfOctaves(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val freq = docs(spark, dir)
+      .select(explode($"toks").as("tok")).filter($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val oct = freq
+      .groupBy(length(expr("bin(freq)")).cast("long").as("octave"))
+      .agg(count(lit(1)).as("n_tokens"), sum($"freq").as("total_freq"))
+    val tot = oct.agg(sum($"total_freq").as("corpus_tokens"))
+    oct.crossJoin(broadcast(tot))
+      .select($"octave", $"n_tokens", $"total_freq",
+        ($"total_freq".cast("double") / $"corpus_tokens".cast("double"))
+          .as("share"))
+      .orderBy($"octave")
+  }
+
+  private val zipfOctavesSql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), freq AS (
+      |  SELECT tok, count(*) AS freq FROM toks WHERE tok <> ''
+      |  GROUP BY tok
+      |), oct AS (
+      |  SELECT CAST(length(bin(freq)) AS BIGINT) AS octave,
+      |    count(*) AS n_tokens, CAST(SUM(freq) AS BIGINT) AS total_freq
+      |  FROM freq GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(total_freq) AS BIGINT) AS corpus_tokens FROM oct)
+      |SELECT octave, n_tokens, total_freq,
+      |  CAST(total_freq AS DOUBLE) / CAST(corpus_tokens AS DOUBLE) AS share
+      |FROM oct CROSS JOIN tot ORDER BY octave""".stripMargin
+
   // --------------------------------------------------------- fingerprinting
   /** Document fingerprinting: md5 content fingerprint + order-sensitive
     * rolling polynomial hash over md5-derived token ints (mod 1e9+7). */
@@ -1723,6 +1798,8 @@ object TextAnalysis extends QueryModule {
     "dedup_substring" -> (dedupSubstring _),
     "corpus_curation_funnel" -> (curationFunnel _),
     "text_lang_id" -> (langId _),
+    "text_langid_confusion" -> (langidConfusion _),
+    "text_zipf_octaves" -> (zipfOctaves _),
     "text_fingerprint" -> (fingerprint _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -1736,6 +1813,8 @@ object TextAnalysis extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "text_phrase_search" -> phraseSearchSql,
     "text_bm25_search" -> bm25SearchSql,
+    "text_langid_confusion" -> langidConfusionSql,
+    "text_zipf_octaves" -> zipfOctavesSql,
     "text_mmr_rerank" -> mmrSql,
     "text_salient_terms" -> salientTermsSql,
     "text_bpe_tokens" -> bpeTokensSql,

@@ -381,9 +381,22 @@ object StatefulFeatures {
 
   private def processCounts(uid: Long, events: Iterator[EventIn],
       state: GroupState[Buf]): Iterator[AnchoredCounts] = {
-    var buckets = state.getOption
-      .map(_.buckets.toVector).getOrElse(Vector.empty)
-    val sorted = events.toVector.sortBy(e => (e.ems, e.event_id))
+    val (nb, out) = countsCore(uid,
+      events.toVector.sortBy(e => (e.ems, e.event_id)),
+      state.getOption.map(_.buckets.toVector).getOrElse(Vector.empty))
+    state.update(Buf(nb))
+    out.iterator
+  }
+
+  /** State-API-agnostic core of the anchored-counts walk: one sorted
+    * micro-batch against the minute-bucketed buffer, returning the new
+    * buffer and the per-event emissions. Shared by the
+    * flatMapGroupsWithState wrappers above and the Spark 4
+    * transformWithState processor ([[AnchoredCountsProcessor]]), so the
+    * two state APIs are the SAME operator behind different runtimes. */
+  private[streaming] def countsCore(uid: Long, sorted: Vector[EventIn],
+      init: Vector[CountBucket]): (Vector[CountBucket], Vector[AnchoredCounts]) = {
+    var buckets = init
     val out = tieRuns(sorted)(_.ems).flatMap { run =>
       val t = run.head.ems
       val k = run.size
@@ -436,8 +449,7 @@ object StatefulFeatures {
         AnchoredCounts(e.event_id, uid, e.ems,
           cnt_5m = c5, cnt_30m = c30, cnt_24h = c24))
     }
-    state.update(Buf(buckets))
-    out.iterator
+    (buckets, out)
   }
 
   /** Per-event multi-horizon counts, emitted on every arrival. Events are

@@ -375,6 +375,28 @@ object StreamingPipelines {
       .orderBy(col("user_id"), col("win_start_ms"))
   }
 
+  /** W5, dynamic-gap form: Spark's session_window with a PER-EVENT gap
+    * expression (clicks keep sessions alive 30 min, everything else
+    * 10 min) as a streaming query — append mode over the chunked replay
+    * under a 1 h watermark, sessions merging across micro-batches in
+    * state and emitted once sealed. Same frontier oracle rule as the
+    * fixed-gap stream, in the µs domain (the merge decision happens at
+    * full timestamp precision). */
+  def sessionDynamicStream(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStreamReplay(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"),
+        graft.queries.FeatureOps.dynamicGapCol), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+    runToMemory(spark, agg, "append", "sessiondyn")
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
   /** J2 as a REAL stream-stream join: purchases x clicks inner-joined on
     * user with the [-1 h, 0) event-time interval condition, both sides
     * watermarked (Spark evicts right state once the watermark passes the
@@ -450,6 +472,45 @@ object StreamingPipelines {
       .orderBy(col("purchase_id"))
   }
 
+  /** J2, OUTER form: the purchases × clicks interval join as a TRUE
+    * LEFT OUTER stream-stream join — Spark holds an unmatched purchase in
+    * join state and emits its null-padded row only when the watermark
+    * PROVES no further click can match (c_ts < p_ts ⇒ provable once the
+    * watermark passes p_ts); matches still emit eagerly. This is the
+    * semantics the inner-join pipeline reconstructs with a batch rollup —
+    * here the null emission is the ENGINE's, so the sink alone carries
+    * the left-outer answer. Trailing purchases inside the final
+    * watermark's horizon are still pending in state at shutdown (emitted
+    * nothing), so the oracle mirrors the frontier exactly like the
+    * session-window oracle does: unmatched purchases appear iff
+    * p_ts ≤ global max event time − 1 h. Same state-partition pin and
+    * bounded-state story as [[intervalJoinStream]]. */
+  def intervalLeftJoinStream(spark: SparkSession, dir: String,
+                             nChunks: Int = 8,
+                             stateParts: String = IntervalJoinParts): DataFrame = {
+    val es = eventStreamReplay(spark, dir, nChunks)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val purchases = es.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = es.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "leftOuter")
+      .select(col("purchase_id"), col("p_user"), col("p_ts"), col("c_ts"))
+    val sink = runToMemory(spark, joined, "append", "ivleftjoin", stateParts)
+    sink.groupBy(col("purchase_id"))
+      .agg(max(col("p_user")).as("user_id"),
+        unix_millis(max(col("p_ts"))).as("ts_ms"),
+        count(col("c_ts")).as("clicks_prev_1h"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** W5 + W6: session windows (30 min gap) with a 1 h watermark, append
     * mode over the CHUNKED replay — sessions merge across micro-batches
     * in state and are emitted exactly once, when the monotone watermark
@@ -480,6 +541,34 @@ object StreamingPipelines {
     val in = watermarkedEvents(spark, dir)
     val out = StatefulFeatures.anchoredCountsExpiring(in).toDF()
     runToMemory(spark, out, "append", "anchored").orderBy(col("event_id"))
+  }
+
+  /** W3 via Spark 4 `transformWithState`: the same anchored counts
+    * operator on the NEW arbitrary-stateful API — named ValueState +
+    * explicit event-time timers on a StatefulProcessorHandle
+    * ([[AnchoredCountsProcessor]]), sharing countsCore with the
+    * flatMapGroupsWithState form so the two state APIs are provably the
+    * same operator (same oracle row set). transformWithState requires the
+    * RocksDB provider; pinned for the query and restored after — the same
+    * single-query-at-a-time contract runToMemory already documents. */
+  def anchoredTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = watermarkedEvents(spark, dir)
+    implicit val outEnc =
+      org.apache.spark.sql.Encoders.product[StatefulFeatures.AnchoredCounts]
+    val out = in.groupByKey(_.user_id)(
+        org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new AnchoredCountsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append(), outEnc)
+      .toDF()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToMemory(spark, out, "append", "anchoredtws")
+      .orderBy(col("event_id"))
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   /** W3 with RETRACTION: update-mode per-event counts
@@ -843,6 +932,43 @@ object StreamingPipelines {
       .filter(col("m_j") > 0) // zero register == bucket never seen
     graft.queries.Sketches.hllFromRegs(regs,
       graft.core.Tables.events(spark, dir))
+  }
+
+  /** Streaming bitmap-distinct: the (type, word) partial-OR stage runs as
+    * a DECLARATIVE streaming aggregation (bit_or is algebraic — Spark's
+    * own state-store agg maintains the words; no custom state machine
+    * needed, the point of choosing mergeable sketch encodings), complete
+    * mode like the aligned window; the popcount rollup runs as a batch
+    * over the sink word table. Same oracle as the batch
+    * sketch_bitmap_distinct — OR-merge is micro-batch-split invariant. */
+  def bitmapDistinctStream(spark: SparkSession, dir: String): DataFrame = {
+    val words = graft.queries.Sketches.bitmapWordsOf(eventStream(spark, dir))
+    val sink = runToMemory(spark, words, "complete", "bitmap")
+    graft.queries.Sketches.bitmapRollup(sink)
+  }
+
+  /** Streaming cumulative-users: native streaming `dropDuplicates` (the
+    * engine's own keyed dedup state — not otherwise exercised by the
+    * custom keep-first ops) CHAINED with a stateful min aggregation, the
+    * multi-stateful-operator pipeline shape. The dedup stage is keyed on
+    * the FULL (user_id, day) row, so which duplicate wins is
+    * value-irrelevant — deterministic under any partition/arrival order —
+    * and it bounds the agg's input to one row per (user, day). Complete
+    * mode emits each user's final first-seen day; the day-domain-bounded
+    * rollup + running sum is the same batch tail as the batch query. */
+  def cumulativeUsersStream(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = eventStream(spark, dir)
+      .select(col("user_id"), expr("ems div 86400000").as("day"))
+      .dropDuplicates("user_id", "day")
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    val sink = runToMemory(spark, firstSeen, "complete", "cumusers")
+    sink.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+      .orderBy(col("day"))
   }
 
   /** Streaming count-min grid (SketchState.cmsGrid) read back into the

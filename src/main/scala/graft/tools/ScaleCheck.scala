@@ -159,6 +159,29 @@ object ScaleCheck {
         StatefulFeatures.sessionStepsUpdateExpiring(in).toDF(), "update",
         "scalecheck_sessions_update").count()
     }
+    // left-outer stream-stream interval join (round 7): join state holds
+    // unmatched purchases until the watermark proves them unmatched —
+    // state is watermark-horizon-bounded per key, so wall must stay
+    // ~linear when users scale WITH the data (constant per-key density)
+    def leftJoin(dir: String): Double = timed {
+      val sch = spark.read.parquet(dir).schema
+      val es = spark.readStream.schema(sch).parquet(dir)
+      val p = es.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = es.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val j = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"),
+        "leftOuter")
+        .select(col("purchase_id"), col("c_ts"))
+      StreamingPipelines.runToMemory(spark, j, "append",
+        "scalecheck_leftjoin", "4").count()
+    }
     // streaming near-dup (round 6): per-doc banding is the map-heavy part
     // (62 shingle md5s/doc), state is one winner id per band bucket — wall
     // must scale ~linearly in docs, state never super-linear in buckets
@@ -279,6 +302,7 @@ object ScaleCheck {
       ("stats_update_hotkey", statsUpdate(s1), statsUpdate(s10)),
       ("session_update_hotkey", sessionsUpdate(s1), sessionsUpdate(s10)),
       ("stream_dedup_minhash", dedupStream(dd1), dedupStream(dd10)),
+      ("stream_interval_left_join", leftJoin(d1), leftJoin(d10)),
       ("store_upsert_fixed_batch", upsert(n1), upsert(n1 * 10)),
       ("curation_funnel", funnel(c1), funnel(c10)),
       ("dedup_substring", substring(c1), substring(c10)),

@@ -31,6 +31,17 @@ class ParitySpec extends AnyFunSuite {
     assert(ts.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
   }
 
+  test("transformWithState twin is row-identical to flatMapGroupsWithState") {
+    // the two state APIs drive the same countsCore walk — prove the
+    // runtimes agree row for row (RocksDB provider vs default HDFS one,
+    // named-ValueState + timers vs GroupState + timeout)
+    val a = graft.streaming.StreamingPipelines.anchoredStateful(spark, sf0001)
+      .collect().map(_.toString).sorted
+    val b = graft.streaming.StreamingPipelines.anchoredTws(spark, sf0001)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("cross-batch timestamp tie: the documented append-mode boundary") {
     // StatefulFeatures.scala: a RANGE-frame peer group (equal timestamps)
     // split across micro-batches CANNOT match the batch oracle — the
