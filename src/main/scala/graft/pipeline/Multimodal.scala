@@ -427,6 +427,47 @@ object Multimodal {
     }
   }
 
+  /** One thumbnail row: source dims + the position-weighted fold of the
+    * nearest-neighbor-resampled target raster. */
+  case class ResizedImage(media_id: Long, src_width: Int, src_height: Int,
+      thumb_sum: Long)
+
+  /** REAL resize/feature-extract stage: decode (javax.imageio) then
+    * nearest-neighbor resample to a fixed tw×th thumbnail — the
+    * normalize-before-embed step every vision pipeline runs. Source
+    * pixel for target (tx, ty) is (tx·w div tw, ty·h div th), the
+    * zero-phase NN convention, so the oracle can recompute the thumbnail
+    * fold CLOSED-FORM from the generator's pixel formula: the check
+    * fails unless decode, sample-position arithmetic, and raster order
+    * are all exactly right. Per-partition like every codec stage; no
+    * shuffle. */
+  def resizeImages(ds: Dataset[MediaRow], tw: Int, th: Int): Dataset[ResizedImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable payload for media ${r.media_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var ty = 0
+        while (ty < th) {
+          val sy = ty * h / th
+          var tx = 0
+          while (tx < tw) {
+            val sx = tx * w / tw
+            sum += (tx + tw.toLong * ty + 1L) * (img.getRGB(sx, sy) & 0xffffff)
+            tx += 1
+          }
+          ty += 1
+        }
+        ResizedImage(r.media_id, w, h, sum)
+      }
+    }
+  }
+
   // ------------------------------------------------ real MJPEG codec path
 
   /** Deterministic MJPEG AVI (round-7, retiring [[decodeStub]] for

@@ -381,6 +381,98 @@ object AdvancedOps extends QueryModule {
       |  (2.0 * f.s1 - f.s2) + (f.s1 - f.s2) / 3.0 AS forecast_1
       |FROM f ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------- seasonal decomposition+SES
+  /** Seasonal forecast: additive seasonal decomposition + Brown double
+    * smoothing on the deseasonalized series — the classical
+    * decompose-then-smooth pipeline (period = 4 six-hour phases, the
+    * diurnal cycle). Why not coupled Holt-Winters: its level↔trend
+    * recurrence is CYCLIC, and DuckDB 1.0.0's list_reduce evaluates
+    * struct fields sequentially from the 2nd application on (see
+    * AdvancedOps.brown / CLAUDE.md), so one of the pair must read the
+    * other's old value as an earlier field — unreachable; Brown's
+    * cascade is acyclic, which is exactly why it folds exactly.
+    * Stages: per-phase seasonal mean (exact davg from RAW events, never
+    * re-averaged doubles), per-bucket mean, residual = y − s(phase)
+    * (broadcast join), one bucket-domain-bounded Brown fold; forecast
+    * recombines level + trend + next phase's seasonal. */
+  private def seasonalForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir).select($"value", expr("ems div 21600000").as("b"))
+    val season = e.groupBy(pmod($"b", lit(4L)).as("p"))
+      .agg(davg($"value").as("s"))
+    val sRow = season.agg(
+      max(when($"p" === 0L, $"s")).as("sea0"),
+      max(when($"p" === 1L, $"s")).as("sea1"),
+      max(when($"p" === 2L, $"s")).as("sea2"),
+      max(when($"p" === 3L, $"s")).as("sea3"))
+    val resid = e.groupBy($"b").agg(davg($"value").as("y"))
+      .join(broadcast(season), pmod($"b", lit(4L)) === $"p")
+      .select($"b", ($"y" - $"s").as("r"))
+    val ser = resid.agg(
+      expr("transform(array_sort(collect_list(struct(b, r))), q -> q.r)")
+        .as("rs"),
+      max($"b").as("maxb"), count(lit(1)).as("n_buckets"))
+    ser.select($"n_buckets", $"maxb",
+        expr("""aggregate(slice(rs, 2, size(rs) - 1),
+          named_struct('s2', rs[0], 's1', rs[0]),
+          (acc, x) -> named_struct(
+            's2', 0.0625D * x + 0.1875D * acc.s1 + 0.75D * acc.s2,
+            's1', 0.25D * x + 0.75D * acc.s1))""").as("f"))
+      .crossJoin(broadcast(sRow))
+      .select($"n_buckets", $"sea0", $"sea1", $"sea2", $"sea3",
+        (lit(2.0) * $"f".getField("s1") - $"f".getField("s2")).as("level"),
+        (($"f".getField("s1") - $"f".getField("s2")) / lit(3.0)).as("trend"),
+        ((lit(2.0) * $"f".getField("s1") - $"f".getField("s2")) +
+          ($"f".getField("s1") - $"f".getField("s2")) / lit(3.0) +
+          when(pmod($"maxb" + 1L, lit(4L)) === 0L, $"sea0")
+            .when(pmod($"maxb" + 1L, lit(4L)) === 1L, $"sea1")
+            .when(pmod($"maxb" + 1L, lit(4L)) === 2L, $"sea2")
+            .otherwise($"sea3")).as("forecast_1"))
+  }
+
+  private val seasonalForecastSql =
+    """WITH e AS (
+      |  SELECT value, epoch_ms(ts) // 21600000 AS b FROM events
+      |), season AS (
+      |  SELECT b % 4 AS p,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value)
+      |      AS s
+      |  FROM e GROUP BY 1
+      |), srow AS (
+      |  SELECT max(CASE WHEN p = 0 THEN s END) AS sea0,
+      |    max(CASE WHEN p = 1 THEN s END) AS sea1,
+      |    max(CASE WHEN p = 2 THEN s END) AS sea2,
+      |    max(CASE WHEN p = 3 THEN s END) AS sea3
+      |  FROM season
+      |), buckets AS (
+      |  SELECT b,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value)
+      |      AS y
+      |  FROM e GROUP BY 1
+      |), resid AS (
+      |  SELECT bu.b, bu.y - se.s AS r
+      |  FROM buckets bu JOIN season se ON bu.b % 4 = se.p
+      |), ser AS (
+      |  SELECT list(r ORDER BY b) AS rs, max(b) AS maxb,
+      |    count(*) AS n_buckets
+      |  FROM resid
+      |), f AS (
+      |  SELECT CAST(n_buckets AS BIGINT) AS n_buckets, maxb,
+      |    list_reduce(
+      |      list_prepend({'s2': rs[1], 's1': rs[1]},
+      |        list_transform(rs[2:], e -> {'s2': e, 's1': e})),
+      |      (acc, x) -> {
+      |        's2': 0.0625 * x.s1 + 0.1875 * acc.s1 + 0.75 * acc.s2,
+      |        's1': 0.25 * x.s1 + 0.75 * acc.s1}) AS f
+      |  FROM ser)
+      |SELECT n_buckets, sea0, sea1, sea2, sea3,
+      |  2.0 * f.s1 - f.s2 AS level,
+      |  (f.s1 - f.s2) / 3.0 AS trend,
+      |  (2.0 * f.s1 - f.s2) + (f.s1 - f.s2) / 3.0 +
+      |    CASE (maxb + 1) % 4 WHEN 0 THEN sea0 WHEN 1 THEN sea1
+      |      WHEN 2 THEN sea2 ELSE sea3 END AS forecast_1
+      |FROM f CROSS JOIN srow""".stripMargin
+
   // ------------------------------------------------- k-anonymity gate
   /** k-anonymity publication gate (k = 10): aggregates over the
     * quasi-identifier (event_type, k-bucket from props) are published only
@@ -697,6 +789,7 @@ object AdvancedOps extends QueryModule {
     "ml_calibration_bins" -> (calibrationBins _),
     "dq_k_anonymity" -> (kAnonymity _),
     "dq_l_diversity" -> (lDiversity _),
+    "evt_seasonal_forecast" -> (seasonalForecast _),
     "evt_time_to_convert" -> (timeToConvert _),
     "quality_winsorize" -> (winsorize _),
     "evt_brown_forecast" -> (brown _),
@@ -712,6 +805,7 @@ object AdvancedOps extends QueryModule {
     "ml_calibration_bins" -> calibrationBinsSql,
     "dq_k_anonymity" -> kAnonymitySql,
     "dq_l_diversity" -> lDiversitySql,
+    "evt_seasonal_forecast" -> seasonalForecastSql,
     "evt_time_to_convert" -> timeToConvertSql,
     "quality_winsorize" -> winsorizeSql,
     "evt_brown_forecast" -> brownSql,

@@ -568,6 +568,64 @@ object AnalyticsOps extends QueryModule {
       |    AS cum_users
       |FROM per ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------- freshness SLA
+  /** Per-source freshness monitor: each event type's last event time, its
+    * lag behind the corpus frontier, and the 1 h SLA flag — the
+    * "is this upstream stuck" check every ingest pipeline pages on.
+    * One aggregation + a broadcast 1-row frontier; exact integers. */
+  private def freshness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = ev(spark, dir).groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"ems").as("last_ems"))
+    val g = per.agg(max($"last_ems").as("gmax"))
+    per.crossJoin(broadcast(g))
+      .select($"event_type", $"n", $"last_ems",
+        ($"gmax" - $"last_ems").as("lag_ms"),
+        (($"gmax" - $"last_ems") > 3600000L).as("is_stale"))
+      .orderBy($"event_type")
+  }
+
+  private val freshnessSql =
+    """WITH per AS (
+      |  SELECT event_type, count(*) AS n, max(epoch_ms(ts)) AS last_ems
+      |  FROM events GROUP BY 1
+      |), g AS (SELECT max(last_ems) AS gmax FROM per)
+      |SELECT event_type, n, last_ems,
+      |  gmax - last_ems AS lag_ms,
+      |  (gmax - last_ems) > 3600000 AS is_stale
+      |FROM per CROSS JOIN g ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------ behavioral diversity
+  /** Per-user behavioral diversity: Gini IMPURITY of the event-type mix,
+    * 1 − Σpᵢ² = (n² − Σcᵢ²)/n² — the log-free diversity measure (Shannon
+    * entropy needs ln, which is libm-dependent and breaks bit-exact
+    * oracles — same trade the HLL estimator documents). Exact integers
+    * until one double division; two key-local shuffles. */
+  private def typeDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ev(spark, dir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(sum($"c").as("n"), count(lit(1)).as("n_types"),
+        sum($"c" * $"c").as("ss"))
+      .select($"user_id", $"n", $"n_types",
+        (($"n" * $"n" - $"ss").cast("double")
+          / ($"n" * $"n").cast("double")).as("gini_impurity"))
+      .orderBy($"user_id")
+  }
+
+  private val typeDiversitySql =
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), g AS (
+      |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    count(*) AS n_types, CAST(SUM(c * c) AS BIGINT) AS ss
+      |  FROM c GROUP BY 1)
+      |SELECT user_id, n, n_types,
+      |  CAST(n * n - ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini_impurity
+      |FROM g ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------- Gini concentration
   /** Traffic-concentration audit: exact Gini coefficient of the per-user
     * event distribution (rank formula G = (2·Σ i·cᵢ − (n+1)·Σ cᵢ) /
@@ -743,6 +801,8 @@ object AnalyticsOps extends QueryModule {
     "ml_gains_table" -> (gainsTable _),
     "evt_cumulative_users" -> (cumulativeUsers _),
     "evt_gini_concentration" -> (giniConcentration _),
+    "evt_type_diversity" -> (typeDiversity _),
+    "dq_freshness" -> (freshness _),
     "evt_throttle" -> (throttle _),
     "graph_shortest_cost" -> (shortestCost _))
 
@@ -759,6 +819,8 @@ object AnalyticsOps extends QueryModule {
     "ml_gains_table" -> gainsTableSql,
     "evt_cumulative_users" -> cumulativeUsersSql,
     "evt_gini_concentration" -> giniConcentrationSql,
+    "evt_type_diversity" -> typeDiversitySql,
+    "dq_freshness" -> freshnessSql,
     "evt_throttle" -> throttleSql,
     "graph_shortest_cost" -> shortestCostSql)
 }

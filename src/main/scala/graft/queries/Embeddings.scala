@@ -170,6 +170,70 @@ object Embeddings extends QueryModule {
       |    AS centroid_norm
       |FROM per_dim GROUP BY label ORDER BY label""".stripMargin
 
+  // ------------------------------------------------ centroid drift monitor
+  /** Embedding-distribution drift: per label, cosine similarity between
+    * the centroids of two cohort halves (vec_id parity — the
+    * yesterday-vs-today split of a production embedding monitor). A
+    * centroid shift is the earliest signal an upstream encoder changed.
+    * Same exactness discipline as [[centroids]]: per-dim means from
+    * integer-micro quantized sums (order-free), then the dot/norm
+    * reductions as SEQUENTIAL folds over pos-sorted arrays (the repo's
+    * small-double-reduction rule) and one final division. Shuffles are
+    * (label, half, pos)-keyed — dimension-bounded, never corpus-pair. */
+  private def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+        posexplode(expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"))
+          .as(Seq("pos", "qv")))
+    val perDim = q.groupBy(col("label"), col("half"), col("pos"))
+      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("m", col("sq") / 1000000.0 / col("n"))
+    val a = perDim.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("m").as("m0"), col("n").as("n0"))
+    val b = perDim.filter(col("half") === 1)
+      .select(col("label"), col("pos"), col("m").as("m1"), col("n").as("n1"))
+    val pairCol = "array_sort(collect_list(struct(pos, m0, m1)))"
+    a.join(b, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(max(col("n0")).as("n_a"), max(col("n1")).as("n_b"),
+        expr(s"aggregate(transform($pairCol, s -> s.m0 * s.m1), 0D, (acc, x) -> acc + x)").as("dot"),
+        expr(s"aggregate(transform($pairCol, s -> s.m0 * s.m0), 0D, (acc, x) -> acc + x)").as("ss0"),
+        expr(s"aggregate(transform($pairCol, s -> s.m1 * s.m1), 0D, (acc, x) -> acc + x)").as("ss1"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (col("dot") / (sqrt(col("ss0")) * sqrt(col("ss1")))).as("cosine"))
+      .orderBy(col("label"))
+  }
+
+  private val centroidDriftSql =
+    """WITH q AS (
+      |  SELECT label, vec_id % 2 AS half, i AS pos,
+      |    CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+      |  FROM embeddings, (SELECT unnest(range(64)) AS i)
+      |), per_dim AS (
+      |  SELECT label, half, pos, SUM(qv) / 1000000.0 / count(*) AS m,
+      |    count(*) AS n
+      |  FROM q GROUP BY 1, 2, 3
+      |), j AS (
+      |  SELECT a.label, a.pos, a.m AS m0, b.m AS m1, a.n AS n0, b.n AS n1
+      |  FROM per_dim a JOIN per_dim b ON a.label = b.label AND a.pos = b.pos
+      |  WHERE a.half = 0 AND b.half = 1
+      |), g AS (
+      |  SELECT label, CAST(MAX(n0) AS BIGINT) AS n_a,
+      |    CAST(MAX(n1) AS BIGINT) AS n_b,
+      |    list_reduce(list_prepend(0.0, list_transform(
+      |      list({'m0': m0, 'm1': m1} ORDER BY pos), s -> s.m0 * s.m1)),
+      |      (acc, x) -> acc + x) AS dot,
+      |    list_reduce(list_prepend(0.0, list_transform(
+      |      list({'m0': m0, 'm1': m1} ORDER BY pos), s -> s.m0 * s.m0)),
+      |      (acc, x) -> acc + x) AS ss0,
+      |    list_reduce(list_prepend(0.0, list_transform(
+      |      list({'m0': m0, 'm1': m1} ORDER BY pos), s -> s.m1 * s.m1)),
+      |      (acc, x) -> acc + x) AS ss1
+      |  FROM j GROUP BY label)
+      |SELECT label, n_a, n_b, dot / (SQRT(ss0) * SQRT(ss1)) AS cosine
+      |FROM g ORDER BY label""".stripMargin
+
   // -------------------------------------------------- LSH bucketing (ANN)
   /** Random-hyperplane LSH: 8 deterministic integer hyperplanes ->
     * 8-bit bucket signature per vector; per-bucket occupancy. At scale the
@@ -1980,6 +2044,7 @@ object Embeddings extends QueryModule {
     "emb_rp_recall" -> (rpRecall _),
     "emb_matryoshka_recall" -> (matryoshkaRecall _),
     "emb_centroids" -> (centroids _),
+    "emb_centroid_drift" -> (centroidDrift _),
     "emb_lsh_buckets" -> (lshBuckets _),
     "dedup_embedding_cosine" -> (cosineNearDup _),
     "emb_ann_recall" -> (annRecall _),
@@ -2002,6 +2067,7 @@ object Embeddings extends QueryModule {
     "emb_rp_recall" -> rpRecallSql,
     "emb_matryoshka_recall" -> matryoshkaRecallSql,
     "emb_centroids" -> centroidsSql,
+    "emb_centroid_drift" -> centroidDriftSql,
     "emb_lsh_buckets" -> lshBucketsSql,
     "dedup_embedding_cosine" -> cosineNearDupSql,
     "emb_ann_recall" -> annRecallSql,

@@ -63,6 +63,39 @@ object MultimodalQueries extends QueryModule {
       |FROM px GROUP BY doc_id, w, h
       |ORDER BY media_id""".stripMargin
 
+  /** REAL resize stage on the decoded PNGs: nearest-neighbor 4×4
+    * thumbnail (source pixel = (tx·w div 4, ty·h div 4)) over the same
+    * synthesized rasters, fold position-weighted. The oracle recomputes
+    * the RESAMPLED fold closed-form — decode + sample-position
+    * arithmetic + raster order all checked at once. */
+  private def mmResized(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImages(
+        Multimodal.synthImageTable(spark,
+          Tables.documents(spark, dir).select(col("doc_id"))), 4, 4)
+      .toDF()
+      .select(col("media_id"),
+        col("src_width").cast("long").as("src_width"),
+        col("src_height").cast("long").as("src_height"), col("thumb_sum"))
+      .orderBy(col("media_id"))
+
+  private val mmResizedSql =
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 5 AS BIGINT) AS w,
+      |    CAST(6 + doc_id % 7 AS BIGINT) AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT d.doc_id, d.w, d.h, tx.range AS tx, ty.range AS ty,
+      |    (tx.range * d.w) // 4 AS sx, (ty.range * d.h) // 4 AS sy
+      |  FROM dims d, range(4) tx, range(4) ty
+      |)
+      |SELECT doc_id AS media_id, w AS src_width, h AS src_height,
+      |  CAST(SUM((tx + 4 * ty + 1) *
+      |    (((sx*7 + sy*13 + doc_id) % 256) * 65536 +
+      |     ((sx*3 + sy*5 + 2*doc_id) % 256) * 256 +
+      |     ((sx + sy + 3*doc_id) % 256))) AS BIGINT) AS thumb_sum
+      |FROM px GROUP BY doc_id, w, h
+      |ORDER BY media_id""".stripMargin
+
   /** REAL audio codec roundtrip (round-5 verdict "next" #3): per doc_id,
     * synthesize a deterministic 16-bit PCM WAV on the executors, decode
     * it back through `javax.sound.sampled` (the JDK's WAVE parser), and
@@ -186,6 +219,7 @@ object MultimodalQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_features" -> (mmFeatures _),
     "mm_decoded_features" -> (mmDecoded _),
+    "mm_resized_features" -> (mmResized _),
     "mm_decoded_audio" -> (mmAudio _),
     "mm_decoded_video" -> (mmVideo _),
     "mm_decoded_mjpeg" -> (mmMjpeg _))
@@ -193,6 +227,7 @@ object MultimodalQueries extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "mm_binary_features" -> mmFeaturesSql,
     "mm_decoded_features" -> mmDecodedSql,
+    "mm_resized_features" -> mmResizedSql,
     "mm_decoded_audio" -> mmAudioSql,
     "mm_decoded_video" -> mmVideoSql,
     "mm_decoded_mjpeg" -> mmMjpegSql)
