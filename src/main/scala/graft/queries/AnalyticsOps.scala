@@ -568,6 +568,41 @@ object AnalyticsOps extends QueryModule {
       |    AS cum_users
       |FROM per ORDER BY day""".stripMargin
 
+  // -------------------------------------------------- inter-arrival profile
+  /** Per-type inter-arrival profile — the traffic-shape DQ check (burst
+    * vs steady) and the input to any rate-based alerting threshold:
+    * consecutive same-type gaps in ms via a partitioned lag, summarized
+    * min / p50 / p90 / max with the suite's ROUND(...,6) percentile
+    * parity discipline. Integer gaps; one partitioned window pass. */
+  private def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"ems", $"event_id")
+    ev(spark, dir)
+      .withColumn("gap", $"ems" - lag($"ems", 1).over(w))
+      .filter($"gap".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        min($"gap").as("min_gap_ms"),
+        expr("round(percentile(gap, 0.5), 6)").as("median_gap_ms"),
+        expr("round(percentile(gap, 0.9), 6)").as("p90_gap_ms"),
+        max($"gap").as("max_gap_ms"))
+      .orderBy($"event_type")
+  }
+
+  private val interarrivalSql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY event_type
+      |      ORDER BY epoch_ms(ts), event_id) AS gap
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  min(gap) AS min_gap_ms,
+      |  ROUND(quantile_cont(gap, 0.5), 6) AS median_gap_ms,
+      |  ROUND(quantile_cont(gap, 0.9), 6) AS p90_gap_ms,
+      |  max(gap) AS max_gap_ms
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------- freshness SLA
   /** Per-source freshness monitor: each event type's last event time, its
     * lag behind the corpus frontier, and the 1 h SLA flag — the
@@ -585,7 +620,7 @@ object AnalyticsOps extends QueryModule {
       .orderBy($"event_type")
   }
 
-  private val freshnessSql =
+  private[graft] val freshnessSql =
     """WITH per AS (
       |  SELECT event_type, count(*) AS n, max(epoch_ms(ts)) AS last_ems
       |  FROM events GROUP BY 1
@@ -803,6 +838,7 @@ object AnalyticsOps extends QueryModule {
     "evt_gini_concentration" -> (giniConcentration _),
     "evt_type_diversity" -> (typeDiversity _),
     "dq_freshness" -> (freshness _),
+    "evt_interarrival" -> (interarrival _),
     "evt_throttle" -> (throttle _),
     "graph_shortest_cost" -> (shortestCost _))
 
@@ -821,6 +857,7 @@ object AnalyticsOps extends QueryModule {
     "evt_gini_concentration" -> giniConcentrationSql,
     "evt_type_diversity" -> typeDiversitySql,
     "dq_freshness" -> freshnessSql,
+    "evt_interarrival" -> interarrivalSql,
     "evt_throttle" -> throttleSql,
     "graph_shortest_cost" -> shortestCostSql)
 }

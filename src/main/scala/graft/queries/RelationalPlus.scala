@@ -510,6 +510,35 @@ object RelationalPlus extends QueryModule {
       |      AND y.l_shipdate > y.o_orderdate + INTERVAL 60 DAY)
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  // ----------------------------------------------------------- unpivot
+  /** UNPIVOT (wide → long) via `stack` — the complement of
+    * rel_pivot_status: the four lineitem measures melted into
+    * (measure, value) rows and re-aggregated. stack() is a generator
+    * inside whole-stage codegen — the melt never materializes wider than
+    * the source scan; the oracle is the explicit UNION ALL the operator
+    * abbreviates. */
+  private def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(expr("stack(4, " +
+        "'discount', l_discount, 'extendedprice', l_extendedprice, " +
+        "'quantity', l_quantity, 'tax', l_tax) AS (measure, v)"))
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), dsum(col("v")).as("sum_value"))
+      .orderBy(col("measure"))
+
+  private val unpivotMeasuresSql =
+    """WITH m AS (
+      |  SELECT 'discount' AS measure, l_discount AS v FROM lineitem
+      |  UNION ALL
+      |  SELECT 'extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT 'quantity', l_quantity FROM lineitem
+      |  UNION ALL
+      |  SELECT 'tax', l_tax FROM lineitem)
+      |SELECT measure, count(*) AS n,
+      |  CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |FROM m GROUP BY measure ORDER BY measure""".stripMargin
+
   // ----------------------------------------------------------- skyline
   /** 2-D skyline (Pareto frontier) over part (minimize size AND retail
     * price): a part is dominated iff some part is no larger on both
@@ -567,7 +596,8 @@ object RelationalPlus extends QueryModule {
     "rel_q18_large_orders" -> (q18 _),
     "rel_q19_disjunctive" -> (q19 _),
     "rel_q22_idle_customers" -> (q22 _),
-    "rel_skyline" -> (skyline _))
+    "rel_skyline" -> (skyline _),
+    "rel_unpivot" -> (unpivotMeasures _))
 
   override def oracles: Map[String, String] = Map(
     "rel_q07_volume_shipping" -> q07Sql,
@@ -583,5 +613,6 @@ object RelationalPlus extends QueryModule {
     "rel_q18_large_orders" -> q18Sql,
     "rel_q19_disjunctive" -> q19Sql,
     "rel_q22_idle_customers" -> q22Sql,
-    "rel_skyline" -> skylineSql)
+    "rel_skyline" -> skylineSql,
+    "rel_unpivot" -> unpivotMeasuresSql)
 }

@@ -297,6 +297,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.bitmapDistinctStream(s, d)),
     "stream_cumulative_users" ->
       ((s: SparkSession, d: String) => StreamingPipelines.cumulativeUsersStream(s, d)),
+    "stream_freshness" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.freshnessStream(s, d)),
     "stream_cms_topk" ->
       ((s: SparkSession, d: String) => StreamingPipelines.cmsTopkStream(s, d)),
     "gen_synthetic_txns" -> (syntheticTxns _))
@@ -338,6 +340,7 @@ object StreamingQueries extends QueryModule {
     "stream_hll_distinct" -> Sketches.hllDistinctSql,
     "stream_bitmap_distinct" -> Sketches.bitmapDistinctSql,
     "stream_cumulative_users" -> AnalyticsOps.cumulativeUsersSql,
+    "stream_freshness" -> AnalyticsOps.freshnessSql,
     "stream_cms_topk" -> Sketches.cmsTopkSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)
 }

@@ -311,6 +311,89 @@ object TextAnalysis extends QueryModule {
        |    / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS share
        |FROM cells ORDER BY lang, predicted_lang""".stripMargin
 
+  // --------------------------------------------------- RAKE keyphrases
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the stopword-
+    * delimited companion to the TextRank keywords: candidate phrases are
+    * maximal stopword-free runs; word score = deg(w)/freq(w) with
+    * deg(w) = Σ phrase length over phrases containing w (the
+    * co-occurrence degree, self included — Rose's convention) and
+    * freq(w) = member occurrences; phrase score = the POSITION-ORDERED
+    * sequential fold of its members' scores (the repo's small-double-
+    * reduction rule — a bare SUM over doubles would tie to aggregation
+    * order). Word stats are vocab-bounded and broadcast; top 20 via
+    * TakeOrdered, no global sort. */
+  private def rakeKeyphrases(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split(trim($"text"), "\\s+"))
+        .as(Seq("pos", "tok")))
+      .withColumn("is_stop", expr(s"CASE WHEN tok IN ($sw) THEN 1 ELSE 0 END"))
+      .withColumn("phrase_id", sum($"is_stop").over(
+        Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val members = toks.filter($"is_stop" === 0 && $"tok" =!= "")
+      .select($"doc_id", $"phrase_id", $"pos", $"tok")
+    val plen = members.groupBy($"doc_id", $"phrase_id")
+      .agg(count(lit(1)).as("plen"))
+    val withLen = members.join(plen, Seq("doc_id", "phrase_id"))
+    val wordStats = withLen.groupBy($"tok")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+      .withColumn("wscore", $"deg".cast("double") / $"freq".cast("double"))
+    val phrases = withLen.join(broadcast(wordStats), Seq("tok"))
+      .groupBy($"doc_id", $"phrase_id")
+      .agg(
+        expr("concat_ws(' ', transform(array_sort(collect_list(" +
+          "struct(pos, tok))), s -> s.tok))").as("phrase"),
+        expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(pos, wscore))), s -> s.wscore), 0D, (acc, x) -> acc + x)")
+          .as("pscore"))
+    phrases.groupBy($"phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max($"pscore").as("score"))
+      .orderBy($"score".desc, $"phrase")
+      .limit(20)
+  }
+
+  private val rakeKeyphrasesSql = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+       |    generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+       |      AS pos
+       |  FROM documents
+       |), flagged AS (
+       |  SELECT doc_id, tok, pos,
+       |    CASE WHEN tok IN ($sw) THEN 1 ELSE 0 END AS is_stop
+       |  FROM toks
+       |), pid AS (
+       |  SELECT *, SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+       |  FROM flagged
+       |), members AS (
+       |  SELECT doc_id, phrase_id, pos, tok FROM pid
+       |  WHERE is_stop = 0 AND tok <> ''
+       |), plen AS (
+       |  SELECT doc_id, phrase_id, count(*) AS plen
+       |  FROM members GROUP BY 1, 2
+       |), withlen AS (
+       |  SELECT m.*, p.plen FROM members m
+       |  JOIN plen p USING (doc_id, phrase_id)
+       |), wordstats AS (
+       |  SELECT tok, count(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg,
+       |    CAST(SUM(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS wscore
+       |  FROM withlen GROUP BY tok
+       |), phrases AS (
+       |  SELECT w.doc_id, w.phrase_id,
+       |    string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+       |    list_reduce(list_prepend(0.0, list(ws.wscore ORDER BY w.pos)),
+       |      (acc, x) -> acc + x) AS pscore
+       |  FROM withlen w JOIN wordstats ws ON w.tok = ws.tok
+       |  GROUP BY 1, 2)
+       |SELECT phrase, count(*) AS n_occurrences, max(pscore) AS score
+       |FROM phrases GROUP BY phrase
+       |ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+  }
+
   // ------------------------------------------------------ Zipf octaves
   /** Zipf frequency-octave profile of the token distribution — the
     * log-log diagnostic a corpus curator reads before trusting quality
@@ -1800,6 +1883,7 @@ object TextAnalysis extends QueryModule {
     "text_lang_id" -> (langId _),
     "text_langid_confusion" -> (langidConfusion _),
     "text_zipf_octaves" -> (zipfOctaves _),
+    "text_rake_keyphrases" -> (rakeKeyphrases _),
     "text_fingerprint" -> (fingerprint _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -1815,6 +1899,7 @@ object TextAnalysis extends QueryModule {
     "text_bm25_search" -> bm25SearchSql,
     "text_langid_confusion" -> langidConfusionSql,
     "text_zipf_octaves" -> zipfOctavesSql,
+    "text_rake_keyphrases" -> rakeKeyphrasesSql,
     "text_mmr_rerank" -> mmrSql,
     "text_salient_terms" -> salientTermsSql,
     "text_bpe_tokens" -> bpeTokensSql,

@@ -971,6 +971,22 @@ object StreamingPipelines {
       .orderBy(col("day"))
   }
 
+  /** Streaming per-source freshness monitor: per-type count + frontier as
+    * a declarative complete-mode aggregation (max/count are algebraic —
+    * the engine's state store maintains them), lag/SLA tail over the
+    * |types|-row sink. The live form of dq_freshness, same oracle. */
+  def freshnessStream(spark: SparkSession, dir: String): DataFrame = {
+    val per = eventStream(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("ems")).as("last_ems"))
+    val sink = runToMemory(spark, per, "complete", "freshness")
+    val g = sink.agg(max(col("last_ems")).as("gmax"))
+    sink.crossJoin(broadcast(g))
+      .select(col("event_type"), col("n"), col("last_ems"),
+        (col("gmax") - col("last_ems")).as("lag_ms"),
+        ((col("gmax") - col("last_ems")) > 3600000L).as("is_stale"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming count-min grid (SketchState.cmsGrid) read back into the
     * SAME probe tail and DuckDB oracle as the batch sketch_cms_topk:
     * max-rev row vector per sketch row from the update-mode sink,

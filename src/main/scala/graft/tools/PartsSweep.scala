@@ -38,6 +38,7 @@ object PartsSweep {
     import graft.streaming.StreamingPipelines._
     val pipelines: Seq[(String, String => DataFrame)] = Seq(
       "ivjoin" -> ((p: String) => intervalJoinStream(spark, dir, 8, p)),
+      "ivleftjoin" -> ((p: String) => intervalLeftJoinStream(spark, dir, 8, p)),
       "aligned" -> ((p: String) => alignedWindowAgg(spark, dir, p)),
       "alignedappend" -> ((p: String) => alignedWindowAppend(spark, dir, p)),
       "lateupdate" -> ((p: String) => anchoredLateUpdate(spark, dir, p)),

@@ -173,6 +173,15 @@ class StreamingSpec extends AnyFunSuite {
       // windowed-aggregation state sealing across micro-batches
       "aligned" -> StreamingPipelines.alignedWindowAppend(spark, sfDir)
         .collect().map(_.toString),
+      // left-outer join state: null emission on watermark proof (r7s3)
+      "ivleftjoin" -> StreamingPipelines.intervalLeftJoinStream(spark, sfDir)
+        .collect().map(_.toString),
+      // dynamic-gap session merge state (r7s3)
+      "sessiondyn" -> StreamingPipelines.sessionDynamicStream(spark, sfDir)
+        .collect().map(_.toString),
+      // chained dropDuplicates -> stateful min agg (r7s3)
+      "cumusers" -> StreamingPipelines.cumulativeUsersStream(spark, sfDir)
+        .collect().map(_.toString),
       // session-window merge state
       "session" -> StreamingPipelines.sessionWindowAgg(spark, sfDir)
         .collect().map(_.toString),
