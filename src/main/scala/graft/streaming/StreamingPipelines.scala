@@ -485,9 +485,19 @@ object StreamingPipelines {
     * session-window oracle does: unmatched purchases appear iff
     * p_ts ≤ global max event time − 1 h. Same state-partition pin and
     * bounded-state story as [[intervalJoinStream]]. */
+  /** Left-join pin: 2 state partitions. PartsSweep over {2,4,8} on the
+    * sf0.1 pipeline (median-of-3 warm): 9.74 / 10.94 / 11.32 s — the
+    * outer join pays the per-partition commit cost of the inner join
+    * PLUS a per-partition eviction scan for the null emissions, so the
+    * partition knob is even steeper and the sweep bottoms one notch
+    * lower than the inner join's 4. Same reversal at scale as the inner
+    * join (IntervalJoin100x): once per-row work dominates, more
+    * partitions win — this is the verify-scale pin, not a constant. */
+  private val IntervalLeftJoinParts = "2"
+
   def intervalLeftJoinStream(spark: SparkSession, dir: String,
                              nChunks: Int = 8,
-                             stateParts: String = IntervalJoinParts): DataFrame = {
+                             stateParts: String = IntervalLeftJoinParts): DataFrame = {
     val es = eventStreamReplay(spark, dir, nChunks)
       .withColumn("ts", col("ts").cast("timestamp"))
     val purchases = es.filter(col("event_type") === "purchase")
