@@ -606,8 +606,10 @@ object FeatureOps extends QueryModule {
     * session alive 30 min, anything else 10 min; the per-event-type
     * engagement timeout every product-analytics stack wants and
     * fixed-gap sessionization can't express). Each event contributes
-    * [ts, ts + gap); overlapping windows merge transitively; session end
-    * = max member end. The native operator sessionizes inside one
+    * [ts, ts + gap); TOUCHING-or-overlapping windows merge transitively
+    * (ts == prev end merges — pinned by OperatorSpec's boundary test,
+    * which caught the strict form this oracle first shipped with);
+    * session end = max member end. The native operator sessionizes inside one
     * shuffle on user_id (no per-user window chain); the oracle rebuilds
     * the merge with a strict-prefix running max of member ends.
     * MICROSECOND domain throughout: the source carries sub-ms
@@ -653,7 +655,7 @@ object FeatureOps extends QueryModule {
       |  FROM events
       |), flagged AS (
       |  SELECT *, CASE WHEN max(eus) OVER pw IS NULL
-      |      OR tus >= max(eus) OVER pw THEN 1 ELSE 0 END AS is_new
+      |      OR tus > max(eus) OVER pw THEN 1 ELSE 0 END AS is_new
       |  FROM seq
       |  WINDOW pw AS (PARTITION BY user_id ORDER BY tus, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)

@@ -206,6 +206,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(expect.nonEmpty && expect.values.exists(_ < 1.0))
   }
 
+  test("rel_skyline equals the brute-force NOT-EXISTS dominance filter") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("rel_skyline")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("p_partkey"),
+        r.getAs[Long]("p_size"), r.getAs[Double]("p_retailprice"))).toSet
+    // quadratic definition, independent of the two-phase plan
+    val pts = graft.core.Tables.part(spark, sf)
+      .selectExpr("p_partkey", "cast(p_size as long) p_size", "p_retailprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx <= x && qy <= y && (qx < x || qy < y) }
+    }.toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("dynamic-gap session boundary: adjacent-at-exactly-gap DOES merge") {
+    // pins the oracle's merge predicate (new session iff ts > prev max
+    // end — Spark merges TOUCHING windows, caught by this very spec):
+    // two views exactly 10 min apart at µs precision share a session;
+    // one µs further apart splits
+    import spark.implicits._
+    val base = 1704067200000000L // µs
+    val gapUs = 600000000L // 10 min (non-click gap)
+    def run(deltaUs: Long): Long = {
+      val df = Seq(
+        (7L, base, "view", 1.0),
+        (7L, base + deltaUs, "view", 1.0)
+      ).toDF("user_id", "us", "event_type", "value")
+        .select($"user_id", $"event_type", $"value",
+          expr("timestamp_micros(us)").as("ts"))
+      df.groupBy(org.apache.spark.sql.functions.session_window($"ts",
+          graft.queries.FeatureOps.dynamicGapCol), $"user_id")
+        .count().count()
+    }
+    assert(run(gapUs) == 1L,      "exactly-gap-apart (touching) must merge")
+    assert(run(gapUs + 1L) == 2L, "one microsecond further must split")
+  }
+
   test("emb_hard_negatives: never the query label, cosine-descending ranks") {
     val out = SparkEntry.queries("emb_hard_negatives")(
       spark, "/root/testdata/sf0.001").collect()
