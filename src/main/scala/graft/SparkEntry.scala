@@ -15,7 +15,7 @@ object SparkEntry {
     Relational, RelationalPlus, EventFeatures, EventAnalytics, DriftQuality, TextAnalysis,
     Embeddings, StreamingQueries, FeatureStoreQueries, ServingQueries,
     MultimodalQueries, ExtendedQueries, SourceFormats, CorpusPipeline,
-    Sketches, SkewQueries, AnalyticsOps, FeatureOps, AdvancedOps)
+    Sketches, SkewQueries, AnalyticsOps, FeatureOps, AdvancedOps, MetricOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the end-to-end fraud pipeline (anchored features -> score -> risk

@@ -241,6 +241,15 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredStateful(s, d)),
     "stream_anchored_tws" ->
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredTws(s, d)),
+    "stream_anchored_tws_map" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.anchoredTwsMap(s, d)),
+    "stream_recent_types" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.recentTypes(s, d)),
+    "stream_acf" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.acfStream(s, d)),
+    "stream_cumulative_users_wm" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.cumulativeUsersWmStream(s, d)),
     "stream_anchored_update" ->
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredUpdateStateful(s, d)),
     "stream_anchored_stats_update" ->
@@ -312,6 +321,17 @@ object StreamingQueries extends QueryModule {
     "stream_session_dynamic" -> FeatureOps.sessionDynamicSqlFor(frontier = true),
     "stream_anchored_stateful" -> EventFeatures.anchoredCountsSql,
     "stream_anchored_tws" -> EventFeatures.anchoredCountsSql,
+    "stream_anchored_tws_map" -> EventFeatures.anchoredCountsSql,
+    "stream_recent_types" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ems,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS depth,
+        |  string_agg(event_type, '|') OVER w AS recent_types
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "stream_acf" -> MetricOps.acfSql,
+    "stream_cumulative_users_wm" -> AnalyticsOps.cumulativeUsersSql,
     "stream_anchored_update" -> EventFeatures.anchoredCountsSql,
     "stream_anchored_stats_update" -> EventFeatures.anchoredStatsSql,
     "stream_session_update" -> sessionStepsSql,

@@ -561,14 +561,17 @@ object StreamingPipelines {
     * same operator (same oracle row set). transformWithState requires the
     * RocksDB provider; pinned for the query and restored after — the same
     * single-query-at-a-time contract runToMemory already documents. */
-  def anchoredTws(spark: SparkSession, dir: String): DataFrame = {
+  private def anchoredTwsWith(spark: SparkSession, dir: String,
+      proc: org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, StatefulFeatures.EventInTs, StatefulFeatures.AnchoredCounts],
+      caller: String): DataFrame = {
     import spark.implicits._
     val in = watermarkedEvents(spark, dir)
     implicit val outEnc =
       org.apache.spark.sql.Encoders.product[StatefulFeatures.AnchoredCounts]
     val out = in.groupByKey(_.user_id)(
         org.apache.spark.sql.Encoders.scalaLong)
-      .transformWithState(new AnchoredCountsProcessor(),
+      .transformWithState(proc,
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append(), outEnc)
       .toDF()
@@ -576,10 +579,48 @@ object StreamingPipelines {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try runToMemory(spark, out, "append", "anchoredtws")
+    try runToMemory(spark, out, "append", caller)
       .orderBy(col("event_id"))
     finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
+
+  def anchoredTws(spark: SparkSession, dir: String): DataFrame =
+    anchoredTwsWith(spark, dir, new AnchoredCountsProcessor(), "anchoredtws")
+
+  /** ListState showcase: per-event trailing ≤5 event-type window per user
+    * (see [[RecentTypesProcessor]] — pure-append hot path, log compaction
+    * on overflow, NO eviction timer because the trailing window never
+    * expires semantically). Same RocksDB pin as the other tws ops. */
+  def recentTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import RecentTypesProcessor.{RecentTypes, TypedEventIn}
+    val in = eventStream(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), col("ems"), col("event_type"),
+        col("ts"))
+      .as[TypedEventIn]
+      .withWatermark("ts", ReplayDelay)
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[RecentTypes]
+    val out = in.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new RecentTypesProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append(), outEnc)
+      .toDF()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToMemory(spark, out, "append", "recenttypes")
+      .orderBy(col("event_id"))
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  /** The MapState layout of the tws operator (minute → timestamps as a
+    * per-key map; granular point writes instead of whole-buffer
+    * rewrites — see [[AnchoredCountsMapProcessor]]). */
+  def anchoredTwsMap(spark: SparkSession, dir: String): DataFrame =
+    anchoredTwsWith(spark, dir, new AnchoredCountsMapProcessor(),
+      "anchoredtwsmap")
 
   /** W3 with RETRACTION: update-mode per-event counts
     * (StatefulFeatures.anchoredCountsUpdate) — late/tied arrivals re-emit
@@ -979,6 +1020,45 @@ object StreamingPipelines {
             .rowsBetween(org.apache.spark.sql.expressions.Window
               .unboundedPreceding, 0)))
       .orderBy(col("day"))
+  }
+
+  /** The WATERMARK-BOUNDED form of [[cumulativeUsersStream]]'s dedup
+    * stage: `dropDuplicatesWithinWatermark` keeps the engine's dedup
+    * state only within the watermark horizon — the bounded-state dedup
+    * API for unbounded key domains (plain streaming `dropDuplicates`
+    * state never evicts). With the replay's 30-day delay every duplicate
+    * lands inside the horizon, so the answer matches the unbounded form
+    * and shares its oracle. The dedup key (user_id, day) excludes the
+    * required event-time column, but the downstream min-aggregation never
+    * reads `ts` — which duplicate wins stays value-irrelevant. */
+  def cumulativeUsersWmStream(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = eventStream(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", ReplayDelay)
+      .select(col("user_id"), expr("ems div 86400000").as("day"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    val sink = runToMemory(spark, firstSeen, "complete", "cumuserswm")
+    sink.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+      .orderBy(col("day"))
+  }
+
+  /** Streaming traffic-periodicity monitor: per-minute event counts as a
+    * declarative complete-mode aggregation (count is algebraic — the
+    * state store maintains one counter per minute), then the
+    * exact-integer ACF finale (MetricOps.acfTail) over the final
+    * minute table — the live form of evt_acf, same oracle. */
+  def acfStream(spark: SparkSession, dir: String): DataFrame = {
+    val per = eventStream(spark, dir)
+      .select(expr("ems div 60000").as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("c"))
+    val sink = runToMemory(spark, per, "complete", "acf")
+    graft.queries.MetricOps.acfTail(sink)
   }
 
   /** Streaming per-source freshness monitor: per-type count + frontier as

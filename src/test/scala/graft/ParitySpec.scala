@@ -40,6 +40,30 @@ class ParitySpec extends AnyFunSuite {
     val b = graft.streaming.StreamingPipelines.anchoredTws(spark, sf0001)
       .collect().map(_.toString).sorted
     assert(a.nonEmpty && a.sameElements(b))
+    // and the MapState layout (granular minute-entry writes)
+    val c = graft.streaming.StreamingPipelines.anchoredTwsMap(spark, sf0001)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(c))
+  }
+
+  test("ListState recent-types equals the batch trailing window") {
+    // the log-append + compaction state walk (RecentTypesProcessor) must
+    // reproduce the declarative ROWS-frame answer, including past the
+    // compaction boundary (keys deeper than the 5-window)
+    val sdf = graft.streaming.StreamingPipelines.recentTypes(spark, sf0001)
+    val s = sdf.collect().map(_.toString).sorted
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ems"), col("event_id")).rowsBetween(-4, 0)
+    val b = graft.core.Tables.events(spark, sf0001)
+      .withColumn("ems", unix_millis(col("ts").cast("timestamp")))
+      .select(col("event_id"), col("user_id"), col("ems"),
+        count(lit(1)).over(w).cast("long").as("depth"),
+        concat_ws("|", collect_list(col("event_type")).over(w))
+          .as("recent_types"))
+      .collect().map(_.toString).sorted
+    assert(s.nonEmpty && s.sameElements(b))
+    // the compaction boundary is actually exercised: some key is 5 deep
+    assert(sdf.agg(max($"depth")).as[Long].head() == 5L)
   }
 
   test("cross-batch timestamp tie: the documented append-mode boundary") {
