@@ -27,7 +27,13 @@ import Exact._
   *   - retrieval-quality metrics (precision@10 hits, first relevant rank,
   *     LCM-scaled reciprocal rank) for a 5-query BM25 eval set —
   *     relevance = conjunctive term match, MRR kept exact by scaling
-  *     1/rank by LCM(1..20) = 232792560 into integers.
+  *     1/rank by LCM(1..20) = 232792560 into integers;
+  *   - reciprocal-rank-fusion hybrid retrieval (BM25 ⊕ dense cosine);
+  *   - local clustering coefficient over the LSH-band similarity graph
+  *     (shares `graph_triangles`' edge definition);
+  *   - temperature-reweighted source-mixture sampling weights (T = 2);
+  *   - per-type traffic burstiness (Fano factor, batch + streaming);
+  *   - tokenizer fertility per language (subwords per word).
   *
   * 100 TB notes: the ACF series length is bounded by calendar minutes
   * (~526k/year), so the single ordered lead() window is a bounded-size
@@ -488,17 +494,419 @@ object MetricOps extends QueryModule {
        |WHERE rank <= 10 ORDER BY rank""".stripMargin
   }
 
+  // -------------------------------------------------- clustering coefficient
+  /** Local clustering coefficient over the LSH-band similarity graph
+    * (same edge set as `graph_triangles` — the two queries can never
+    * diverge on what "the graph" is): cc = 2·triangles / (deg·(deg−1)),
+    * kept as two exact integers plus the one double division. Triangle
+    * enumeration is the same a<b<c edge-join; degrees are one shuffle on
+    * node. */
+  private def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = TextAnalysis.lshBandRows(
+      Tables.documents(spark, dir).select($"doc_id", $"text"))
+    val e = bands.select($"band_val", $"doc_id".as("a"))
+      .join(bands.select($"band_val", $"doc_id".as("b")), Seq("band_val"))
+      .filter($"a" < $"b")
+      .select($"a", $"b").distinct()
+    val deg = e.select($"a".as("doc_id"))
+      .unionAll(e.select($"b".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("deg"))
+    val tri = e.select($"a", $"b")
+      .join(e.select($"a".as("b"), $"b".as("c")), Seq("b"))
+      .join(e.select($"a", $"b".as("c"), lit(1).as("closed")), Seq("a", "c"))
+      .select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("doc_id"), "left")
+      .select($"doc_id", $"deg",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+      .withColumn("cc",
+        when($"deg" > 1, (lit(2L) * $"n_triangles").cast("double") /
+          ($"deg" * ($"deg" - 1)).cast("double")).otherwise(lit(0.0)))
+      .orderBy($"doc_id")
+  }
+
+  private val clusteringCoeffSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), mh AS (
+      |  SELECT doc_id, list_transform(range(8), j -> list_min(list_transform(sh,
+      |    s -> ((2*j + 1) * CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+      |          + 97*j + 13) % 2147483647))) AS mh
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id,
+      |    b || ':' || mh[2*b + 1] || ':' || mh[2*b + 2] AS band_val
+      |  FROM mh, (SELECT unnest(range(4)) AS b)
+      |), e AS MATERIALIZED (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.band_val = y.band_val AND x.doc_id < y.doc_id
+      |), deg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY doc_id
+      |), tri AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      |), ntri AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      |    SELECT a AS doc_id FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY doc_id
+      |)
+      |SELECT deg.doc_id, deg.deg,
+      |  CAST(COALESCE(ntri.n_triangles, 0) AS BIGINT) AS n_triangles,
+      |  CASE WHEN deg.deg > 1 THEN
+      |    CAST(2 * COALESCE(ntri.n_triangles, 0) AS DOUBLE)
+      |      / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+      |  ELSE 0.0 END AS cc
+      |FROM deg LEFT JOIN ntri ON deg.doc_id = ntri.doc_id
+      |ORDER BY deg.doc_id""".stripMargin
+
+  // ------------------------------------------------- temperature mixture
+  /** Temperature-reweighted source-mixture weights (the multilingual /
+    * multi-source sampling recipe, T = 2 ⇒ w ∝ √tokens): per-source doc
+    * and token counts are exact BIGINTs, √ is IEEE-exact, and the
+    * normalizer Σ√tokens folds SEQUENTIALLY over source-sorted weights
+    * (the small-double-reduction rule) so the share division is the one
+    * shared double expression. */
+  private def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size($"toks").cast("long")).as("n_toks"))
+      .withColumn("w", sqrt($"n_toks".cast("double")))
+    val tot = per
+      .agg(expr("""aggregate(array_sort(collect_list(struct(source, w))),
+        |  cast(0.0 as double), (acc, x) -> acc + x.w)""".stripMargin)
+        .as("wsum"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_toks", $"w".as("weight"),
+        ($"w" / $"wsum").as("share"))
+      .orderBy($"source")
+  }
+
+  private val temperatureMixSql =
+    """WITH per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |      AS n_toks
+      |  FROM documents GROUP BY source
+      |), w AS (
+      |  SELECT source, n_docs, n_toks, SQRT(CAST(n_toks AS DOUBLE)) AS w
+      |  FROM per
+      |), tot AS (
+      |  SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+      |    (acc, x) -> acc + x) AS wsum FROM w
+      |)
+      |SELECT source, n_docs, n_toks, w AS weight, w / wsum AS share
+      |FROM w, tot ORDER BY source""".stripMargin
+
+  // ----------------------------------------------------------- burstiness
+  /** Per-type traffic burstiness as the Fano factor of the per-minute
+    * count series over the GLOBAL minute grid (absent minutes contribute
+    * 0 to every moment, so no grid materialization is needed):
+    * F = var/mean = (n·Q − S²)/(n·S) with n = grid minutes, S = Σc,
+    * Q = Σc² — exact integer moments, one double division. F ≈ 1 is
+    * Poisson; F ≫ 1 is bursty. */
+  private def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("ems", epochMs(col("ts")))
+      .withColumn("m", expr("ems div 60000"))
+    burstinessTail(
+      ev.groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("c")))
+  }
+
+  /** The Fano finale over a per-(type, minute) count table — shared by
+    * the batch query and the streaming monitor (whose complete-mode
+    * aggregation state IS that table; the global grid bound is the same
+    * because every event minute has at least one type row). */
+  private[graft] def burstinessTail(perTypeMin: DataFrame): DataFrame = {
+    val spark = perTypeMin.sparkSession
+    import spark.implicits._
+    val grid = perTypeMin.agg((max($"m") - min($"m") + 1L).as("n"))
+    val per = perTypeMin
+      .groupBy($"event_type").agg(
+        sum($"c").as("s"),
+        sum(($"c" * $"c").cast(DecimalType(38, 0))).as("q"))
+    per.crossJoin(broadcast(grid))
+      .select($"event_type", $"n", $"s".cast("long").as("s"),
+        (($"n".cast(DecimalType(38, 0)) * $"q" -
+          ($"s" * $"s").cast(DecimalType(38, 0))).cast("double") /
+          ($"n" * $"s").cast("double")).as("fano"))
+      .orderBy($"event_type")
+  }
+
+  private[graft] val burstinessSql =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ms(ts) // 60000 AS m FROM events
+      |), g AS (SELECT MAX(m) - MIN(m) + 1 AS n FROM ev),
+      |pm AS (
+      |  SELECT event_type, m, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY event_type, m
+      |), per AS (
+      |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS s,
+      |    SUM(CAST(c * c AS DECIMAL(38,0))) AS q
+      |  FROM pm GROUP BY event_type
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, s,
+      |  CAST(CAST(n AS DECIMAL(38,0)) * q
+      |      - CAST(s * s AS DECIMAL(38,0)) AS DOUBLE)
+      |    / CAST(n * s AS DOUBLE) AS fano
+      |FROM per, g ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------ fertility
+  /** Tokenizer fertility per language: subword tokens (the BPE-ish
+    * `[a-z]{1,4}` segmentation `text_token_stats` established) per
+    * whitespace word — the per-language cost metric a tokenizer report
+    * carries. Integer sums, one double division. */
+  private def fertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(trim($"text"), "\\s+")).cast("long")).as("n_words"),
+        sum(expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))")
+          .cast("long")).as("n_subtokens"))
+      .withColumn("fertility",
+        $"n_subtokens".cast("double") / $"n_words".cast("double"))
+      .orderBy($"lang")
+  }
+
+  private val fertilitySql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |    AS n_words,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT)
+      |    AS n_subtokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS DOUBLE)
+      |    / CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+      |    AS fertility
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------ TWAP
+  /** Time-weighted average value per user (the TWAP feature — a mean
+    * that a burst of quick events cannot drag): Σ valueᵢ·(tᵢ₊₁−tᵢ) over
+    * the user's timeline divided by the span. Values quantize to exact
+    * integer micro-units, segment products accumulate as DECIMAL(38,0)
+    * (micro × ms exceeds BIGINT), and the TWAP is the one double
+    * division. Zero-duration segments (tied timestamps) contribute 0
+    * regardless of tie order, so the event_id tie-break never shows in
+    * the answer. One shuffle on user; the per-user lead() window is the
+    * operator's own partition. */
+  private def twap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .withColumn("ems", epochMs($"ts"))
+      .select($"user_id", $"event_id", $"ems",
+        floor($"value" * 1000000.0 + 0.5).cast("long").as("micro"))
+    val w = Window.partitionBy($"user_id").orderBy($"ems", $"event_id")
+    val seg = ev
+      .withColumn("next_ems", lead($"ems", 1).over(w))
+      .filter($"next_ems".isNotNull)
+      .withColumn("seg", // cast BEFORE the multiply: micro × ms overflows
+        // BIGINT once spans reach years at production value ranges
+        $"micro".cast(DecimalType(38, 0)) * ($"next_ems" - $"ems"))
+    seg.groupBy($"user_id").agg(
+        (count(lit(1)) + 1L).as("n_events"),
+        (max($"next_ems") - min($"ems")).as("span_ms"),
+        sum($"seg").as("integral"))
+      .filter($"span_ms" > 0)
+      .select($"user_id", $"n_events", $"span_ms",
+        ($"integral".cast("double") / $"span_ms".cast("double") / lit(1e6))
+          .as("twap"))
+      .orderBy($"user_id")
+  }
+
+  private val twapSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ems,
+      |    CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS micro
+      |  FROM events
+      |), seg AS (
+      |  SELECT user_id, ems, micro,
+      |    lead(ems, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ems, event_id) AS next_ems
+      |  FROM ev
+      |), s AS (SELECT * FROM seg WHERE next_ems IS NOT NULL)
+      |SELECT user_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+      |  CAST(MAX(next_ems) - MIN(ems) AS BIGINT) AS span_ms,
+      |  CAST(SUM(CAST(micro * (next_ems - ems) AS DECIMAL(38,0))) AS DOUBLE)
+      |    / CAST(MAX(next_ems) - MIN(ems) AS DOUBLE) / 1000000.0 AS twap
+      |FROM s GROUP BY user_id HAVING MAX(next_ems) - MIN(ems) > 0
+      |ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------- grouping sets
+  /** Explicit GROUPING SETS (the general form behind the ROLLUP/CUBE
+    * queries already covered): per-(returnflag, linestatus) totals, a
+    * per-returnflag margin, and a grand total in ONE scan — the engine
+    * expands the sets map-side instead of three query passes.
+    * grouping_id disambiguates the NULL group labels in both engines. */
+  private def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"),
+          Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dsum($"l_quantity").as("sum_qty"))
+      .select($"l_returnflag", $"l_linestatus", $"gid", $"n", $"sum_qty")
+      .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+  }
+
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin
+
+  // ----------------------------------------------------------- readability
+  /** Per-document readability profile (the Flesch-style shape without the
+    * libm syllable constant): sentence-marker runs, whitespace words,
+    * long words (≥7 chars), and the two single-division rates. All counts
+    * exact BIGINT; no shuffle at all — pure per-row higher-order
+    * functions inside whole-stage codegen. */
+  private def readability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .select($"doc_id",
+        greatest(expr("size(regexp_extract_all(text, '[.!?]+', 0))")
+          .cast("long"), lit(1L)).as("n_sentences"),
+        size($"toks").cast("long").as("n_words"),
+        expr("size(filter(toks, t -> length(t) >= 7))").cast("long")
+          .as("n_long_words"))
+      .withColumn("words_per_sentence",
+        $"n_words".cast("double") / $"n_sentences".cast("double"))
+      .withColumn("long_word_ratio",
+        $"n_long_words".cast("double") / $"n_words".cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  private val readabilitySql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks, text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+      |    AS n_sentences,
+      |  CAST(len(toks) AS BIGINT) AS n_words,
+      |  CAST(len(list_filter(toks, t -> length(t) >= 7)) AS BIGINT)
+      |    AS n_long_words,
+      |  CAST(len(toks) AS DOUBLE)
+      |    / CAST(GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |        AS BIGINT), 1) AS DOUBLE) AS words_per_sentence,
+      |  CAST(len(list_filter(toks, t -> length(t) >= 7)) AS DOUBLE)
+      |    / CAST(len(toks) AS DOUBLE) AS long_word_ratio
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ ROC points
+  private val rocThresholds = Seq(10, 30, 50, 70, 90)
+
+  /** ROC operating points for the value-score against a deterministic
+    * noisy label (score > 75 flipped on an md5-derived 10% — so the curve
+    * has real shape): exact TP/FP/TN/FN at 5 thresholds, TPR/FPR as the
+    * single divisions. The threshold fan-out is a 5-wide broadcast
+    * explode; the rest is one aggregation. */
+  private def rocPoints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .withColumn("h",
+        conv(substring(md5($"event_id".cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long"))
+      .select($"value",
+        (($"value" > 75.0) =!= (pmod($"h", lit(10L)) === 0L)).as("pos"))
+    ev.select($"value", $"pos",
+        explode(array(rocThresholds.map(t => lit(t.toLong)): _*)).as("t"))
+      .groupBy($"t").agg(
+        sum(when($"pos" && $"value" > $"t", 1L).otherwise(0L)).as("tp"),
+        sum(when(!$"pos" && $"value" > $"t", 1L).otherwise(0L)).as("fp"),
+        sum(when(!$"pos" && !($"value" > $"t"), 1L).otherwise(0L)).as("tn"),
+        sum(when($"pos" && !($"value" > $"t"), 1L).otherwise(0L)).as("fn"))
+      .withColumn("tpr",
+        $"tp".cast("double") / ($"tp" + $"fn").cast("double"))
+      .withColumn("fpr",
+        $"fp".cast("double") / ($"fp" + $"tn").cast("double"))
+      .orderBy($"t")
+  }
+
+  private val rocPointsSql = {
+    val ts = rocThresholds.mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT value,
+       |    (value > 75.0) <>
+       |      (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+       |        AS BIGINT) % 10 = 0) AS pos
+       |  FROM events
+       |), x AS (
+       |  SELECT value, pos, CAST(t AS BIGINT) AS t
+       |  FROM ev, (SELECT unnest([$ts]) AS t)
+       |)
+       |SELECT t,
+       |  CAST(SUM(CASE WHEN pos AND value > t THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS tp,
+       |  CAST(SUM(CASE WHEN NOT pos AND value > t THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN NOT pos AND NOT (value > t) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS tn,
+       |  CAST(SUM(CASE WHEN pos AND NOT (value > t) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN pos AND value > t THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(CASE WHEN pos AND value > t THEN 1 ELSE 0 END)
+       |         + SUM(CASE WHEN pos AND NOT (value > t) THEN 1 ELSE 0 END)
+       |      AS DOUBLE) AS tpr,
+       |  CAST(SUM(CASE WHEN NOT pos AND value > t THEN 1 ELSE 0 END)
+       |      AS DOUBLE)
+       |    / CAST(SUM(CASE WHEN NOT pos AND value > t THEN 1 ELSE 0 END)
+       |         + SUM(CASE WHEN NOT pos AND NOT (value > t) THEN 1 ELSE 0 END)
+       |      AS DOUBLE) AS fpr
+       |FROM x GROUP BY t ORDER BY t""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_acf" -> (acf _),
     "text_heaps_growth" -> (heapsGrowth _),
     "rel_band_join" -> (bandJoin _),
     "ml_rank_metrics" -> (rankMetrics _),
-    "emb_rrf_hybrid" -> (rrfHybrid _))
+    "emb_rrf_hybrid" -> (rrfHybrid _),
+    "graph_clustering_coeff" -> (clusteringCoeff _),
+    "corpus_temperature_mix" -> (temperatureMix _),
+    "evt_burstiness" -> (burstiness _),
+    "text_fertility" -> (fertility _),
+    "evt_twap" -> (twap _),
+    "rel_grouping_sets" -> (groupingSets _),
+    "text_readability" -> (readability _),
+    "ml_roc_points" -> (rocPoints _))
 
   override def oracles: Map[String, String] = Map(
     "evt_acf" -> acfSql,
     "text_heaps_growth" -> heapsGrowthSql,
     "rel_band_join" -> bandJoinSql,
     "ml_rank_metrics" -> rankMetricsSql,
-    "emb_rrf_hybrid" -> rrfHybridSql)
+    "emb_rrf_hybrid" -> rrfHybridSql,
+    "graph_clustering_coeff" -> clusteringCoeffSql,
+    "corpus_temperature_mix" -> temperatureMixSql,
+    "evt_burstiness" -> burstinessSql,
+    "text_fertility" -> fertilitySql,
+    "evt_twap" -> twapSql,
+    "rel_grouping_sets" -> groupingSetsSql,
+    "text_readability" -> readabilitySql,
+    "ml_roc_points" -> rocPointsSql)
 }

@@ -250,6 +250,8 @@ object StreamingQueries extends QueryModule {
     "stream_cumulative_users_wm" ->
       ((s: SparkSession, d: String) =>
         StreamingPipelines.cumulativeUsersWmStream(s, d)),
+    "stream_burstiness" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.burstinessStream(s, d)),
     "stream_anchored_update" ->
       ((s: SparkSession, d: String) => StreamingPipelines.anchoredUpdateStateful(s, d)),
     "stream_anchored_stats_update" ->
@@ -332,6 +334,7 @@ object StreamingQueries extends QueryModule {
         |ORDER BY event_id""".stripMargin,
     "stream_acf" -> MetricOps.acfSql,
     "stream_cumulative_users_wm" -> AnalyticsOps.cumulativeUsersSql,
+    "stream_burstiness" -> MetricOps.burstinessSql,
     "stream_anchored_update" -> EventFeatures.anchoredCountsSql,
     "stream_anchored_stats_update" -> EventFeatures.anchoredStatsSql,
     "stream_session_update" -> sessionStepsSql,

@@ -1061,6 +1061,18 @@ object StreamingPipelines {
     graft.queries.MetricOps.acfTail(sink)
   }
 
+  /** Streaming burstiness monitor: per-(type, minute) counts as a
+    * declarative complete-mode aggregation, the exact-integer Fano
+    * finale (MetricOps.burstinessTail) over the final table — the live
+    * form of evt_burstiness, same oracle. */
+  def burstinessStream(spark: SparkSession, dir: String): DataFrame = {
+    val per = eventStream(spark, dir)
+      .select(col("event_type"), expr("ems div 60000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("c"))
+    val sink = runToMemory(spark, per, "complete", "burstiness")
+    graft.queries.MetricOps.burstinessTail(sink)
+  }
+
   /** Streaming per-source freshness monitor: per-type count + frontier as
     * a declarative complete-mode aggregation (max/count are algebraic —
     * the engine's state store maintains them), lag/SLA tail over the

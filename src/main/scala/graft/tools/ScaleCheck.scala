@@ -289,6 +289,38 @@ object ScaleCheck {
       graft.SparkEntry.queries("graph_link_prediction")(spark, dir).count()
     }
 
+    // round-7 session-4 additions. RAKE owns one (doc, word)-keyed shuffle
+    // with vocab-bounded score tables — must stay ~linear in docs; Heaps
+    // is one token-keyed shuffle + a broadcast 10-row fan-out. The band
+    // join's PRICE RANGE scales with n (entities scale with the data), so
+    // matching-pair density per bucket stays constant and the equi-join
+    // output stays ~linear — the quadratic blowup a naive theta join
+    // would hit is exactly what the bucket-explode shape avoids.
+    def rake(dir: String): Double = timed {
+      graft.SparkEntry.queries("text_rake_keyphrases")(spark, dir).count()
+    }
+    def heaps(dir: String): Double = timed {
+      graft.SparkEntry.queries("text_heaps_growth")(spark, dir).count()
+    }
+    def stageOrders(n: Long): String = {
+      val dir = s"$base/orders_$n"
+      spark.range(0, n)
+        .withColumn("h", expr(
+          "cast(conv(substr(md5(cast(cast(id as string) as binary)), 1, 8), 16, 10) as bigint)"))
+        .select(col("id").as("o_orderkey"),
+          pmod(col("h"), lit(1000L)).as("o_custkey"),
+          lit("O").as("o_orderstatus"),
+          (pmod(col("h"), lit(100L) * n) / 100.0).as("o_totalprice"),
+          timestamp_millis(lit(1704067200000L)
+            + pmod(col("h"), lit(365L)) * 86400000L).as("o_orderdate"),
+          lit("1-URGENT").as("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    def bandJoin(dir: String): Double = timed {
+      graft.SparkEntry.queries("rel_band_join")(spark, dir).count()
+    }
+
     val d1 = stage(n1); val d10 = stage(n1 * 10)
     val s1 = stageSkewed(n1); val s10 = stageSkewed(n1 * 10)
     val dd1 = stageDocs(n1); val dd10 = stageDocs(n1 * 10)
@@ -309,6 +341,12 @@ object ScaleCheck {
       ("text_lm_score", lmScore(c1), lmScore(c10)),
       ("text_rank_keywords", textRank(c1), textRank(c10)),
       ("text_source_overlap", srcOverlap(c1), srcOverlap(c10)),
+      ("text_rake_keyphrases", rake(c1), rake(c10)),
+      ("text_heaps_growth", heaps(c1), heaps(c10)),
+      {
+        val o1 = stageOrders(n1); val o10 = stageOrders(n1 * 10)
+        ("rel_band_join", bandJoin(o1), bandJoin(o10))
+      },
       {
         val t1 = stageTrade(n1); val t10 = stageTrade(n1 * 10)
         ("graph_link_prediction", linkPred(t1), linkPred(t10))

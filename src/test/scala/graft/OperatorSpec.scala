@@ -222,6 +222,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("rel_band_join equals the naive theta join (explode covers the band)") {
+    // quadratic definition, independent of the bucket-explode plan: the
+    // {b-1,b,b+1} fan-out must find EVERY pair within the band and each
+    // pair exactly once (an off-by-one bucket or a double-count both
+    // surface here); sf0.01 — the band is empty at sf0.001
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("rel_band_join")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("ym"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("cents_gap_sum"))).toSet
+    val o = graft.core.Tables.orders(spark, sf).selectExpr("o_orderkey okey",
+      "cast(floor(o_totalprice * 100.0 + 0.5) as long) cents",
+      "cast(year(o_orderdate) * 100 + month(o_orderdate) as long) ym")
+    o.createOrReplaceTempView("bj_o")
+    val expect = spark.sql(
+      """SELECT a.ym, count(*) n_pairs, sum(abs(a.cents - b.cents)) gap
+        |FROM bj_o a JOIN bj_o b ON a.ym = b.ym AND a.okey < b.okey
+        |  AND abs(a.cents - b.cents) <= 100
+        |GROUP BY a.ym""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("dynamic-gap session boundary: adjacent-at-exactly-gap DOES merge") {
     // pins the oracle's merge predicate (new session iff ts > prev max
     // end — Spark merges TOUCHING windows, caught by this very spec):
