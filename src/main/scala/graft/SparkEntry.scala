@@ -15,7 +15,8 @@ object SparkEntry {
     Relational, RelationalPlus, EventFeatures, EventAnalytics, DriftQuality, TextAnalysis,
     Embeddings, StreamingQueries, FeatureStoreQueries, ServingQueries,
     MultimodalQueries, ExtendedQueries, SourceFormats, CorpusPipeline,
-    Sketches, SkewQueries, AnalyticsOps, FeatureOps, AdvancedOps, MetricOps)
+    Sketches, SkewQueries, AnalyticsOps, FeatureOps, AdvancedOps, MetricOps,
+    LayoutOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the end-to-end fraud pipeline (anchored features -> score -> risk

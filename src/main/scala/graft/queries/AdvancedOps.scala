@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -134,6 +134,75 @@ object AdvancedOps extends QueryModule {
       |FROM vp JOIN vc ON vp.value = vc.value CROSS JOIN n
       |GROUP BY vp.event_type, n.n
       |ORDER BY vp.event_type""".stripMargin
+
+  // --------------------------------------------- learning curve (AUC)
+  /** Sample-sufficiency harness: the exact Mann-Whitney AUC of `value`
+    * for the purchase-vs-rest label, recomputed on NESTED deterministic
+    * samples of 1/8, 1/4, 1/2 and all of the data (row in sample l/8 iff
+    * md5(event_id) mod 8 < l — nesting is what makes the curve read as
+    * "what would less data have told me", the flattening tail = enough
+    * data). One scan: each row fans out to the samples containing it
+    * (≤ 4×), then the [[featureAuc]] midrank algebra runs per sample —
+    * all integer moments, one double division per sample. */
+  private def learningCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir)
+      .withColumn("h8",
+        pmod(conv(substring(md5($"event_id".cast("string").cast("binary")),
+          1, 8), 16, 10).cast("long"), lit(8L)))
+      .select($"value", ($"event_type" === "purchase").as("pos"), $"h8",
+        explode(array(lit(1L), lit(2L), lit(4L), lit(8L))).as("l"))
+      .filter($"h8" < $"l")
+      .drop("h8")
+    val vt = e.groupBy($"l", $"value").agg(count(lit(1)).as("t"))
+      .withColumn("c", sum($"t").over(
+        Window.partitionBy($"l").orderBy($"value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"t")
+    val vp = e.groupBy($"l", $"value")
+      .agg(sum(when($"pos", 1L).otherwise(0L)).as("pos_n"))
+    val n = e.groupBy($"l").agg(count(lit(1)).as("n"))
+    vp.join(vt, Seq("l", "value")).join(n, Seq("l"))
+      .groupBy($"l", $"n")
+      .agg(sum($"pos_n").as("n_pos"),
+        sum($"pos_n" * (lit(2) * $"c" + $"t" + 1)).as("ranksum2"))
+      .select($"l".as("eighths"), $"n",
+        $"n_pos".cast("long").as("n_pos"),
+        ($"n" - $"n_pos").cast("long").as("n_neg"),
+        (($"ranksum2" - $"n_pos" * ($"n_pos" + 1)).cast("double") /
+          (lit(2L) * $"n_pos" * ($"n" - $"n_pos")).cast("double")).as("auc"))
+      .orderBy($"eighths")
+  }
+
+  private val learningCurveSql =
+    """WITH e AS (
+      |  SELECT value, (event_type = 'purchase') AS pos, l
+      |  FROM (SELECT value, event_type,
+      |          CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+      |            AS BIGINT) % 8 AS h8
+      |        FROM events),
+      |       (SELECT unnest([1, 2, 4, 8]) AS l)
+      |  WHERE h8 < l
+      |), vt AS (
+      |  SELECT l, value, count(*) AS t FROM e GROUP BY 1, 2
+      |), vc AS (
+      |  SELECT l, value, t,
+      |    SUM(t) OVER (PARTITION BY l ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS c
+      |  FROM vt
+      |), vp AS (
+      |  SELECT l, value,
+      |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_n
+      |  FROM e GROUP BY 1, 2
+      |), n AS (SELECT l, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)
+      |SELECT CAST(vp.l AS BIGINT) AS eighths, n.n,
+      |  CAST(SUM(vp.pos_n) AS BIGINT) AS n_pos,
+      |  CAST(n.n - SUM(vp.pos_n) AS BIGINT) AS n_neg,
+      |  CAST(SUM(vp.pos_n * (2 * vc.c + vc.t + 1))
+      |       - SUM(vp.pos_n) * (SUM(vp.pos_n) + 1) AS DOUBLE)
+      |    / CAST(2 * SUM(vp.pos_n) * (n.n - SUM(vp.pos_n)) AS DOUBLE) AS auc
+      |FROM vp JOIN vc ON vp.l = vc.l AND vp.value = vc.value
+      |JOIN n ON n.l = vp.l
+      |GROUP BY vp.l, n.n ORDER BY eighths""".stripMargin
 
   // ------------------------------------------- item-item similarity
   /** Item-item cosine similarity over order co-occurrence: for each part,
@@ -385,12 +454,16 @@ object AdvancedOps extends QueryModule {
   /** Seasonal forecast: additive seasonal decomposition + Brown double
     * smoothing on the deseasonalized series — the classical
     * decompose-then-smooth pipeline (period = 4 six-hour phases, the
-    * diurnal cycle). Why not coupled Holt-Winters: its level↔trend
+    * diurnal cycle). Why not coupled Holt-Winters HERE: its level↔trend
     * recurrence is CYCLIC, and DuckDB 1.0.0's list_reduce evaluates
     * struct fields sequentially from the 2nd application on (see
     * AdvancedOps.brown / CLAUDE.md), so one of the pair must read the
-    * other's old value as an earlier field — unreachable; Brown's
-    * cascade is acyclic, which is exactly why it folds exactly.
+    * other's old value as an earlier field — unreachable BY FOLD;
+    * Brown's cascade is acyclic, which is exactly why it folds exactly.
+    * (Round 8 closed the coupled form by the other route — fixed-length
+    * series + per-step unrolled CTEs + integer scaling: see
+    * [[holtForecast]] and the full [[holtWinters]]. This query remains
+    * the unbounded-length form the fold supports.)
     * Stages: per-phase seasonal mean (exact davg from RAW events, never
     * re-averaged doubles), per-bucket mean, residual = y − s(phase)
     * (broadcast join), one bucket-domain-bounded Brown fold; forecast
@@ -783,7 +856,333 @@ object AdvancedOps extends QueryModule {
       |  CAST(SUM(y) AS DOUBLE) / count(*) AS pos_rate
       |FROM s GROUP BY score ORDER BY score""".stripMargin
 
+  // --------------------------------------- Holt linear-trend forecast
+  /** The Holt two-parameter (level, trend) recurrence was documented in
+    * round 7 as UNREACHABLE under DuckDB's sequential struct evaluation
+    * (the coupled (l,b) update is cyclic — no field order works, and the
+    * first application is simultaneous; see [[seasonalForecast]]). This
+    * query closes that gap with the other escape hatch noted there:
+    * a FIXED-LENGTH series + per-step unrolled CTEs, one CTE per update.
+    *
+    * Series: per-type hourly counts on the 14-hour grid anchored at the
+    * corpus max hour (absent hours = 0 — the anchor makes the length a
+    * constant, which the unrolled oracle requires). α = β = ½ makes
+    * every state a dyadic rational with denominator 4^(t−1), so the
+    * whole recurrence is EXACT INTEGERS once scaled: with
+    * L_t = l_t·4^(t−1), B_t = b_t·4^(t−1), p = 4^(t−2),
+    *
+    *   l_t = (x_t + l_{t−1} + b_{t−1})/2   ⇒  L_t = 2p·x_t + 2L + 2B
+    *   b_t = (l_t − l_{t−1} + b_{t−1})/2   ⇒  B_t = p·x_t − L + 3B
+    *
+    * (B_t already expanded to old-state form — the CLAUDE.md recurrence
+    * rule.) Init l₁ = x₁, b₁ = x₁ − x₀; 12 updates end at denominator
+    * 4^12 = 2^24, and level/trend/forecasts are single double divisions
+    * of exact integers by 16777216.0. |L| ≤ 3·x_max·2^24 keeps BIGINT
+    * safe to ~5·10¹¹ events per type-hour.
+    *
+    * Scale shape: one shuffle on (type, hour) — the grid pivot and the
+    * 12-step fold are per-type expression work inside codegen. */
+  private def holtForecast(spark: SparkSession, dir: String): DataFrame =
+    holtTail(ev(spark, dir)
+      .withColumn("h", expr("ems div 3600000"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+
+  /** The Holt finale over a per-(type, hour) count table `(event_type, h,
+    * c)` — shared by the batch query and the streaming monitor (whose
+    * complete-mode aggregation state IS that table), so both runtimes
+    * share the unrolled oracle. */
+  private[graft] def holtTail(pm: DataFrame): DataFrame = {
+    val spark = pm.sparkSession
+    import spark.implicits._
+    val mx = pm.agg(max($"h").as("mxh"))
+    val xcols = (0 to 13).map(i =>
+      sum(when($"t" === i, $"c").otherwise(0L)).cast("long").as(s"x$i"))
+    val xs = pm.crossJoin(broadcast(mx))
+      .withColumn("t", $"h" - ($"mxh" - 13))
+      .filter($"t" >= 0)
+      .groupBy($"event_type")
+      .agg(xcols.head, xcols.tail: _*)
+    var L: Column = $"x1"
+    var B: Column = $"x1" - $"x0"
+    var p = 1L
+    for (t <- 2 to 13) {
+      val nL = col(s"x$t") * lit(2 * p) + lit(2L) * L + lit(2L) * B
+      val nB = col(s"x$t") * lit(p) - L + lit(3L) * B
+      L = nL; B = nB; p *= 4
+    }
+    xs.select($"event_type", L.as("l_scaled"), B.as("b_scaled"))
+      .select($"event_type", $"l_scaled", $"b_scaled",
+        ($"l_scaled".cast("double") / lit(16777216.0)).as("level"),
+        ($"b_scaled".cast("double") / lit(16777216.0)).as("trend"),
+        (($"l_scaled" + $"b_scaled").cast("double") / lit(16777216.0))
+          .as("forecast_1"),
+        (($"l_scaled" + lit(2L) * $"b_scaled").cast("double")
+          / lit(16777216.0)).as("forecast_2"),
+        (($"l_scaled" + lit(3L) * $"b_scaled").cast("double")
+          / lit(16777216.0)).as("forecast_3"))
+      .orderBy($"event_type")
+  }
+
+  private[graft] val holtForecastSql = {
+    val xcols = (0 to 13).map(i =>
+      s"""CAST(COALESCE(SUM(CASE WHEN t = $i THEN c END), 0) AS BIGINT)
+         |    AS x$i""".stripMargin).mkString(",\n  ")
+    val steps = (2 to 13).map { t =>
+      val p = math.pow(4, t - 2).toLong
+      val rest = ((t + 1) to 13).map(i => s"x$i")
+      val keep = if (rest.isEmpty) "" else rest.mkString(", ") + ", "
+      s"""s$t AS (SELECT event_type, $keep
+         |  x$t * ${2 * p} + 2 * l${t - 1} + 2 * b${t - 1} AS l$t,
+         |  x$t * $p - l${t - 1} + 3 * b${t - 1} AS b$t FROM s${t - 1})"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pm AS (
+       |  SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2
+       |), m AS (SELECT MAX(h) AS mxh FROM pm),
+       |xs AS (
+       |  SELECT event_type,
+       |  $xcols
+       |  FROM (SELECT event_type, h - (mxh - 13) AS t, c FROM pm, m
+       |        WHERE h >= mxh - 13)
+       |  GROUP BY event_type
+       |),
+       |s1 AS (SELECT event_type, ${(2 to 13).map(i => s"x$i").mkString(", ")},
+       |  x1 AS l1, x1 - x0 AS b1 FROM xs),
+       |$steps
+       |SELECT event_type, l13 AS l_scaled, b13 AS b_scaled,
+       |  CAST(l13 AS DOUBLE) / 16777216.0 AS level,
+       |  CAST(b13 AS DOUBLE) / 16777216.0 AS trend,
+       |  CAST(l13 + b13 AS DOUBLE) / 16777216.0 AS forecast_1,
+       |  CAST(l13 + 2 * b13 AS DOUBLE) / 16777216.0 AS forecast_2,
+       |  CAST(l13 + 3 * b13 AS DOUBLE) / 16777216.0 AS forecast_3
+       |FROM s13 ORDER BY event_type""".stripMargin
+  }
+
+  // ------------------------------- Holt-Winters (level+trend+season)
+  /** FULL additive Holt-Winters — the triple (l, b, s) recurrence that
+    * round 7 documented as strictly unreachable under DuckDB's
+    * list_reduce (the (l,b) coupling is cyclic AND the seasonal array
+    * mutates one slot per step; see [[seasonalForecast]]'s doc). Same
+    * escape hatch as [[holtForecast]], one size up: a 36-hour grid
+    * anchored at the corpus max hour (24 h of seasonal init + 12
+    * updates), α = β = γ = ½, and EVERY state integer-scaled by 4^τ —
+    * the 24 seasonal slots ride along, untouched slots multiplying by 4
+    * each step so the whole state vector shares one denominator.
+    *
+    * Old-state-form recurrences (step τ reads hour t = 23+τ, whose
+    * seasonal slot is t mod 24 = τ−1; p = 4^(τ−1)):
+    *
+    *   L' = 2p·x − 2S[τ−1] + 2L + 2B
+    *   B' =  p·x −  S[τ−1] −  L + 3B
+    *   S'[τ−1] = p·x + 3S[τ−1] − L − B ;  S'[j≠τ−1] = 4S[j]
+    *
+    * Init: L = x₂₃, B = 0, S[j] = x_j − x₂₃. After 12 steps the shared
+    * denominator is 4¹² = 2²⁴; level/trend/forecasts (ŷ_h = l + h·b +
+    * s[(35+h) mod 24]) are single double divisions by 16777216.0.
+    *
+    * The Spark side folds through 13 chained SELECTs (init + 12 steps)
+    * so every reference is a named attribute, not an exponentially
+    * expanded tree; the oracle mirrors with 13 chained CTEs. One
+    * shuffle on (type, hour); everything after is per-type expression
+    * work. */
+  private def holtWinters(spark: SparkSession, dir: String): DataFrame =
+    holtWintersTail(ev(spark, dir)
+      .withColumn("h", expr("ems div 3600000"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+
+  /** Holt-Winters finale over a per-(type, hour) count table (same
+    * contract as [[holtTail]]); shared with the streaming monitor. */
+  private[graft] def holtWintersTail(pm: DataFrame): DataFrame = {
+    val spark = pm.sparkSession
+    import spark.implicits._
+    val mx = pm.agg(max($"h").as("mxh"))
+    val xcols = (0 to 35).map(i =>
+      sum(when($"t" === i, $"c").otherwise(0L)).cast("long").as(s"x$i"))
+    val xs = pm.crossJoin(broadcast(mx))
+      .withColumn("t", $"h" - ($"mxh" - 35))
+      .filter($"t" >= 0)
+      .groupBy($"event_type")
+      .agg(xcols.head, xcols.tail: _*)
+    // init projection: consume x0..x23 into the seasonal slots
+    var df = xs.select(
+      Seq($"event_type") ++ (24 to 35).map(i => col(s"x$i")) ++ Seq(
+        $"x23".as("l"), lit(0L).as("b")) ++
+        (0 to 23).map(j => (col(s"x$j") - $"x23").as(s"s_$j")): _*)
+    var p = 1L
+    for (tau <- 1 to 12) {
+      val t = 23 + tau
+      val slot = tau - 1
+      val x = col(s"x$t")
+      df = df.select(
+        Seq($"event_type") ++ ((t + 1) to 35).map(i => col(s"x$i")) ++ Seq(
+          (x * lit(2 * p) - lit(2L) * col(s"s_$slot") + lit(2L) * $"l" +
+            lit(2L) * $"b").as("l"),
+          (x * lit(p) - col(s"s_$slot") - $"l" + lit(3L) * $"b").as("b")) ++
+          (0 to 23).map { j =>
+            if (j == slot)
+              (x * lit(p) + lit(3L) * col(s"s_$j") - $"l" - $"b").as(s"s_$j")
+            else (col(s"s_$j") * lit(4L)).as(s"s_$j")
+          }: _*)
+      p *= 4
+    }
+    df.select($"event_type", $"l".as("l_scaled"), $"b".as("b_scaled"),
+        ($"l".cast("double") / lit(16777216.0)).as("level"),
+        ($"b".cast("double") / lit(16777216.0)).as("trend"),
+        ($"s_12".cast("double") / lit(16777216.0)).as("season_next"),
+        (($"l" + $"b" + $"s_12").cast("double") / lit(16777216.0))
+          .as("forecast_1"),
+        (($"l" + lit(2L) * $"b" + $"s_13").cast("double") / lit(16777216.0))
+          .as("forecast_2"))
+      .orderBy($"event_type")
+  }
+
+  private[graft] val holtWintersSql = {
+    val xcols = (0 to 35).map(i =>
+      s"""CAST(COALESCE(SUM(CASE WHEN t = $i THEN c END), 0) AS BIGINT)
+         |    AS x$i""".stripMargin).mkString(",\n  ")
+    val initS = (0 to 23).map(j => s"x$j - x23 AS s0_$j").mkString(", ")
+    val steps = (1 to 12).map { tau =>
+      val t = 23 + tau
+      val slot = tau - 1
+      val p = math.pow(4, tau - 1).toLong
+      val keepX = ((t + 1) to 35).map(i => s"x$i")
+      val keep = if (keepX.isEmpty) "" else keepX.mkString(", ") + ","
+      val prev = tau - 1
+      val slots = (0 to 23).map { j =>
+        if (j == slot)
+          s"x$t * $p + 3 * s${prev}_$j - l$prev - b$prev AS s${tau}_$j"
+        else s"4 * s${prev}_$j AS s${tau}_$j"
+      }.mkString(",\n  ")
+      s"""hw$tau AS (SELECT event_type, $keep
+         |  x$t * ${2 * p} - 2 * s${prev}_$slot + 2 * l$prev + 2 * b$prev
+         |    AS l$tau,
+         |  x$t * $p - s${prev}_$slot - l$prev + 3 * b$prev AS b$tau,
+         |  $slots
+         |  FROM hw$prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pm AS (
+       |  SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2
+       |), m AS (SELECT MAX(h) AS mxh FROM pm),
+       |xs AS (
+       |  SELECT event_type,
+       |  $xcols
+       |  FROM (SELECT event_type, h - (mxh - 35) AS t, c FROM pm, m
+       |        WHERE h >= mxh - 35)
+       |  GROUP BY event_type
+       |),
+       |hw0 AS (SELECT event_type,
+       |  ${(24 to 35).map(i => s"x$i").mkString(", ")},
+       |  x23 AS l0, CAST(0 AS BIGINT) AS b0, $initS FROM xs),
+       |$steps
+       |SELECT event_type, l12 AS l_scaled, b12 AS b_scaled,
+       |  CAST(l12 AS DOUBLE) / 16777216.0 AS level,
+       |  CAST(b12 AS DOUBLE) / 16777216.0 AS trend,
+       |  CAST(s12_12 AS DOUBLE) / 16777216.0 AS season_next,
+       |  CAST(l12 + b12 + s12_12 AS DOUBLE) / 16777216.0 AS forecast_1,
+       |  CAST(l12 + 2 * b12 + s12_13 AS DOUBLE) / 16777216.0 AS forecast_2
+       |FROM hw12 ORDER BY event_type""".stripMargin
+  }
+
+  // --------------------------------------- Mann-Kendall trend test
+  /** Exact Mann-Kendall monotonic-trend test per event type over the
+    * gap-filled GLOBAL hourly grid: S = Σ_{i<j} sgn(x_j − x_i) and the
+    * tie-corrected variance numerator
+    * var18 = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) are exact BIGINTs;
+    * z = S / √(var18/18) is the one shared double expression. The pair
+    * join is bounded by calendar hours² per type (8760² ≈ 38M pairs for
+    * a full year — a fixed, data-size-independent cost), never by event
+    * count: events reduce to the hourly series first. */
+  private def mannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendallTail(ev(spark, dir)
+      .withColumn("h", expr("ems div 3600000"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+
+  /** The Mann-Kendall finale over a per-(type, hour) count table — shared
+    * by the batch query and the streaming monitor (same contract as
+    * [[holtTail]]). */
+  private[graft] def mannKendallTail(pm: DataFrame): DataFrame = {
+    val spark = pm.sparkSession
+    import spark.implicits._
+    val b = pm.agg(min($"h").as("mn"), max($"h").as("mx"))
+    val grid = b.select(explode(sequence($"mn", $"mx")).as("h"))
+    // .as("event_type") mints a fresh attribute id — joining the distinct
+    // type list back against pm would otherwise carry CONFLICTING refs
+    // when pm is a memory-sink view (the streaming twin's input)
+    val x = pm.select($"event_type".as("event_type")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(pm, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h", coalesce($"c", lit(0L)).as("x"))
+    val s = x.as("a")
+      .join(x.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.h") < col("b.h"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(col("b.x") > col("a.x"), 1L)
+        .when(col("b.x") < col("a.x"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = x.groupBy($"event_type", $"x")
+      .agg(count(lit(1)).as("tg"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum($"tg" * ($"tg" - 1L) * (lit(2L) * $"tg" + 5L)).as("tie_term"))
+    val n = x.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    n.join(s, Seq("event_type")).join(ties, Seq("event_type"))
+      .withColumn("var18",
+        $"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L) - $"tie_term")
+      .select($"event_type", $"n", $"s_stat", $"n_distinct", $"var18",
+        when($"var18" > 0L,
+          $"s_stat".cast("double") /
+            sqrt($"var18".cast("double") / lit(18.0)))
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy($"event_type")
+  }
+
+  private[graft] val mannKendallSql =
+    """WITH pm AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM pm),
+      |grid AS (SELECT unnest(generate_series(mn, mx)) AS h FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM pm),
+      |x AS (
+      |  SELECT ty.event_type, grid.h, COALESCE(pm.c, 0) AS x
+      |  FROM ty CROSS JOIN grid
+      |  LEFT JOIN pm ON pm.event_type = ty.event_type AND pm.h = grid.h
+      |), s AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+      |      ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM x a JOIN x b ON a.event_type = b.event_type AND a.h < b.h
+      |  GROUP BY a.event_type
+      |), ties AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS tg
+      |        FROM x GROUP BY event_type, x)
+      |  GROUP BY event_type
+      |), n AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM x
+      |  GROUP BY event_type
+      |)
+      |SELECT n.event_type, n.n, s.s_stat, ties.n_distinct,
+      |  CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS BIGINT)
+      |    AS var18,
+      |  CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term > 0 THEN
+      |    CAST(s.s_stat AS DOUBLE)
+      |      / SQRT(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term
+      |          AS DOUBLE) / 18.0)
+      |  ELSE 0.0 END AS z
+      |FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+      |ORDER BY n.event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_holt_forecast" -> (holtForecast _),
+    "evt_holt_winters" -> (holtWinters _),
+    "evt_mann_kendall" -> (mannKendall _),
     "graph_link_prediction" -> (linkPrediction _),
     "ml_pinball_loss" -> (pinballLoss _),
     "ml_calibration_bins" -> (calibrationBins _),
@@ -795,11 +1194,15 @@ object AdvancedOps extends QueryModule {
     "evt_brown_forecast" -> (brown _),
     "ml_ab_test" -> (abTest _),
     "ml_feature_auc" -> (featureAuc _),
+    "ml_learning_curve" -> (learningCurve _),
     "rel_item_similarity" -> (itemSimilarity _),
     "dedup_containment" -> (containment _),
     "graph_kcore" -> (kcore _))
 
   override def oracles: Map[String, String] = Map(
+    "evt_holt_forecast" -> holtForecastSql,
+    "evt_holt_winters" -> holtWintersSql,
+    "evt_mann_kendall" -> mannKendallSql,
     "graph_link_prediction" -> linkPredictionSql,
     "ml_pinball_loss" -> pinballLossSql,
     "ml_calibration_bins" -> calibrationBinsSql,
@@ -811,6 +1214,7 @@ object AdvancedOps extends QueryModule {
     "evt_brown_forecast" -> brownSql,
     "ml_ab_test" -> abTestSql,
     "ml_feature_auc" -> featureAucSql,
+    "ml_learning_curve" -> learningCurveSql,
     "rel_item_similarity" -> itemSimilaritySql,
     "dedup_containment" -> containmentSql,
     "graph_kcore" -> kcoreSql)

@@ -714,7 +714,115 @@ object FeatureOps extends QueryModule {
       |    nems := -ems) END).value AS top_peak_value
       |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------- changepoint (binseg)
+  /** Single-changepoint detection per event type (the first round of
+    * binary segmentation / CUSUM-style level-shift localization): over
+    * the gap-filled GLOBAL hourly count series, pick the split s that
+    * maximizes the between-segment SSE reduction
+    *
+    *   gain(s) ∝ (S₁n₂ − S₂n₁)² / (n₁n₂)        (n constant per type)
+    *
+    * The argmax must be EXACT cross-engine, so the score is quantized to
+    * the integer  (S₁n₂ − S₂n₁)²·10⁶ div (n₁n₂)  — integer division is
+    * identical in both engines (DuckDB `//` == Spark `div`), and the
+    * (score_q DESC, s ASC) row_number tie-break is total. The level-shift
+    * magnitude mean₂ − mean₁ = (S₂n₁ − S₁n₂)/(n₁n₂) is the one double
+    * division. Numerator bounds: |S·n| ≤ events·8760 ⇒ squared ≈ 10³⁶
+    * — DECIMAL(38,0) territory, never BIGINT.
+    *
+    * Scale: events reduce to the bounded hourly table first (one
+    * shuffle); prefix sums + argmax are per-type windows over
+    * calendar-hours rows. */
+  private def changepoint(spark: SparkSession, dir: String): DataFrame =
+    changepointTail(Tables.events(spark, dir)
+      .withColumn("ems", epochMs(col("ts")))
+      .withColumn("h", expr("ems div 3600000"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+
+  /** The changepoint finale over a per-(type, hour) count table — shared
+    * by the batch query and the streaming monitor (complete-mode state IS
+    * that table), same oracle. */
+  private[graft] def changepointTail(pm: DataFrame): DataFrame = {
+    val spark = pm.sparkSession
+    import spark.implicits._
+    val b = pm.agg(min($"h").as("mn"), max($"h").as("mx"))
+    val grid = b.select(explode(sequence($"mn", $"mx")).as("h"))
+    val x = pm.select($"event_type".as("event_type")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(pm, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h", coalesce($"c", lit(0L)).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+    val pre = x
+      .withColumn("s", row_number().over(w).cast("long"))
+      .withColumn("s1", sum($"x").over(w))
+    val tot = x.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("stot"))
+    val scored = pre.join(tot, Seq("event_type"))
+      .filter($"s" < $"n")
+      .withColumn("n2", $"n" - $"s")
+      .withColumn("s2", $"stot" - $"s1")
+      .withColumn("d",
+        ($"s1" * $"n2" - $"s2" * $"s").cast(DecimalType(38, 0)))
+      // IntegralDivide (div) on decimals returns BIGINT in Spark; the
+      // quantized score is ≤ ~(events·hours)²·10⁶/(hours²/4) ≈ 5·10¹⁶ at
+      // bench scale — document the bound, emit BIGINT both engines
+      .withColumn("score_q", expr("(d * d * 1000000) div (s * n2)"))
+    scored
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy($"event_type").orderBy($"score_q".desc, $"s")))
+      .filter($"rnk" === 1)
+      .select($"event_type", $"h".as("split_after_hour"),
+        $"s".as("n_left"), $"n2".as("n_right"),
+        $"s1".cast("long").as("sum_left"), $"s2".cast("long").as("sum_right"),
+        $"score_q".cast("long").as("score_q"),
+        (($"s2" * $"s" - $"s1" * $"n2").cast("double") /
+          ($"s" * $"n2").cast("double")).as("level_shift"))
+      .orderBy($"event_type")
+  }
+
+  private[graft] val changepointSql =
+    """WITH pm AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM pm),
+      |grid AS (SELECT unnest(generate_series(mn, mx)) AS h FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM pm),
+      |x AS (
+      |  SELECT ty.event_type, grid.h, COALESCE(pm.c, 0) AS x
+      |  FROM ty CROSS JOIN grid
+      |  LEFT JOIN pm ON pm.event_type = ty.event_type AND pm.h = grid.h
+      |), pre AS (
+      |  SELECT event_type, h,
+      |    CAST(row_number() OVER tw AS BIGINT) AS s,
+      |    CAST(SUM(x) OVER tw AS BIGINT) AS s1
+      |  FROM x WINDOW tw AS (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), tot AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS stot
+      |  FROM x GROUP BY event_type
+      |), scored AS (
+      |  SELECT pre.event_type, h, s, s1, n - s AS n2, stot - s1 AS s2,
+      |    CAST(s1 * (n - s) - (stot - s1) * s AS HUGEINT)
+      |       * CAST(s1 * (n - s) - (stot - s1) * s AS HUGEINT)
+      |       * 1000000
+      |      // CAST(s * (n - s) AS HUGEINT) AS score_q
+      |  FROM pre JOIN tot USING (event_type) WHERE s < n
+      |), best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY score_q DESC, s) AS rnk
+      |  FROM scored
+      |)
+      |SELECT event_type, h AS split_after_hour, s AS n_left, n2 AS n_right,
+      |  s1 AS sum_left, CAST(s2 AS BIGINT) AS sum_right,
+      |  CAST(score_q AS BIGINT) AS score_q,
+      |  CAST(s2 * s - s1 * n2 AS DOUBLE) / CAST(s * n2 AS DOUBLE)
+      |    AS level_shift
+      |FROM best WHERE rnk = 1 ORDER BY event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_changepoint" -> (changepoint _),
     "text_source_overlap" -> (sourceOverlap _),
     "evt_session_dynamic" -> (sessionDynamic _),
     "evt_peaks" -> (peaks _),
@@ -730,6 +838,7 @@ object FeatureOps extends QueryModule {
     "text_collocations" -> (collocations _))
 
   override def oracles: Map[String, String] = Map(
+    "evt_changepoint" -> changepointSql,
     "text_source_overlap" -> sourceOverlapSql,
     "evt_session_dynamic" -> sessionDynamicSql,
     "evt_peaks" -> peaksSql,

@@ -173,24 +173,27 @@ object MetricOps extends QueryModule {
       |ORDER BY c.i""".stripMargin
 
   // ------------------------------------------------------- banded range join
-  /** Order pairs within the same month whose totals differ by ≤ $1.00,
+  /** Order pairs within the same month whose totals differ by ≤ $100,
     * as a bucket-explode EQUI-join: bucket width = band width, left rows
     * explode to {b−1, b, b+1}, right keeps b — every qualifying pair
-    * meets in exactly one bucket (|Δcents| ≤ 100 ⇒ |Δb| ≤ 1, and the
-    * right bucket is single-valued), so no dedup pass is needed. */
+    * meets in exactly one bucket (|Δcents| ≤ 10000 ⇒ |Δb| ≤ 1, and the
+    * right bucket is single-valued), so no dedup pass is needed. ($100,
+    * not $1: the r7 band had zero qualifying pairs at sf0.001, caught by
+    * the EntrySpec rows>0 smoke — same lesson as the k=25 k-anonymity
+    * gate.) */
   private def bandJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, dir).select(
       $"o_orderkey".as("okey"),
       floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("cents"),
       (year($"o_orderdate") * 100 + month($"o_orderdate")).cast("long").as("ym"))
-    val b = o.withColumn("b", expr("cents div 100"))
+    val b = o.withColumn("b", expr("cents div 10000"))
     val l = b.select($"okey".as("okey1"), $"cents".as("c1"), $"ym",
       explode(array($"b" - 1, $"b", $"b" + 1)).as("jb"))
     val r = b.select($"okey".as("okey2"), $"cents".as("c2"),
       $"ym".as("ym2"), $"b".as("jb"))
     l.join(r, l("ym") === r("ym2") && l("jb") === r("jb") &&
-        l("okey1") < r("okey2") && abs(l("c1") - r("c2")) <= 100)
+        l("okey1") < r("okey2") && abs(l("c1") - r("c2")) <= 10000)
       .groupBy($"ym").agg(
         count(lit(1)).as("n_pairs"),
         sum(abs($"c1" - $"c2")).cast("long").as("cents_gap_sum"))
@@ -207,7 +210,7 @@ object MetricOps extends QueryModule {
       |SELECT a.ym, CAST(COUNT(*) AS BIGINT) AS n_pairs,
       |  CAST(SUM(ABS(a.cents - b.cents)) AS BIGINT) AS cents_gap_sum
       |FROM o a JOIN o b ON a.ym = b.ym AND a.okey < b.okey
-      |  AND ABS(a.cents - b.cents) <= 100
+      |  AND ABS(a.cents - b.cents) <= 10000
       |GROUP BY a.ym ORDER BY a.ym""".stripMargin
 
   // ------------------------------------------------- retrieval rank metrics
@@ -526,7 +529,10 @@ object MetricOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
-  private val clusteringCoeffSql =
+  /** The LSH similarity graph's edge CTE chain — shared verbatim by the
+    * clustering-coefficient and assortativity oracles (and matching
+    * `graph_triangles`' edges), so "the graph" is one definition. */
+  private val lshEdgeCtes =
     """WITH t AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
       |), sh AS (
@@ -546,7 +552,11 @@ object MetricOps extends QueryModule {
       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       |  FROM bands x JOIN bands y
       |    ON x.band_val = y.band_val AND x.doc_id < y.doc_id
-      |), deg AS (
+      |)""".stripMargin
+
+  private val clusteringCoeffSql =
+    s"""$lshEdgeCtes, deg AS (""".stripMargin +
+    """
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
       |    SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e)
       |  GROUP BY doc_id
@@ -569,6 +579,80 @@ object MetricOps extends QueryModule {
       |  ELSE 0.0 END AS cc
       |FROM deg LEFT JOIN ntri ON deg.doc_id = ntri.doc_id
       |ORDER BY deg.doc_id""".stripMargin
+
+  // ------------------------------------------------- degree assortativity
+  /** Degree assortativity of the LSH similarity graph (Newman's r — do
+    * high-degree docs cluster with each other, i.e. is the near-dup
+    * graph hub-and-spoke or clique-y?). Over the SYMMETRIZED edge list
+    * the x- and y-moments coincide, so the usual Pearson collapses to
+    *
+    *   r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²),  M = 2|E|
+    *
+    * — no square roots at all: two exact DECIMAL(38,0) integers and ONE
+    * double division. One shuffle builds degrees, two broadcast-sized
+    * joins attach them to edge endpoints; edge count is LSH-band-bounded
+    * like every other query on this graph. */
+  private def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = TextAnalysis.lshBandRows(
+      Tables.documents(spark, dir).select($"doc_id", $"text"))
+    val e = bands.select($"band_val", $"doc_id".as("a"))
+      .join(bands.select($"band_val", $"doc_id".as("b")), Seq("band_val"))
+      .filter($"a" < $"b")
+      .select($"a", $"b").distinct()
+    val deg = e.select($"a".as("n"))
+      .unionAll(e.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val j = e
+      .join(deg.select($"n".as("a"), $"deg".as("da")), Seq("a"))
+      .join(deg.select($"n".as("b"), $"deg".as("db")), Seq("b"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val mom = j.agg(
+      count(lit(1)).as("n_edges"),
+      (count(lit(1)) * 2L).as("m"),
+      sum($"da" + $"db").as("sx"),
+      sum(($"da" * $"da" + $"db" * $"db").cast(DecimalType(38, 0))).as("sxx"),
+      sum((lit(2L) * $"da" * $"db").cast(DecimalType(38, 0))).as("sxy"))
+    mom.crossJoin(broadcast(nNodes))
+      .withColumn("num",
+        $"m".cast(DecimalType(38, 0)) * $"sxy" -
+          $"sx".cast(DecimalType(38, 0)) * $"sx".cast(DecimalType(38, 0)))
+      .withColumn("den",
+        $"m".cast(DecimalType(38, 0)) * $"sxx" -
+          $"sx".cast(DecimalType(38, 0)) * $"sx".cast(DecimalType(38, 0)))
+      .select($"n_nodes", $"n_edges", $"sx".cast("long").as("deg_sum"),
+        when($"den" =!= 0, $"num".cast("double") / $"den".cast("double"))
+          .otherwise(lit(0.0)).as("assortativity"))
+  }
+
+  private val assortativitySql =
+    s"""$lshEdgeCtes, deg AS (""" +
+    """
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY doc_id
+      |), j AS (
+      |  SELECT da.deg AS da, db.deg AS db
+      |  FROM e JOIN deg da ON e.a = da.doc_id JOIN deg db ON e.b = db.doc_id
+      |), mom AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |    CAST(COUNT(*) * 2 AS BIGINT) AS m,
+      |    CAST(SUM(da + db) AS BIGINT) AS sx,
+      |    SUM(CAST(da * da + db * db AS DECIMAL(38,0))) AS sxx,
+      |    SUM(CAST(2 * da * db AS DECIMAL(38,0))) AS sxy
+      |  FROM j
+      |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+      |SELECT n_nodes, n_edges, sx AS deg_sum,
+      |  CASE WHEN CAST(m AS DECIMAL(38,0)) * sxx
+      |      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) <> 0
+      |    THEN CAST(CAST(m AS DECIMAL(38,0)) * sxy
+      |        - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+      |        AS DOUBLE)
+      |      / CAST(CAST(m AS DECIMAL(38,0)) * sxx
+      |        - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+      |        AS DOUBLE)
+      |    ELSE 0.0 END AS assortativity
+      |FROM mom, nn""".stripMargin
 
   // ------------------------------------------------- temperature mixture
   /** Temperature-reweighted source-mixture weights (the multilingual /
@@ -887,6 +971,7 @@ object MetricOps extends QueryModule {
     "ml_rank_metrics" -> (rankMetrics _),
     "emb_rrf_hybrid" -> (rrfHybrid _),
     "graph_clustering_coeff" -> (clusteringCoeff _),
+    "graph_assortativity" -> (assortativity _),
     "corpus_temperature_mix" -> (temperatureMix _),
     "evt_burstiness" -> (burstiness _),
     "text_fertility" -> (fertility _),
@@ -902,6 +987,7 @@ object MetricOps extends QueryModule {
     "ml_rank_metrics" -> rankMetricsSql,
     "emb_rrf_hybrid" -> rrfHybridSql,
     "graph_clustering_coeff" -> clusteringCoeffSql,
+    "graph_assortativity" -> assortativitySql,
     "corpus_temperature_mix" -> temperatureMixSql,
     "evt_burstiness" -> burstinessSql,
     "text_fertility" -> fertilitySql,

@@ -310,15 +310,200 @@ object Sketches extends QueryModule {
       |SELECT * FROM per_type UNION ALL SELECT * FROM merged
       |ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------ KMV
+  /** k-minimum-values (bottom-k) distinct sketch with SET OPERATIONS
+    * (Beyer et al. 2007, "On synopses for distinct-value estimation") —
+    * the sketch family HLL cannot do: HLL registers merge by max (union
+    * only), while two bottom-k sketches support union AND intersection,
+    * so one 64-hash synopsis per segment answers overlap questions
+    * between any segment pair without rescanning either.
+    *
+    * Sets: users active in the first vs second half of the event
+    * timeline. h = 32-bit md5 of user_id (the repo hash rule); each
+    * side keeps its k = 64 smallest distinct hash values. The union
+    * sketch K is the k smallest of the pooled sketches; with
+    * c = |{h ∈ K present in both sides}| and kth = max(K),
+    *
+    *   Jaccard ≈ c/k,   |A∪B| ≈ (k−1)·2³²/kth,   |A∩B| ≈ product
+    *
+    * — integer counts and two single double divisions (the product of
+    * two identically-computed doubles is itself deterministic). The
+    * exact n_a / n_b / true overlap ride along as the error measurement,
+    * like every other sketch row here.
+    *
+    * Scale shape: one shuffle builds the distinct (side, hash) table;
+    * each side's bottom-k goes through RankedWindow (two-phase global
+    * rank — NO single-partition sort); everything after is ≤ 2k rows.
+    * Bottom-k is mergeable (min of mins), so the per-executor partial
+    * at 100 TB is the same k-row synopsis. */
+  private val kmvK = 64
+
+  /** KMV set-operation finale over a per-side bottom-k table `(side, h)`
+    * for sides "a"/"b" — shared by the batch query's ranked sketches and
+    * the streaming twin's state arrays, so the estimate algebra can never
+    * diverge between the two runtimes. */
+  private[graft] def kmvSetOps(sk: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val skA = sk.filter(col("side") === "a")
+      .select(col("h")).withColumn("in_a", lit(1L))
+    val skB = sk.filter(col("side") === "b")
+      .select(col("h")).withColumn("in_b", lit(1L))
+    val pooled = skA.select(col("h")).unionAll(skB.select(col("h")))
+      .distinct()
+      .orderBy(col("h")).limit(kmvK) // ≤ 2k rows: bounded final stage
+    pooled
+      .join(skA, Seq("h"), "left").join(skB, Seq("h"), "left")
+      .agg(
+        count(lit(1)).as("k_used"),
+        max(col("h")).as("kth"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("c_both"))
+      .select(col("k_used"), col("kth"), col("c_both"),
+        (col("c_both").cast("double") / col("k_used").cast("double"))
+          .as("jaccard_est"),
+        when(col("kth") > 0,
+          ((col("k_used") - 1L) * lit(4294967296L)).cast("double") /
+            col("kth").cast("double")).otherwise(lit(0.0)).as("union_est"))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+  }
+
+  private def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).withColumn("ems", epochMs($"ts"))
+    val b = ev.agg(min($"ems").as("mn"), max($"ems").as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val sided = ev.crossJoin(broadcast(b))
+      .select(when($"ems" <= $"mid", "a").otherwise("b").as("side"),
+        $"user_id")
+    val hashed = sided.select($"side",
+      conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long").as("h"))
+      .distinct()
+    def bottomK(side: String) =
+      graft.operators.RankedWindow.rankDesc(
+        hashed.filter($"side" === side).select($"h"),
+        value = -$"h", tie = $"h", sealOutput = false)
+        .filter($"rnk" <= kmvK).select($"h")
+    val sk = kmvSetOps(
+      bottomK("a").withColumn("side", lit("a"))
+        .unionAll(bottomK("b").withColumn("side", lit("b"))))
+    // exact ground truth (the error measurement)
+    val exact = sided.distinct()
+      .groupBy($"user_id")
+      .agg(max(when($"side" === "a", 1L).otherwise(0L)).as("a"),
+        max(when($"side" === "b", 1L).otherwise(0L)).as("b"))
+      .agg(sum($"a").cast("long").as("n_a_exact"),
+        sum($"b").cast("long").as("n_b_exact"),
+        sum($"a" * $"b").cast("long").as("overlap_exact"))
+    sk.crossJoin(broadcast(exact))
+      .select($"k_used", $"kth", $"c_both",
+        $"n_a_exact", $"n_b_exact", $"overlap_exact",
+        $"jaccard_est", $"union_est", $"inter_est")
+  }
+
+  private val kmvOverlapSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_ms(ts) AS ems FROM events
+       |), b AS (SELECT (MIN(ems) + MAX(ems)) // 2 AS mid FROM ev),
+       |sided AS (
+       |  SELECT DISTINCT CASE WHEN ems <= mid THEN 'a' ELSE 'b' END AS side,
+       |    user_id
+       |  FROM ev, b
+       |), hashed AS (
+       |  SELECT DISTINCT side,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) AS h
+       |  FROM sided
+       |), ranked AS (
+       |  SELECT side, h,
+       |    row_number() OVER (PARTITION BY side ORDER BY h) AS rnk
+       |  FROM hashed
+       |), ska AS (SELECT h FROM ranked WHERE side = 'a' AND rnk <= $kmvK),
+       |skb AS (SELECT h FROM ranked WHERE side = 'b' AND rnk <= $kmvK),
+       |pooled AS (
+       |  SELECT h FROM (SELECT DISTINCT h FROM
+       |    (SELECT h FROM ska UNION ALL SELECT h FROM skb))
+       |  ORDER BY h LIMIT $kmvK
+       |), sk AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+       |    CAST(MAX(p.h) AS BIGINT) AS kth,
+       |    CAST(SUM(CASE WHEN ska.h IS NOT NULL AND skb.h IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS c_both
+       |  FROM pooled p
+       |  LEFT JOIN ska ON p.h = ska.h LEFT JOIN skb ON p.h = skb.h
+       |), ex AS (
+       |  SELECT CAST(SUM(a) AS BIGINT) AS n_a_exact,
+       |    CAST(SUM(b) AS BIGINT) AS n_b_exact,
+       |    CAST(SUM(a * b) AS BIGINT) AS overlap_exact
+       |  FROM (
+       |    SELECT user_id,
+       |      MAX(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS a,
+       |      MAX(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS b
+       |    FROM sided GROUP BY user_id)
+       |)
+       |SELECT k_used, kth, c_both, n_a_exact, n_b_exact, overlap_exact,
+       |  CAST(c_both AS DOUBLE) / CAST(k_used AS DOUBLE) AS jaccard_est,
+       |  CASE WHEN kth > 0 THEN
+       |    CAST((k_used - 1) * 4294967296 AS DOUBLE) / CAST(kth AS DOUBLE)
+       |  ELSE 0.0 END AS union_est,
+       |  (CAST(c_both AS DOUBLE) / CAST(k_used AS DOUBLE)) *
+       |  (CASE WHEN kth > 0 THEN
+       |    CAST((k_used - 1) * 4294967296 AS DOUBLE) / CAST(kth AS DOUBLE)
+       |  ELSE 0.0 END) AS inter_est
+       |FROM sk, ex""".stripMargin
+
+  /** Oracle for the STREAMING KMV twin: sides are the click vs purchase
+    * user populations (event-type sides stream cleanly; the batch query's
+    * timeline split needs the corpus min/max up front, which a stream
+    * doesn't have). Sketch-only columns — the ground-truth ride-along
+    * stays with the batch query. */
+  private[graft] val kmvStreamSql =
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b'
+       |      END AS side,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) AS h
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |), ranked AS (
+       |  SELECT side, h,
+       |    row_number() OVER (PARTITION BY side ORDER BY h) AS rnk
+       |  FROM hashed
+       |), ska AS (SELECT h FROM ranked WHERE side = 'a' AND rnk <= $kmvK),
+       |skb AS (SELECT h FROM ranked WHERE side = 'b' AND rnk <= $kmvK),
+       |pooled AS (
+       |  SELECT h FROM (SELECT DISTINCT h FROM
+       |    (SELECT h FROM ska UNION ALL SELECT h FROM skb))
+       |  ORDER BY h LIMIT $kmvK
+       |), sk AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+       |    CAST(MAX(p.h) AS BIGINT) AS kth,
+       |    CAST(SUM(CASE WHEN ska.h IS NOT NULL AND skb.h IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS c_both
+       |  FROM pooled p
+       |  LEFT JOIN ska ON p.h = ska.h LEFT JOIN skb ON p.h = skb.h
+       |)
+       |SELECT k_used, kth, c_both,
+       |  CAST(c_both AS DOUBLE) / CAST(k_used AS DOUBLE) AS jaccard_est,
+       |  CASE WHEN kth > 0 THEN
+       |    CAST((k_used - 1) * 4294967296 AS DOUBLE) / CAST(kth AS DOUBLE)
+       |  ELSE 0.0 END AS union_est,
+       |  (CAST(c_both AS DOUBLE) / CAST(k_used AS DOUBLE)) *
+       |  (CASE WHEN kth > 0 THEN
+       |    CAST((k_used - 1) * 4294967296 AS DOUBLE) / CAST(kth AS DOUBLE)
+       |  ELSE 0.0 END) AS inter_est
+       |FROM sk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll_distinct" -> (hllDistinct _),
     "sketch_cms_topk" -> (cmsTopk _),
     "rel_bloom_semi_join" -> (bloomSemiJoin _),
-    "sketch_bitmap_distinct" -> (bitmapDistinct _))
+    "sketch_bitmap_distinct" -> (bitmapDistinct _),
+    "sketch_kmv_overlap" -> (kmvOverlap _))
 
   override def oracles: Map[String, String] = Map(
     "sketch_hll_distinct" -> hllDistinctSql,
     "sketch_cms_topk" -> cmsTopkSql,
     "rel_bloom_semi_join" -> bloomSemiJoinSql,
-    "sketch_bitmap_distinct" -> bitmapDistinctSql)
+    "sketch_bitmap_distinct" -> bitmapDistinctSql,
+    "sketch_kmv_overlap" -> kmvOverlapSql)
 }

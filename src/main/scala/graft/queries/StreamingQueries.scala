@@ -247,6 +247,17 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.recentTypes(s, d)),
     "stream_acf" ->
       ((s: SparkSession, d: String) => StreamingPipelines.acfStream(s, d)),
+    "stream_mann_kendall" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.mannKendallStream(s, d)),
+    "stream_holt" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.holtStream(s, d)),
+    "stream_holt_winters" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.holtWintersStream(s, d)),
+    "stream_changepoint" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.changepointStream(s, d)),
     "stream_cumulative_users_wm" ->
       ((s: SparkSession, d: String) =>
         StreamingPipelines.cumulativeUsersWmStream(s, d)),
@@ -302,6 +313,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.lmScoreStream(s, d)),
     "stream_corpus_funnel" ->
       ((s: SparkSession, d: String) => StreamingPipelines.curationFunnelStream(s, d)),
+    "stream_kmv_overlap" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.kmvStream(s, d)),
     "stream_hll_distinct" ->
       ((s: SparkSession, d: String) => StreamingPipelines.hllDistinctStream(s, d)),
     "stream_bitmap_distinct" ->
@@ -333,6 +346,10 @@ object StreamingQueries extends QueryModule {
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "stream_acf" -> MetricOps.acfSql,
+    "stream_mann_kendall" -> AdvancedOps.mannKendallSql,
+    "stream_holt" -> AdvancedOps.holtForecastSql,
+    "stream_holt_winters" -> AdvancedOps.holtWintersSql,
+    "stream_changepoint" -> FeatureOps.changepointSql,
     "stream_cumulative_users_wm" -> AnalyticsOps.cumulativeUsersSql,
     "stream_burstiness" -> MetricOps.burstinessSql,
     "stream_anchored_update" -> EventFeatures.anchoredCountsSql,
@@ -361,6 +378,7 @@ object StreamingQueries extends QueryModule {
     "stream_lm_score" -> TextAnalysis.lmScoreSql,
     "stream_corpus_funnel" -> TextAnalysis.curationFunnelOracleSql,
     "stream_hll_distinct" -> Sketches.hllDistinctSql,
+    "stream_kmv_overlap" -> Sketches.kmvStreamSql,
     "stream_bitmap_distinct" -> Sketches.bitmapDistinctSql,
     "stream_cumulative_users" -> AnalyticsOps.cumulativeUsersSql,
     "stream_freshness" -> AnalyticsOps.freshnessSql,

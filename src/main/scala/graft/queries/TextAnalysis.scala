@@ -1864,7 +1864,96 @@ object TextAnalysis extends QueryModule {
       |WHERE a.w = 'stream' AND b.w = 'table' AND c.w = 'hash'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------- content-defined chunking dedup
+  /** Content-defined chunking (CDC) dedup — the backup-system /
+    * storage-layer dedup family (gear/Rabin boundaries), complementing
+    * the n-gram and suffix families already here: chunk boundaries are
+    * decided by CONTENT (a token whose md5 ≡ 0 mod 8 closes a chunk),
+    * so an insertion early in a document only perturbs one chunk and
+    * every later chunk still matches — the property fixed-width
+    * shingling lacks. Chunks are md5-keyed and duplicate chunks counted
+    * corpus-wide; per-source rows report the chunk-level dedup ratio
+    * (tokens in duplicate chunk occurrences / total tokens).
+    *
+    * Exactness: the boundary predicate, chunk assembly (position-ordered
+    * fold), and all counts are integers; ratios are single divisions.
+    * Scale: one posexplode + a per-doc window (doc-bounded), then one
+    * shuffle on chunk hash — never doc-pair. */
+  private def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        posexplode(split(trim($"text"), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("boundary",
+        pmod(conv(substring(md5($"tok".cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(8L)) === 0L)
+    // chunk id = boundaries BEFORE this token (a boundary token closes
+    // its chunk, so it belongs to the chunk it terminates)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk_seq",
+        coalesce(sum(when($"boundary", 1L).otherwise(0L)).over(w), lit(0L)))
+      .groupBy($"doc_id", $"source", $"chunk_seq")
+      .agg(count(lit(1)).as("n_toks"),
+        md5(expr("cast(concat_ws(' ', transform(array_sort(" +
+          "collect_list(struct(pos, tok))), p -> p.tok)) as binary)"))
+          .as("chunk_hash"))
+    val dupes = chunks.groupBy($"chunk_hash")
+      .agg(count(lit(1)).as("occ"))
+    chunks.join(dupes, Seq("chunk_hash"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"occ" > 1L, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum($"n_toks").cast("long").as("n_toks"),
+        sum(when($"occ" > 1L, $"n_toks").otherwise(0L)).cast("long")
+          .as("dup_toks"))
+      .withColumn("dup_ratio",
+        $"dup_toks".cast("double") / $"n_toks".cast("double"))
+      .orderBy($"source")
+  }
+
+  private val cdcChunksSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, pos - 1 AS pos, tok,
+      |    (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 8 = 0)
+      |      AS boundary
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split_regex(trim(text), '\s+')) AS tok,
+      |          generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+      |            AS pos
+      |        FROM documents)
+      |), seq AS (
+      |  SELECT doc_id, source, pos, tok,
+      |    COALESCE(SUM(CASE WHEN boundary THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS chunk_seq
+      |  FROM toks
+      |), chunks AS (
+      |  SELECT doc_id, source, chunk_seq,
+      |    CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      |  FROM seq GROUP BY 1, 2, 3
+      |), dupes AS (
+      |  SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS occ
+      |  FROM chunks GROUP BY 1
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_chunks,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+      |  CAST(SUM(CASE WHEN occ > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+      |    AS dup_toks,
+      |  CAST(SUM(CASE WHEN occ > 1 THEN n_toks ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(n_toks) AS DOUBLE) AS dup_ratio
+      |FROM chunks JOIN dupes USING (chunk_hash)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> (cdcChunks _),
     "text_phrase_search" -> (phraseSearch _),
     "text_bm25_search" -> (bm25Search _),
     "text_mmr_rerank" -> (mmrRerank _),
@@ -1895,6 +1984,7 @@ object TextAnalysis extends QueryModule {
     "dedup_prefix_join" -> (prefixJoin _))
 
   override def oracles: Map[String, String] = Map(
+    "dedup_cdc_chunks" -> cdcChunksSql,
     "text_phrase_search" -> phraseSearchSql,
     "text_bm25_search" -> bm25SearchSql,
     "text_langid_confusion" -> langidConfusionSql,

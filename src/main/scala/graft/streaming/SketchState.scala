@@ -44,6 +44,52 @@ object SketchState {
       }
   }
 
+  case class KmvIn(side: String, h: Long)
+  case class KmvState(hs: Seq[Long], rev: Long)
+  case class KmvOut(side: String, hs: Seq[Long], rev: Long)
+
+  /** Per-key KMV (bottom-k) distinct sketch as streaming state: a sorted
+    * array of the k smallest distinct hashes seen for the key. The KMV
+    * merge is "k smallest of the union" — commutative and idempotent, so
+    * the streamed sketch equals the batch sketch over the same data
+    * under any micro-batch split or replay (duplicates are no-ops by
+    * construction). State is one primitive array of ≤ k longs per key
+    * (the heap-discipline rule); insertion is binary search + arraycopy.
+    * The sketch only ever tightens (values can only get smaller), so
+    * emissions are monotone — no retraction story needed, same contract
+    * as the HLL registers above. */
+  def kmvBottomK(ds: Dataset[KmvIn], k: Int): Dataset[KmvOut] = {
+    implicit val outEnc = Encoders.product[KmvOut]
+    implicit val stateEnc = Encoders.product[KmvState]
+    ds.groupByKey(_.side)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (side: String, events: Iterator[KmvIn], state: GroupState[KmvState]) =>
+          var hs = state.getOption.map(_.hs.toArray).getOrElse(Array.empty[Long])
+          var changed = false
+          events.foreach { e =>
+            val pos = java.util.Arrays.binarySearch(hs, e.h)
+            if (pos < 0) { // not already in the sketch
+              val ins = -pos - 1
+              if (hs.length < k) {
+                val next = new Array[Long](hs.length + 1)
+                System.arraycopy(hs, 0, next, 0, ins)
+                next(ins) = e.h
+                System.arraycopy(hs, ins, next, ins + 1, hs.length - ins)
+                hs = next; changed = true
+              } else if (ins < k) { // evict the current max
+                System.arraycopy(hs, ins, hs, ins + 1, k - ins - 1)
+                hs(ins) = e.h; changed = true
+              }
+            }
+          }
+          if (changed) {
+            val rev = state.getOption.map(_.rev).getOrElse(0L) + 1L
+            state.update(KmvState(hs.toSeq, rev))
+            Iterator.single(KmvOut(side, hs.toSeq, rev))
+          } else Iterator.empty
+      }
+  }
+
   case class CmsIn(r: Int, c: Int)
   case class CmsRow(counts: Seq[Long], rev: Long)
   case class CmsOut(r: Int, counts: Seq[Long], rev: Long)

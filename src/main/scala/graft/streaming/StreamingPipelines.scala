@@ -985,6 +985,28 @@ object StreamingPipelines {
       graft.core.Tables.events(spark, dir))
   }
 
+  /** Streaming KMV bottom-k sketches (SketchState.kmvBottomK): one
+    * ≤64-long sorted array per side (click vs purchase user populations),
+    * merged per arrival — commutative/idempotent, so the streamed sketch
+    * equals a batch bottom-k over the same data under any chunking. The
+    * set-operation finale (Sketches.kmvSetOps) reads the max-rev arrays
+    * from the update-mode sink; oracle = Sketches.kmvStreamSql. */
+  def kmvStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = eventStream(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        when(col("event_type") === "click", "a").otherwise("b").as("side"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")),
+          1, 8), 16, 10).cast("long").as("h"))
+      .as[SketchState.KmvIn]
+    val out = SketchState.kmvBottomK(in, 64).toDF()
+    val sink = runToMemory(spark, out, "update", "kmv")
+    val sk = latestBy(sink, "rev", "side")
+      .select(col("side"), explode(col("hs")).as("h"))
+    graft.queries.Sketches.kmvSetOps(sk)
+  }
+
   /** Streaming bitmap-distinct: the (type, word) partial-OR stage runs as
     * a DECLARATIVE streaming aggregation (bit_or is algebraic — Spark's
     * own state-store agg maintains the words; no custom state machine
@@ -1071,6 +1093,52 @@ object StreamingPipelines {
       .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("c"))
     val sink = runToMemory(spark, per, "complete", "burstiness")
     graft.queries.MetricOps.burstinessTail(sink)
+  }
+
+  /** Streaming trend-significance monitor: per-(type, hour) counts as a
+    * declarative complete-mode aggregation, then the exact-integer
+    * Mann-Kendall finale (AdvancedOps.mannKendallTail) over the final
+    * hour table — the live form of evt_mann_kendall, same oracle. */
+  def mannKendallStream(spark: SparkSession, dir: String): DataFrame = {
+    val per = eventStream(spark, dir)
+      .select(col("event_type"), expr("ems div 3600000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val sink = runToMemory(spark, per, "complete", "mannkendall")
+    graft.queries.AdvancedOps.mannKendallTail(sink)
+  }
+
+  /** Streaming Holt (level, trend) forecaster: per-(type, hour) counts as
+    * a declarative complete-mode aggregation, then the exact
+    * integer-scaled Holt fold (AdvancedOps.holtTail) over the final hour
+    * table — the live form of evt_holt_forecast, same unrolled oracle. */
+  def holtStream(spark: SparkSession, dir: String): DataFrame = {
+    val per = eventStream(spark, dir)
+      .select(col("event_type"), expr("ems div 3600000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val sink = runToMemory(spark, per, "complete", "holt")
+    graft.queries.AdvancedOps.holtTail(sink)
+  }
+
+  /** Streaming FULL Holt-Winters (level+trend+24h season) forecaster —
+    * same complete-mode hour-table state, AdvancedOps.holtWintersTail
+    * finale, same 13-CTE unrolled oracle as evt_holt_winters. */
+  def holtWintersStream(spark: SparkSession, dir: String): DataFrame = {
+    val per = eventStream(spark, dir)
+      .select(col("event_type"), expr("ems div 3600000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val sink = runToMemory(spark, per, "complete", "holtwinters")
+    graft.queries.AdvancedOps.holtWintersTail(sink)
+  }
+
+  /** Streaming level-shift detector: complete-mode hour table +
+    * FeatureOps.changepointTail — the live form of evt_changepoint,
+    * same oracle. */
+  def changepointStream(spark: SparkSession, dir: String): DataFrame = {
+    val per = eventStream(spark, dir)
+      .select(col("event_type"), expr("ems div 3600000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val sink = runToMemory(spark, per, "complete", "changepoint")
+    graft.queries.FeatureOps.changepointTail(sink)
   }
 
   /** Streaming per-source freshness monitor: per-type count + frontier as

@@ -352,6 +352,66 @@ object ScaleCheck {
         ("graph_link_prediction", linkPred(t1), linkPred(t10))
       })
 
+    // Bucketed-layout join split (round 8, LayoutOps): the bucketed
+    // write pays the join shuffle ONCE; every subsequent join runs
+    // Exchange-free off co-located buckets. Measured: layout write cost
+    // vs per-query join cost, bucketed vs shuffled, 1x and 10x (users
+    // scale with n — real growth keeps per-bucket density constant).
+    def stageJoinPair(n: Long): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+      val users = math.max(n / 10L, 1L)
+      val dir = s"$base/bktraw_$n"
+      spark.range(0, n)
+        .withColumn("h", expr("cast(conv(substr(md5(cast(cast(id as " +
+          "string) as binary)), 1, 8), 16, 10) as bigint)"))
+        .select(col("id").as("o_orderkey"),
+          pmod(col("h"), lit(users)).as("o_custkey"),
+          (pmod(col("h"), lit(100000L)) / 100.0).as("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/orders")
+      spark.range(0, users)
+        .select(col("id").as("c_custkey"),
+          concat(lit("seg"), pmod(col("id"), lit(5L))).as("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$dir/customer")
+      (spark.read.parquet(s"$dir/orders"),
+        spark.read.parquet(s"$dir/customer"))
+    }
+    def joinAgg(c: org.apache.spark.sql.DataFrame,
+        o: org.apache.spark.sql.DataFrame): Double = timed {
+      c.hint("merge").join(o.hint("merge"),
+          c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .as("cents"))
+        .count()
+    }
+    def bucketedPair(n: Long, o: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame):
+        (Double, org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame) = {
+      val t = timed {
+        o.write.bucketBy(16, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$base/bkt_o_$n").mode("overwrite")
+          .saveAsTable(s"sc_bkt_o_$n")
+        c.write.bucketBy(16, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$base/bkt_c_$n").mode("overwrite")
+          .saveAsTable(s"sc_bkt_c_$n")
+      }
+      (t, spark.table(s"sc_bkt_o_$n"), spark.table(s"sc_bkt_c_$n"))
+    }
+    val joinRows = Seq(n1, n1 * 10).map { n =>
+      val (o, c) = stageJoinPair(n)
+      val tShuffle = (1 to 3).map(_ => joinAgg(c, o)).min
+      val (tWrite, ob, cb) = bucketedPair(n, o, c)
+      val tBucketed = (1 to 3).map(_ => joinAgg(cb, ob)).min
+      (n, tWrite, tShuffle, tBucketed)
+    }
+    joinRows.foreach { case (n, tw, ts, tb) =>
+      println(f"[scalecheck] bucketed_join_layout n=$n%-9d " +
+        f"layout_write=$tw%7.2fs shuffle_join=$ts%7.2fs " +
+        f"bucketed_join=$tb%7.2fs join_speedup=${ts / tb}%5.2f")
+    }
+
     // IVFADC index build vs query split (round-7 verdict #4): the build
     // (Lloyd fit + PQ train + corpus coding + store writes) is paid ONCE;
     // the query half answers from the persisted tables alone. Timed on

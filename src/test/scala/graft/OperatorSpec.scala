@@ -226,7 +226,8 @@ class OperatorSpec extends AnyFunSuite {
     // quadratic definition, independent of the bucket-explode plan: the
     // {b-1,b,b+1} fan-out must find EVERY pair within the band and each
     // pair exactly once (an off-by-one bucket or a double-count both
-    // surface here); sf0.01 — the band is empty at sf0.001
+    // surface here); band = $100 since round 8 (the $1 band was empty at
+    // sf0.001, caught by the EntrySpec rows>0 smoke)
     val sf = "/root/testdata/sf0.01"
     val got = SparkEntry.queries("rel_band_join")(spark, sf)
       .collect().map(r => (r.getAs[Long]("ym"), r.getAs[Long]("n_pairs"),
@@ -238,7 +239,7 @@ class OperatorSpec extends AnyFunSuite {
     val expect = spark.sql(
       """SELECT a.ym, count(*) n_pairs, sum(abs(a.cents - b.cents)) gap
         |FROM bj_o a JOIN bj_o b ON a.ym = b.ym AND a.okey < b.okey
-        |  AND abs(a.cents - b.cents) <= 100
+        |  AND abs(a.cents - b.cents) <= 10000
         |GROUP BY a.ym""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expect && got.nonEmpty)
