@@ -960,6 +960,91 @@ object AdvancedOps extends QueryModule {
        |FROM s13 ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------- rolling-origin forecast backtest
+  /** Rolling-origin backtest of the Brown forecaster — the evaluation
+    * harness a forecasting feature needs before anyone trusts it: for
+    * each of the last 4 hours as an anchor, fit Brown double smoothing
+    * on the per-type hourly series UP TO the anchor (no leakage), emit
+    * the 1-step forecast next to the hour that actually happened. The
+    * fold is [[brown]]'s exact acyclic double cascade (0.25/0.75 written
+    * identically in both engines); the error is one subtract + abs.
+    * Anchor fan-out is 4×, the grid is calendar-bounded, one shuffle on
+    * (type, anchor). */
+  private def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pm = ev(spark, dir)
+      .withColumn("h", expr("ems div 3600000"))
+      .groupBy($"event_type", $"h").agg(count(lit(1)).as("c"))
+    val b = pm.agg(min($"h").as("mn"), max($"h").as("mx"))
+    val grid = b.select(explode(sequence($"mn", $"mx")).as("h"))
+    val x = pm.select($"event_type".as("event_type")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(pm, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h", coalesce($"c", lit(0L)).as("x"))
+    val anchors = b.select(explode(sequence($"mx" - 4L, $"mx" - 1L))
+      .as("anchor"))
+    val fits = x.crossJoin(broadcast(anchors))
+      .filter($"h" <= $"anchor")
+      .groupBy($"event_type", $"anchor")
+      .agg(expr("transform(array_sort(collect_list(struct(h, x)))," +
+        " p -> cast(p.x as double))").as("vs"))
+      .select($"event_type", $"anchor",
+        size($"vs").cast("long").as("n_points"),
+        expr("""aggregate(slice(vs, 2, size(vs) - 1),
+          named_struct('s2', vs[0], 's1', vs[0]),
+          (acc, x) -> named_struct(
+            's2', 0.0625D * x + 0.1875D * acc.s1 + 0.75D * acc.s2,
+            's1', 0.25D * x + 0.75D * acc.s1))""").as("f"))
+      .select($"event_type", $"anchor", $"n_points",
+        ((lit(2.0) * $"f".getField("s1") - $"f".getField("s2")) +
+          ($"f".getField("s1") - $"f".getField("s2")) / lit(3.0))
+          .as("forecast_1"))
+    val actual = x.select($"event_type", ($"h" - 1L).as("anchor"),
+      $"x".as("actual"))
+    fits.join(actual, Seq("event_type", "anchor"))
+      .select($"event_type", $"anchor", $"n_points", $"forecast_1",
+        $"actual", abs($"forecast_1" - $"actual".cast("double"))
+          .as("abs_err"))
+      .orderBy($"event_type", $"anchor")
+  }
+
+  private val forecastBacktestSql =
+    """WITH pm AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM pm),
+      |grid AS (SELECT unnest(generate_series(mn, mx)) AS h FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM pm),
+      |x AS (
+      |  SELECT ty.event_type, grid.h, COALESCE(pm.c, 0) AS x
+      |  FROM ty CROSS JOIN grid
+      |  LEFT JOIN pm ON pm.event_type = ty.event_type AND pm.h = grid.h
+      |), anchors AS (
+      |  SELECT unnest(generate_series(mx - 4, mx - 1)) AS anchor FROM b
+      |), s AS (
+      |  SELECT event_type, anchor,
+      |    list(CAST(x AS DOUBLE) ORDER BY h) AS vs
+      |  FROM x, anchors WHERE h <= anchor
+      |  GROUP BY event_type, anchor
+      |), f AS (
+      |  SELECT event_type, anchor, CAST(len(vs) AS BIGINT) AS n_points,
+      |    list_reduce(
+      |      list_prepend({'s2': vs[1], 's1': vs[1]},
+      |        list_transform(vs[2:], e -> {'s2': e, 's1': e})),
+      |      (acc, x) -> {
+      |        's2': 0.0625 * x.s1 + 0.1875 * acc.s1 + 0.75 * acc.s2,
+      |        's1': 0.25 * x.s1 + 0.75 * acc.s1}) AS f
+      |  FROM s
+      |)
+      |SELECT f.event_type, CAST(f.anchor AS BIGINT) AS anchor, f.n_points,
+      |  (2.0 * f.f.s1 - f.f.s2) + (f.f.s1 - f.f.s2) / 3.0 AS forecast_1,
+      |  x.x AS actual,
+      |  ABS((2.0 * f.f.s1 - f.f.s2) + (f.f.s1 - f.f.s2) / 3.0
+      |      - CAST(x.x AS DOUBLE)) AS abs_err
+      |FROM f JOIN x ON x.event_type = f.event_type AND x.h = f.anchor + 1
+      |ORDER BY f.event_type, anchor""".stripMargin
+
   // ------------------------------- Holt-Winters (level+trend+season)
   /** FULL additive Holt-Winters — the triple (l, b, s) recurrence that
     * round 7 documented as strictly unreachable under DuckDB's
@@ -1182,6 +1267,7 @@ object AdvancedOps extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_holt_forecast" -> (holtForecast _),
     "evt_holt_winters" -> (holtWinters _),
+    "evt_forecast_backtest" -> (forecastBacktest _),
     "evt_mann_kendall" -> (mannKendall _),
     "graph_link_prediction" -> (linkPrediction _),
     "ml_pinball_loss" -> (pinballLoss _),
@@ -1202,6 +1288,7 @@ object AdvancedOps extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "evt_holt_forecast" -> holtForecastSql,
     "evt_holt_winters" -> holtWintersSql,
+    "evt_forecast_backtest" -> forecastBacktestSql,
     "evt_mann_kendall" -> mannKendallSql,
     "graph_link_prediction" -> linkPredictionSql,
     "ml_pinball_loss" -> pinballLossSql,

@@ -758,6 +758,77 @@ object AnalyticsOps extends QueryModule {
       |SELECT user_id, n_events, f.kept AS n_kept, f.ems AS last_kept_ems
       |FROM f ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------- token-bucket limiter
+  /** Token-bucket rate limiting per user (the OTHER classic limiter next
+    * to [[throttle]]'s fixed cooldown: a bucket of capacity 5 tokens
+    * refilling 1/hour — bursts up to 5 allowed, sustained rate capped):
+    * tokens live in exact millisecond units (1 token = 3 600 000 ms of
+    * refill, capacity 18 000 000), so
+    *
+    *   avail = min(C, tok + Δms);  allowed ⇔ avail ≥ cost;
+    *   tok' = avail − allowed·cost
+    *
+    * is pure integer arithmetic in the per-user sequential fold. Struct
+    * accumulator field order (nall, tok, ems) satisfies the CLAUDE.md
+    * sequential-eval rule: every cross-field reference points
+    * own-or-later. One shuffle on user; per-key lists bounded by the
+    * retention window like every fold here. */
+  private def tokenBucket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 18000000L   // 5 tokens x 1h refill, in ms units
+    val cost = 3600000L   // 1 token
+    ev(spark, dir)
+      .groupBy($"user_id")
+      .agg(expr("transform(array_sort(collect_list(struct(ems, event_id)))," +
+        " p -> p.ems)").as("evs"))
+      .select($"user_id",
+        size($"evs").cast("long").as("n_events"),
+        expr(s"""aggregate(slice(evs, 2, size(evs) - 1),
+          |named_struct('nall', 1L, 'tok', ${cap - cost}L, 'ems', evs[0]),
+          |(acc, x) -> named_struct(
+          |  'nall', acc.nall + IF(least(${cap}L, acc.tok + (x - acc.ems))
+          |            >= ${cost}L, 1L, 0L),
+          |  'tok', least(${cap}L, acc.tok + (x - acc.ems))
+          |         - IF(least(${cap}L, acc.tok + (x - acc.ems)) >= ${cost}L,
+          |             ${cost}L, 0L),
+          |  'ems', x))""".stripMargin).as("f"))
+      .select($"user_id", $"n_events",
+        $"f".getField("nall").as("n_allowed"),
+        ($"n_events" - $"f".getField("nall")).as("n_denied"),
+        $"f".getField("tok").as("final_tokens_ms"))
+      .orderBy($"user_id")
+  }
+
+  /** Shared with the streaming twin (stream_token_bucket). */
+  private[graft] val tokenBucketSql =
+    """WITH s AS (
+      |  SELECT user_id, list(epoch_ms(ts) ORDER BY epoch_ms(ts), event_id)
+      |    AS vs
+      |  FROM events GROUP BY 1
+      |), f AS (
+      |  SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+      |    list_reduce(
+      |      list_prepend(
+      |        {'nall': CAST(1 AS BIGINT), 'tok': CAST(14400000 AS BIGINT),
+      |         'ems': vs[1]},
+      |        list_transform(vs[2:],
+      |          e -> {'nall': CAST(0 AS BIGINT), 'tok': CAST(0 AS BIGINT),
+      |                'ems': e})),
+      |      (acc, x) -> {
+      |        'nall': acc.nall + CASE WHEN
+      |            LEAST(18000000, acc.tok + (x.ems - acc.ems)) >= 3600000
+      |          THEN 1 ELSE 0 END,
+      |        'tok': LEAST(18000000, acc.tok + (x.ems - acc.ems))
+      |          - CASE WHEN
+      |              LEAST(18000000, acc.tok + (x.ems - acc.ems)) >= 3600000
+      |            THEN 3600000 ELSE 0 END,
+      |        'ems': x.ems}) AS f
+      |  FROM s)
+      |SELECT user_id, n_events, f.nall AS n_allowed,
+      |  CAST(n_events - f.nall AS BIGINT) AS n_denied,
+      |  CAST(f.tok AS BIGINT) AS final_tokens_ms
+      |FROM f ORDER BY user_id""".stripMargin
+
   // --------------------------------------------------- weighted shortest path
   /** Bounded-hop Bellman-Ford over the symmetrized supplier↔customer trade
     * graph (same graph as graph_pagerank_trade): edge cost
@@ -840,6 +911,7 @@ object AnalyticsOps extends QueryModule {
     "dq_freshness" -> (freshness _),
     "evt_interarrival" -> (interarrival _),
     "evt_throttle" -> (throttle _),
+    "evt_token_bucket" -> (tokenBucket _),
     "graph_shortest_cost" -> (shortestCost _))
 
   override def oracles: Map[String, String] = Map(
@@ -859,5 +931,6 @@ object AnalyticsOps extends QueryModule {
     "dq_freshness" -> freshnessSql,
     "evt_interarrival" -> interarrivalSql,
     "evt_throttle" -> throttleSql,
+    "evt_token_bucket" -> tokenBucketSql,
     "graph_shortest_cost" -> shortestCostSql)
 }

@@ -285,6 +285,9 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.ewmaStream(s, d)),
     "stream_throttle" ->
       ((s: SparkSession, d: String) => StreamingPipelines.throttleStream(s, d)),
+    "stream_token_bucket" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.tokenBucketStream(s, d)),
     "stream_trend_slope" ->
       ((s: SparkSession, d: String) => StreamingPipelines.trendSlopeStream(s, d)),
     "stream_brown" ->
@@ -363,6 +366,7 @@ object StreamingQueries extends QueryModule {
     "stream_markov_transitions" -> EventAnalytics.markovSql,
     "stream_ewma" -> AnalyticsOps.ewmaSql,
     "stream_throttle" -> AnalyticsOps.throttleSql,
+    "stream_token_bucket" -> AnalyticsOps.tokenBucketSql,
     "stream_trend_slope" -> FeatureOps.trendSlopeSql,
     "stream_brown" -> AdvancedOps.brownSql,
     "stream_ab_test" -> AdvancedOps.abTestSql,

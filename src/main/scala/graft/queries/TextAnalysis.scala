@@ -1284,7 +1284,18 @@ object TextAnalysis extends QueryModule {
     * frequencies, one shuffle on prefix shingle for candidates (bounded
     * by rare-shingle df), exact verify per candidate pair — the
     * all-pairs product never materializes. */
-  private def prefixJoin(spark: SparkSession, dir: String): DataFrame = {
+  private def prefixJoin(spark: SparkSession, dir: String): DataFrame =
+    prefixScored(spark, dir)
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The prefix-filter candidate pairs with exact Jaccard, pre-threshold
+    * — shared by `dedup_prefix_join` and the LSH-recall eval (which uses
+    * the ≥ 0.6 survivors as COMPLETE ground truth: prefix filtering has
+    * no false negatives at the threshold). */
+  private def prefixScored(spark: SparkSession, dir: String): DataFrame = {
     val tok = docs(spark, dir)
       .select(col("doc_id"), explode(expr(shingleExpr)).as("tok"))
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -1309,10 +1320,8 @@ object TextAnalysis extends QueryModule {
       .withColumn("un",
         size(col("ta")).cast("long") + size(col("tb")) - col("inter"))
       .withColumn("jaccard", col("inter") / col("un").cast("double"))
-      .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),
         col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val prefixJoinSql =
@@ -1347,6 +1356,110 @@ object TextAnalysis extends QueryModule {
       |  inter / CAST(un AS DOUBLE) AS jaccard
       |FROM scored WHERE inter / CAST(un AS DOUBLE) >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------- LSH recall evaluation
+  /** Measured precision/recall of MinHash-LSH banding against COMPLETE
+    * exact ground truth — the dedup-side analogue of the ANN ladder's
+    * recall gating: truth = the prefix-filter join's J ≥ 0.6 pairs
+    * (prefix filtering has NO false negatives at the threshold, so
+    * recall here is true recall, not recall-within-a-blocking), LSH
+    * candidates = the 4-band × 2-row bucket pairs, true positives =
+    * candidates whose exact shingle Jaccard clears the same threshold.
+    * All counts exact; precision/recall are single divisions. Candidate
+    * verification joins each LSH pair to its two shingle sets — bounded
+    * by banding, never all-pairs. */
+  private def minhashEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = prefixScored(spark, dir).filter($"jaccard" >= 0.6)
+    val d = docs(spark, dir)
+    val bands = lshBandRows(d.select($"doc_id", $"text"))
+    val cand = bands.select($"band_val", $"doc_id".as("a"))
+      .join(bands.select($"band_val", $"doc_id".as("b")), Seq("band_val"))
+      .filter($"a" < $"b").select($"a", $"b").distinct()
+    val sets = d.select($"doc_id", expr(shingleExpr).as("sh"))
+    val candJ = cand
+      .join(sets.select($"doc_id".as("a"), $"sh".as("sa")), Seq("a"))
+      .join(sets.select($"doc_id".as("b"), $"sh".as("sb")), Seq("b"))
+      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+      .withColumn("un", size($"sa").cast("long") + size($"sb") - $"inter")
+      .withColumn("j", $"inter" / $"un".cast("double"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    candJ.agg(count(lit(1)).as("n_candidates"),
+        sum(when($"j" >= 0.6, 1L).otherwise(0L)).as("n_tp"))
+      .crossJoin(broadcast(nTruth))
+      .select($"n_truth", $"n_candidates", $"n_tp",
+        when($"n_candidates" > 0,
+          $"n_tp".cast("double") / $"n_candidates".cast("double"))
+          .otherwise(lit(0.0)).as("precision"),
+        when($"n_truth" > 0,
+          $"n_tp".cast("double") / $"n_truth".cast("double"))
+          .otherwise(lit(1.0)).as("recall"))
+  }
+
+  private val minhashEvalSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), mh AS (
+      |  SELECT doc_id, list_transform(range(8), j -> list_min(list_transform(sh,
+      |    s -> ((2*j + 1) * CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+      |          + 97*j + 13) % 2147483647))) AS mh
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id,
+      |    b || ':' || mh[2*b + 1] || ':' || mh[2*b + 2] AS band_val
+      |  FROM mh, (SELECT unnest(range(4)) AS b)
+      |), e AS MATERIALIZED (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.band_val = y.band_val AND x.doc_id < y.doc_id
+      |), tok AS (
+      |  SELECT doc_id, unnest(sh) AS tok FROM sh
+      |), freq AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY tok
+      |), sorted AS MATERIALIZED (
+      |  SELECT doc_id, list(tok ORDER BY df, tok) AS stoks,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tok JOIN freq USING (tok) GROUP BY doc_id
+      |), pref AS MATERIALIZED (
+      |  SELECT doc_id, stoks,
+      |    unnest(stoks[:CAST(n - (3 * n + 4) // 5 + 1 AS INT)]) AS ptok
+      |  FROM sorted
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.stoks AS ta, b.stoks AS tb
+      |  FROM pref a JOIN pref b ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+      |), scored AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+      |    CAST(len(ta) + len(tb) - len(list_intersect(ta, tb)) AS BIGINT) AS un
+      |  FROM cand
+      |), truth AS (
+      |  SELECT doc_a, doc_b FROM scored
+      |  WHERE inter / CAST(un AS DOUBLE) >= 0.6
+      |), candj AS (
+      |  SELECT e.a, e.b,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+      |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+      |      AS BIGINT) AS un
+      |  FROM e JOIN sh sa ON e.a = sa.doc_id JOIN sh sb ON e.b = sb.doc_id
+      |), agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |    CAST(SUM(CASE WHEN inter / CAST(un AS DOUBLE) >= 0.6
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_tp
+      |  FROM candj
+      |), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+      |SELECT n_truth, n_candidates, n_tp,
+      |  CASE WHEN n_candidates > 0 THEN
+      |    CAST(n_tp AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+      |  ELSE 0.0 END AS precision,
+      |  CASE WHEN n_truth > 0 THEN
+      |    CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE)
+      |  ELSE 1.0 END AS recall
+      |FROM agg, nt""".stripMargin
 
   // ---------------------------------------------------- triangle counting
   /** Triangle counting over the near-dup candidate graph (node = doc,
@@ -1952,8 +2065,107 @@ object TextAnalysis extends QueryModule {
       |FROM chunks JOIN dupes USING (chunk_hash)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- partition modularity
+  /** Newman modularity of the LANGUAGE partition over the simhash
+    * similarity graph (the `dedup_clusters` edge set — are near-dup
+    * links concentrated within languages, as a sane near-dup graph must
+    * be, or leaking across them?). Per community c:
+    *
+    *   Q_c = e_c/m − (d_c/2m)²  =  (4m·e_c − d_c²) / (4m²)
+    *
+    * — all moments (intra edges e_c, degree sum d_c, edge count m) exact
+    * BIGINTs, one double division per row; the ALL row sums the same
+    * integers first, so Q = Σ Q_c holds bit-exactly. Edge building is
+    * the proven bucket join; degrees are one shuffle on node. */
+  private def modularity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HammingDistance.register(spark)
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val sims = d
+      .select(col("doc_id"), col("lang"), expr(simhashExpr).as("simhash"))
+      .withColumn("bucket", expr("simhash div 16777216"))
+      .persist()
+    val a = sims.select(col("bucket"), col("doc_id").as("src"),
+      col("lang").as("lang_src"), col("simhash").as("sh_a"))
+    val b = sims.select(col("bucket"), col("doc_id").as("dst"),
+      col("lang").as("lang_dst"), col("simhash").as("sh_b"))
+    val edges = a.join(b, Seq("bucket"))
+      .filter(col("src") < col("dst"))
+      .filter(expr("hamming_distance(sh_a, sh_b)") <= 6)
+      .select(col("src"), col("dst"), col("lang_src"), col("lang_dst"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val deg = edges.select(col("src").as("id"), col("lang_src").as("lang"))
+      .unionAll(edges.select(col("dst").as("id"), col("lang_dst").as("lang")))
+      .groupBy(col("id"), col("lang")).agg(count(lit(1)).as("deg"))
+    val dc = deg.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
+    val ec = edges.filter(col("lang_src") === col("lang_dst"))
+      .groupBy(col("lang_src").as("lang")).agg(count(lit(1)).as("e_c"))
+    val per = dc.join(ec, Seq("lang"), "left")
+      .select(col("lang"), col("n_nodes"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c").cast("long").as("d_c"))
+    val all = per.agg(lit("ALL").as("lang"),
+      sum($"n_nodes").cast("long").as("n_nodes"),
+      sum($"e_c").cast("long").as("e_c"), sum($"d_c").cast("long").as("d_c"))
+    val out = per.unionAll(all).crossJoin(broadcast(m))
+      .select($"lang", $"n_nodes", $"e_c", $"d_c",
+        ((lit(4L) * $"m" * $"e_c" - $"d_c" * $"d_c").cast("double") /
+          (lit(4L) * $"m" * $"m").cast("double")).as("q_contrib"))
+      .orderBy($"lang")
+    graft.core.CachePin.sealAndRelease(out, sims)
+  }
+
+  private val modularitySql =
+    """WITH t AS (
+      |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+      |    s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS si
+      |  FROM documents
+      |), sim AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32), b ->
+      |      CASE WHEN 2 * len(list_filter(si, x -> (x // CAST(power(2, b) AS BIGINT)) % 2 = 1)) > len(si)
+      |           THEN CAST(power(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |      (acc, x) -> acc + x) AS simhash
+      |  FROM t
+      |), bkt AS (
+      |  SELECT s.doc_id, s.simhash, s.simhash // 16777216 AS bucket, d.lang
+      |  FROM sim s JOIN documents d ON s.doc_id = d.doc_id
+      |), edges AS MATERIALIZED (
+      |  SELECT a.doc_id AS src, c.doc_id AS dst,
+      |    a.lang AS lang_src, c.lang AS lang_dst
+      |  FROM bkt a JOIN bkt c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+      |  WHERE bit_count(xor(a.simhash, c.simhash)) <= 6
+      |), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+      |deg AS (
+      |  SELECT id, lang, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT src AS id, lang_src AS lang FROM edges
+      |    UNION ALL SELECT dst, lang_dst FROM edges)
+      |  GROUP BY id, lang
+      |), dc AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |    CAST(SUM(deg) AS BIGINT) AS d_c
+      |  FROM deg GROUP BY lang
+      |), ec AS (
+      |  SELECT lang_src AS lang, CAST(COUNT(*) AS BIGINT) AS e_c
+      |  FROM edges WHERE lang_src = lang_dst GROUP BY 1
+      |), per AS (
+      |  SELECT dc.lang, dc.n_nodes, COALESCE(ec.e_c, 0) AS e_c, dc.d_c
+      |  FROM dc LEFT JOIN ec ON dc.lang = ec.lang
+      |), rows_ AS (
+      |  SELECT lang, n_nodes, e_c, d_c FROM per
+      |  UNION ALL
+      |  SELECT 'ALL', CAST(SUM(n_nodes) AS BIGINT), CAST(SUM(e_c) AS BIGINT),
+      |    CAST(SUM(d_c) AS BIGINT) FROM per
+      |)
+      |SELECT lang, n_nodes, CAST(e_c AS BIGINT) AS e_c,
+      |  CAST(d_c AS BIGINT) AS d_c,
+      |  CAST(4 * m.m * e_c - d_c * d_c AS DOUBLE)
+      |    / CAST(4 * m.m * m.m AS DOUBLE) AS q_contrib
+      |FROM rows_, m ORDER BY lang""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cdc_chunks" -> (cdcChunks _),
+    "graph_modularity" -> (modularity _),
     "text_phrase_search" -> (phraseSearch _),
     "text_bm25_search" -> (bm25Search _),
     "text_mmr_rerank" -> (mmrRerank _),
@@ -1981,10 +2193,12 @@ object TextAnalysis extends QueryModule {
     "dedup_simhash_pairs" -> (simHashPairs _),
     "dedup_clusters" -> (dedupClusters _),
     "graph_triangles" -> (triangles _),
-    "dedup_prefix_join" -> (prefixJoin _))
+    "dedup_prefix_join" -> (prefixJoin _),
+    "dedup_minhash_eval" -> (minhashEval _))
 
   override def oracles: Map[String, String] = Map(
     "dedup_cdc_chunks" -> cdcChunksSql,
+    "graph_modularity" -> modularitySql,
     "text_phrase_search" -> phraseSearchSql,
     "text_bm25_search" -> bm25SearchSql,
     "text_langid_confusion" -> langidConfusionSql,
@@ -2012,5 +2226,6 @@ object TextAnalysis extends QueryModule {
     "dedup_simhash_pairs" -> simHashPairsSql,
     "dedup_clusters" -> dedupClustersSql,
     "graph_triangles" -> trianglesSql,
-    "dedup_prefix_join" -> prefixJoinSql)
+    "dedup_prefix_join" -> prefixJoinSql,
+    "dedup_minhash_eval" -> minhashEvalSql)
 }

@@ -283,6 +283,49 @@ object StatefulFeatures {
       }
   }
 
+  // ------------------------------------------------------- token bucket
+  /** Bucket state: remaining tokens in ms units + allowed/seen counters
+    * + the last arrival's ems (refill is elapsed time). 4 primitives. */
+  case class TokenBucketState(tok: Long, nall: Long, n: Long, lastEms: Long)
+  case class TokenBucketStep(user_id: Long, n_events: Long, n_allowed: Long,
+      final_tokens_ms: Long)
+
+  /** Streaming token-bucket rate limiter (capacity 5 tokens, 1/h refill,
+    * ms units — same constants as the batch fold in
+    * AnalyticsOps.tokenBucket, same oracle): integer state updated per
+    * arrival over the time-ordered replay. Like [[throttleSteps]], the
+    * walk is order-dependent by definition; the chunked replay's global
+    * order makes it identical to the batch fold. */
+  def tokenBucketSteps(ds: Dataset[ThrottleEventIn],
+      capMs: Long = 18000000L, costMs: Long = 3600000L)
+      : Dataset[TokenBucketStep] = {
+    implicit val outEnc = Encoders.product[TokenBucketStep]
+    implicit val stateEnc = Encoders.product[TokenBucketState]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[ThrottleEventIn],
+         state: GroupState[TokenBucketState]) =>
+          var st = state.getOption.orNull
+          val out = events.toVector.sortBy(e => (e.ems, e.event_id))
+            .map { e =>
+              st =
+                if (st == null)
+                  TokenBucketState(capMs - costMs, 1L, 1L, e.ems)
+                else {
+                  val avail = math.min(capMs, st.tok + (e.ems - st.lastEms))
+                  val allowed = avail >= costMs
+                  TokenBucketState(
+                    avail - (if (allowed) costMs else 0L),
+                    st.nall + (if (allowed) 1L else 0L),
+                    st.n + 1L, e.ems)
+                }
+              TokenBucketStep(uid, st.n, st.nall, st.tok)
+            }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** EventIn + the watermarked event-time column: EventTimeTimeout needs
     * the watermark attribute to survive into the stateful operator's
     * input, so the expiring variants carry `ts` alongside the epoch-ms

@@ -1409,6 +1409,26 @@ object StreamingPipelines {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming token-bucket limiter: per-user 4-primitive state over the
+    * time-ordered replay; final per-key row equals the batch fold (same
+    * oracle as evt_token_bucket). */
+  def tokenBucketStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = eventStreamReplay(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"))
+      .as[StatefulFeatures.ThrottleEventIn]
+    val out = StatefulFeatures.tokenBucketSteps(in).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    runToMemory(spark, out, "append", "tokenbucket")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .select(col("user_id"), col("n_events"), col("n_allowed"),
+        (col("n_events") - col("n_allowed")).as("n_denied"),
+        col("final_tokens_ms"))
+      .orderBy(col("user_id"))
+  }
+
   /** M11 streaming PSI: the reference decile profile is fixed, so it is
     * trained batch-side and inlined as an array literal (the broadcast-
     * centroid pattern); the stream does a stateless bucket map + an

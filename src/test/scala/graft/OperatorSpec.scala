@@ -283,4 +283,32 @@ class OperatorSpec extends AnyFunSuite {
       assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  test("holt-winters integer scaling equals the double recurrence") {
+    // pins the MATH, independent of both engines' SQL: a hand-driven
+    // α=β=γ=½ (l,b,s[24]) recurrence in plain doubles must equal the
+    // 4^t-scaled integer fold after the one division by 2^24 (all states
+    // are dyadic with denominator ≤ 2^24, so doubles are exact too)
+    import TestSpark.spark
+    import spark.implicits._
+    val xs = (0 to 35).map(t => (t % 7) * 3L + (t % 5) + (if (t > 29) 11L else 0L))
+    val pm = xs.zipWithIndex.map { case (c, h) => ("t", 100L + h, c) }
+      .toDF("event_type", "h", "c")
+    val row = graft.queries.AdvancedOps.holtWintersTail(pm).collect()(0)
+    // reference: textbook double recurrence
+    var l = xs(23).toDouble
+    var b = 0.0
+    val s = Array.tabulate(24)(j => xs(j).toDouble - xs(23).toDouble)
+    for (t <- 24 to 35) {
+      val sOld = s(t % 24)
+      val lNew = 0.5 * (xs(t) - sOld) + 0.5 * (l + b)
+      val bNew = 0.5 * (lNew - l) + 0.5 * b
+      s(t % 24) = 0.5 * (xs(t) - lNew) + 0.5 * sOld
+      l = lNew; b = bNew
+    }
+    assert(row.getAs[Double]("level") == l)
+    assert(row.getAs[Double]("trend") == b)
+    assert(row.getAs[Double]("season_next") == s(12))
+    assert(row.getAs[Double]("forecast_1") == l + b + s(12))
+  }
 }
