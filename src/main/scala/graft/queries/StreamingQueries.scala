@@ -288,6 +288,8 @@ object StreamingQueries extends QueryModule {
     "stream_token_bucket" ->
       ((s: SparkSession, d: String) =>
         StreamingPipelines.tokenBucketStream(s, d)),
+    "stream_cusum" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.cusumStream(s, d)),
     "stream_trend_slope" ->
       ((s: SparkSession, d: String) => StreamingPipelines.trendSlopeStream(s, d)),
     "stream_brown" ->
@@ -367,6 +369,7 @@ object StreamingQueries extends QueryModule {
     "stream_ewma" -> AnalyticsOps.ewmaSql,
     "stream_throttle" -> AnalyticsOps.throttleSql,
     "stream_token_bucket" -> AnalyticsOps.tokenBucketSql,
+    "stream_cusum" -> AnalyticsOps.cusumSql,
     "stream_trend_slope" -> FeatureOps.trendSlopeSql,
     "stream_brown" -> AdvancedOps.brownSql,
     "stream_ab_test" -> AdvancedOps.abTestSql,

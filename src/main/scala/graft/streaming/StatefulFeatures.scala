@@ -326,6 +326,47 @@ object StatefulFeatures {
       }
   }
 
+  // ------------------------------------------------------------- CUSUM
+  case class CusumIn(event_id: Long, user_id: Long, ems: Long, micro: Long)
+  /** CUSUM state in exact integer micro-units (value pre-quantized by
+    * the SAME decimal(25,6) cast the batch query uses, ×10⁶): running
+    * sum, running min, alarm/seen counters, max positive excursion. */
+  case class CusumState(csum: Long, runmin: Long, nAlarms: Long,
+      maxPos: Long, n: Long)
+  case class CusumStep(user_id: Long, n_events: Long, n_alarms: Long,
+      max_pos_micro: Long)
+
+  /** Streaming CUSUM monitor (same 50-unit target / 100-unit alarm as
+    * the batch evt_cusum, same oracle): the max(0,·) recurrence in its
+    * cumsum-minus-running-min form, all integer micro arithmetic — the
+    * stream twin of the batch DECIMAL window algebra scaled by 10⁶. */
+  def cusumSteps(ds: Dataset[CusumIn]): Dataset[CusumStep] = {
+    implicit val outEnc = Encoders.product[CusumStep]
+    implicit val stateEnc = Encoders.product[CusumState]
+    val target = 50000000L
+    val alarm = 100000000L
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[CusumIn], state: GroupState[CusumState]) =>
+          var st = state.getOption.orNull
+          val out = events.toVector.sortBy(e => (e.ems, e.event_id))
+            .map { e =>
+              val dev = e.micro - target
+              val csum = (if (st == null) 0L else st.csum) + dev
+              val runmin = if (st == null) csum else math.min(st.runmin, csum)
+              val pos = if (runmin < 0) csum - runmin else csum
+              st = CusumState(csum, runmin,
+                (if (st == null) 0L else st.nAlarms) +
+                  (if (pos > alarm) 1L else 0L),
+                math.max(if (st == null) Long.MinValue else st.maxPos, pos),
+                (if (st == null) 0L else st.n) + 1L)
+              CusumStep(uid, st.n, st.nAlarms, st.maxPos)
+            }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** EventIn + the watermarked event-time column: EventTimeTimeout needs
     * the watermark attribute to survive into the stateful operator's
     * input, so the expiring variants carry `ts` alongside the epoch-ms

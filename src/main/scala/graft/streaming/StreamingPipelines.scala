@@ -1429,6 +1429,32 @@ object StreamingPipelines {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming CUSUM level-shift monitor: per-user 5-primitive integer
+    * state over the time-ordered replay; final per-key row equals the
+    * batch DECIMAL window algebra (same oracle as evt_cusum). The micro
+    * quantization runs through the SAME decimal(25,6) cast as the batch
+    * query — scaled by 10⁶ into longs — and the max excursion converts
+    * back through exact decimal division so the double is bit-equal to
+    * the batch decimal→double cast. */
+  def cusumStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = eventStreamReplay(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)) *
+          lit(1000000)).cast("long").as("micro"))
+      .as[StatefulFeatures.CusumIn]
+    val out = StatefulFeatures.cusumSteps(in).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    runToMemory(spark, out, "append", "cusum")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .select(col("user_id"), col("n_events"), col("n_alarms"),
+        expr("cast(cast(max_pos_micro as decimal(31,6)) / 1000000" +
+          " as decimal(25,6))").cast("double").as("max_cusum"))
+      .orderBy(col("user_id"))
+  }
+
   /** M11 streaming PSI: the reference decile profile is fixed, so it is
     * trained batch-side and inlined as an array literal (the broadcast-
     * centroid pattern); the stream does a stateless bucket map + an
