@@ -38,7 +38,13 @@ object Bench {
       // a broken query must read as -1, not as a fast success
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c isolates a subset (regression
+    // attribution: in-suite timings include neighbors' heap churn)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val times = (1 to runs).map(_ => timeOne(fn))
       val median =
@@ -60,9 +66,12 @@ object Bench {
     // the driver's BENCH_r{N}.json tail truncates to 4 KB, losing the
     // per-query map for names early in the alphabet — persist the full
     // line in-repo so every round's complete numbers are diffable
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_latest.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () } // bench output must not fail the run
+    // a filtered (BENCH_ONLY) run must not clobber the full-suite record
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_latest.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () } // bench output must not fail the run
     spark.stop()
   }
 }

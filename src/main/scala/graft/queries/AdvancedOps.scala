@@ -268,10 +268,25 @@ object AdvancedOps extends QueryModule {
   /** Asymmetric containment dedup: containment(A→B) = |A∩B| / |A| finds a
     * short document embedded in a longer one — the case symmetric Jaccard
     * under length-banding structurally misses. Same hashed-shingle +
-    * codegen'd two-pointer intersect machinery as dedup_ngram_jaccard;
-    * candidates are lang-bucketed here, and at corpus scale come from the
-    * MinHash band buckets (containment is a scoring swap on the same
-    * candidate stream). Top 50 directed pairs with containment ≥ 0.5. */
+    * codegen'd two-pointer intersect machinery as dedup_ngram_jaccard.
+    *
+    * Candidates come from an asymmetric PREFIX FILTER (round-8 verdict
+    * #3 — the previous lang-bucketed all-pairs join was the suite's one
+    * quadratic candidate generator): order each doc's shingles by global
+    * document frequency ascending; containment(A→B) ≥ t forces
+    * |A∩B| ≥ ⌈t·|A|⌉, so A must share a shingle with B within A's first
+    * |A| − ⌈t·|A|⌉ + 1 rarest shingles. B gets NO prefix (the containing
+    * side can be arbitrarily large), so the join is A-prefix shingles
+    * against B's full inverted index — output bounded by Σ df(rare
+    * shingle), never |docs|². COMPLETE at the threshold for any
+    * consistent total order; df-asc keeps the hot Zipf-head shingles out
+    * of every prefix. (The displayed score rounds to 6 decimals, which
+    * could only admit a sub-threshold pair once |A| exceeds ~10⁶
+    * shingles — document-length bound, not corpus bound.) Same-lang
+    * constraint and top-50 directed pairs with containment ≥ 0.5 kept
+    * from the original semantics; the oracle's all-pairs form is
+    * unchanged, which also PROVES completeness: the candidate cut must
+    * lose nothing or the hash check fails. */
   private def containment(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SortedIntersectCount.register(spark)
     val sh = Tables.documents(spark, dir)
@@ -281,12 +296,26 @@ object AdvancedOps extends QueryModule {
           i -> cast(conv(substring(md5(cast(concat_ws(' ', element_at(toks, i),
                  element_at(toks, i + 1), element_at(toks, i + 2)) as binary)),
                  1, 15), 16, 10) as bigint))))""").as("sh"))
-    val a = sh.select(col("lang"), col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"))
-    val b = sh.select(col("lang"), col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("lang"))
+    val tok = sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("h"))
+    val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc shingles in df-asc canonical order; prefix for t = 0.5 is
+    // n − ⌈n/2⌉ + 1 = n − (n+1) div 2 + 1, all integer
+    val pa = tok.join(freq, Seq("h"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, h))), s -> s.h)")
+        .as("oh"))
+      .withColumn("n", size(col("oh")).cast("long"))
+      .withColumn("plen", col("n") - expr("(n + 1) div 2") + 1)
+      .select(col("lang"), col("doc_id").as("doc_a"),
+        explode(expr("slice(oh, 1, cast(plen as int))")).as("h"))
+    val cand = pa
+      .join(tok.select(col("lang"), col("doc_id").as("doc_b"), col("h")),
+        Seq("lang", "h"))
       .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("containment",
         round(col("inter") / size(col("sh_a")).cast("double"), 6))
@@ -902,15 +931,24 @@ object AdvancedOps extends QueryModule {
       .filter($"t" >= 0)
       .groupBy($"event_type")
       .agg(xcols.head, xcols.tail: _*)
-    var L: Column = $"x1"
-    var B: Column = $"x1" - $"x0"
+    // fold through chained selects with NAMED l/b attributes per step —
+    // the same discipline as holtWintersTail: nesting the recurrence as
+    // raw Column expressions doubles the tree per step (~2^12 nodes by
+    // step 12), while per-step projections keep it linear (CollapseProject
+    // leaves them alone because l/b are multi-referenced non-cheap aliases)
+    var df = xs.select(
+      Seq($"event_type") ++ (2 to 13).map(i => col(s"x$i")) ++ Seq(
+        $"x1".as("l"), ($"x1" - $"x0").as("b")): _*)
     var p = 1L
     for (t <- 2 to 13) {
-      val nL = col(s"x$t") * lit(2 * p) + lit(2L) * L + lit(2L) * B
-      val nB = col(s"x$t") * lit(p) - L + lit(3L) * B
-      L = nL; B = nB; p *= 4
+      df = df.select(
+        Seq($"event_type") ++ ((t + 1) to 13).map(i => col(s"x$i")) ++ Seq(
+          (col(s"x$t") * lit(2 * p) + lit(2L) * $"l" + lit(2L) * $"b")
+            .as("l"),
+          (col(s"x$t") * lit(p) - $"l" + lit(3L) * $"b").as("b")): _*)
+      p *= 4
     }
-    xs.select($"event_type", L.as("l_scaled"), B.as("b_scaled"))
+    df.select($"event_type", $"l".as("l_scaled"), $"b".as("b_scaled"))
       .select($"event_type", $"l_scaled", $"b_scaled",
         ($"l_scaled".cast("double") / lit(16777216.0)).as("level"),
         ($"b_scaled".cast("double") / lit(16777216.0)).as("trend"),

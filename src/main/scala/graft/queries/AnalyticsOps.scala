@@ -95,7 +95,7 @@ object AnalyticsOps extends QueryModule {
       .orderBy($"user_id")
   }
 
-  private val cusumSql =
+  private[graft] val cusumSql =
     """WITH d AS (
       |  SELECT user_id, epoch_ms(ts) AS ems, event_id,
       |    CAST(value AS DECIMAL(25,6)) - CAST(50 AS DECIMAL(25,6)) AS dev

@@ -761,8 +761,12 @@ object FeatureOps extends QueryModule {
       .filter($"s" < $"n")
       .withColumn("n2", $"n" - $"s")
       .withColumn("s2", $"stot" - $"s1")
+      // operands cast to DECIMAL(38,0) BEFORE the products so the ANSI
+      // overflow bound is the decimal's 10³⁸, not the intermediate
+      // 64-bit long (r8 advice: events·hours near 9.2e18 would throw)
       .withColumn("d",
-        ($"s1" * $"n2" - $"s2" * $"s").cast(DecimalType(38, 0)))
+        $"s1".cast(DecimalType(38, 0)) * $"n2" -
+          $"s2".cast(DecimalType(38, 0)) * $"s")
       // IntegralDivide (div) on decimals returns BIGINT in Spark; the
       // quantized score is ≤ ~(events·hours)²·10⁶/(hours²/4) ≈ 5·10¹⁶ at
       // bench scale — document the bound, emit BIGINT both engines
@@ -775,7 +779,8 @@ object FeatureOps extends QueryModule {
         $"s".as("n_left"), $"n2".as("n_right"),
         $"s1".cast("long").as("sum_left"), $"s2".cast("long").as("sum_right"),
         $"score_q".cast("long").as("score_q"),
-        (($"s2" * $"s" - $"s1" * $"n2").cast("double") /
+        (($"s2".cast(DecimalType(38, 0)) * $"s" -
+            $"s1".cast(DecimalType(38, 0)) * $"n2").cast("double") /
           ($"s" * $"n2").cast("double")).as("level_shift"))
       .orderBy($"event_type")
   }
@@ -804,8 +809,8 @@ object FeatureOps extends QueryModule {
       |  FROM x GROUP BY event_type
       |), scored AS (
       |  SELECT pre.event_type, h, s, s1, n - s AS n2, stot - s1 AS s2,
-      |    CAST(s1 * (n - s) - (stot - s1) * s AS HUGEINT)
-      |       * CAST(s1 * (n - s) - (stot - s1) * s AS HUGEINT)
+      |    (CAST(s1 AS HUGEINT) * (n - s) - CAST(stot - s1 AS HUGEINT) * s)
+      |       * (CAST(s1 AS HUGEINT) * (n - s) - CAST(stot - s1 AS HUGEINT) * s)
       |       * 1000000
       |      // CAST(s * (n - s) AS HUGEINT) AS score_q
       |  FROM pre JOIN tot USING (event_type) WHERE s < n
@@ -817,8 +822,8 @@ object FeatureOps extends QueryModule {
       |SELECT event_type, h AS split_after_hour, s AS n_left, n2 AS n_right,
       |  s1 AS sum_left, CAST(s2 AS BIGINT) AS sum_right,
       |  CAST(score_q AS BIGINT) AS score_q,
-      |  CAST(s2 * s - s1 * n2 AS DOUBLE) / CAST(s * n2 AS DOUBLE)
-      |    AS level_shift
+      |  CAST(CAST(s2 AS HUGEINT) * s - CAST(s1 AS HUGEINT) * n2 AS DOUBLE)
+      |    / CAST(s * n2 AS DOUBLE) AS level_shift
       |FROM best WHERE rnk = 1 ORDER BY event_type""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -154,7 +154,10 @@ object LayoutOps extends QueryModule {
       .withColumn("gen2", pmod($"event_id", lit(2L)) === 1L)
     val t = tag(dir)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_merge_$t"
-    if (!new java.io.File(s"$base/gen1/_SUCCESS").exists()) {
+    // guard on BOTH generations' _SUCCESS (r8 advice: a gen1-ok/gen2-failed
+    // partial write must rebuild, not silently serve a one-generation layout)
+    if (!new java.io.File(s"$base/gen1/_SUCCESS").exists() ||
+        !new java.io.File(s"$base/gen2/_SUCCESS").exists()) {
       ev.filter(!$"gen2").select($"event_type", $"micro")
         .write.mode("overwrite").parquet(s"$base/gen1")
       ev.filter($"gen2")

@@ -862,7 +862,8 @@ object StreamingPipelines {
     * checkpoint independently and restart independently); the survivor
     * rollup is the SAME `funnelRollup` the batch funnel reports
     * through, so the oracle is the batch funnel's SQL verbatim. */
-  def curationFunnelStream(spark: SparkSession, dir: String): DataFrame = {
+  def curationFunnelStream(spark: SparkSession, dir: String,
+      stateParts: String = LateUpdateParts): DataFrame = {
     import graft.queries.TextAnalysis
     // the three STATELESS gates stack in ONE single-trigger pass (the
     // column-appending cores; multi-trigger replay only exercises state
@@ -906,10 +907,10 @@ object StreamingPipelines {
     }
     val e = runToMemory(spark,
       StatefulFeatures.bucketFirstUpdate(eIn).toDF(), "update", "funnele",
-      LateUpdateParts)
+      stateParts)
       .select(col("doc_id"), (col("winner_id") === col("doc_id")).as("e"))
     val m = dedupMinhashStream(spark, dir, nChunks = 2,
-        stateParts = LateUpdateParts)
+        stateParts = stateParts)
       .select(col("doc_id"), (!col("is_duplicate")).as("m"))
     TextAnalysis.funnelRollup(spark,
       graft.core.Tables.documents(spark, dir),

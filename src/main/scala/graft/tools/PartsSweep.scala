@@ -45,7 +45,10 @@ object PartsSweep {
       "latestatsupdate" ->
         ((p: String) => anchoredStatsLateUpdate(spark, dir, 8, p)),
       "latesessionupdate" ->
-        ((p: String) => sessionStepsLateUpdate(spark, dir, 8, p)))
+        ((p: String) => sessionStepsLateUpdate(spark, dir, 8, p)),
+      // round-8 verdict #7: the worst benched query — re-verify the r7
+      // 4-partition pin still holds with the r8 suite shape around it
+      "funnel" -> ((p: String) => curationFunnelStream(spark, dir, p)))
 
     val parts = Seq("2", "4", "8")
     pipelines.filter { case (n, _) => which == "all" || which == n }

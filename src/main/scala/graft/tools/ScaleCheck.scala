@@ -321,6 +321,61 @@ object ScaleCheck {
       graft.SparkEntry.queries("rel_band_join")(spark, dir).count()
     }
 
+    // round-8 verdict #3: containment dedup now generates candidates via
+    // the asymmetric prefix filter — growth must be ~linear, not the old
+    // all-pairs-within-lang O(n²). Dedicated corpus: the token space
+    // scales WITH the doc count (Heaps' law — how real corpora grow;
+    // a fixed vocab makes ANY complete candidate generator quadratic
+    // because the true-pair density itself grows), and every 10th doc is
+    // a strict PREFIX of an earlier doc — genuine asymmetric containment.
+    def stageContain(n: Long): String = {
+      val docs = n / 10
+      val vocab = math.max(docs / 2, 64L)
+      val dir = s"$base/contain_$n"
+      spark.range(0, docs)
+        .withColumn("e",
+          when(pmod(col("id"), lit(10L)) === 9, expr("id div 10"))
+            .otherwise(col("id")))
+        .withColumn("len",
+          when(pmod(col("id"), lit(10L)) === 9, lit(32)).otherwise(lit(64)))
+        .select(col("id").as("doc_id"), lit("en").as("lang"),
+          concat(lit("src"), pmod(col("id"), lit(20L))).as("source"),
+          expr(s"""concat_ws(' ', transform(sequence(0, len - 1),
+            |  j -> concat('w', pmod(cast(conv(substring(md5(cast(
+            |    concat(e, '_', j) as binary)), 1, 8), 16, 10) as bigint),
+            |    ${vocab}L))))""".stripMargin).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def containDedup(dir: String): Double = timed {
+      graft.SparkEntry.queries("dedup_containment")(spark, dir).count()
+    }
+    // round-8 verdict #6a: CDC chunking owns one chunk-hash shuffle after
+    // a per-doc window — must stay ~linear in docs
+    def cdc(dir: String): Double = timed {
+      graft.SparkEntry.queries("dedup_cdc_chunks")(spark, dir).count()
+    }
+    // round-8 verdict #6b: KMV bottom-k streaming state is one ≤64-long
+    // sorted primitive array per side — wall must scale with arrivals
+    // (map + merge), never with the distinct-value population
+    def kmvState(dir: String): Double = timed {
+      import graft.streaming.SketchState
+      val sch = spark.read.parquet(dir).schema
+      val in = spark.readStream.schema(sch).parquet(dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          when(col("event_type") === "click", "a").otherwise("b").as("side"),
+          // expr form: the local `substring(dir)` timer shadows
+          // functions.substring here
+          expr("cast(conv(substr(md5(cast(cast(user_id as string) as binary)), 1, 8), 16, 10) as bigint)")
+            .as("h"))
+        .as[SketchState.KmvIn]
+      StreamingPipelines.runToMemory(spark,
+        SketchState.kmvBottomK(in, 64).toDF(), "update",
+        "scalecheck_kmv").count()
+    }
+
     val d1 = stage(n1); val d10 = stage(n1 * 10)
     val s1 = stageSkewed(n1); val s10 = stageSkewed(n1 * 10)
     val dd1 = stageDocs(n1); val dd10 = stageDocs(n1 * 10)
@@ -343,6 +398,13 @@ object ScaleCheck {
       ("text_source_overlap", srcOverlap(c1), srcOverlap(c10)),
       ("text_rake_keyphrases", rake(c1), rake(c10)),
       ("text_heaps_growth", heaps(c1), heaps(c10)),
+      ("dedup_cdc_chunks", cdc(c1), cdc(c10)),
+      ("stream_kmv_state", kmvState(d1), kmvState(d10)),
+      {
+        val ct1 = stageContain(n1); val ct10 = stageContain(n1 * 10)
+        containDedup(ct1) // warm (plan + codegen for the new shape)
+        ("dedup_containment", containDedup(ct1), containDedup(ct10))
+      },
       {
         val o1 = stageOrders(n1); val o10 = stageOrders(n1 * 10)
         ("rel_band_join", bandJoin(o1), bandJoin(o10))

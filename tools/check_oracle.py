@@ -104,7 +104,28 @@ def main():
             print(f"FAIL  {name}: {c}[{i}] spark={a!r} oracle={b!r}")
             failures += 1
     print(f"--- {len(oracle)} queries, {failures} failures")
+    if not failures:
+        stamp_doc_counts(len(oracle))
     sys.exit(1 if failures else 0)
+
+def stamp_doc_counts(n):
+    """Sync the query counts stated in README/ARCHITECTURE with the
+    registry (round-8 verdict #5: generate the counts so a late query
+    add can never drift the docs again). EndToEndSpec asserts the match."""
+    import re, os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # per-file patterns mirror EndToEndSpec's assertions exactly
+    pats = {"README.md": [r"(\d+)(?= queries)",
+                          r"(?<=All )(\d+)(?= declared queries)"],
+            "ARCHITECTURE.md": [r"(?<=All )(\d+)(?= queries)"]}
+    for f, regexes in pats.items():
+        path = os.path.join(repo, f)
+        text = new = open(path).read()
+        for r in regexes:
+            new = re.sub(r, str(n), new)
+        if new != text:
+            open(path, "w").write(new)
+            print(f"stamp {f}: query count -> {n}")
 
 if __name__ == "__main__":
     main()
