@@ -16,7 +16,7 @@ object SparkEntry {
     Embeddings, StreamingQueries, FeatureStoreQueries, ServingQueries,
     MultimodalQueries, ExtendedQueries, SourceFormats, CorpusPipeline,
     Sketches, SkewQueries, AnalyticsOps, FeatureOps, AdvancedOps, MetricOps,
-    LayoutOps)
+    LayoutOps, SignalOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the end-to-end fraud pipeline (anchored features -> score -> risk

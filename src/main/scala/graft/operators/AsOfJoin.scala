@@ -75,4 +75,62 @@ object AsOfJoin {
       .select(leftOut.map(col) ++
         rightCols.map(c => col(s"__matched.$c").as(c)): _*)
   }
+
+  /** FORWARD as-of join (round 9): for each left row, attach the EARLIEST
+    * right row with `rightTs >= leftTs` for the same key — the
+    * pandas-merge_asof(direction='forward') semantics (exact-timestamp
+    * matches allowed), the time-mirror of [[asOf]]. Same union-sort shape
+    * — one shuffle on the key, |left| + |right| rows total, no per-left
+    * match explosion — with the window flipped to
+    * (currentRow, unboundedFollowing) and `first(_, ignoreNulls)`.
+    *
+    * Left rows sort BEFORE right rows at equal ts (side 0 vs 1), so an
+    * equal-ts right row is inside the frame and `>=` holds. Ties among
+    * right rows at the same ts resolve to the SMALLEST `tieBreak` value
+    * (first in frame order). Tolerance windows (match only within Δt)
+    * apply downstream: the payload carries `rightTs`, so the caller
+    * null-gates on `matchedTs - leftTs <= Δt` — a projection, not a
+    * second join. */
+  def forwardAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val leftOut = left.columns.toSeq
+    val payloadCols = (rightCols :+ tieBreak).distinct
+    val payloadType = StructType(
+      payloadCols.map(c => StructField(c, right.schema(c).dataType, nullable = true)))
+    val payload = struct(payloadCols.map(col): _*)
+
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__tie", lit(null).cast(right.schema(tieBreak).dataType))
+      .withColumn("__payload", lit(null).cast(payloadType))
+    val r = right
+      .select((keys.map(col) :+ col(rightTs).as("__ts") :+ lit(1).as("__side")
+        :+ col(tieBreak).as("__tie") :+ payload.as("__payload")): _*)
+
+    val unioned = l.select(
+      (keys.map(col) ++ Seq(col("__ts"), col("__side"), col("__tie"), col("__payload"))
+        ++ leftOut.filterNot(keys.contains).map(col)): _*)
+      .unionByName(r.withColumns(
+        leftOut.filterNot(keys.contains).map(c =>
+          c -> lit(null).cast(left.schema(c).dataType)).toMap))
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    unioned
+      .withColumn("__matched", first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(leftOut.map(col) ++
+        rightCols.map(c => col(s"__matched.$c").as(c)): _*)
+  }
 }

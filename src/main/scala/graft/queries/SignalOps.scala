@@ -1,0 +1,410 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+import Exact._
+
+/** Round-9 additions: Haar wavelet decomposition (batch + streaming),
+  * HITS hubs/authorities, exact two-phase distributed percentile
+  * selection, forward as-of join, and the ORC leg of the format family.
+  *
+  * Reference anchors: the reference's monitoring path keeps rolling
+  * spectral/level summaries per metric (streaming/core/processors/
+  * transaction.py gauge family) and its training extracts use
+  * percentile clipping (training/pipeline.py quality bounds); these are
+  * the scale-correct Spark forms with bit-exact DuckDB oracles.
+  */
+object SignalOps extends QueryModule {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("ems", epochMs(col("ts")))
+
+  // --------------------------------------------- Haar wavelet energy
+  /** Unnormalized Haar wavelet decomposition of each event type's hourly
+    * count series on the 16-hour dyadic grid anchored at the corpus max
+    * hour (absent hours = 0 — the anchor fixes the length, like
+    * [[AdvancedOps]]'s Holt grids): 4 levels of pairwise sums a and
+    * differences d, ALL integers (the lifting form — no /2, so no
+    * rounding anywhere). Per-level detail energies e_l = Σ d², squared
+    * in DECIMAL(38,0) so the ANSI bound is 10³⁸, not the 64-bit
+    * intermediate; the normalized comparison puts them over the common
+    * denominator 2⁴: E_l = e_l·2^(4−l), dominant level = argmax E_l
+    * (ties → coarser time scale, i.e. smaller l), and dom_share =
+    * E_dom / ΣE_l is the single double division.
+    *
+    * Scale shape: ONE shuffle on (type, hour); the 16-column pivot and
+    * the whole transform are per-type expression work inside codegen —
+    * the map-side partial aggregation already reduces 100 TB of events
+    * to |types|·16 rows. Output BIGINTs overflow only past ~9·10¹⁸
+    * true energy (≈3·10⁹ events per type-hour). */
+  private def haarEnergy(spark: SparkSession, dir: String): DataFrame =
+    haarTail(ev(spark, dir)
+      .withColumn("h", expr("ems div 3600000"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+
+  /** Haar finale over a per-(type, hour) count table `(event_type, h, c)`
+    * — shared by the batch query and the streaming twin (whose
+    * complete-mode aggregation state IS that table). */
+  private[graft] def haarTail(pm: DataFrame): DataFrame = {
+    val spark = pm.sparkSession
+    import spark.implicits._
+    val mx = pm.agg(max($"h").as("mxh"))
+    val xcols = (0 to 15).map(i =>
+      sum(when($"t" === i, $"c").otherwise(0L)).cast("long").as(s"x$i"))
+    val xs = pm.crossJoin(broadcast(mx))
+      .withColumn("t", $"h" - ($"mxh" - 15))
+      .filter($"t" >= 0)
+      .groupBy($"event_type")
+      .agg(xcols.head, xcols.tail: _*)
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+    // level 1..4 coefficients as named per-level projections
+    val l1 = xs.select(
+      Seq($"event_type") ++
+        (0 to 7).map(i => (col(s"x${2 * i}") + col(s"x${2 * i + 1}")).as(s"a1_$i")) ++
+        (0 to 7).map(i => (col(s"x${2 * i}") - col(s"x${2 * i + 1}")).as(s"d1_$i")): _*)
+    val l2 = l1.select(
+      Seq($"event_type") ++ (0 to 7).map(i => col(s"d1_$i")) ++
+        (0 to 3).map(i => (col(s"a1_${2 * i}") + col(s"a1_${2 * i + 1}")).as(s"a2_$i")) ++
+        (0 to 3).map(i => (col(s"a1_${2 * i}") - col(s"a1_${2 * i + 1}")).as(s"d2_$i")): _*)
+    val l3 = l2.select(
+      Seq($"event_type") ++ (0 to 7).map(i => col(s"d1_$i")) ++
+        (0 to 3).map(i => col(s"d2_$i")) ++
+        (0 to 1).map(i => (col(s"a2_${2 * i}") + col(s"a2_${2 * i + 1}")).as(s"a3_$i")) ++
+        (0 to 1).map(i => (col(s"a2_${2 * i}") - col(s"a2_${2 * i + 1}")).as(s"d3_$i")): _*)
+    val l4 = l3.select(
+      Seq($"event_type") ++ (0 to 7).map(i => col(s"d1_$i")) ++
+        (0 to 3).map(i => col(s"d2_$i")) ++ (0 to 1).map(i => col(s"d3_$i")) ++ Seq(
+          ($"a3_0" + $"a3_1").as("a4"), ($"a3_0" - $"a3_1").as("d4")): _*)
+    val e1 = (0 to 7).map(i => dec(col(s"d1_$i")) * col(s"d1_$i")).reduce(_ + _)
+    val e2 = (0 to 3).map(i => dec(col(s"d2_$i")) * col(s"d2_$i")).reduce(_ + _)
+    val e3 = (0 to 1).map(i => dec(col(s"d3_$i")) * col(s"d3_$i")).reduce(_ + _)
+    val e4 = dec($"d4") * $"d4"
+    val scored = l4.select($"event_type", $"a4".as("total"), $"d4",
+        e1.cast("long").as("e1"), e2.cast("long").as("e2"),
+        e3.cast("long").as("e3"), e4.cast("long").as("e4"))
+      .withColumn("w1", dec($"e1") * 8)
+      .withColumn("w2", dec($"e2") * 4)
+      .withColumn("w3", dec($"e3") * 2)
+      .withColumn("w4", dec($"e4"))
+      .withColumn("wsum", $"w1" + $"w2" + $"w3" + $"w4")
+    scored.select($"event_type", $"total", $"d4", $"e1", $"e2", $"e3", $"e4",
+        when($"w1" >= $"w2" && $"w1" >= $"w3" && $"w1" >= $"w4", 1L)
+          .when($"w2" >= $"w3" && $"w2" >= $"w4", 2L)
+          .when($"w3" >= $"w4", 3L).otherwise(4L).as("dom_level"),
+        when($"wsum" === 0, lit(null).cast("double"))
+          .otherwise(
+            greatest($"w1", $"w2", $"w3", $"w4").cast("double") /
+              $"wsum".cast("double")).as("dom_share"))
+      .orderBy($"event_type")
+  }
+
+  private[graft] val haarEnergySql = {
+    val xcols = (0 to 15).map(i =>
+      s"""CAST(COALESCE(SUM(CASE WHEN t = $i THEN c END), 0) AS BIGINT)
+         |    AS x$i""".stripMargin).mkString(",\n  ")
+    val a1 = (0 to 7).map(i => s"x${2 * i} + x${2 * i + 1} AS a1_$i")
+    val d1 = (0 to 7).map(i => s"x${2 * i} - x${2 * i + 1} AS d1_$i")
+    val a2 = (0 to 3).map(i => s"a1_${2 * i} + a1_${2 * i + 1} AS a2_$i")
+    val d2 = (0 to 3).map(i => s"a1_${2 * i} - a1_${2 * i + 1} AS d2_$i")
+    val a3 = (0 to 1).map(i => s"a2_${2 * i} + a2_${2 * i + 1} AS a3_$i")
+    val d3 = (0 to 1).map(i => s"a2_${2 * i} - a2_${2 * i + 1} AS d3_$i")
+    val e1 = (0 to 7).map(i => s"CAST(d1_$i AS HUGEINT) * d1_$i").mkString(" + ")
+    val e2 = (0 to 3).map(i => s"CAST(d2_$i AS HUGEINT) * d2_$i").mkString(" + ")
+    val e3 = (0 to 1).map(i => s"CAST(d3_$i AS HUGEINT) * d3_$i").mkString(" + ")
+    s"""WITH pm AS (
+       |  SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2
+       |), m AS (SELECT MAX(h) AS mxh FROM pm),
+       |xs AS (
+       |  SELECT event_type,
+       |  $xcols
+       |  FROM (SELECT event_type, h - (mxh - 15) AS t, c FROM pm, m
+       |        WHERE h >= mxh - 15)
+       |  GROUP BY event_type
+       |),
+       |l1 AS (SELECT event_type, ${(a1 ++ d1).mkString(", ")} FROM xs),
+       |l2 AS (SELECT event_type, ${(0 to 7).map(i => s"d1_$i").mkString(", ")},
+       |  ${(a2 ++ d2).mkString(", ")} FROM l1),
+       |l3 AS (SELECT event_type, ${(0 to 7).map(i => s"d1_$i").mkString(", ")},
+       |  ${(0 to 3).map(i => s"d2_$i").mkString(", ")},
+       |  ${(a3 ++ d3).mkString(", ")} FROM l2),
+       |l4 AS (SELECT event_type,
+       |  ${(0 to 7).map(i => s"d1_$i").mkString(", ")},
+       |  ${(0 to 3).map(i => s"d2_$i").mkString(", ")},
+       |  d3_0, d3_1,
+       |  a3_0 + a3_1 AS a4, a3_0 - a3_1 AS d4 FROM l3),
+       |en AS (SELECT event_type, a4 AS total, d4,
+       |  CAST($e1 AS BIGINT) AS e1, CAST($e2 AS BIGINT) AS e2,
+       |  CAST($e3 AS BIGINT) AS e3,
+       |  CAST(CAST(d4 AS HUGEINT) * d4 AS BIGINT) AS e4 FROM l4),
+       |sc AS (SELECT *, CAST(e1 AS HUGEINT) * 8 AS w1,
+       |  CAST(e2 AS HUGEINT) * 4 AS w2, CAST(e3 AS HUGEINT) * 2 AS w3,
+       |  CAST(e4 AS HUGEINT) AS w4 FROM en)
+       |SELECT event_type, total, d4, e1, e2, e3, e4,
+       |  CAST(CASE
+       |    WHEN w1 >= w2 AND w1 >= w3 AND w1 >= w4 THEN 1
+       |    WHEN w2 >= w3 AND w2 >= w4 THEN 2
+       |    WHEN w3 >= w4 THEN 3 ELSE 4 END AS BIGINT) AS dom_level,
+       |  CASE WHEN w1 + w2 + w3 + w4 = 0 THEN NULL
+       |    ELSE CAST(greatest(w1, w2, w3, w4) AS DOUBLE)
+       |      / CAST(w1 + w2 + w3 + w4 AS DOUBLE) END AS dom_share
+       |FROM sc ORDER BY event_type""".stripMargin
+  }
+
+  /** Streaming twin: per-(type, hour) counts as a declarative
+    * complete-mode aggregation, then [[haarTail]] over the final hour
+    * table — same oracle as the batch query. */
+  private def haarStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingPipelines
+    val per = StreamingPipelines.eventStream(spark, dir)
+      .select(col("event_type"), expr("ems div 3600000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val sink = StreamingPipelines.runToMemory(spark, per, "complete", "haar")
+    haarTail(sink)
+  }
+
+  // --------------------------------------------- HITS hubs/authorities
+  /** HITS (Kleinberg) on the DIRECTED supplier→customer trade graph
+    * (supplier s supplied an order of customer c): authorities a = Eᵀh,
+    * hubs h = Ea, 3 synchronous rounds, each side max-normalized back to
+    * the 10⁹ fixed-point scale with integer `div` — the mutual-
+    * reinforcement + per-round normalization structure PageRank's
+    * single teleport walk doesn't have. The raw sums are exact BIGINTs
+    * (≤ deg·10⁹); the normalizing multiply runs in DECIMAL(38,0) before
+    * the div so the ANSI bound is 10³⁸. Both engines walk the identical
+    * all-integer trajectory.
+    *
+    * Scale shape: per round, one shuffle keyed on each side of the edge
+    * table (the standard message-passing agg) + a broadcast scalar max;
+    * node/edge tables are dimension-bounded, ranks localCheckpoint'd so
+    * the 3-round plan doesn't nest. */
+  private def hits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Scale = 1000000000L
+    val rel = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey".as("s"), $"o_custkey".as("c"))
+      .distinct().persist()
+    var hub = rel.select($"s".as("id")).distinct()
+      .select($"id", lit(Scale).as("sc")).localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to 3) {
+      val araw = rel.join(hub, rel("s") === hub("id"))
+        .groupBy($"c".as("id")).agg(sum($"sc").as("raw"))
+      val amax = araw.agg(max($"raw").as("mx"))
+      auth = araw.crossJoin(broadcast(amax))
+        .select($"id",
+          expr(s"(cast(raw as decimal(38,0)) * ${Scale}L) div mx").as("sc"))
+        .localCheckpoint(true)
+      val hraw = rel.join(auth, rel("c") === auth("id"))
+        .groupBy($"s".as("id")).agg(sum($"sc").as("raw"))
+      val hmax = hraw.agg(max($"raw").as("mx"))
+      hub = hraw.crossJoin(broadcast(hmax))
+        .select($"id",
+          expr(s"(cast(raw as decimal(38,0)) * ${Scale}L) div mx").as("sc"))
+        .localCheckpoint(true)
+    }
+    val top = (df: DataFrame, role: String) => df
+      .select(lit(role).as("role"),
+        row_number().over(Window.orderBy($"sc".desc, $"id"))
+          .cast("long").as("rank"),
+        $"id", $"sc".as("score"))
+      .filter($"rank" <= 10)
+    top(hub, "hub").unionByName(top(auth, "auth"))
+      .orderBy($"role", $"rank")
+  }
+
+  private val hitsSql = {
+    val rounds = (1 to 3).map { r =>
+      s"""a${r}raw AS MATERIALIZED (
+         |  SELECT c AS id, CAST(SUM(h.sc) AS BIGINT) AS raw
+         |  FROM rel JOIN h${r - 1} h ON h.id = rel.s GROUP BY c),
+         |a$r AS MATERIALIZED (
+         |  SELECT id, CAST(CAST(raw AS HUGEINT) * 1000000000
+         |    // (SELECT MAX(raw) FROM a${r}raw) AS BIGINT) AS sc
+         |  FROM a${r}raw),
+         |h${r}raw AS MATERIALIZED (
+         |  SELECT s AS id, CAST(SUM(a.sc) AS BIGINT) AS raw
+         |  FROM rel JOIN a$r a ON a.id = rel.c GROUP BY s),
+         |h$r AS MATERIALIZED (
+         |  SELECT id, CAST(CAST(raw AS HUGEINT) * 1000000000
+         |    // (SELECT MAX(raw) FROM h${r}raw) AS BIGINT) AS sc
+         |  FROM h${r}raw)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH rel AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h0 AS MATERIALIZED (
+       |  SELECT DISTINCT s AS id, CAST(1000000000 AS BIGINT) AS sc FROM rel),
+       |$rounds,
+       |ranked AS (
+       |  SELECT 'hub' AS role,
+       |    CAST(row_number() OVER (ORDER BY sc DESC, id) AS BIGINT) AS rank,
+       |    id, sc AS score FROM h3
+       |  UNION ALL
+       |  SELECT 'auth' AS role,
+       |    CAST(row_number() OVER (ORDER BY sc DESC, id) AS BIGINT) AS rank,
+       |    id, sc AS score FROM a3)
+       |SELECT role, rank, id, score FROM ranked
+       |WHERE rank <= 10 ORDER BY role, rank""".stripMargin
+  }
+
+  // ------------------------------- exact two-phase percentile selection
+  /** EXACT p50/p90/p99 of order totals by distributed selection — the
+    * global-sort-free way to get exact (not approximate) percentiles out
+    * of 100 TB: phase 1 builds a $1000-bucket histogram (one shuffle to
+    * a price-range-bounded table) and walks its running sum to locate,
+    * for each target rank k = ⌈p·n/100⌉, the bucket holding the k-th
+    * smallest value and the within-bucket offset; phase 2 ranks ONLY the
+    * ≤3 selected buckets (semi-join keeps the scan's filter pushed, the
+    * per-bucket sort touches a 1/range fraction of the data). Values are
+    * exact integer cents; `value` is the one closing division. Ties
+    * across equal cents are positionally arbitrary but the SELECTED
+    * value is deterministic — every row at that rank carries the same
+    * cents. Oracle brute-forces the same ranks over a full sort. */
+  private def exactPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.orders(spark, dir)
+      .select(floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("bucket", expr("cents div 100000"))
+    val hist = cents.groupBy($"bucket").agg(count(lit(1)).as("bn"))
+    // running count over the histogram: bounded by price-range/1000 rows,
+    // so the single-partition window is a deliberate small-table choice
+    val cum = hist
+      .withColumn("chi", sum($"bn").over(
+        Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("clo", $"chi" - $"bn")
+    val n = cents.agg(count(lit(1)).as("n"))
+    val targets = Seq(50L, 90L, 99L).toDF("p")
+      .crossJoin(broadcast(n))
+      .withColumn("k", expr("(n * p + 99) div 100"))
+    val picked = targets.join(cum, $"k" > $"clo" && $"k" <= $"chi")
+      .select($"p", $"n", $"k", $"bucket", ($"k" - $"clo").as("off"))
+    val ranked = cents
+      .join(broadcast(picked.select($"bucket").distinct()), Seq("bucket"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"bucket").orderBy($"cents"))
+          .cast("long"))
+    picked.join(ranked, Seq("bucket"))
+      .filter($"rn" === $"off")
+      .select($"p", $"n", $"k", $"cents",
+        ($"cents".cast("double") / 100.0).as("value"))
+      .orderBy($"p")
+  }
+
+  private val exactPercentilesSql =
+    """WITH c AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM orders
+      |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+      |t AS (SELECT p, n, (n * p + 99) // 100 AS k
+      |      FROM (VALUES (CAST(50 AS BIGINT)), (90), (99)) v(p), n),
+      |r AS (SELECT cents,
+      |        CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS rn
+      |      FROM c)
+      |SELECT t.p, t.n, t.k, r.cents,
+      |  CAST(r.cents AS DOUBLE) / 100.0 AS value
+      |FROM t JOIN r ON r.rn = t.k
+      |ORDER BY t.p""".stripMargin
+
+  // ------------------------------------------------ forward as-of join
+  /** Forward as-of join (pandas merge_asof direction='forward'): each
+    * purchase gets the EARLIEST click of the same user at-or-after the
+    * purchase instant, null-gated to a 1-hour tolerance — the time-mirror
+    * of evt_asof_join, via [[graft.operators.AsOfJoin.forwardAsOf]]'s
+    * union-sort shape (one shuffle on user_id, |L|+|R| rows, no per-left
+    * explosion; the oracle's join-then-min form IS the explosion the
+    * operator avoids). Tolerance applies as a projection on the matched
+    * ts the payload carries. */
+  private def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ems")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ems".as("c_ems"))
+    graft.operators.AsOfJoin.forwardAsOf(
+        purchases, clicks, Seq("user_id"), "ems", "c_ems",
+        rightCols = Seq("c_ems"), tieBreak = "c_ems")
+      .withColumn("next_click_ems",
+        when($"c_ems" - $"ems" <= 3600000L, $"c_ems"))
+      .select($"user_id", $"event_id", $"ems",
+        $"next_click_ems",
+        ($"next_click_ems" - $"ems").as("gap_ms"))
+      .orderBy($"event_id")
+  }
+
+  private val asofForwardSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ems FROM events
+      |  WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, epoch_ms(ts) AS ems FROM events
+      |  WHERE event_type = 'click'
+      |), m AS (
+      |  SELECT p.user_id, p.event_id, p.ems,
+      |    CAST(MIN(c.ems) AS BIGINT) AS next_ems
+      |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ems >= p.ems
+      |  GROUP BY p.user_id, p.event_id, p.ems
+      |)
+      |SELECT user_id, event_id, ems,
+      |  CASE WHEN next_ems - ems <= 3600000 THEN next_ems END
+      |    AS next_click_ems,
+      |  CASE WHEN next_ems - ems <= 3600000 THEN next_ems - ems END
+      |    AS gap_ms
+      |FROM m ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------ ORC roundtrip
+  /** ORC write → read → aggregate, completing the format family
+    * (csv/json/avro already covered): the events table's exact-integer
+    * projection round-trips through Spark's native ORC source; the
+    * oracle recomputes from the raw parquet — the format must change the
+    * bytes, not the answer. Layout staged once per (dataset, JVM) under
+    * /tmp, guarded by _SUCCESS. */
+  private def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = ev(spark, dir)
+      .select($"event_id", $"event_type", $"user_id", $"ems",
+        floor($"value" * 1000000.0 + 0.5).cast("long").as("micro"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+      math.abs(dir.hashCode).toString
+    if (!new java.io.File(s"$base/_SUCCESS").exists())
+      src.write.mode("overwrite").orc(base)
+    spark.read.orc(base)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").cast("long").as("n_users"),
+        sum($"micro").cast("long").as("micro_sum"),
+        min($"ems").as("first_ems"), max($"ems").as("last_ems"))
+      .orderBy($"event_type")
+  }
+
+  private val orcRoundtripSql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS micro_sum,
+      |  CAST(MIN(epoch_ms(ts)) AS BIGINT) AS first_ems,
+      |  CAST(MAX(epoch_ms(ts)) AS BIGINT) AS last_ems
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_haar_energy" -> (haarEnergy _),
+    "stream_haar" -> (haarStream _),
+    "graph_hits" -> (hits _),
+    "rel_exact_percentiles" -> (exactPercentiles _),
+    "evt_asof_forward" -> (asofForward _),
+    "src_orc_roundtrip" -> (orcRoundtrip _))
+
+  override def oracles: Map[String, String] = Map(
+    "evt_haar_energy" -> haarEnergySql,
+    "stream_haar" -> haarEnergySql,
+    "graph_hits" -> hitsSql,
+    "rel_exact_percentiles" -> exactPercentilesSql,
+    "evt_asof_forward" -> asofForwardSql,
+    "src_orc_roundtrip" -> orcRoundtripSql)
+}

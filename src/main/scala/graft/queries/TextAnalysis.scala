@@ -545,6 +545,124 @@ object TextAnalysis extends QueryModule {
       |  COALESCE(h.ev_min, -1) AS eval_src
       |FROM td LEFT JOIN hits h USING (doc_id) ORDER BY td.doc_id""".stripMargin
 
+  // --------------------------------------- fuzzy (MinHash) decontamination
+  /** FUZZY train/eval decontamination (round 9): the paraphrase-level
+    * complement to [[decontaminate]]'s exact 8-gram gate — a train doc
+    * is fuzzy-contaminated when its 3-gram shingle Jaccard against ANY
+    * eval doc clears 0.5, with candidates from the SAME 4-band×2-row
+    * MinHash banding as dedup_minhash_lsh (an eval-vs-train band join,
+    * not all-pairs; the eval side is the benchmark suite — small by
+    * construction, broadcast). Exact Jaccard is scored on the 60-bit
+    * sorted-distinct shingle-hash arrays via the codegen'd two-pointer
+    * intersect, and the threshold test is the INTEGER form
+    * 2·inter ≥ union, so no double compare sits on the boundary.
+    * Output per train doc: candidate count, best eval match + its
+    * jaccard, and the flag. Scale: map-side signatures, one broadcast
+    * band probe, |candidates| bounded by banding — never |train|·|eval|. */
+  private def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SortedIntersectCount.register(spark)
+    val sig = docs(spark, dir)
+      .select(col("doc_id"), expr(shingleExpr).as("sh"))
+      .select(col("doc_id"), expr(shingleHashExpr).as("si"),
+        expr("""array_sort(array_distinct(transform(sh,
+          |  s -> cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10)
+          |       as bigint))))""".stripMargin).as("sj"))
+      .select(col("doc_id"), col("sj"), expr(minhashExpr).as("mh"))
+      .persist()
+    val bands = sig.select(col("doc_id"),
+        explode(expr("sequence(0, 3)")).as("b"), col("mh"))
+      .select(col("doc_id"),
+        concat_ws(":", col("b"),
+          expr("element_at(mh, 2*b + 1)"), expr("element_at(mh, 2*b + 2)"))
+          .as("band_val"))
+    val cand = bands.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bands.filter(col("doc_id") % 50 === 0)
+          .select(col("band_val"), col("doc_id").as("ev_doc"))),
+        Seq("band_val"))
+      .select(col("doc_id"), col("ev_doc")).distinct()
+    val scored = cand
+      .join(sig.select(col("doc_id"), col("sj")), Seq("doc_id"))
+      .join(broadcast(sig.select(col("doc_id").as("ev_doc"),
+        col("sj").as("sj_e"))), Seq("ev_doc"))
+      .withColumn("inter", expr("sorted_intersect_count(sj, sj_e)"))
+      .withColumn("un",
+        size(col("sj")).cast("long") + size(col("sj_e")) - col("inter"))
+    val best = scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy((col("inter").cast("double") / col("un")).desc,
+            col("ev_doc"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"),
+        col("ev_doc").as("best_eval"), col("inter").cast("long").as("inter"),
+        col("un").as("un"),
+        (col("inter") * 2 >= col("un")).as("contaminated"))
+    val nc = cand.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val out = docs(spark, dir).filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"))
+      .join(nc, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("best_eval"), lit(-1L)).as("best_eval"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        coalesce(col("un"), lit(0L)).as("un"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy(col("doc_id"))
+    graft.core.CachePin.sealAndRelease(out, sig)
+  }
+
+  private[graft] val decontaminateFuzzySql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), sig AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(list_transform(sh,
+      |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS sj,
+      |    list_transform(range(8), j -> list_min(list_transform(sh,
+      |      s -> ((2*j + 1) * CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+      |            + 97*j + 13) % 2147483647))) AS mh
+      |  FROM sh
+      |), bands AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    b || ':' || mh[2*b + 1] || ':' || mh[2*b + 2] AS band_val
+      |  FROM sig, (SELECT unnest(range(4)) AS b)
+      |), cand AS (
+      |  SELECT DISTINCT tr.doc_id, ev.doc_id AS ev_doc
+      |  FROM bands tr JOIN bands ev ON tr.band_val = ev.band_val
+      |  WHERE tr.doc_id % 50 <> 0 AND ev.doc_id % 50 = 0
+      |), scored AS (
+      |  SELECT c.doc_id, c.ev_doc,
+      |    CAST(len(list_intersect(a.sj, b.sj)) AS BIGINT) AS inter,
+      |    CAST(len(a.sj) + len(b.sj) - len(list_intersect(a.sj, b.sj))
+      |      AS BIGINT) AS un
+      |  FROM cand c JOIN sig a ON a.doc_id = c.doc_id
+      |  JOIN sig b ON b.doc_id = c.ev_doc
+      |), best AS (
+      |  SELECT doc_id, ev_doc AS best_eval, inter, un,
+      |    inter * 2 >= un AS contaminated
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY CAST(inter AS DOUBLE) / un DESC, ev_doc) AS rk
+      |        FROM scored)
+      |  WHERE rk = 1
+      |), nc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      |  FROM cand GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(nc.n_candidates, 0) AS n_candidates,
+      |  COALESCE(b.best_eval, -1) AS best_eval,
+      |  COALESCE(b.inter, 0) AS inter, COALESCE(b.un, 0) AS un,
+      |  COALESCE(b.contaminated, FALSE) AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+      |LEFT JOIN nc USING (doc_id) LEFT JOIN best b USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------- exact-substring dedup
   /** Exact-substring deduplication (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the gram-granular
@@ -2175,6 +2293,7 @@ object TextAnalysis extends QueryModule {
     "text_quality_score" -> (quality _),
     "text_repetition" -> (repetition _),
     "text_decontaminate" -> (decontaminate _),
+    "text_decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_lm_score" -> (lmScore _),
@@ -2211,6 +2330,7 @@ object TextAnalysis extends QueryModule {
     "text_quality_score" -> qualitySql,
     "text_repetition" -> repetitionSql,
     "text_decontaminate" -> decontaminateSql,
+    "text_decontaminate_fuzzy" -> decontaminateFuzzySql,
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_encode" -> bpeEncodeSql,
     "text_lm_score" -> lmScoreSql,

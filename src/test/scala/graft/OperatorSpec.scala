@@ -311,4 +311,92 @@ class OperatorSpec extends AnyFunSuite {
     assert(row.getAs[Double]("season_next") == s(12))
     assert(row.getAs[Double]("forecast_1") == l + b + s(12))
   }
+
+  test("haar tail equals the textbook lifting transform (round 9)") {
+    // pins the MATH independent of both engines' SQL: plain-Scala
+    // unnormalized Haar over the 16-point anchored grid must equal the
+    // SQL fold's energies, dominant level, and share
+    import TestSpark.spark
+    import spark.implicits._
+    val xs = (0 to 15).map(t => ((t % 7) * 5 + (t % 3) * 2 + t).toLong)
+    val pm = xs.zipWithIndex.map { case (c, h) => ("t", 200L + h, c) }
+      .toDF("event_type", "h", "c")
+    val row = graft.queries.SignalOps.haarTail(pm).collect()(0)
+    var cur = xs.toArray
+    val e = Array.fill(5)(0L)
+    for (l <- 1 to 4) {
+      val a = Array.tabulate(cur.length / 2)(i => cur(2 * i) + cur(2 * i + 1))
+      val d = Array.tabulate(cur.length / 2)(i => cur(2 * i) - cur(2 * i + 1))
+      e(l) = d.map(x => x * x).sum
+      cur = a
+    }
+    assert(row.getAs[Long]("total") == xs.sum)
+    (1 to 4).foreach(l => assert(row.getAs[Long](s"e$l") == e(l)))
+    val w = Array(0L, e(1) * 8, e(2) * 4, e(3) * 2, e(4))
+    val dom = (1 to 4).maxBy(l => (w(l), -l))
+    assert(row.getAs[Long]("dom_level") == dom.toLong)
+    assert(row.getAs[Double]("dom_share") ==
+      w(dom).toDouble / w.sum.toDouble)
+  }
+
+  test("forwardAsOf: earliest at-or-after match, null when none (round 9)") {
+    val left = Seq((1L, 10L, "p1"), (1L, 25L, "p2"), (2L, 5L, "p3"))
+      .toDF("user_id", "ems", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 12L, 101L), (1L, 20L, 102L),
+        (3L, 1L, 103L))
+      .toDF("user_id", "c_ems", "click_id")
+    val out = AsOfJoin.forwardAsOf(left, right, Seq("user_id"),
+        "ems", "c_ems", rightCols = Seq("c_ems", "click_id"),
+        tieBreak = "click_id")
+      .orderBy("tag").collect()
+    // p1: exact-ts click at 10 matches (>= semantics)
+    assert(out(0).getAs[Long]("c_ems") == 10L)
+    assert(out(0).getAs[Long]("click_id") == 100L)
+    // p2: no click at/after 25 -> null
+    assert(out(1).isNullAt(out(1).fieldIndex("c_ems")))
+    // p3: user 2 has no clicks at all -> null
+    assert(out(2).isNullAt(out(2).fieldIndex("c_ems")))
+  }
+
+  test("forwardAsOf: equal-ts right ties resolve to smallest tieBreak") {
+    val left = Seq((1L, 10L)).toDF("user_id", "ems")
+    val right = Seq((1L, 15L, 7L), (1L, 15L, 3L), (1L, 16L, 1L))
+      .toDF("user_id", "c_ems", "click_id")
+    val out = AsOfJoin.forwardAsOf(left, right, Seq("user_id"),
+      "ems", "c_ems", rightCols = Seq("c_ems", "click_id"),
+      tieBreak = "click_id").collect()(0)
+    assert(out.getAs[Long]("c_ems") == 15L)
+    assert(out.getAs[Long]("click_id") == 3L)
+  }
+
+  test("two-phase exact percentiles equal the full sort (round 9)") {
+    import TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("rel_exact_percentiles")(spark, dir)
+      .collect().map(r =>
+        (r.getAs[Long]("p"), r.getAs[Long]("k"), r.getAs[Long]("cents")))
+    val cents = graft.core.Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    got.foreach { case (p, k, c) =>
+      assert(k == (n * p + 99) / 100)
+      assert(c == cents((k - 1).toInt), s"p$p")
+    }
+  }
+
+  test("HITS scores are max-normalized each round (round 9)") {
+    import TestSpark.spark
+    val rows = graft.SparkEntry.queries("graph_hits")(
+      spark, "/root/testdata/sf0.001").collect()
+    val roles = rows.groupBy(_.getAs[String]("role"))
+    assert(roles.keySet == Set("hub", "auth"))
+    roles.values.foreach { rs =>
+      val top = rs.minBy(_.getAs[Long]("rank"))
+      // rank 1 carries the scale itself: (max*S) div max == S
+      assert(top.getAs[Long]("score") == 1000000000L)
+      val scores = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }

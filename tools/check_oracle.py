@@ -104,7 +104,10 @@ def main():
             print(f"FAIL  {name}: {c}[{i}] spark={a!r} oracle={b!r}")
             failures += 1
     print(f"--- {len(oracle)} queries, {failures} failures")
-    if not failures:
+    # stamp only full-suite runs: Verify accepts a query-name filter for
+    # local iteration, and a filtered all-green run must not shrink the
+    # documented registry count (full suite is far above this floor)
+    if not failures and len(oracle) >= 100:
         stamp_doc_counts(len(oracle))
     sys.exit(1 if failures else 0)
 
