@@ -272,21 +272,27 @@ object AdvancedOps extends QueryModule {
     *
     * Candidates come from an asymmetric PREFIX FILTER (round-8 verdict
     * #3 — the previous lang-bucketed all-pairs join was the suite's one
-    * quadratic candidate generator): order each doc's shingles by global
-    * document frequency ascending; containment(A→B) ≥ t forces
-    * |A∩B| ≥ ⌈t·|A|⌉, so A must share a shingle with B within A's first
-    * |A| − ⌈t·|A|⌉ + 1 rarest shingles. B gets NO prefix (the containing
-    * side can be arbitrarily large), so the join is A-prefix shingles
-    * against B's full inverted index — output bounded by Σ df(rare
-    * shingle), never |docs|². COMPLETE at the threshold for any
-    * consistent total order; df-asc keeps the hot Zipf-head shingles out
-    * of every prefix. (The displayed score rounds to 6 decimals, which
-    * could only admit a sub-threshold pair once |A| exceeds ~10⁶
-    * shingles — document-length bound, not corpus bound.) Same-lang
-    * constraint and top-50 directed pairs with containment ≥ 0.5 kept
-    * from the original semantics; the oracle's all-pairs form is
-    * unchanged, which also PROVES completeness: the candidate cut must
-    * lose nothing or the hash check fails. */
+    * quadratic candidate generator): containment(A→B) ≥ t forces
+    * |A∩B| ≥ ⌈t·|A|⌉, so under ANY consistent global shingle order A
+    * must share a shingle with B within A's first |A| − ⌈t·|A|⌉ + 1
+    * shingles. B gets NO prefix (the containing side can be arbitrarily
+    * large), so the join is A-prefix shingles against B's full inverted
+    * index — output bounded by Σ df(prefix shingle), never |docs|².
+    * The order used is the HASH order the `sh` arrays already carry:
+    * complete like any total order, and free — the round-9 bench showed
+    * the textbook df-ascending prefix (a frequency pass + per-doc
+    * re-sort + array rebuild) costing 2.3× more than it pruned on this
+    * corpus, whose tiny vocabulary makes df near-uniform. On a true
+    * Zipf corpus at 100 TB the df ordering pays for its extra shuffle
+    * by keeping hot shingles out of every prefix — that variant is one
+    * `freq` join away, and the ScaleCheck row (Heaps-scaled vocab)
+    * measures the growth that matters either way. (The displayed score
+    * rounds to 6 decimals, which could only admit a sub-threshold pair
+    * once |A| exceeds ~10⁶ shingles — document-length bound, not corpus
+    * bound.) Same-lang constraint and top-50 directed pairs with
+    * containment ≥ 0.5 kept from the original semantics; the oracle's
+    * all-pairs form is unchanged, which also PROVES completeness: the
+    * candidate cut must lose nothing or the hash check fails. */
   private def containment(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SortedIntersectCount.register(spark)
     val sh = Tables.documents(spark, dir)
@@ -296,24 +302,20 @@ object AdvancedOps extends QueryModule {
           i -> cast(conv(substring(md5(cast(concat_ws(' ', element_at(toks, i),
                  element_at(toks, i + 1), element_at(toks, i + 2)) as binary)),
                  1, 15), 16, 10) as bigint))))""").as("sh"))
-    val tok = sh.select(col("doc_id"), col("lang"), explode(col("sh")).as("h"))
-    val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // per-doc shingles in df-asc canonical order; prefix for t = 0.5 is
-    // n − ⌈n/2⌉ + 1 = n − (n+1) div 2 + 1, all integer
-    val pa = tok.join(freq, Seq("h"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(expr("transform(array_sort(collect_list(struct(df, h))), s -> s.h)")
-        .as("oh"))
-      .withColumn("n", size(col("oh")).cast("long"))
-      .withColumn("plen", col("n") - expr("(n + 1) div 2") + 1)
-      .select(col("lang"), col("doc_id").as("doc_a"),
-        explode(expr("slice(oh, 1, cast(plen as int))")).as("h"))
+      // prefix for t = 0.5 is n − ⌈n/2⌉ + 1 = n − (n+1) div 2 + 1, integer
+      .withColumn("plen",
+        (size(col("sh")).cast("long") - expr("(size(sh) + 1) div 2") + 1)
+          .cast("int"))
+      .persist() // feeds the prefix explode, the inverted index, and both
+                 // scoring joins — one scan, not four
+    val pa = sh.select(col("lang"), col("doc_id").as("doc_a"),
+      explode(expr("slice(sh, 1, plen)")).as("h"))
     val cand = pa
-      .join(tok.select(col("lang"), col("doc_id").as("doc_b"), col("h")),
-        Seq("lang", "h"))
+      .join(sh.select(col("lang"), col("doc_id").as("doc_b"),
+        explode(col("sh")).as("h")), Seq("lang", "h"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    cand
+    val out = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
@@ -324,6 +326,7 @@ object AdvancedOps extends QueryModule {
         col("containment"))
       .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
       .limit(50)
+    graft.core.CachePin.sealAndRelease(out, sh)
   }
 
   private val containmentSql =

@@ -358,6 +358,115 @@ object SignalOps extends QueryModule {
       |    AS gap_ms
       |FROM m ORDER BY event_id""".stripMargin
 
+  // ------------------------------------- permutation feature importance
+  /** Permutation importance of `value` for the event-type-vs-rest labels:
+    * exact Mann-Whitney AUC (the ml_feature_auc doubled-midrank algebra)
+    * on the real (label, value) pairing MINUS the AUC after the pairing
+    * is broken by a deterministic md5-driven permutation — the
+    * model-free importance = how much of the ranking signal survives
+    * when the feature is shuffled (≈0 after shuffling ⇒ the original
+    * AUC was real signal, not class-imbalance artifact).
+    *
+    * The permutation is BUCKET-LOCAL (64 md5 buckets; labels re-ranked
+    * by md5(id||'a'), values by md5(id||'b'), re-paired on
+    * (bucket, rank)): a composition of disjoint within-bucket
+    * permutations IS a permutation of the whole column, but each bucket
+    * permutes inside one shuffle partition — the 100 TB form, where a
+    * single global random sort would be the bottleneck. All ranks and
+    * moments integer; two closing double divisions + one subtraction,
+    * written in the same order in both engines. */
+  private def permImportance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+      .withColumn("bkt",
+        pmod(conv(substring(md5($"event_id".cast("string").cast("binary")),
+          1, 8), 16, 10).cast("long"), lit(64L)))
+      .withColumn("ha",
+        conv(substring(md5(concat($"event_id".cast("string"), lit("a"))
+          .cast("binary")), 1, 8), 16, 10).cast("long"))
+      .withColumn("hb",
+        conv(substring(md5(concat($"event_id".cast("string"), lit("b"))
+          .cast("binary")), 1, 8), 16, 10).cast("long"))
+    val lab = e.withColumn("rn", row_number().over(
+        Window.partitionBy($"bkt").orderBy($"ha", $"event_id")).cast("long"))
+      .select($"bkt", $"rn", $"event_type")
+    val vals = e.withColumn("rn", row_number().over(
+        Window.partitionBy($"bkt").orderBy($"hb", $"event_id")).cast("long"))
+      .select($"bkt", $"rn", $"value")
+    val perm = lab.join(vals, Seq("bkt", "rn"))
+      .select($"event_type", $"value")
+    val n = e.count() // driver scalar: total rows (bounded metadata)
+    def aucOf(df: DataFrame, out: String): DataFrame = {
+      val vt = df.groupBy($"value").agg(count(lit(1)).as("t"))
+        .withColumn("c", sum($"t").over(
+          Window.orderBy($"value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"t")
+      val vp = df.groupBy($"value", $"event_type").agg(count(lit(1)).as("pos"))
+      vp.join(vt, Seq("value"))
+        .groupBy($"event_type")
+        .agg(sum($"pos").as("n_pos"),
+          sum($"pos" * (lit(2) * $"c" + $"t" + 1)).as("ranksum2"))
+        .select($"event_type", $"n_pos".cast("long").as("n_pos"),
+          (($"ranksum2" - $"n_pos" * ($"n_pos" + 1)).cast("double") /
+            (lit(2L) * $"n_pos" * (lit(n) - $"n_pos")).cast("double"))
+            .as(out))
+    }
+    aucOf(e.select($"event_type", $"value"), "auc")
+      .join(aucOf(perm, "auc_perm").drop("n_pos"), Seq("event_type"))
+      .withColumn("importance", $"auc" - $"auc_perm")
+      .orderBy($"event_type")
+  }
+
+  private val permImportanceSql =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 64 AS bkt,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'a'), 1, 8))
+      |      AS BIGINT) AS ha,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'b'), 1, 8))
+      |      AS BIGINT) AS hb
+      |  FROM events
+      |), lab AS (
+      |  SELECT bkt, row_number() OVER (PARTITION BY bkt ORDER BY ha, event_id)
+      |    AS rn, event_type FROM e
+      |), vals AS (
+      |  SELECT bkt, row_number() OVER (PARTITION BY bkt ORDER BY hb, event_id)
+      |    AS rn, value FROM e
+      |), perm AS (
+      |  SELECT l.event_type, v.value FROM lab l JOIN vals v USING (bkt, rn)
+      |), n AS (SELECT count(*) AS n FROM e),
+      |vt1 AS (SELECT value, count(*) AS t FROM e GROUP BY 1),
+      |vc1 AS (SELECT value, t, SUM(t) OVER (ORDER BY value
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS c FROM vt1),
+      |vp1 AS (SELECT value, event_type, count(*) AS pos FROM e GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vp1.event_type, CAST(SUM(vp1.pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(vp1.pos * (2 * vc1.c + vc1.t + 1))
+      |         - SUM(vp1.pos) * (SUM(vp1.pos) + 1) AS DOUBLE)
+      |      / CAST(2 * SUM(vp1.pos) * (n.n - SUM(vp1.pos)) AS DOUBLE) AS auc
+      |  FROM vp1 JOIN vc1 ON vp1.value = vc1.value CROSS JOIN n
+      |  GROUP BY vp1.event_type, n.n
+      |),
+      |vt2 AS (SELECT value, count(*) AS t FROM perm GROUP BY 1),
+      |vc2 AS (SELECT value, t, SUM(t) OVER (ORDER BY value
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS c FROM vt2),
+      |vp2 AS (SELECT value, event_type, count(*) AS pos FROM perm GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT vp2.event_type,
+      |    CAST(SUM(vp2.pos * (2 * vc2.c + vc2.t + 1))
+      |         - SUM(vp2.pos) * (SUM(vp2.pos) + 1) AS DOUBLE)
+      |      / CAST(2 * SUM(vp2.pos) * (n.n - SUM(vp2.pos)) AS DOUBLE)
+      |      AS auc_perm
+      |  FROM vp2 JOIN vc2 ON vp2.value = vc2.value CROSS JOIN n
+      |  GROUP BY vp2.event_type, n.n
+      |)
+      |SELECT a1.event_type, a1.n_pos, a1.auc, a2.auc_perm,
+      |  a1.auc - a2.auc_perm AS importance
+      |FROM a1 JOIN a2 USING (event_type)
+      |ORDER BY a1.event_type""".stripMargin
+
   // ------------------------------------------------------ ORC roundtrip
   /** ORC write → read → aggregate, completing the format family
     * (csv/json/avro already covered): the events table's exact-integer
@@ -398,6 +507,7 @@ object SignalOps extends QueryModule {
     "graph_hits" -> (hits _),
     "rel_exact_percentiles" -> (exactPercentiles _),
     "evt_asof_forward" -> (asofForward _),
+    "ml_permutation_importance" -> (permImportance _),
     "src_orc_roundtrip" -> (orcRoundtrip _))
 
   override def oracles: Map[String, String] = Map(
@@ -406,5 +516,6 @@ object SignalOps extends QueryModule {
     "graph_hits" -> hitsSql,
     "rel_exact_percentiles" -> exactPercentilesSql,
     "evt_asof_forward" -> asofForwardSql,
+    "ml_permutation_importance" -> permImportanceSql,
     "src_orc_roundtrip" -> orcRoundtripSql)
 }

@@ -314,6 +314,9 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.dedupMinhashUpdateStream(s, d)),
     "stream_decontaminate" ->
       ((s: SparkSession, d: String) => StreamingPipelines.decontaminateStream(s, d)),
+    "stream_decontaminate_fuzzy" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.decontaminateFuzzyStream(s, d)),
     "stream_lm_score" ->
       ((s: SparkSession, d: String) => StreamingPipelines.lmScoreStream(s, d)),
     "stream_corpus_funnel" ->
@@ -382,6 +385,7 @@ object StreamingQueries extends QueryModule {
     "stream_dedup_minhash" -> TextAnalysis.dedupMinhashStreamSql,
     "stream_dedup_minhash_update" -> TextAnalysis.dedupMinhashStreamSql,
     "stream_decontaminate" -> TextAnalysis.decontaminateSql,
+    "stream_decontaminate_fuzzy" -> TextAnalysis.decontaminateFuzzySql,
     "stream_lm_score" -> TextAnalysis.lmScoreSql,
     "stream_corpus_funnel" -> TextAnalysis.curationFunnelOracleSql,
     "stream_hll_distinct" -> Sketches.hllDistinctSql,

@@ -663,6 +663,143 @@ object TextAnalysis extends QueryModule {
       |LEFT JOIN nc USING (doc_id) LEFT JOIN best b USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** (doc_id, sj, bands) per doc — a streaming-safe PURE MAP (no explode,
+    * no shuffle): the 60-bit sorted-distinct shingle hashes for exact
+    * Jaccard scoring plus the 4 LSH band values off the 8-slot MinHash
+    * signature. Used by the streaming fuzzy-decontamination gate. */
+  private[graft] def fuzzySigRows(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("sh", expr(shingleExpr))
+      .withColumn("sj",
+        expr("""array_sort(array_distinct(transform(sh,
+          |  s -> cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10)
+          |       as bigint))))""".stripMargin))
+      .withColumn("si", expr(shingleHashExpr))
+      .withColumn("mh", expr(minhashExpr))
+      .select(col("doc_id"), col("sj"),
+        expr("""transform(sequence(0, 3), b -> concat_ws(':', b,
+          |  element_at(mh, 2*b + 1), element_at(mh, 2*b + 2)))""".stripMargin)
+          .as("bands"))
+
+  // ------------------------------------------------ b-bit MinHash eval
+  /** b-bit MinHash (Li & König 2010, b = 1): 64 one-bit minhashes packed
+    * into two 32-bit words — an 8-BYTE sketch per document (8× smaller
+    * than the 8×8-byte signature the LSH queries carry, hundreds of times
+    * smaller than the shingle set). Jaccard estimate from bit agreement:
+    * E[agree] = (1+J)/2·64, so Ĵ ≈ 2·agree/64 − 1, and the decision
+    * threshold J ≥ 0.6 becomes the INTEGER test 2·agree − 64 ≥ 39.
+    * Measured like every sketch here: scored over the prefix-filter
+    * candidate set whose exact Jaccard is ground truth (complete at the
+    * threshold — true recall, not recall-within-a-blocking), reporting
+    * the confusion counts and precision/recall of the 8-byte sketch.
+    * 32-bit words, not one 64-bit word: DuckDB's checked shift rejects
+    * bit 63 (the bitmap-distinct lesson). All integers until the two
+    * closing divisions. */
+  private def bbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = docs(spark, dir)
+      .select(col("doc_id"), expr(shingleExpr).as("sh"))
+      .select(col("doc_id"), expr(shingleHashExpr).as("si"))
+      .select(col("doc_id"),
+        expr("""transform(sequence(0, 63), j -> array_min(transform(si,
+          |  x -> ((2*j + 1) * x + 97*j + 13) % 2147483647)) % 2)"""
+          .stripMargin).as("bits"))
+      .select(col("doc_id"),
+        expr("aggregate(slice(bits, 1, 32), 0L, (a, x) -> a * 2 + x)")
+          .as("w0"),
+        expr("aggregate(slice(bits, 33, 32), 0L, (a, x) -> a * 2 + x)")
+          .as("w1"))
+    val scored = prefixScored(spark, dir)
+      .join(words.select(col("doc_id").as("doc_a"), col("w0").as("a0"),
+        col("w1").as("a1")), "doc_a")
+      .join(words.select(col("doc_id").as("doc_b"), col("w0").as("b0"),
+        col("w1").as("b1")), "doc_b")
+      .withColumn("agree",
+        expr("cast(64 - bit_count(a0 ^ b0) - bit_count(a1 ^ b1) as bigint)"))
+      .withColumn("pred", expr("2 * agree - 64 >= 39"))
+      .withColumn("truth", expr("5 * inter >= 3 * un"))
+    scored.agg(count(lit(1)).as("n_pairs"),
+        sum(when($"truth", 1L).otherwise(0L)).cast("long").as("n_true"),
+        sum(when($"pred" && $"truth", 1L).otherwise(0L)).cast("long").as("tp"),
+        sum(when($"pred" && !$"truth", 1L).otherwise(0L)).cast("long").as("fp"),
+        sum(when(!$"pred" && $"truth", 1L).otherwise(0L)).cast("long").as("fn"))
+      .withColumn("precision",
+        when($"tp" + $"fp" === 0, lit(null).cast("double"))
+          .otherwise($"tp".cast("double") / ($"tp" + $"fp")))
+      .withColumn("recall",
+        when($"n_true" === 0, lit(null).cast("double"))
+          .otherwise($"tp".cast("double") / $"n_true"))
+  }
+
+  private val bbitMinhashSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), tok AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS tok
+      |  FROM t
+      |), freq AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY tok
+      |), sorted AS MATERIALIZED (
+      |  SELECT doc_id, list(tok ORDER BY df, tok) AS stoks,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tok JOIN freq USING (tok) GROUP BY doc_id
+      |), pref AS MATERIALIZED (
+      |  SELECT doc_id, stoks,
+      |    unnest(stoks[:CAST(n - (3 * n + 4) // 5 + 1 AS INT)]) AS ptok
+      |  FROM sorted
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.stoks AS ta, b.stoks AS tb
+      |  FROM pref a JOIN pref b ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+      |), pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+      |    CAST(len(ta) + len(tb) - len(list_intersect(ta, tb)) AS BIGINT) AS un
+      |  FROM cand
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), bits AS MATERIALIZED (
+      |  SELECT doc_id, list_transform(range(64),
+      |    j -> list_min(list_transform(sh,
+      |      s -> ((2*j + 1) * CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+      |            + 97*j + 13) % 2147483647)) % 2) AS bits
+      |  FROM sh
+      |), words AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), bits[1:32]),
+      |      (a, x) -> a * 2 + x) AS w0,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), bits[33:64]),
+      |      (a, x) -> a * 2 + x) AS w1
+      |  FROM bits
+      |), scored AS (
+      |  SELECT p.*,
+      |    CAST(64 - bit_count(xor(a.w0, b.w0)) - bit_count(xor(a.w1, b.w1))
+      |      AS BIGINT) AS agree
+      |  FROM pairs p JOIN words a ON a.doc_id = p.doc_a
+      |  JOIN words b ON b.doc_id = p.doc_b
+      |), conf AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(CASE WHEN 5 * inter >= 3 * un THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_true,
+      |    CAST(SUM(CASE WHEN 2 * agree - 64 >= 39 AND 5 * inter >= 3 * un
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN 2 * agree - 64 >= 39 AND NOT 5 * inter >= 3 * un
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN NOT 2 * agree - 64 >= 39 AND 5 * inter >= 3 * un
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      |  FROM scored
+      |)
+      |SELECT n_pairs, n_true, tp, fp, fn,
+      |  CASE WHEN tp + fp = 0 THEN NULL
+      |    ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+      |  CASE WHEN n_true = 0 THEN NULL
+      |    ELSE CAST(tp AS DOUBLE) / n_true END AS recall
+      |FROM conf""".stripMargin
+
   // ------------------------------------------- exact-substring dedup
   /** Exact-substring deduplication (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the gram-granular
@@ -2294,6 +2431,7 @@ object TextAnalysis extends QueryModule {
     "text_repetition" -> (repetition _),
     "text_decontaminate" -> (decontaminate _),
     "text_decontaminate_fuzzy" -> (decontaminateFuzzy _),
+    "dedup_bbit_minhash" -> (bbitMinhash _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_lm_score" -> (lmScore _),
@@ -2331,6 +2469,7 @@ object TextAnalysis extends QueryModule {
     "text_repetition" -> repetitionSql,
     "text_decontaminate" -> decontaminateSql,
     "text_decontaminate_fuzzy" -> decontaminateFuzzySql,
+    "dedup_bbit_minhash" -> bbitMinhashSql,
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_encode" -> bpeEncodeSql,
     "text_lm_score" -> lmScoreSql,

@@ -805,6 +805,66 @@ object StreamingPipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming FUZZY decontamination (round 9): the paraphrase-level
+    * twin of [[decontaminateStream]] — per arriving train doc, probe the
+    * broadcast eval-side LSH band index for candidates, score exact
+    * shingle Jaccard against the broadcast eval signatures (two-pointer
+    * walk over the sorted 60-bit hash arrays), keep the best match.
+    * Both broadcast sides are the BENCHMARK SUITE (small by
+    * construction); the train stream is graded STATELESSLY in one map —
+    * no shuffle, no state store, scan-speed at 100 TB. Candidates are
+    * iterated in ascending eval-doc order with a strict > comparison, so
+    * ties resolve to the smallest eval id — the oracle's
+    * (jaccard DESC, ev_doc) ranking. Same oracle as
+    * text_decontaminate_fuzzy. */
+  def decontaminateFuzzyStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evalSig = graft.queries.TextAnalysis.fuzzySigRows(
+        graft.core.Tables.documents(spark, dir)
+          .filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), col("text")))
+      .collect()
+    val evSj: Map[Long, Array[Long]] = evalSig
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val evBands: Map[String, Array[Long]] = evalSig
+      .flatMap(r => r.getSeq[String](2).map(bv => bv -> r.getLong(0)))
+      .groupBy(_._1).map { case (bv, xs) => bv -> xs.map(_._2).sorted }
+    val bcSj = spark.sparkContext.broadcast(evSj)
+    val bcBands = spark.sparkContext.broadcast(evBands)
+    val in = graft.queries.TextAnalysis.fuzzySigRows(
+        docStreamReplay(spark, dir).select(col("doc_id"), col("text")))
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("sj"), col("bands"))
+      .as[(Long, Seq[Long], Seq[String])]
+    def inter(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var j = 0; var n = 0L
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1 else j += 1
+      }
+      n
+    }
+    val out = in.map { case (id, sjSeq, bands) =>
+      val sj = sjSeq.toArray
+      val cands = bands.iterator
+        .flatMap(bv => bcBands.value.getOrElse(bv, Array.empty[Long]))
+        .toArray.distinct.sorted
+      var bestEv = -1L; var bestI = 0L; var bestU = 0L; var bestJ = -1.0
+      cands.foreach { ev =>
+        val sje = bcSj.value(ev)
+        val in0 = inter(sj, sje)
+        val un = sj.length.toLong + sje.length - in0
+        val jac = in0.toDouble / un
+        if (jac > bestJ) { bestJ = jac; bestEv = ev; bestI = in0; bestU = un }
+      }
+      (id, cands.length.toLong, bestEv, bestI, bestU,
+        bestEv != -1L && bestI * 2 >= bestU)
+    }.toDF("doc_id", "n_candidates", "best_eval", "inter", "un",
+      "contaminated")
+    runToMemory(spark, out, "append", "decontamfuzzy")
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming bigram-LM quality gate: the model (vocab-bounded bigram /
     * left-context count tables, trained batch-side on the same corpus) is
     * driver-collected once and broadcast; every arriving doc is scored
