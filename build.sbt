@@ -42,5 +42,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // collections of ~3 GB pausing 4-21 s while the heap grew). A bounded
   // young gen recycles the same warm pages every collection instead of
   // letting the ergonomics expand into cold memory mid-query.
-  "-Xms2g", "-Xmn1g",
-)
+  // initial heap overridable for timing experiments (round 9: iterative
+  // graph queries drift ~2x with old-gen expansion; a larger pre-touched
+  // Xms pays the page faults once at JVM start instead of mid-query)
+  s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS", "2g")}", "-Xmn1g",
+) ++ (if (sys.env.contains("SPARK_GRAFT_PRETOUCH"))
+        Seq("-XX:+AlwaysPreTouch") else Seq.empty)

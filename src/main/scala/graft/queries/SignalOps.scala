@@ -271,14 +271,25 @@ object SignalOps extends QueryModule {
     val cents = Tables.orders(spark, dir)
       .select(floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("cents"))
       .withColumn("bucket", expr("cents div 100000"))
-    val hist = cents.groupBy($"bucket").agg(count(lit(1)).as("bn"))
+    percentileSelect(cents, cents.groupBy($"bucket").agg(count(lit(1)).as("bn")))
+  }
+
+  /** The two-phase selection finale over a raw `(cents, bucket)` frame and
+    * its `(bucket, bn)` histogram — split out so the streaming twin can
+    * feed the histogram from its complete-mode aggregation state while
+    * phase 2 ranks the raw table (the same batch-finale contract as the
+    * HLL/KMV streaming sketches). */
+  private[graft] def percentileSelect(
+      cents: DataFrame, hist: DataFrame): DataFrame = {
+    val spark = cents.sparkSession
+    import spark.implicits._
     // running count over the histogram: bounded by price-range/1000 rows,
     // so the single-partition window is a deliberate small-table choice
     val cum = hist
       .withColumn("chi", sum($"bn").over(
         Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("clo", $"chi" - $"bn")
-    val n = cents.agg(count(lit(1)).as("n"))
+    val n = hist.agg(sum($"bn").cast("long").as("n"))
     val targets = Seq(50L, 90L, 99L).toDF("p")
       .crossJoin(broadcast(n))
       .withColumn("k", expr("(n * p + 99) div 100"))
@@ -310,6 +321,148 @@ object SignalOps extends QueryModule {
       |  CAST(r.cents AS DOUBLE) / 100.0 AS value
       |FROM t JOIN r ON r.rn = t.k
       |ORDER BY t.p""".stripMargin
+
+  /** Streaming exact percentiles: the $10-bucket histogram of event
+    * `value` cents maintained as a DECLARATIVE complete-mode streaming
+    * aggregation (counts are algebraic — the engine's own state store,
+    * no custom state machine), then the [[percentileSelect]] finale
+    * locates each target rank's bucket from the streamed histogram and
+    * ranks ONLY those buckets of the batch table — the same
+    * batch-finale contract as the HLL/KMV streaming sketches. At 100 TB
+    * the stream maintains a bounded histogram forever and phase 2
+    * touches a 1/range fraction of the store on demand. */
+  private def percentilesStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingPipelines
+    val hist = StreamingPipelines.eventStream(spark, dir)
+      .select(expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("cents"))
+      .withColumn("bucket", expr("cents div 1000"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+    val sink = StreamingPipelines.runToMemory(spark, hist, "complete", "pctl")
+    val cents = ev(spark, dir)
+      .select(floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("bucket", expr("cents div 1000"))
+    percentileSelect(cents, sink)
+  }
+
+  private val evtPercentilesSql =
+    """WITH c AS (
+      |  SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+      |t AS (SELECT p, n, (n * p + 99) // 100 AS k
+      |      FROM (VALUES (CAST(50 AS BIGINT)), (90), (99)) v(p), n),
+      |r AS (SELECT cents,
+      |        CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS rn
+      |      FROM c)
+      |SELECT t.p, t.n, t.k, r.cents,
+      |  CAST(r.cents AS DOUBLE) / 100.0 AS value
+      |FROM t JOIN r ON r.rn = t.k
+      |ORDER BY t.p""".stripMargin
+
+  // --------------------------------------- PCA top component (power iter)
+  /** Top principal component of the embedding corpus by POWER ITERATION
+    * in exact integer arithmetic — distributed linear algebra without a
+    * single float accumulation: embeddings quantized to micro ints (the
+    * emb-family convention), the 64×64 scatter matrix by the centered
+    * identity C = n·Σqqᵀ − (Σq)(Σq)ᵀ (DECIMAL(38,0) — exact, no mean
+    * subtraction roundoff), then 4 iterations of v ← C·v with the HITS
+    * normalization trick: sign·((|w|·10⁶) div max|w|) keeps every state
+    * integer, so both engines walk the identical trajectory. Output is
+    * the normalized loading vector plus the Rayleigh quotient (two
+    * closing double casts, one division).
+    *
+    * Scale shape: ONE pass computes the d² moment matrix via map-side
+    * partial aggregation (n·d² products reduced to d² cells — the
+    * standard distributed covariance); the iterations run on the
+    * d²-bounded cell table with broadcast max scalars, ranks
+    * localCheckpoint'd. d = 64 here; the shape holds for any d where
+    * d² fits one executor (d ≈ 10⁴+). */
+  private def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        posexplode(expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"))
+          .as(Seq("i", "qv")))
+    val n = Tables.embeddings(spark, dir).count()
+    val s = q.groupBy($"i").agg(sum($"qv").as("si"))
+    val cr = q.select($"vec_id", $"i", $"qv")
+      .join(q.select($"vec_id", $"i".as("j"), $"qv".as("qw")), Seq("vec_id"))
+      .groupBy($"i", $"j")
+      .agg(sum($"qv".cast(DecimalType(38, 0)) * $"qw").as("sqq"))
+    val c = cr
+      .join(s.select($"i", $"si"), Seq("i"))
+      .join(s.select($"i".as("j"), $"si".as("sj")), Seq("j"))
+      .select($"i", $"j",
+        (lit(n) * $"sqq" - $"si".cast(DecimalType(38, 0)) * $"sj").as("cij"))
+      .persist()
+    var v = s.select($"i", lit(1000000L).as("v")).localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      val w = c.join(v.select($"i".as("j"), $"v"), Seq("j"))
+        .groupBy($"i").agg(sum($"cij" * $"v").as("wi"))
+      val m = w.agg(max(abs($"wi")).as("mx"))
+      v = w.crossJoin(broadcast(m))
+        .select($"i",
+          (signum($"wi").cast("long") *
+            expr("(cast(abs(wi) as decimal(38,0)) * 1000000L) div mx"))
+            .as("v"))
+        .localCheckpoint(true)
+    }
+    val ray = c.join(v.select($"i".as("j"), $"v".as("vj")), Seq("j"))
+      .join(v.select($"i", $"v".as("vi")), Seq("i"))
+      .agg((sum($"vi".cast(DecimalType(38, 0)) * $"cij" * $"vj").cast("double")
+        / lit(1000000000000.0)).as("num"))
+    val den = v.agg((sum($"v".cast(DecimalType(38, 0)) * $"v").cast("double")
+      / lit(1000000000000.0)).as("den"))
+    val out = v.crossJoin(broadcast(ray)).crossJoin(broadcast(den))
+      .select($"i".cast("long").as("dim"), $"v".as("v_scaled"),
+        ($"v".cast("double") / 1000000.0).as("loading"),
+        ($"num" / $"den").as("rayleigh"))
+      .orderBy($"dim")
+    graft.core.CachePin.sealAndRelease(out, c)
+  }
+
+  private val pcaPowerSql = {
+    val rounds = (1 to 4).map { r =>
+      s"""w$r AS MATERIALIZED (
+         |  SELECT c.i, SUM(c.cij * v.v) AS wi
+         |  FROM c JOIN v${r - 1} v ON v.i = c.j GROUP BY c.i),
+         |v$r AS MATERIALIZED (
+         |  SELECT i, CAST(CASE WHEN wi < 0 THEN -1 WHEN wi > 0 THEN 1
+         |      ELSE 0 END AS HUGEINT)
+         |    * ((abs(wi) * 1000000) // (SELECT MAX(abs(wi)) FROM w$r)) AS v
+         |  FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, i,
+       |    CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS BIGINT)
+       |      AS qv
+       |  FROM embeddings, (SELECT unnest(range(64)) AS i)
+       |), n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+       |s AS MATERIALIZED (
+       |  SELECT i, CAST(SUM(qv) AS HUGEINT) AS si FROM q GROUP BY i),
+       |cr AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, SUM(CAST(a.qv AS HUGEINT) * b.qv) AS sqq
+       |  FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i),
+       |c AS MATERIALIZED (
+       |  SELECT cr.i, cr.j, n.n * cr.sqq - si.si * sj.si AS cij
+       |  FROM cr CROSS JOIN n
+       |  JOIN s si ON si.i = cr.i JOIN s sj ON sj.i = cr.j),
+       |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v
+       |       FROM (SELECT unnest(range(64)) AS i)),
+       |$rounds,
+       |ray AS (
+       |  SELECT CAST(SUM(vi.v * c.cij * vj.v) AS DOUBLE) / 1000000000000.0
+       |    AS num
+       |  FROM c JOIN v4 vj ON vj.i = c.j JOIN v4 vi ON vi.i = c.i),
+       |den AS (
+       |  SELECT CAST(SUM(v * v) AS DOUBLE) / 1000000000000.0 AS den FROM v4)
+       |SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_scaled,
+       |  CAST(v AS DOUBLE) / 1000000.0 AS loading,
+       |  ray.num / den.den AS rayleigh
+       |FROM v4 CROSS JOIN ray CROSS JOIN den
+       |ORDER BY dim""".stripMargin
+  }
 
   // ------------------------------------------------ forward as-of join
   /** Forward as-of join (pandas merge_asof direction='forward'): each
@@ -506,6 +659,8 @@ object SignalOps extends QueryModule {
     "stream_haar" -> (haarStream _),
     "graph_hits" -> (hits _),
     "rel_exact_percentiles" -> (exactPercentiles _),
+    "stream_percentiles" -> (percentilesStream _),
+    "emb_pca_power" -> (pcaPower _),
     "evt_asof_forward" -> (asofForward _),
     "ml_permutation_importance" -> (permImportance _),
     "src_orc_roundtrip" -> (orcRoundtrip _))
@@ -515,6 +670,8 @@ object SignalOps extends QueryModule {
     "stream_haar" -> haarEnergySql,
     "graph_hits" -> hitsSql,
     "rel_exact_percentiles" -> exactPercentilesSql,
+    "stream_percentiles" -> evtPercentilesSql,
+    "emb_pca_power" -> pcaPowerSql,
     "evt_asof_forward" -> asofForwardSql,
     "ml_permutation_importance" -> permImportanceSql,
     "src_orc_roundtrip" -> orcRoundtripSql)

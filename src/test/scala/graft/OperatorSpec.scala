@@ -385,6 +385,35 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("percentileSelect picks the exact kth element (round 9)") {
+    import TestSpark.spark
+    // adversarial shape: duplicate-heavy values spanning several buckets
+    val cents = (1 to 997).map(i => ((i * 37) % 223) * 1500L + i % 3)
+    val df = cents.toDF("cents")
+      .withColumn("bucket", expr("cents div 1000"))
+    val hist = df.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val got = graft.queries.SignalOps.percentileSelect(df, hist)
+      .collect().map(r => (r.getAs[Long]("p"), r.getAs[Long]("cents")))
+    val sorted = cents.sorted
+    got.foreach { case (p, c) =>
+      val k = (997L * p + 99) / 100
+      assert(c == sorted((k - 1).toInt), s"p$p")
+    }
+  }
+
+  test("PCA power iteration: normalization + positive Rayleigh (round 9)") {
+    import TestSpark.spark
+    val rows = graft.SparkEntry.queries("emb_pca_power")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 64)
+    // the max-|loading| dimension carries exactly +-1e6 (the HITS-style
+    // integer normalization invariant), and the scatter matrix's top
+    // Rayleigh quotient is positive
+    assert(rows.map(r => math.abs(r.getAs[Long]("v_scaled"))).max == 1000000L)
+    assert(rows.head.getAs[Double]("rayleigh") > 0.0)
+  }
+
   test("HITS scores are max-normalized each round (round 9)") {
     import TestSpark.spark
     val rows = graft.SparkEntry.queries("graph_hits")(
