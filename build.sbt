@@ -42,9 +42,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // collections of ~3 GB pausing 4-21 s while the heap grew). A bounded
   // young gen recycles the same warm pages every collection instead of
   // letting the ergonomics expand into cold memory mid-query.
-  // initial heap overridable for timing experiments (round 9: iterative
-  // graph queries drift ~2x with old-gen expansion; a larger pre-touched
-  // Xms pays the page faults once at JVM start instead of mid-query)
-  s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS", "2g")}", "-Xmn1g",
-) ++ (if (sys.env.contains("SPARK_GRAFT_PRETOUCH"))
-        Seq("-XX:+AlwaysPreTouch") else Seq.empty)
+  // 16g pre-touched initial heap (round 9): with -Xms2g the old gen
+  // expanded mid-run and first-touch page faults landed on whichever
+  // query was allocating — measured as phantom 2-4x medians on random
+  // suite members (stream_winsorize 4.8 -> 16.2 s, graph family ~2x);
+  // the pre-touched run of the same 291-query bench had ZERO outliers
+  // (worst 10.25 s). Pays one ~15 s page-fault bill at JVM start
+  // instead of unbounded stalls mid-query. Override/disable via env.
+  s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS", "16g")}", "-Xmn1g",
+) ++ (if (sys.env.contains("SPARK_GRAFT_NO_PRETOUCH")) Seq.empty
+      else Seq("-XX:+AlwaysPreTouch"))

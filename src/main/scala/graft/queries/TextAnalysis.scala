@@ -458,6 +458,155 @@ object TextAnalysis extends QueryModule {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ winnowing fingerprints
+  /** MOSS winnowing (Schleimer et al. 2003): LOCAL document fingerprints
+    * — the positional complement to `text_fingerprint`'s whole-document
+    * hashes. Each position's 4-token gram hashes to 32 bits; every
+    * window of w = 4 consecutive grams contributes its MINIMUM hash
+    * (ties to the RIGHTMOST position — the paper's rule, encoded by
+    * key = h·1024 + (1023 − p) so one integer MIN decides both), and the
+    * distinct selected (hash, position) pairs are the fingerprint set.
+    * Guarantee: any shared token run of ≥ w + k − 1 = 7 tokens shares a
+    * fingerprint — the local-similarity detection whole-doc hashing
+    * structurally misses. Position radix 1024 bounds docs at 1023 grams
+    * (this corpus: ≤ 60); longer docs widen the radix.
+    *
+    * Whole computation is PER-ROW array expressions (grams, keys,
+    * window minima via transform+slice) — zero shuffle, pure codegen,
+    * which is also why the streaming twin is a stateless map. The
+    * oracle takes the rows+window form instead (a nested
+    * slice-under-lambda is the DuckDB mis-bind shape; results agree,
+    * plans differ by engine). */
+  private[graft] def winnowCols(df: DataFrame): DataFrame =
+    df.filter(size(col("toks")) >= 4)
+      .withColumn("gh", expr(
+        """transform(sequence(1, size(toks) - 3),
+          |  i -> cast(conv(substr(md5(cast(concat_ws(' ',
+          |    element_at(toks, i), element_at(toks, i + 1),
+          |    element_at(toks, i + 2), element_at(toks, i + 3))
+          |    as binary)), 1, 8), 16, 10) as bigint))""".stripMargin))
+      .withColumn("keys",
+        expr("transform(gh, (x, i) -> x * 1024 + (1022 - i))"))
+      .withColumn("fps", expr(
+        """CASE WHEN size(keys) >= 4 THEN
+          |  array_distinct(transform(sequence(1, size(keys) - 3),
+          |    s -> array_min(slice(keys, s, 4))))
+          |ELSE array() END""".stripMargin))
+
+  private def winnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowCols(docs(spark, dir))
+      .select(col("doc_id"), size(col("gh")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        (size(col("fps")).cast("double") / size(col("gh"))).as("density"))
+      .orderBy(col("doc_id"))
+
+  private[graft] val winnowingSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id, len(toks) - 3 AS m,
+      |    unnest(list_transform(range(1, len(toks) - 2),
+      |      p -> {'p': p,
+      |            'key': CAST(('0x' || substr(md5(toks[p] || ' ' ||
+      |                toks[p+1] || ' ' || toks[p+2] || ' ' || toks[p+3]),
+      |                1, 8)) AS BIGINT) * 1024 + (1023 - p)})) AS s
+      |  FROM t WHERE len(toks) >= 4
+      |), k AS (
+      |  SELECT doc_id, m, s.p AS p, s.key AS key FROM g
+      |), w AS (
+      |  SELECT doc_id, p, m,
+      |    MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM k
+      |), f AS (
+      |  SELECT DISTINCT doc_id, fp FROM w WHERE p <= m - 3
+      |), s AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints
+      |  FROM f GROUP BY doc_id
+      |), d AS (
+      |  SELECT doc_id, CAST(len(toks) - 3 AS BIGINT) AS n_grams
+      |  FROM t WHERE len(toks) >= 4
+      |)
+      |SELECT d.doc_id, d.n_grams,
+      |  COALESCE(s.n_fingerprints, 0) AS n_fingerprints,
+      |  CAST(COALESCE(s.n_fingerprints, 0) AS DOUBLE) / d.n_grams AS density
+      |FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** Streaming twin of [[winnowing]]: the per-row array computation is a
+    * stateless map, so the stream form is the batch expression over the
+    * doc replay — no shuffle, no state; same oracle. */
+  private def winnowingStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingPipelines
+    val in = winnowCols(
+      StreamingPipelines.docStreamReplay(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("toks", split(trim(col("text")), "\\s+")))
+      .select(col("doc_id"), size(col("gh")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        (size(col("fps")).cast("double") / size(col("gh"))).as("density"))
+    StreamingPipelines.runToMemory(spark, in, "append", "winnow")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-document winnowing-fingerprint pairs: docs sharing selected
+    * hashes (positions stripped — offset-shifted copies still match, the
+    * winnowing point). Candidates come from the equi-join ON THE
+    * FINGERPRINT VALUE — bucketed like every near-dup candidate
+    * generator here, never all-pairs; fingerprints are a ~1/w sample of
+    * gram space, so the join input is w× smaller than a full gram join.
+    * Top 20 directed by (shared desc, ids); share_a = shared / |A's
+    * distinct hashes| is the one closing division. */
+  private def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fh = winnowCols(docs(spark, dir))
+      .select(col("doc_id"),
+        explode(expr("array_distinct(transform(fps, f -> f div 1024))"))
+          .as("h"))
+    val nh = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_h"))
+    fh.select(col("h"), col("doc_id").as("doc_a"))
+      .join(fh.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nh.select(col("doc_id").as("doc_a"), col("n_h")), Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") / col("n_h")).as("share_a"))
+      .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  private val winnowingPairsSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id, len(toks) - 3 AS m,
+      |    unnest(list_transform(range(1, len(toks) - 2),
+      |      p -> {'p': p,
+      |            'key': CAST(('0x' || substr(md5(toks[p] || ' ' ||
+      |                toks[p+1] || ' ' || toks[p+2] || ' ' || toks[p+3]),
+      |                1, 8)) AS BIGINT) * 1024 + (1023 - p)})) AS s
+      |  FROM t WHERE len(toks) >= 4
+      |), k AS (
+      |  SELECT doc_id, m, s.p AS p, s.key AS key FROM g
+      |), w AS (
+      |  SELECT doc_id, p, m,
+      |    MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM k
+      |), fh AS (
+      |  SELECT DISTINCT doc_id, fp // 1024 AS h FROM w WHERE p <= m - 3
+      |), nh AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_h FROM fh GROUP BY doc_id
+      |), pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM fh a JOIN fh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT pr.doc_a, pr.doc_b, pr.shared,
+      |  CAST(pr.shared AS DOUBLE) / nh.n_h AS share_a
+      |FROM pr JOIN nh ON nh.doc_id = pr.doc_a
+      |ORDER BY pr.shared DESC, pr.doc_a, pr.doc_b LIMIT 20""".stripMargin
+
   // -------------------------------------------------- decontamination
   /** Train/eval decontamination — the n-gram overlap gate every LLM data
     * pipeline runs before training (the GPT-3/PaLM 13-gram recipe,
@@ -2432,6 +2581,9 @@ object TextAnalysis extends QueryModule {
     "text_decontaminate" -> (decontaminate _),
     "text_decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "dedup_bbit_minhash" -> (bbitMinhash _),
+    "text_winnowing" -> (winnowing _),
+    "stream_winnowing" -> (winnowingStream _),
+    "dedup_winnowing_pairs" -> (winnowingPairs _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_lm_score" -> (lmScore _),
@@ -2470,6 +2622,9 @@ object TextAnalysis extends QueryModule {
     "text_decontaminate" -> decontaminateSql,
     "text_decontaminate_fuzzy" -> decontaminateFuzzySql,
     "dedup_bbit_minhash" -> bbitMinhashSql,
+    "text_winnowing" -> winnowingSql,
+    "stream_winnowing" -> winnowingSql,
+    "dedup_winnowing_pairs" -> winnowingPairsSql,
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_encode" -> bpeEncodeSql,
     "text_lm_score" -> lmScoreSql,
