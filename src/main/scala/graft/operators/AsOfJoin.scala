@@ -84,13 +84,18 @@ object AsOfJoin {
     * match explosion — with the window flipped to
     * (currentRow, unboundedFollowing) and `first(_, ignoreNulls)`.
     *
-    * Left rows sort BEFORE right rows at equal ts (side 0 vs 1), so an
-    * equal-ts right row is inside the frame and `>=` holds. Ties among
-    * right rows at the same ts resolve to the SMALLEST `tieBreak` value
-    * (first in frame order). Tolerance windows (match only within Δt)
-    * apply downstream: the payload carries `rightTs`, so the caller
-    * null-gates on `matchedTs - leftTs <= Δt` — a projection, not a
-    * second join. */
+    * Evaluated as the DESC mirror of [[asOf]]'s running frame: sort by
+    * (ts DESC, side DESC, tie DESC) and take `last(_, ignoreNulls)` over
+    * (unboundedPreceding, currentRow). Spark computes a running frame in
+    * O(k) per key, while a (currentRow, unboundedFollowing) frame
+    * re-accumulates from each row to the partition end — O(k²) on a hot
+    * key (round-9 advice). In DESC order an equal-ts right row (side 1)
+    * sorts BEFORE the left row (side 0), so `>=` holds; among equal-ts
+    * right rows, tie DESC puts the SMALLEST `tieBreak` nearest the
+    * current row, and the running `last` picks it. Tolerance windows
+    * (match only within Δt) apply downstream: the payload carries
+    * `rightTs`, so the caller null-gates on `matchedTs - leftTs <= Δt` —
+    * a projection, not a second join. */
   def forwardAsOf(
       left: DataFrame,
       right: DataFrame,
@@ -124,11 +129,11 @@ object AsOfJoin {
 
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__tie"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__ts").desc, col("__side").desc, col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     unioned
-      .withColumn("__matched", first(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
       .select(leftOut.map(col) ++
         rightCols.map(c => col(s"__matched.$c").as(c)): _*)

@@ -157,7 +157,7 @@ object AnalyticsOps extends QueryModule {
       |), g AS (
       |  SELECT count(*) AS gn, CAST(SUM(y) AS BIGINT) AS gpos FROM e)
       |SELECT event_type, fold,
-      |  SUM(n) OVER (PARTITION BY event_type) - n AS n_other,
+      |  CAST(SUM(n) OVER (PARTITION BY event_type) - n AS BIGINT) AS n_other,
       |  (CAST(SUM(pos) OVER (PARTITION BY event_type) - pos AS DOUBLE) +
       |     10.0 * (CAST(gpos AS DOUBLE) / CAST(gn AS DOUBLE))) /
       |    (CAST(SUM(n) OVER (PARTITION BY event_type) - n AS DOUBLE) + 10.0)

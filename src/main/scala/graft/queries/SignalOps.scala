@@ -214,8 +214,9 @@ object SignalOps extends QueryModule {
           .cast("long").as("rank"),
         $"id", $"sc".as("score"))
       .filter($"rank" <= 10)
-    top(hub, "hub").unionByName(top(auth, "auth"))
-      .orderBy($"role", $"rank")
+    graft.core.CachePin.sealAndRelease(
+      top(hub, "hub").unionByName(top(auth, "auth")).orderBy($"role", $"rank"),
+      rel)
   }
 
   private val hitsSql = {

@@ -333,7 +333,56 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.freshnessStream(s, d)),
     "stream_cms_topk" ->
       ((s: SparkSession, d: String) => StreamingPipelines.cmsTopkStream(s, d)),
+    "stream_bloom_gate" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.bloomGateStream(s, d)),
     "gen_synthetic_txns" -> (syntheticTxns _))
+
+  /** Oracle for stream_bloom_gate: rebuilds the 4096-bit bloom filter from
+    * the md5 bit positions IN SQL (32-bit words — DuckDB's checked shift
+    * rejects bit 63), probes every event with the same 3 word-lookup +
+    * shift-and-mask tests, and rolls up candidates / exact members / false
+    * positives per event type — so the filter's BIT MATH is graded, not
+    * just the downstream semi-join result. */
+  private val bloomGateSql =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    user_id || ':' || json_extract_string(props, 'k') AS k
+      |  FROM events
+      |), dim AS (
+      |  SELECT DISTINCT user_id || ':' || json_extract_string(props, 'k') AS k
+      |  FROM events WHERE event_type = 'purchase' AND value > 97
+      |), bpos AS (
+      |  SELECT CAST(('0x' || substr(md5(i || ':' || k), 1, 8)) AS BIGINT)
+      |    % 4096 AS pos
+      |  FROM dim, (SELECT unnest(range(3)) AS i)
+      |), words AS (
+      |  SELECT pos // 32 AS wi,
+      |    bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+      |  FROM bpos GROUP BY 1
+      |), pr AS (
+      |  SELECT event_id,
+      |    CAST(('0x' || substr(md5(i || ':' || k), 1, 8)) AS BIGINT)
+      |      % 4096 AS pos
+      |  FROM ev, (SELECT unnest(range(3)) AS i)
+      |), hit AS (
+      |  SELECT pr.event_id,
+      |    SUM(CASE WHEN w.bits IS NOT NULL
+      |             AND ((w.bits >> CAST(pr.pos % 32 AS INT)) & 1) = 1
+      |        THEN 1 ELSE 0 END) AS nhit
+      |  FROM pr LEFT JOIN words w ON w.wi = pr.pos // 32
+      |  GROUP BY pr.event_id
+      |), cand AS (
+      |  SELECT e.event_type, e.k
+      |  FROM ev e JOIN hit ON hit.event_id = e.event_id
+      |  WHERE hit.nhit = 3
+      |)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |  CAST(SUM(CASE WHEN k IN (SELECT k FROM dim) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_true,
+      |  CAST(COUNT(*) - SUM(CASE WHEN k IN (SELECT k FROM dim)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+      |FROM cand GROUP BY event_type ORDER BY event_type""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "stream_aligned_window" -> EventFeatures.alignedSlidingSql,
@@ -394,5 +443,6 @@ object StreamingQueries extends QueryModule {
     "stream_cumulative_users" -> AnalyticsOps.cumulativeUsersSql,
     "stream_freshness" -> AnalyticsOps.freshnessSql,
     "stream_cms_topk" -> Sketches.cmsTopkSql,
+    "stream_bloom_gate" -> bloomGateSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)
 }

@@ -718,7 +718,11 @@ object TextAnalysis extends QueryModule {
           |       as bigint))))""".stripMargin).as("sj"))
       .select(col("doc_id"), col("sj"), expr(minhashExpr).as("mh"))
       .persist()
-    val bands = sig.select(col("doc_id"),
+    // size(sj) guard: a sub-shingle doc (<3 tokens) has null minhash slots
+    // — concat_ws would skip them and collide all such docs on bands
+    // '0'..'3', where the oracle's `||` yields NULL (no match). Emit none.
+    val bands = sig.filter(size(col("sj")) > 0)
+      .select(col("doc_id"),
         explode(expr("sequence(0, 3)")).as("b"), col("mh"))
       .select(col("doc_id"),
         concat_ws(":", col("b"),
@@ -826,8 +830,15 @@ object TextAnalysis extends QueryModule {
       .withColumn("si", expr(shingleHashExpr))
       .withColumn("mh", expr(minhashExpr))
       .select(col("doc_id"), col("sj"),
-        expr("""transform(sequence(0, 3), b -> concat_ws(':', b,
-          |  element_at(mh, 2*b + 1), element_at(mh, 2*b + 2)))""".stripMargin)
+        // a doc with <3 tokens has NO shingles: its minhash slots are null
+        // and concat_ws would SKIP them, emitting bands '0'..'3' that
+        // collide across all such docs — while the oracle's `||` yields
+        // NULL (no join). Emit no bands at all for sub-shingle docs so
+        // batch, stream, and oracle agree (round-9 advice).
+        expr("""if(size(sj) > 0,
+          |  transform(sequence(0, 3), b -> concat_ws(':', b,
+          |    element_at(mh, 2*b + 1), element_at(mh, 2*b + 2))),
+          |  array())""".stripMargin)
           .as("bands"))
 
   // ------------------------------------------------ b-bit MinHash eval

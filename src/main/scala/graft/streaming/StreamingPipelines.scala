@@ -31,6 +31,23 @@ object StreamingPipelines {
     * directory while the other's file-source stream is mid-read. */
   private val procToken = ProcessHandle.current().pid().toString
 
+  /** Root for verification-ephemeral streaming checkpoints: tmpfs when the
+    * host has one (/dev/shm — no fsync-to-disk on the per-micro-batch
+    * offset/commit/state-delta writes, so a loaded writeback queue cannot
+    * stall micro-batch commits), else the process tmpdir. Per-process dir,
+    * deleted per query in [[runToMemory]]. */
+  private lazy val ckptRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val d = base.resolve(s"graft_ckpt_p$procToken")
+    java.nio.file.Files.createDirectories(d)
+    d.toFile.deleteOnExit()
+    d
+  }
+
   /** Streaming read of the events parquet: same normalization as
     * Tables.events (nanos -> microsecond timestamps, via the SHARED
     * Tables.normalizeEventTs so the paths cannot diverge). The file source
@@ -330,11 +347,33 @@ object StreamingPipelines {
     // corpus sizes up (exercised by IntervalJoin100x)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+    // Ephemeral checkpoint on tmpfs (round-10, driver-bench robustness):
+    // every micro-batch commits the offset log, the commit log, and one
+    // state delta per store per partition — each an fsync when the
+    // checkpoint sits on the disk-backed default tmpdir. Under an idle
+    // disk those fsyncs are sub-ms (the builder's standalone benches),
+    // but under the driver's back-to-back Verify + DuckDB-oracle + Bench
+    // sequence the dirty-page writeback queue turns them into the
+    // 3-8x per-micro-batch stalls BENCH_r09 measured on exactly the
+    // chunked-replay pipelines (8 batches x stores x partitions). These
+    // checkpoints are verification-ephemeral (deleted on stop); a
+    // production deployment points this at durable storage and sizes the
+    // commit cost explicitly (ARCHITECTURE.md "streaming fixed costs").
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, name)
     try {
       val q = out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode(mode).start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists _)
+      catch { case _: Exception => () } // best-effort cleanup
+      finally walk.close()
+    }
     Option(lastSink.put(caller, name))
       .foreach(prev => spark.catalog.dropTempView(prev))
     spark.table(name)
@@ -865,6 +904,66 @@ object StreamingPipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming BLOOM GATE (round 10, closing the round-9 verdict note on
+    * rel_bloom_semi_join): a 4096-bit bloom filter over "flagged
+    * transaction fingerprints" (distinct user:props-k pairs of purchases
+    * with value > 97 — the chargeback-log shape, bounded by the key
+    * space) gates the event stream STATELESSLY; candidate rows land in
+    * the sink and a batch rollup reports, per event type, the candidate
+    * count, the exact-member count, and the FALSE-POSITIVE count. Unlike
+    * rel_bloom_semi_join (whose oracle checks only the semi-join result),
+    * this oracle RECOMPUTES the filter from the md5 bit positions in pure
+    * SQL — build (bit_or of 1<<pos%32 into 128 32-bit words; 32-bit, not
+    * 64: DuckDB's checked shift rejects bit 63) and probe (3 word lookups
+    * + shift-and-mask per row) — so a wrong bit position changes
+    * n_candidates/n_false_pos and fails the hash. The measured false
+    * positives (~0.6% at sf0.01) prove the bit math, not just the
+    * membership outcome.
+    *
+    * Scale shape: the build is a declarative aggregation (explode 3 hash
+    * seeds, bit_or per word — map-side combine collapses it), the
+    * collected words are 128 longs (bounded by mBits, not by data), and
+    * the stream gate is a broadcast stateless filter entirely inside
+    * whole-stage codegen — scan speed at 100 TB, shuffle only the
+    * surviving candidates. */
+  def bloomGateStream(spark: SparkSession, dir: String): DataFrame = {
+    val MBits = 4096
+    val keyCol = concat(col("user_id"), lit(":"),
+      get_json_object(col("props"), "$.k"))
+    val dim = graft.core.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 97)
+      .select(keyCol.as("k")).distinct()
+    val words = dim
+      .select(explode(expr("sequence(0, 2)")).as("i"), col("k"))
+      .select(expr(s"""cast(conv(substr(md5(cast(concat(i, ':', k) as binary)),
+        |  1, 8), 16, 10) as bigint) % $MBits""".stripMargin).as("pos"))
+      .select(expr("pos div 32").as("wi"),
+        expr("shiftleft(1L, cast(pos % 32 as int))").as("w"))
+      .groupBy(col("wi")).agg(expr("bit_or(w)").as("bits"))
+    // dense word array: <= mBits/32 = 128 longs by construction
+    val arr = new Array[Long](MBits / 32)
+    words.collect().foreach(r =>
+      arr(r.getAs[Long]("wi").toInt) = r.getAs[Long]("bits"))
+    def posSql(i: Int) =
+      s"(cast(conv(substr(md5(cast(concat('$i:', k) as binary)), 1, 8), " +
+        s"16, 10) as bigint) % $MBits)"
+    val passSql = (0 until 3).map(i =>
+      s"((shiftright(element_at(bw, cast(${posSql(i)} div 32 as int) + 1), " +
+        s"cast(${posSql(i)} % 32 as int)) & 1) = 1)").mkString(" AND ")
+    val cand = eventStream(spark, dir)
+      .withColumn("k", keyCol)
+      .withColumn("bw", array(arr.toIndexedSeq.map(lit): _*))
+      .filter(expr(passSql))
+      .select(col("event_id"), col("event_type"), col("k"))
+    val sink = runToMemory(spark, cand, "append", "bloomgate")
+    sink.join(dim.withColumn("is_true", lit(true)), Seq("k"), "left")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_candidates"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).cast("long").as("n_true"))
+      .withColumn("n_false_pos", (col("n_candidates") - col("n_true")).cast("long"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming bigram-LM quality gate: the model (vocab-bounded bigram /
     * left-context count tables, trained batch-side on the same corpus) is
     * driver-collected once and broadcast; every arriving doc is scored
@@ -956,22 +1055,45 @@ object StreamingPipelines {
           }.toDF("doc_id", "q", "r", "dc0"),
         "append", "funnelqrd")
     }
-    // the two stateful stages replay at 2 chunks (cross-batch keep-first
-    // still genuinely exercised — the standalone stream_dedup_minhash
-    // keeps the full 4) with state partitions at the swept pin of 4
-    val eIn = {
+    // the two stateful stages FUSE into one streaming query (round-10,
+    // verdict #4): exact dedup keys on 'x' + md5(text) and MinHash
+    // near-dedup on its 'b:h1:h2' LSH band values (never 'x'-prefixed —
+    // a sub-shingle doc's bands degrade to bare '0'..'3', so the prefix,
+    // not the ':', is the robust namespace tag), both living in ONE
+    // bucketFirstUpdate state space with disjoint key namespaces. One
+    // replay scan (2 chunks: cross-batch keep-first still genuinely
+    // exercised — the standalone stream_dedup_minhash keeps the full 4),
+    // one state op, one sink; the verdicts split on the namespace at
+    // read-back. Halves the stateful-query fixed costs (startup +
+    // per-micro-batch state commits) of the funnel's heaviest stages.
+    val fusedIn = {
       import spark.implicits._
+      import graft.queries.TextAnalysis._
       docStreamReplay(spark, dir, nChunks = 2)
-        .select(md5(col("text").cast("binary")).as("band_val"), col("doc_id"))
+        .select(col("doc_id"), col("text"))
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .withColumn("sh", expr(shingleExpr))
+        .withColumn("si", expr(shingleHashExpr))
+        .withColumn("mh", expr(minhashExpr))
+        .select(col("doc_id"), explode(concat(
+          array(concat(lit("x"), md5(col("text").cast("binary")))),
+          expr("""transform(sequence(0, 3), b -> concat_ws(':', b,
+            |  element_at(mh, 2*b + 1), element_at(mh, 2*b + 2)))"""
+            .stripMargin))).as("band_val"))
+        .select(col("band_val"), col("doc_id"))
         .as[StatefulFeatures.BandIn]
     }
-    val e = runToMemory(spark,
-      StatefulFeatures.bucketFirstUpdate(eIn).toDF(), "update", "funnele",
-      stateParts)
+    val fusedSink = runToMemory(spark,
+      StatefulFeatures.bucketFirstUpdate(fusedIn).toDF(), "update",
+      "funnelem", stateParts)
+    val e = fusedSink.filter(substring(col("band_val"), 1, 1) === "x")
       .select(col("doc_id"), (col("winner_id") === col("doc_id")).as("e"))
-    val m = dedupMinhashStream(spark, dir, nChunks = 2,
-        stateParts = stateParts)
-      .select(col("doc_id"), (!col("is_duplicate")).as("m"))
+    val m = fusedSink.filter(substring(col("band_val"), 1, 1) =!= "x")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bands"),
+        sum(when(col("winner_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_first"))
+      .select(col("doc_id"), (col("n_first") === col("n_bands")).as("m"))
     TextAnalysis.funnelRollup(spark,
       graft.core.Tables.documents(spark, dir),
       stateless.select(col("doc_id"), col("q")),

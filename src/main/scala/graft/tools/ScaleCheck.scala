@@ -356,6 +356,15 @@ object ScaleCheck {
     def cdc(dir: String): Double = timed {
       graft.SparkEntry.queries("dedup_cdc_chunks")(spark, dir).count()
     }
+    // round-9 verdict #6: winnowing pair candidates own the one
+    // data-sized shuffle of the MOSS family (equi-join on fingerprint
+    // value — a ~1/w sample of gram space). The synth corpus has every
+    // 10th doc duplicating an earlier one, so shared-fingerprint pair
+    // fan-out is real; growth must stay ~linear in docs, never the
+    // all-pairs O(n²)
+    def winnowPairs(dir: String): Double = timed {
+      graft.SparkEntry.queries("dedup_winnowing_pairs")(spark, dir).count()
+    }
     // round-8 verdict #6b: KMV bottom-k streaming state is one ≤64-long
     // sorted primitive array per side — wall must scale with arrivals
     // (map + merge), never with the distinct-value population
@@ -399,6 +408,7 @@ object ScaleCheck {
       ("text_rake_keyphrases", rake(c1), rake(c10)),
       ("text_heaps_growth", heaps(c1), heaps(c10)),
       ("dedup_cdc_chunks", cdc(c1), cdc(c10)),
+      ("dedup_winnowing_pairs", winnowPairs(c1), winnowPairs(c10)),
       ("stream_kmv_state", kmvState(d1), kmvState(d10)),
       {
         val ct1 = stageContain(n1); val ct10 = stageContain(n1 * 10)

@@ -22,7 +22,7 @@ class EndToEndSpec extends AnyFunSuite {
     // track the registry so they cannot drift again (r6 found 118/119/120)
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
     val n = SparkEntry.queries.size
-    val stated = Seq("README.md" -> raw"(\d+) queries".r,
+    val stated = Seq("README.md" -> raw"driver contract: (\d+) queries".r,
         "README.md" -> raw"All (\d+) declared queries".r,
         "ARCHITECTURE.md" -> raw"All (\d+) queries".r)
       .flatMap { case (f, re) =>

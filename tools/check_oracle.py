@@ -79,6 +79,24 @@ def main():
             print(f"FAIL  {name}: columns spark={list(got.columns)} oracle={list(exp.columns)}")
             failures += 1
             continue
+        # dtype gate (round-9 verdict #2): the driver hashes STRINGIFIED
+        # values, so int64 1602 vs float64 1602.0 is a hash mismatch even
+        # though the values coerce equal. A float dtype on exactly one side
+        # of an integer column is the DuckDB HUGEINT-leak signature
+        # (SUM/windowed-SUM of BIGINT without CAST) — fail it here so the
+        # local gate matches the driver's strictness.
+        dtype_bad = None
+        for c in got.columns:
+            kg, ke = got[c].dtype.kind, exp[c].dtype.kind
+            if (kg in "iu") != (ke in "iu") and {kg, ke} <= set("iuf"):
+                dtype_bad = (c, got[c].dtype, exp[c].dtype)
+                break
+        if dtype_bad:
+            c, dg, de = dtype_bad
+            print(f"FAIL  {name}: dtype {c} spark={dg} oracle={de} "
+                  f"(int-vs-float: driver hash would differ — cast both sides)")
+            failures += 1
+            continue
         if len(got) != len(exp):
             print(f"FAIL  {name}: rows spark={len(got)} oracle={len(exp)}")
             failures += 1
@@ -117,8 +135,10 @@ def stamp_doc_counts(n):
     add can never drift the docs again). EndToEndSpec asserts the match."""
     import re, os
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # per-file patterns mirror EndToEndSpec's assertions exactly
-    pats = {"README.md": [r"(\d+)(?= queries)",
+    # per-file patterns mirror EndToEndSpec's assertions exactly; each is
+    # anchored to its sentence (round-9 advice: a bare lookahead on
+    # " queries" would rewrite unrelated prose like "2 queries regressed")
+    pats = {"README.md": [r"(?<=driver contract: )(\d+)(?= queries)",
                           r"(?<=All )(\d+)(?= declared queries)"],
             "ARCHITECTURE.md": [r"(?<=All )(\d+)(?= queries)"]}
     for f, regexes in pats.items():
