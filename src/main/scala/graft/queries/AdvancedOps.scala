@@ -278,22 +278,38 @@ object AdvancedOps extends QueryModule {
     * shingles. B gets NO prefix (the containing side can be arbitrarily
     * large), so the join is A-prefix shingles against B's full inverted
     * index — output bounded by Σ df(prefix shingle), never |docs|².
-    * The order used is the HASH order the `sh` arrays already carry:
-    * complete like any total order, and free — the round-9 bench showed
-    * the textbook df-ascending prefix (a frequency pass + per-doc
-    * re-sort + array rebuild) costing 2.3× more than it pruned on this
-    * corpus, whose tiny vocabulary makes df near-uniform. On a true
-    * Zipf corpus at 100 TB the df ordering pays for its extra shuffle
-    * by keeping hot shingles out of every prefix — that variant is one
-    * `freq` join away, and the ScaleCheck row (Heaps-scaled vocab)
-    * measures the growth that matters either way. (The displayed score
+    * The prefix ORDER is chosen by a measured skew probe (round 10 —
+    * closing the round-9 "one freq join away" note): any consistent
+    * total shingle order is COMPLETE, so the choice is pure cost. The
+    * HASH order the `sh` arrays already carry is free, and the round-9
+    * bench showed the textbook df-ascending prefix (a frequency pass +
+    * per-doc re-sort) costing 2.3× more than it pruned on this corpus,
+    * whose near-uniform df gives the ordering nothing to exploit. On a
+    * Zipf-headed corpus the balance flips: a hot shingle lands in ~half
+    * of all hash-ordered prefixes and candidate volume goes ~Σ df(hot)²
+    * — quadratic in docs since df(hot) ∝ docs — while df-ascending
+    * keeps hot shingles out of every prefix (they sort LAST; a prefix
+    * is the low-df half). The probe measures exactly the quantity that
+    * drives that cost on a doc_id-sampled 10%: the size-biased mean df
+    * (Σdf²/Σdf — the expected df of a random prefix slot) over the
+    * plain mean; ratio ≥ 4 → df order (measured: 1.04-1.26 on the real
+    * corpora at sf0.01/0.1 → hash; ~6 at 1× and ~48 at 10× on
+    * ScaleCheck's Zipf corpus → df, with the measured win in
+    * ARCHITECTURE.md). (The displayed score
     * rounds to 6 decimals, which could only admit a sub-threshold pair
     * once |A| exceeds ~10⁶ shingles — document-length bound, not corpus
     * bound.) Same-lang constraint and top-50 directed pairs with
     * containment ≥ 0.5 kept from the original semantics; the oracle's
     * all-pairs form is unchanged, which also PROVES completeness: the
     * candidate cut must lose nothing or the hash check fails. */
-  private def containment(spark: SparkSession, dir: String): DataFrame = {
+  private def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentWith(spark, dir, "auto")
+
+  /** `order`: "hash" | "df" | "auto" (probe decides). Exposed for
+    * ScaleCheck's side-by-side growth measurement; the registered query
+    * always runs "auto". */
+  private[graft] def containmentWith(spark: SparkSession, dir: String,
+      order: String): DataFrame = {
     graft.functions.SortedIntersectCount.register(spark)
     val sh = Tables.documents(spark, dir)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
@@ -308,8 +324,39 @@ object AdvancedOps extends QueryModule {
           .cast("int"))
       .persist() // feeds the prefix explode, the inverted index, and both
                  // scoring joins — one scan, not four
-    val pa = sh.select(col("lang"), col("doc_id").as("doc_a"),
-      explode(expr("slice(sh, 1, plen)")).as("h"))
+    val chosen =
+      if (order != "auto") order
+      else {
+        val ratio = sh.filter(col("doc_id") % 10 === 0)
+          .select(explode(col("sh")).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .agg(coalesce(
+            sum(col("df") * col("df")).cast("double") / sum(col("df"))
+              / avg(col("df")), lit(1.0)).as("r"))
+          .collect()(0).getDouble(0)
+        if (ratio >= 4.0) "df" else "hash"
+      }
+    val pa =
+      if (chosen == "hash")
+        sh.select(col("lang"), col("doc_id").as("doc_a"),
+          explode(expr("slice(sh, 1, plen)")).as("h"))
+      else {
+        // df-ascending prefix: one freq aggregation over the exploded
+        // shingles, a per-doc (df, h) sort, prefix from that order —
+        // hot shingles sort last and never enter a prefix, so prefix
+        // df stays ~1 under a Zipf head. Worth its extra shuffle only
+        // when the probe says the head exists.
+        val dfreq = sh.select(explode(col("sh")).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        sh.select(col("doc_id"), col("lang"), col("plen"),
+            explode(col("sh")).as("h"))
+          .join(dfreq, Seq("h"))
+          .groupBy(col("doc_id"), col("lang"), col("plen"))
+          .agg(expr("sort_array(collect_list(struct(df, h)))").as("ord"))
+          .select(col("lang"), col("doc_id").as("doc_a"),
+            explode(expr("transform(slice(ord, 1, plen), s -> s.h)"))
+              .as("h"))
+      }
     val cand = pa
       .join(sh.select(col("lang"), col("doc_id").as("doc_b"),
         explode(col("sh")).as("h")), Seq("lang", "h"))

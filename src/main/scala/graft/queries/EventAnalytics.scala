@@ -580,9 +580,17 @@ object EventAnalytics extends QueryModule {
     * user_id; every window shares that partitioning. */
   private def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    scd2Build(spark, ev(spark, dir).filter($"user_id" < 40))
+      .orderBy($"user_id", $"version")
+  }
+
+  /** The gaps-and-islands SCD2 build over any (user_id, event_type, ems,
+    * event_id) change log — shared by the interval query and the
+    * point-in-interval lookup below. */
+  private def scd2Build(spark: SparkSession, src: DataFrame): DataFrame = {
+    import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ems", $"event_id")
-    val f = ev(spark, dir)
-      .filter($"user_id" < 40)
+    val f = src
       .select($"user_id", $"event_type", $"ems", $"event_id")
       .withColumn("chg",
         when(lag($"event_type", 1).over(w).isNull ||
@@ -597,13 +605,12 @@ object EventAnalytics extends QueryModule {
         lit(-1L)))
       .select($"user_id", $"island".cast("long").as("version"),
         $"event_type", $"valid_from_ms", $"valid_to_ms", $"n_rows")
-      .orderBy($"user_id", $"version")
   }
 
-  private val scd2BaseSql =
-    """WITH e AS (
+  private def scd2SqlFor(where: String): String =
+    s"""WITH e AS (
       |  SELECT user_id, event_type, epoch_ms(ts) AS ems, event_id
-      |  FROM events WHERE user_id < 40
+      |  FROM events WHERE $where
       |), f AS (
       |  SELECT user_id, event_type, ems, event_id,
       |    CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
@@ -625,8 +632,68 @@ object EventAnalytics extends QueryModule {
       |  n_rows
       |FROM g""".stripMargin
 
+  private val scd2BaseSql = scd2SqlFor("user_id < 40")
+
   private val scd2IntervalsSql =
     scd2BaseSql + "\nORDER BY user_id, version"
+
+  // --------------------------------------------------------------- B11b
+  /** SCD2 POINT-IN-INTERVAL LOOKUP (round 10) — the warehouse PIT
+    * dimension enrichment: each purchase is joined to the dimension
+    * version VALID at its timestamp, where the dimension is the SCD2
+    * build over the user's non-purchase activity. The naive plan is an
+    * interval theta-join (`from <= ts AND ts < to`) — a non-equi join
+    * Spark executes as broadcast-nested-loop, O(|probes|·|versions|)
+    * per user. Because gaps-and-islands intervals ABUT (each close IS
+    * the next open, half-open), interval containment is equivalent to
+    * "latest version with valid_from <= ts" — a backward as-of join, so
+    * the same union-sort [[graft.operators.AsOfJoin]] shape answers it
+    * in one shuffle with |probes| + |versions| rows and no per-probe
+    * explosion. tieBreak = version: a zero-width version (two islands
+    * opening on one tied ms) loses to its successor, exactly as the
+    * oracle's half-open containment excludes empty intervals. Probes
+    * before a user's first version surface NULLs (left semantics). */
+  /** The non-purchase SCD2 dimension the lookup queries probe (batch and
+    * streaming twins share it; the streaming side broadcasts it packed
+    * per user). */
+  private[graft] def scdDim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    scd2Build(spark,
+        ev(spark, dir).filter($"user_id" < 40 &&
+          $"event_type" =!= "purchase"))
+      .select($"user_id", $"version", $"event_type".as("dim_type"),
+        $"valid_from_ms", $"valid_to_ms")
+  }
+
+  private def scdLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = scdDim(spark, dir)
+      .select($"user_id", $"version", $"dim_type", $"valid_from_ms")
+    val probes = ev(spark, dir)
+      .filter($"user_id" < 40 && $"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ems")
+    graft.operators.AsOfJoin.asOf(
+        probes, dim, Seq("user_id"), "ems", "valid_from_ms",
+        rightCols = Seq("version", "dim_type", "valid_from_ms"),
+        tieBreak = "version")
+      .select($"user_id", $"event_id", $"ems", $"version", $"dim_type",
+        $"valid_from_ms")
+      .orderBy($"event_id")
+  }
+
+  private[queries] val scdLookupSql =
+    s"""WITH dim AS (
+       |${scd2SqlFor("user_id < 40 AND event_type <> 'purchase'")}
+       |), p AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ems FROM events
+       |  WHERE user_id < 40 AND event_type = 'purchase'
+       |)
+       |SELECT p.user_id, p.event_id, p.ems, d.version,
+       |  d.event_type AS dim_type, d.valid_from_ms
+       |FROM p LEFT JOIN dim d ON d.user_id = p.user_id
+       |  AND d.valid_from_ms <= p.ems
+       |  AND (d.valid_to_ms = -1 OR p.ems < d.valid_to_ms)
+       |ORDER BY p.event_id""".stripMargin
 
   /** The streaming twin can only emit CLOSED versions (an open interval
     * may still extend) — the oracle is the batch build minus the open
@@ -640,6 +707,7 @@ object EventAnalytics extends QueryModule {
     "evt_markov_transitions" -> (markov _),
     "evt_sequence_pattern" -> (sequencePattern _),
     "evt_scd2_intervals" -> (scd2Intervals _),
+    "evt_scd_lookup" -> (scdLookup _),
     "evt_conversion_funnel" -> (funnel _),
     "evt_retention_cohorts" -> (cohorts _),
     "evt_asof_join" -> (asOfJoinQ _),
@@ -657,6 +725,7 @@ object EventAnalytics extends QueryModule {
     "evt_markov_transitions" -> markovSql,
     "evt_sequence_pattern" -> sequencePatternSql,
     "evt_scd2_intervals" -> scd2IntervalsSql,
+    "evt_scd_lookup" -> scdLookupSql,
     "evt_conversion_funnel" -> funnelSql,
     "evt_retention_cohorts" -> cohortsSql,
     "evt_asof_join" -> asOfJoinSql,

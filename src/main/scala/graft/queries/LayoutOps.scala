@@ -189,13 +189,95 @@ object LayoutOps extends QueryModule {
       |    AS micro_sum_evolved
       |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------- Z-order clustering
+  /** Morton-interleaved z-value of (user_id, day): bit i of each 16-bit
+    * coordinate lands at output bits 2i / 2i+1, so sorting by z gives
+    * every file a NARROW range in BOTH dimensions — the multi-dimensional
+    * file-skipping layout Delta/Iceberg ship as OPTIMIZE ZORDER BY. A
+    * single-dimension sort localizes only its own column: a day-sorted
+    * layout answers day predicates from 1-2 files but scans EVERY file
+    * for a user predicate (each file spans all users); the z-curve
+    * answers both from ~sqrt-shaped file subsets. 16-bit coordinates
+    * cover this corpus (150 users, 30 days); a production table
+    * interleaves 32+32 into a 64-bit z the same way (radix widening,
+    * like the winnowing position radix). Pure integer bit arithmetic —
+    * deterministic, and the graded result is layout-independent so the
+    * oracle runs the logical query on the raw table: the hash match
+    * proves the layout changed the FILES, not the answer (LayoutSpec
+    * measures the actual per-file min/max skipping, both dimensions). */
+  private[graft] val zExpr =
+    """aggregate(sequence(0, 15), 0L, (acc, i) ->
+      |  acc
+      |  | shiftleft(shiftright(pmod(user_id, 65536), cast(i as int)) & 1,
+      |      cast(2 * i as int))
+      |  | shiftleft(shiftright(pmod(d, 65536), cast(i as int)) & 1,
+      |      cast(2 * i + 1 as int)))""".stripMargin
+
+  /** Writes the z-ordered layout once per (session, dataset); 16 files
+    * via range-partition on z + in-file z sort, so parquet min/max
+    * stats (file-level here; row-group-level on production block sizes)
+    * are tight in both user_id and d. */
+  private[graft] def zorderLayout(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val t = tag(dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$t"
+    if (!new java.io.File(s"$base/_SUCCESS").exists()) {
+      Tables.events(spark, dir)
+        .withColumn("ems", epochMs($"ts"))
+        .withColumn("d", expr("ems div 86400000"))
+        .withColumn("micro", floor($"value" * 1000000.0 + 0.5).cast("long"))
+        .select($"event_id", $"event_type", $"user_id", $"d", $"micro")
+        .withColumn("z", expr(zExpr))
+        .repartitionByRange(16, $"z")
+        .sortWithinPartitions($"z")
+        .write.mode("overwrite").parquet(base)
+    }
+    base
+  }
+
+  /** 2-D point profile (the first event's user and day — data-derived, so
+    * at least one row exists) answered off the z-ordered layout; both
+    * predicate columns reach the parquet reader as pushed filters over
+    * tight per-file stats. */
+  private def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = zorderLayout(spark, dir)
+    val first = Tables.events(spark, dir)
+      .withColumn("ems", epochMs($"ts"))
+      .orderBy($"event_id")
+      .select($"user_id", expr("ems div 86400000").as("d"))
+      .head()
+    val (u0, d0) = (first.getLong(0), first.getLong(1))
+    spark.read.parquet(base)
+      .filter($"user_id" === u0 && $"d" === d0)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"micro").cast("long").as("micro_sum"))
+      .orderBy($"event_type")
+  }
+
+  private val zorderScanSql =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, user_id,
+      |    epoch_ms(ts) // 86400000 AS d,
+      |    CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS micro
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id AS u0, d AS d0 FROM ev ORDER BY event_id LIMIT 1
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(micro) AS BIGINT) AS micro_sum
+      |FROM ev, m WHERE user_id = u0 AND d = d0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_bucketed_join" -> (bucketedJoin _),
     "src_partition_pruning" -> (partitionPruning _),
-    "src_schema_merge" -> (schemaMerge _))
+    "src_schema_merge" -> (schemaMerge _),
+    "src_zorder_scan" -> (zorderScan _))
 
   override def oracles: Map[String, String] = Map(
     "rel_bucketed_join" -> bucketedJoinSql,
     "src_partition_pruning" -> partitionPruningSql,
-    "src_schema_merge" -> schemaMergeSql)
+    "src_schema_merge" -> schemaMergeSql,
+    "src_zorder_scan" -> zorderScanSql)
 }

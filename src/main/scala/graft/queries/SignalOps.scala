@@ -380,6 +380,28 @@ object SignalOps extends QueryModule {
     * d² fits one executor (d ≈ 10⁴+). */
   private def pcaPower(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val (c, v) = pcaScatterTop(spark, dir)
+    val ray = c.join(v.select($"i".as("j"), $"v".as("vj")), Seq("j"))
+      .join(v.select($"i", $"v".as("vi")), Seq("i"))
+      .agg((sum($"vi".cast(DecimalType(38, 0)) * $"cij" * $"vj").cast("double")
+        / lit(1000000000000.0)).as("num"))
+    val den = v.agg((sum($"v".cast(DecimalType(38, 0)) * $"v").cast("double")
+      / lit(1000000000000.0)).as("den"))
+    val out = v.crossJoin(broadcast(ray)).crossJoin(broadcast(den))
+      .select($"i".cast("long").as("dim"), $"v".as("v_scaled"),
+        ($"v".cast("double") / 1000000.0).as("loading"),
+        ($"num" / $"den").as("rayleigh"))
+      .orderBy($"dim")
+    graft.core.CachePin.sealAndRelease(out, c)
+  }
+
+  /** Shared by [[pcaPower]] and [[pcaDeflate]]: the exact-integer
+    * centered scatter matrix (persisted — caller releases via
+    * sealAndRelease) and the 4-round integer power iterate v1 (scale
+    * 10⁶, localCheckpointed). */
+  private def pcaScatterTop(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
     val q = Tables.embeddings(spark, dir)
       .select($"vec_id",
         posexplode(expr(
@@ -409,21 +431,224 @@ object SignalOps extends QueryModule {
             .as("v"))
         .localCheckpoint(true)
     }
-    val ray = c.join(v.select($"i".as("j"), $"v".as("vj")), Seq("j"))
-      .join(v.select($"i", $"v".as("vi")), Seq("i"))
-      .agg((sum($"vi".cast(DecimalType(38, 0)) * $"cij" * $"vj").cast("double")
-        / lit(1000000000000.0)).as("num"))
-    val den = v.agg((sum($"v".cast(DecimalType(38, 0)) * $"v").cast("double")
-      / lit(1000000000000.0)).as("den"))
-    val out = v.crossJoin(broadcast(ray)).crossJoin(broadcast(den))
-      .select($"i".cast("long").as("dim"), $"v".as("v_scaled"),
-        ($"v".cast("double") / 1000000.0).as("loading"),
-        ($"num" / $"den").as("rayleigh"))
-      .orderBy($"dim")
-    graft.core.CachePin.sealAndRelease(out, c)
+    (c, v)
   }
 
-  private val pcaPowerSql = {
+  // ------------------------------------ PCA second component (deflation)
+  /** SECOND principal component by WIELANDT DEFLATION in the same exact
+    * integer arithmetic as [[pcaPower]] — the round-9 backlog marked
+    * this "likely unreachable" because textbook deflation
+    * C₂ = C − λ·vvᵀ needs the irrational λ and unit v; the reachable
+    * form is the rational Wielandt matrix D = d·C − uuᵀ with u = C·v₁
+    * and d = v₁ᵀC·v₁ (all integers): D annihilates v₁ EXACTLY
+    * (D·v₁ = d·u − u·d = 0) and is a positive multiple of the
+    * λ-deflated matrix when v₁ is exact, so power iteration on D walks
+    * to the second component. What makes it fit DECIMAL(38,0)/HUGEINT
+    * are two DETERMINISTIC integer rescales — sign·(abs div
+    * (max div 10⁹ + 1)) — applied to C before deflation and to D
+    * after: uniform scaling preserves eigenvectors, the div truncation
+    * is identical in both engines (the same reason the HITS/pcaPower
+    * normalization is exact), and the guard is data-derived so the
+    * bound holds at ANY corpus size. v₁ enters at scale 10³ (not 10⁶)
+    * to keep d = v₁ᵀCv₁ under 10¹⁹. Output: the second loading vector,
+    * its Rayleigh quotient on D (double, two fixed divisions), and the
+    * exact integer dot product with v₁ — the orthogonality audit both
+    * engines must agree on bit-for-bit. Scale shape identical to
+    * pcaPower: everything after the one d²-cell scatter pass operates
+    * on d²-bounded tables with broadcast scalars.
+    *
+    * Honest convergence note (measured vs numpy.linalg.eigh at sf0.01):
+    * this corpus is near-isotropic — λ₁/λ₂ = 1.013, λ₂/λ₃ = 1.02 — so
+    * NO iteration count separates individual eigenvectors (0.98^t decay);
+    * what 4 rounds deliver, and what the query claims, is a
+    * near-orthogonal high-variance direction of the deflated subspace:
+    * cos(v₂,v₁) = 1.7e-4 and Rayleigh(v₂) = 0.91·λ₂ (pcaPower's v₁
+    * captures 0.86·λ₁ under the same flatness). On a corpus with a real
+    * spectral gap the same trajectory converges geometrically. */
+  private def pcaDeflate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (c, dm, v1, x) = pcaDeflateParts(spark, dir)
+    val vk = v1.select($"i",
+      (signum($"v").cast("long") * expr("abs(v) div 1000L")).as("vk"))
+    val ray = dm.join(x.select($"i".as("j"), $"v".as("vj")), Seq("j"))
+      .join(x.select($"i", $"v".as("vi")), Seq("i"))
+      .agg((sum($"vi".cast(DecimalType(38, 0)) * $"dkij" * $"vj")
+        .cast("double") / lit(1000000000000.0)).as("num"))
+    val den = x.agg((sum($"v".cast(DecimalType(38, 0)) * $"v").cast("double")
+      / lit(1000000000000.0)).as("den"))
+    val dot = x.join(vk, Seq("i"))
+      .agg(sum($"v".cast(DecimalType(38, 0)) * $"vk").cast("long")
+        .as("dot_v1"))
+    val out = x.crossJoin(broadcast(ray)).crossJoin(broadcast(den))
+      .crossJoin(broadcast(dot))
+      .select($"i".cast("long").as("dim"), $"v".cast("long").as("v_scaled"),
+        ($"v".cast("double") / 1000000.0).as("loading"),
+        ($"num" / $"den").as("rayleigh"), $"dot_v1")
+      .orderBy($"dim")
+    graft.core.CachePin.sealAndRelease(out, c, dm)
+  }
+
+  /** (scatter c, deflated matrix dm — both persisted, caller releases —
+    * first iterate v1, second iterate v2). */
+  private def pcaDeflateParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (c, v1) = pcaScatterTop(spark, dir)
+    def rescale(df: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val m = df.agg(max(abs(col(valCol))).as("m"))
+        .select((expr("m div 1000000000") + lit(1L))
+          .cast(DecimalType(38, 0)).as("scl"))
+      df.crossJoin(broadcast(m))
+        .withColumn(outCol,
+          signum(col(valCol)).cast("long") *
+            expr(s"abs($valCol) div scl"))
+        .drop("scl", valCol)
+    }
+    val ck = rescale(c, "cij", "ckij")
+    val vk = v1.select($"i",
+      (signum($"v").cast("long") * expr("abs(v) div 1000L")).as("vk"))
+    val u = ck.join(vk.select($"i".as("j"), $"vk"), Seq("j"))
+      .groupBy($"i")
+      .agg(sum($"ckij".cast(DecimalType(38, 0)) * $"vk").as("ui"))
+    val d = u.join(vk, Seq("i"))
+      .agg(sum($"ui" * $"vk").as("d"))
+    val dm = rescale(
+      ck.join(u.select($"i", $"ui"), Seq("i"))
+        .join(u.select($"i".as("j"), $"ui".as("uj")), Seq("j"))
+        .crossJoin(broadcast(d))
+        .select($"i", $"j",
+          ($"d" * $"ckij".cast(DecimalType(38, 0)) - $"ui" * $"uj")
+            .as("dij")),
+      "dij", "dkij")
+      .persist()
+    var x = dm.select($"i").distinct()
+      .select($"i", ($"i".cast("long") + 1L).as("v")).localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      val w = dm.join(x.select($"i".as("j"), $"v"), Seq("j"))
+        .groupBy($"i")
+        .agg(sum($"dkij".cast(DecimalType(38, 0)) * $"v").as("wi"))
+      val m = w.agg(max(abs($"wi")).as("mx"))
+      x = w.crossJoin(broadcast(m))
+        .select($"i",
+          (signum($"wi").cast("long") *
+            expr("(cast(abs(wi) as decimal(38,0)) * 1000000L) div mx"))
+            .as("v"))
+        .localCheckpoint(true)
+    }
+    (c, dm, v1, x)
+  }
+
+  // ----------------------------------------- PCA 2-D projection features
+  /** Project every embedding onto the two integer principal directions —
+    * the dimensionality-reduction DELIVERABLE the two component queries
+    * exist for (64 floats → 2 coordinates per vector, the features a
+    * downstream trainer or a UMAP-style plot consumes). Coordinates are
+    * EXACT BIGINTs: coordₖ = Σᵢ qᵢ·vₖᵢ with micro-quantized qᵢ and the
+    * 10⁶-scaled integer loading vectors, so the oracle re-walks both
+    * component trajectories and must reproduce every coordinate
+    * bit-for-bit (|coord| ≤ 64·|q|·10⁶ ≈ 3·10¹³ — BIGINT-safe at any
+    * embedding magnitude that fits the micro quantization). One extra
+    * d-wide join pass over the quantized table; everything upstream is
+    * the shared scatter/deflation machinery. */
+  private def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (c, dm, v1, v2) = pcaDeflateParts(spark, dir)
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        posexplode(expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"))
+          .as(Seq("i", "qv")))
+    val out = q
+      .join(v1.select($"i", $"v".as("w1")), Seq("i"))
+      .join(v2.select($"i", $"v".as("w2")), Seq("i"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum($"qv".cast(DecimalType(38, 0)) * $"w1").cast("long")
+          .as("coord1"),
+        sum($"qv".cast(DecimalType(38, 0)) * $"w2").cast("long")
+          .as("coord2"))
+      .select($"vec_id", $"label".cast("long").as("label"),
+        $"coord1", $"coord2")
+      .orderBy($"vec_id")
+    graft.core.CachePin.sealAndRelease(out, c, dm)
+  }
+
+  private lazy val pcaProjectSql =
+    s"""$pcaDeflatePrefixSql
+       |SELECT q.vec_id,
+       |  CAST(ANY_VALUE(e.label) AS BIGINT) AS label,
+       |  CAST(SUM(q.qv * v4.v) AS BIGINT) AS coord1,
+       |  CAST(SUM(q.qv * x4.v) AS BIGINT) AS coord2
+       |FROM q
+       |JOIN v4 ON v4.i = q.i
+       |JOIN x4 ON x4.i = q.i
+       |JOIN embeddings e ON e.vec_id = q.vec_id
+       |GROUP BY q.vec_id
+       |ORDER BY q.vec_id""".stripMargin
+
+  /** Prefix chain through BOTH component iterates (v4 = first, x4 =
+    * second) — shared by the pcaDeflate and pcaProject oracles. */
+  private lazy val pcaDeflatePrefixSql = {
+    val rounds = (1 to 4).map { r =>
+      s"""y$r AS MATERIALIZED (
+         |  SELECT dm.i, SUM(dm.dkij * x.v) AS wi
+         |  FROM dm JOIN x${r - 1} x ON x.i = dm.j GROUP BY dm.i),
+         |x$r AS MATERIALIZED (
+         |  SELECT i, CAST(CASE WHEN wi < 0 THEN -1 WHEN wi > 0 THEN 1
+         |      ELSE 0 END AS HUGEINT)
+         |    * ((abs(wi) * 1000000) // (SELECT MAX(abs(wi)) FROM y$r)) AS v
+         |  FROM y$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$pcaPrefixSql,
+       |scl AS (SELECT MAX(abs(cij)) // 1000000000 + 1 AS sc FROM c),
+       |ck AS MATERIALIZED (
+       |  SELECT i, j, CAST(CASE WHEN cij < 0 THEN -1 WHEN cij > 0 THEN 1
+       |      ELSE 0 END AS HUGEINT)
+       |    * (abs(cij) // (SELECT sc FROM scl)) AS ckij
+       |  FROM c),
+       |vk AS (
+       |  SELECT i, CAST(CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1
+       |      ELSE 0 END AS HUGEINT) * (abs(v) // 1000) AS vk
+       |  FROM v4),
+       |u AS MATERIALIZED (
+       |  SELECT ck.i, SUM(ck.ckij * vk.vk) AS ui
+       |  FROM ck JOIN vk ON vk.i = ck.j GROUP BY ck.i),
+       |dd AS (SELECT SUM(u.ui * vk.vk) AS d FROM u JOIN vk ON vk.i = u.i),
+       |dr AS MATERIALIZED (
+       |  SELECT ck.i, ck.j,
+       |    (SELECT d FROM dd) * ck.ckij - ui.ui * uj.ui AS dij
+       |  FROM ck JOIN u ui ON ui.i = ck.i JOIN u uj ON uj.i = ck.j),
+       |dscl AS (SELECT MAX(abs(dij)) // 1000000000 + 1 AS sc FROM dr),
+       |dm AS MATERIALIZED (
+       |  SELECT i, j, CAST(CASE WHEN dij < 0 THEN -1 WHEN dij > 0 THEN 1
+       |      ELSE 0 END AS HUGEINT)
+       |    * (abs(dij) // (SELECT sc FROM dscl)) AS dkij
+       |  FROM dr),
+       |x0 AS (SELECT i, CAST(i + 1 AS HUGEINT) AS v
+       |       FROM (SELECT unnest(range(64)) AS i)),
+       |$rounds""".stripMargin
+  }
+
+  private lazy val pcaDeflateSql =
+    s"""$pcaDeflatePrefixSql,
+       |ray AS (
+       |  SELECT CAST(SUM(vi.v * dm.dkij * vj.v) AS DOUBLE) / 1000000000000.0
+       |    AS num
+       |  FROM dm JOIN x4 vj ON vj.i = dm.j JOIN x4 vi ON vi.i = dm.i),
+       |den AS (
+       |  SELECT CAST(SUM(v * v) AS DOUBLE) / 1000000000000.0 AS den FROM x4),
+       |dot AS (
+       |  SELECT CAST(SUM(x4.v * vk.vk) AS BIGINT) AS dot_v1
+       |  FROM x4 JOIN vk ON vk.i = x4.i)
+       |SELECT CAST(x4.i AS BIGINT) AS dim, CAST(x4.v AS BIGINT) AS v_scaled,
+       |  CAST(x4.v AS DOUBLE) / 1000000.0 AS loading,
+       |  ray.num / den.den AS rayleigh, dot.dot_v1
+       |FROM x4 CROSS JOIN ray CROSS JOIN den CROSS JOIN dot
+       |ORDER BY dim""".stripMargin
+
+  /** The q → scatter → v0..v4 CTE chain shared by the pcaPower and
+    * pcaDeflate oracles (both walk the identical first-component
+    * trajectory before diverging). */
+  private lazy val pcaPrefixSql = {
     val rounds = (1 to 4).map { r =>
       s"""w$r AS MATERIALIZED (
          |  SELECT c.i, SUM(c.cij * v.v) AS wi
@@ -451,7 +676,11 @@ object SignalOps extends QueryModule {
        |  JOIN s si ON si.i = cr.i JOIN s sj ON sj.i = cr.j),
        |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v
        |       FROM (SELECT unnest(range(64)) AS i)),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private val pcaPowerSql = {
+    s"""$pcaPrefixSql,
        |ray AS (
        |  SELECT CAST(SUM(vi.v * c.cij * vj.v) AS DOUBLE) / 1000000000000.0
        |    AS num
@@ -662,6 +891,8 @@ object SignalOps extends QueryModule {
     "rel_exact_percentiles" -> (exactPercentiles _),
     "stream_percentiles" -> (percentilesStream _),
     "emb_pca_power" -> (pcaPower _),
+    "emb_pca_deflate" -> (pcaDeflate _),
+    "emb_pca_project" -> (pcaProject _),
     "evt_asof_forward" -> (asofForward _),
     "ml_permutation_importance" -> (permImportance _),
     "src_orc_roundtrip" -> (orcRoundtrip _))
@@ -673,6 +904,8 @@ object SignalOps extends QueryModule {
     "rel_exact_percentiles" -> exactPercentilesSql,
     "stream_percentiles" -> evtPercentilesSql,
     "emb_pca_power" -> pcaPowerSql,
+    "emb_pca_deflate" -> pcaDeflateSql,
+    "emb_pca_project" -> pcaProjectSql,
     "evt_asof_forward" -> asofForwardSql,
     "ml_permutation_importance" -> permImportanceSql,
     "src_orc_roundtrip" -> orcRoundtripSql)

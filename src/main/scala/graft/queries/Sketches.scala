@@ -493,17 +493,134 @@ object Sketches extends QueryModule {
        |  ELSE 0.0 END) AS inter_est
        |FROM sk""".stripMargin
 
+  // ------------------------------------------------ priority sampling
+  /** Deterministic PRIORITY SAMPLE (Efraimidis–Spirakis with uniform
+    * weights — the distributed, mergeable form of reservoir sampling):
+    * per event type, the 8 rows with the smallest 60-bit md5 priority.
+    * Unlike TABLESAMPLE this is (a) deterministic — the same sample on
+    * every run and any cluster layout, reproducible by the oracle; and
+    * (b) MERGEABLE — bottom-k priorities union like KMV registers, so
+    * partitions sample independently and combine, day N's sample unions
+    * with day N+1's, and the streaming twin keeps exactly that state
+    * (`SketchState.kmvBottomK` with event_type as the side key).
+    * Two-phase ranking: a salted (h % 64) local bottom-8 bounds the
+    * per-type finale to ≤ 8·64 rows — no single-partition global sort.
+    * 60-bit priorities: a collision would merely rank both carriers
+    * adjacently (tie-broken by event_id, identically in both engines). */
+  private def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"))
+      .withColumn("h", expr(
+        "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), " +
+          "1, 15), 16, 10) as bigint)"))
+    val w1 = Window.partitionBy(col("event_type"), pmod(col("h"), lit(64L)))
+      .orderBy(col("h"), col("event_id"))
+    val w2 = Window.partitionBy(col("event_type"))
+      .orderBy(col("h"), col("event_id"))
+    ev.withColumn("r1", row_number().over(w1)).filter(col("r1") <= 8)
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= 8)
+      .select(col("event_type"), col("rk"), col("event_id"), col("h"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  private[graft] val prioritySampleSql =
+    """WITH h AS (
+      |  SELECT event_type, event_id,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, event_id, h,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY h, event_id) AS BIGINT) AS rk
+      |  FROM h
+      |)
+      |SELECT event_type, rk, event_id, h FROM r WHERE rk <= 8
+      |ORDER BY event_type, rk""".stripMargin
+
+  // --------------------------------------- weighted priority sampling
+  /** WEIGHTED priority sample with integer weights by TICKET REPLICATION
+    * (round 10 — completes the sampling family: stratified split /
+    * uniform reservoir / weighted reservoir): an item of weight w holds
+    * w independent md5 tickets and its priority is the MINIMUM — the
+    * discrete-weight form of Efraimidis–Spirakis (P(min ticket beats a
+    * rival's) rises with w exactly as w uniform draws vs theirs), and
+    * still fully MERGEABLE: per-partition min-ticket partials combine,
+    * then bottom-k per type unions like any KMV register (the streaming
+    * twin keeps ticket-level bottom-32 state — see
+    * StreamingPipelines.weightedSampleStream for why 32 suffices for an
+    * exact top-8). Weight = 1 + (value cents mod 4) ∈ 1..4 — a
+    * value-derived integer, so heavy transactions are oversampled. The
+    * ticket explode multiplies rows by E[w] ≈ 2.5 BEFORE the map-side
+    * min-combine collapses them back — bounded blowup, no shuffle
+    * growth. Same salted two-phase ranking as the uniform sample. */
+  private def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        (lit(1L) + floor(col("value") * 100.0 + 0.5).cast("long") % 4)
+          .as("w"))
+      .withColumn("t", explode(expr("sequence(1L, w)")))
+      .withColumn("th", expr(
+        "cast(conv(substr(md5(cast(concat(cast(event_id as string), ':', " +
+          "cast(t as string)) as binary)), 1, 15), 16, 10) as bigint)"))
+      .groupBy(col("event_type"), col("event_id"), col("w"))
+      .agg(min(col("th")).as("mh"))
+    val w1 = Window.partitionBy(col("event_type"), pmod(col("mh"), lit(64L)))
+      .orderBy(col("mh"), col("event_id"))
+    val w2 = Window.partitionBy(col("event_type"))
+      .orderBy(col("mh"), col("event_id"))
+    ev.withColumn("r1", row_number().over(w1)).filter(col("r1") <= 8)
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= 8)
+      .select(col("event_type"), col("rk"), col("event_id"), col("w"),
+        col("mh"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  private[graft] val weightedSampleSql =
+    """WITH c AS (
+      |  SELECT event_type, event_id,
+      |    1 + (CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) % 4) AS w
+      |  FROM events
+      |), j AS (
+      |  SELECT event_type, event_id, w,
+      |    unnest(generate_series(1, w)) AS t
+      |  FROM c
+      |), t AS (
+      |  SELECT event_type, event_id, w,
+      |    CAST(('0x' || substr(md5(event_id || ':' || t), 1, 15)) AS BIGINT)
+      |      AS th
+      |  FROM j
+      |), m AS (
+      |  SELECT event_type, event_id, w, MIN(th) AS mh
+      |  FROM t GROUP BY 1, 2, 3
+      |), r AS (
+      |  SELECT event_type, event_id, w, mh,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY mh, event_id) AS BIGINT) AS rk
+      |  FROM m
+      |)
+      |SELECT event_type, rk, event_id, w, mh FROM r WHERE rk <= 8
+      |ORDER BY event_type, rk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll_distinct" -> (hllDistinct _),
     "sketch_cms_topk" -> (cmsTopk _),
     "rel_bloom_semi_join" -> (bloomSemiJoin _),
     "sketch_bitmap_distinct" -> (bitmapDistinct _),
-    "sketch_kmv_overlap" -> (kmvOverlap _))
+    "sketch_kmv_overlap" -> (kmvOverlap _),
+    "ml_priority_sample" -> (prioritySample _),
+    "ml_weighted_sample" -> (weightedSample _))
 
   override def oracles: Map[String, String] = Map(
     "sketch_hll_distinct" -> hllDistinctSql,
     "sketch_cms_topk" -> cmsTopkSql,
     "rel_bloom_semi_join" -> bloomSemiJoinSql,
     "sketch_bitmap_distinct" -> bitmapDistinctSql,
-    "sketch_kmv_overlap" -> kmvOverlapSql)
+    "sketch_kmv_overlap" -> kmvOverlapSql,
+    "ml_priority_sample" -> prioritySampleSql,
+    "ml_weighted_sample" -> weightedSampleSql)
 }

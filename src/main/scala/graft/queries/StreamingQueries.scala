@@ -335,6 +335,15 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.cmsTopkStream(s, d)),
     "stream_bloom_gate" ->
       ((s: SparkSession, d: String) => StreamingPipelines.bloomGateStream(s, d)),
+    "stream_priority_sample" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.prioritySampleStream(s, d)),
+    "stream_weighted_sample" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.weightedSampleStream(s, d)),
+    "stream_scd_lookup" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.scdLookupStream(s, d)),
     "gen_synthetic_txns" -> (syntheticTxns _))
 
   /** Oracle for stream_bloom_gate: rebuilds the 4096-bit bloom filter from
@@ -444,5 +453,8 @@ object StreamingQueries extends QueryModule {
     "stream_freshness" -> AnalyticsOps.freshnessSql,
     "stream_cms_topk" -> Sketches.cmsTopkSql,
     "stream_bloom_gate" -> bloomGateSql,
+    "stream_priority_sample" -> Sketches.prioritySampleSql,
+    "stream_weighted_sample" -> Sketches.weightedSampleSql,
+    "stream_scd_lookup" -> EventAnalytics.scdLookupSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)
 }

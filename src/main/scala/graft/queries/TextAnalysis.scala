@@ -607,6 +607,91 @@ object TextAnalysis extends QueryModule {
       |FROM pr JOIN nh ON nh.doc_id = pr.doc_a
       |ORDER BY pr.shared DESC, pr.doc_a, pr.doc_b LIMIT 20""".stripMargin
 
+  /** STATEFUL streaming twin of [[winnowingPairs]] (round 10) — the MOSS
+    * collision-SERVICE shape: each arriving doc posts its distinct
+    * selected hashes into fingerprint-keyed keep-first state
+    * (`bucketFirstUpdate` reused with the hash as the bucket key, the
+    * third reuse of that state op after MinHash dedup and the fused
+    * funnel); a post into a bucket already owned by an earlier doc IS
+    * the collision, emitted at arrival. With the doc-id-ordered replay
+    * the bucket owner is the GLOBAL min doc per hash, so the emitted
+    * pair set is the keep-first projection of the batch pair query —
+    * (a, b) counted iff a is the hash's FIRST poster (the service
+    * semantics: later submissions match against the corpus owner, and
+    * owner-vs-owner similarity is the batch query's job). Shared-count
+    * rollup per pair + the one closing division by A's fingerprint
+    * count; state is one winner id per distinct fingerprint hash — the
+    * same O(buckets) shape as the MinHash dedup state, ~1/w of gram
+    * space. */
+  private def winnowingPairsStream(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.streaming.{StatefulFeatures, StreamingPipelines}
+    import spark.implicits._
+    val fh = winnowCols(
+        StreamingPipelines.docStreamReplay(spark, dir)
+          .select(col("doc_id"), col("text"))
+          .withColumn("toks", split(trim(col("text")), "\\s+")))
+      .select(col("doc_id"),
+        explode(expr("array_distinct(transform(fps, f -> f div 1024))"))
+          .as("h"))
+      .select(col("h").cast("string").as("band_val"), col("doc_id"))
+      .as[StatefulFeatures.BandIn]
+    val sink = StreamingPipelines.runToMemory(spark,
+      StatefulFeatures.bucketFirstUpdate(fh).toDF(), "update", "winnowpairs")
+    val nh = winnowCols(docs(spark, dir))
+      .select(col("doc_id"),
+        expr("size(array_distinct(transform(fps, f -> f div 1024)))")
+          .cast("long").as("n_h"))
+    sink.filter(col("winner_id") < col("doc_id"))
+      .select(col("winner_id").as("doc_a"), col("doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nh.select(col("doc_id").as("doc_a"), col("n_h")), Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") / col("n_h")).as("share_a"))
+      .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** Oracle for the streaming pairs twin: the SAME fingerprint CTE chain
+    * as the batch pair query, with the pair set restricted to the
+    * keep-first projection — (a, b) counted only where a = MIN(doc_id)
+    * over the hash's posters. */
+  private val winnowingPairsStreamSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id, len(toks) - 3 AS m,
+      |    unnest(list_transform(range(1, len(toks) - 2),
+      |      p -> {'p': p,
+      |            'key': CAST(('0x' || substr(md5(toks[p] || ' ' ||
+      |                toks[p+1] || ' ' || toks[p+2] || ' ' || toks[p+3]),
+      |                1, 8)) AS BIGINT) * 1024 + (1023 - p)})) AS s
+      |  FROM t WHERE len(toks) >= 4
+      |), k AS (
+      |  SELECT doc_id, m, s.p AS p, s.key AS key FROM g
+      |), w AS (
+      |  SELECT doc_id, p, m,
+      |    MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM k
+      |), fh AS (
+      |  SELECT DISTINCT doc_id, fp // 1024 AS h FROM w WHERE p <= m - 3
+      |), win AS (
+      |  SELECT h, MIN(doc_id) AS w FROM fh GROUP BY h
+      |), nh AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_h FROM fh GROUP BY doc_id
+      |), pr AS (
+      |  SELECT win.w AS doc_a, f.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM fh f JOIN win ON win.h = f.h AND win.w < f.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT pr.doc_a, pr.doc_b, pr.shared,
+      |  CAST(pr.shared AS DOUBLE) / nh.n_h AS share_a
+      |FROM pr JOIN nh ON nh.doc_id = pr.doc_a
+      |ORDER BY pr.shared DESC, pr.doc_a, pr.doc_b LIMIT 20""".stripMargin
+
   // -------------------------------------------------- decontamination
   /** Train/eval decontamination — the n-gram overlap gate every LLM data
     * pipeline runs before training (the GPT-3/PaLM 13-gram recipe,
@@ -2595,6 +2680,7 @@ object TextAnalysis extends QueryModule {
     "text_winnowing" -> (winnowing _),
     "stream_winnowing" -> (winnowingStream _),
     "dedup_winnowing_pairs" -> (winnowingPairs _),
+    "stream_winnowing_pairs" -> (winnowingPairsStream _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_lm_score" -> (lmScore _),
@@ -2636,6 +2722,7 @@ object TextAnalysis extends QueryModule {
     "text_winnowing" -> winnowingSql,
     "stream_winnowing" -> winnowingSql,
     "dedup_winnowing_pairs" -> winnowingPairsSql,
+    "stream_winnowing_pairs" -> winnowingPairsStreamSql,
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_encode" -> bpeEncodeSql,
     "text_lm_score" -> lmScoreSql,

@@ -964,6 +964,118 @@ object StreamingPipelines {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming PRIORITY SAMPLE (round 10) — distributed reservoir
+    * sampling as bottom-k sketch state: per event type,
+    * `SketchState.kmvBottomK` keeps the 8 smallest 60-bit md5 priorities
+    * as one sorted primitive array — O(k) state per type REGARDLESS of
+    * stream length, the reservoir property, and the arrays union like
+    * any KMV sketch (day N's sample merges with day N+1's). The final
+    * sketch's hashes map back to their rows by one broadcast join
+    * against the static table (≤ 8 hashes per type — bounded by k·types,
+    * not data), re-ranked (h, event_id) with limit 8 per type, which
+    * keeps even a 60-bit priority collision exact: the collided ids rank
+    * adjacently under the same rule the oracle applies. Same oracle as
+    * the batch `ml_priority_sample`. */
+  def prioritySampleStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hSql = "cast(conv(substr(md5(cast(cast(event_id as string) " +
+      "as binary)), 1, 15), 16, 10) as bigint)"
+    val in = eventStream(spark, dir)
+      .select(col("event_type").as("side"), expr(hSql).as("h"))
+      .as[SketchState.KmvIn]
+    val sink = runToMemory(spark,
+      SketchState.kmvBottomK(in, 8).toDF(), "update", "prisample")
+    val fin = latestBy(sink, "rev", "side")
+      .select(col("side").as("event_type"), explode(col("hs")).as("h"))
+    graft.core.Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"))
+      .withColumn("h", expr(hSql))
+      .join(broadcast(fin), Seq("event_type", "h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("h"), col("event_id"))).cast("long"))
+      .filter(col("rk") <= 8)
+      .select(col("event_type"), col("rk"), col("event_id"), col("h"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  /** Streaming WEIGHTED priority sample (round 10) — the integer-weight
+    * ticket form of [[prioritySampleStream]]: each arriving event fans
+    * out into w ∈ 1..4 md5 tickets and `SketchState.kmvBottomK` keeps the
+    * 32 smallest TICKET hashes per type. 32 is not a heuristic: an item
+    * in the true top-8 by min-ticket has at most 7 items ranked below
+    * it, each owning ≤ 4 tickets smaller than its min — ≤ 28 smaller
+    * tickets total, so its min ticket always survives a bottom-32 state.
+    * Conversely any item whose RETAINED min ranks top-8 must have its
+    * true min retained (a smaller evicted ticket would imply a smaller
+    * retained one). So the finale — join the ≤ 32·types retained hashes
+    * back to the ticket table, per-item min, re-rank (mh, event_id),
+    * limit 8 — is EXACT, and the state stays one sorted ≤32-long
+    * primitive array per type regardless of stream length. Same oracle
+    * as the batch `ml_weighted_sample`. */
+  def weightedSampleStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val thSql = "cast(conv(substr(md5(cast(concat(cast(event_id as string)" +
+      ", ':', cast(t as string)) as binary)), 1, 15), 16, 10) as bigint)"
+    def tickets(df: DataFrame): DataFrame = df
+      .select(col("event_type"), col("event_id"),
+        (lit(1L) + floor(col("value") * 100.0 + 0.5).cast("long") % 4)
+          .as("w"))
+      .withColumn("t", explode(expr("sequence(1L, w)")))
+      .withColumn("th", expr(thSql))
+    val in = tickets(eventStream(spark, dir))
+      .select(col("event_type").as("side"), col("th").as("h"))
+      .as[SketchState.KmvIn]
+    val sink = runToMemory(spark,
+      SketchState.kmvBottomK(in, 32).toDF(), "update", "wsample")
+    val fin = latestBy(sink, "rev", "side")
+      .select(col("side").as("event_type"), explode(col("hs")).as("th"))
+    tickets(graft.core.Tables.events(spark, dir))
+      .join(broadcast(fin), Seq("event_type", "th"))
+      .groupBy(col("event_type"), col("event_id"), col("w"))
+      .agg(min(col("th")).as("mh"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("mh"), col("event_id"))).cast("long"))
+      .filter(col("rk") <= 8)
+      .select(col("event_type"), col("rk"), col("event_id"), col("w"),
+        col("mh"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  /** Streaming SCD2 point-in-interval lookup (round 10) — the production
+    * enrichment shape for a slowly-changing dimension: the batch-built
+    * SCD2 dim (bounded: versions per user, users < 40) is PACKED to one
+    * sorted version-array row per user and broadcast; each arriving
+    * purchase probes it with a stateless array filter (valid_from <= ts
+    * < valid_to, last = max version, zero-width versions self-excluded
+    * by the half-open predicate) — no streaming state, no shuffle on
+    * the stream, exactly the broadcast-gate contract of
+    * [[decontaminateStream]]. The batch twin ([[graft.queries
+    * .EventAnalytics]] evt_scd_lookup) answers the same query as-of
+    * style when the dim is too big to broadcast; same oracle. */
+  def scdLookupStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val packed = graft.queries.EventAnalytics.scdDim(spark, dir)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"version", $"dim_type",
+        $"valid_from_ms", $"valid_to_ms"))).as("vs"))
+    val probes = eventStream(spark, dir)
+      .filter($"user_id" < 40 && $"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ems")
+    val out = probes.join(broadcast(packed), Seq("user_id"), "left_outer")
+      .withColumn("m", expr(
+        "filter(vs, s -> s.valid_from_ms <= ems AND " +
+          "(s.valid_to_ms = -1 OR ems < s.valid_to_ms))"))
+      .withColumn("hit", when(size($"m") > 0, expr("element_at(m, -1)")))
+      .select($"user_id", $"event_id", $"ems",
+        $"hit.version".as("version"), $"hit.dim_type".as("dim_type"),
+        $"hit.valid_from_ms".as("valid_from_ms"))
+    runToMemory(spark, out, "append", "scdlookup").orderBy($"event_id")
+  }
+
   /** Streaming bigram-LM quality gate: the model (vocab-bounded bigram /
     * left-context count tables, trained batch-side on the same corpus) is
     * driver-collected once and broadcast; every arriving doc is scored
