@@ -427,6 +427,112 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------- perceptual-hash (aHash) dedup path
+  /** Near-duplicate synthetic image corpus: every 10th id RE-RENDERS an
+    * earlier image (base e = id div 10 — same dims, same pixel formula)
+    * with ONE perturbed pixel (red of (0,0) shifted by +128 mod 256), so
+    * the corpus carries TRUE near-duplicate pairs whose average-hash
+    * differs in a few bits — the shape a perceptual-hash dedup exists to
+    * catch (byte-identical dedup misses them; the md5 checksum differs). */
+  def synthNearDupImageTable(spark: SparkSession, ids: DataFrame)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val dup = id % 10 == 9
+          val e = if (dup) id / 10 else id
+          MediaRow(id, synthPngNear(e, dup), "image/png",
+            declared_w = 8 + (e % 5).toInt, declared_h = 6 + (e % 7).toInt)
+        }
+      }
+  }
+
+  /** Near-dup corpus pixel formula for base id `e`, optionally with the
+    * (0,0) red-channel perturbation. NOT [[synthPng]]'s linear gradient —
+    * an aHash of a gradient is the same half-plane mask for every image
+    * (measured: 11k cross-corpus pairs at Hamming ≤ 3), which would make
+    * the near-dup query vacuous. One LCG step per pixel
+    * (v = (1103515245·(x + 16y + 256e) + 12345) mod 2³¹) decorrelates
+    * the rasters (unrelated hashes ~32 bits apart, true near-dups 0-3)
+    * while staying a closed form the oracle re-derives in BIGINT. */
+  def synthPngNear(e: Long, perturb: Boolean): Array[Byte] = {
+    val w = 8 + (e % 5).toInt
+    val h = 6 + (e % 7).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (1103515245L * (x + 16L * y + 256L * e) + 12345L) %
+          2147483648L
+        val r0 = (v % 256L).toInt
+        val r = if (perturb && x == 0 && y == 0) (r0 + 128) % 256 else r0
+        val g = ((v / 256L) % 256L).toInt
+        val b = ((v / 65536L) % 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average hash carried as FOUR 16-bit band words (b0..b3) —
+    * never one 64-bit integer, because (a) the 16-bit bands ARE the
+    * Hamming-LSH join keys downstream and (b) bit 63 is unreachable in
+    * DuckDB's checked shift (the sketch_bitmap lesson). */
+  case class PhashRow(media_id: Long, width: Int, height: Int,
+      b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** REAL perceptual-hash stage: decode (javax.imageio), nearest-neighbor
+    * sample an 8×8 grid (sx = tx·w div 8 — the same zero-phase NN
+    * convention as [[resizeImages]]), integer luma gray = 299r+587g+114b,
+    * aHash bit p = (gray_p · 64 >= Σ gray) — the mean threshold
+    * multiplied through so no division happens at all. Bit p lands in
+    * band p div 16 at position p mod 16. Per-partition; no shuffle. */
+  def phashImages(ds: Dataset[MediaRow]): Dataset[PhashRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable payload for media ${r.media_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val gray = new Array[Long](64)
+        var total = 0L
+        var ty = 0
+        while (ty < 8) {
+          val sy = ty * h / 8
+          var tx = 0
+          while (tx < 8) {
+            val sx = tx * w / 8
+            val rgb = img.getRGB(sx, sy)
+            val g = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            gray(ty * 8 + tx) = g
+            total += g
+            tx += 1
+          }
+          ty += 1
+        }
+        val bands = new Array[Long](4)
+        var p = 0
+        while (p < 64) {
+          if (gray(p) * 64L >= total)
+            bands(p / 16) |= 1L << (p % 16)
+          p += 1
+        }
+        PhashRow(r.media_id, w, h, bands(0), bands(1), bands(2), bands(3))
+      }
+    }
+  }
+
   /** One thumbnail row: source dims + the position-weighted fold of the
     * nearest-neighbor-resampled target raster. */
   case class ResizedImage(media_id: Long, src_width: Int, src_height: Int,

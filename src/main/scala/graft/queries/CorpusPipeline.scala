@@ -273,8 +273,128 @@ object CorpusPipeline extends QueryModule {
       |FROM c WHERE cum_tok <= 2000
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------- DSIR importance-resampling selection
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every source doc
+    * by how much its hashed-bigram profile looks like the TARGET
+    * distribution (the eval suite — doc_id % 50 = 0, the same split the
+    * decontamination gates use) versus the source corpus, then select
+    * the top scorers for training. Features are bigrams hashed to 64
+    * buckets (the paper's hashed n-gram model, B shrunk to the corpus);
+    * with add-one smoothing the importance log-weight is
+    * Σ_b c_b(doc)·(log p̂_tgt(b) − log p̂_src(b)) and the repo's libm-free
+    * integer log2 (`length(bin(x))`) makes the surrogate
+    * Σ_b c_b·(log2i(tgt_b·S) − log2i(src_b·T)) exact in both engines
+    * (S = Σ src_b, T = Σ tgt_b fold the normalizers in; a shared
+    * constant per bigram count shifts all scores equally and cannot
+    * reorder docs with equal n_bigrams — the surrogate's coarseness is
+    * the md5 tie-broken ranking's job). Deterministic top-20 replaces
+    * the paper's Gumbel resampling (exp/log sampling is not bit-exact;
+    * top-k under the weight is its deterministic limit). Scale: the
+    * bucket tables are 64 rows broadcast back; scoring is one map-side
+    * join per doc-bucket pair — no data-sized shuffle beyond the per-doc
+    * count aggregation. */
+  /** The hashed-bigram bucket expression shared by the batch DSIR query
+    * and the streaming gate (identical hashing is what lets the stream
+    * reuse the batch oracle). */
+  private[graft] val dsirBucketsExpr =
+    """transform(sequence(1, size(toks) - 1),
+      |  p -> pmod(cast(conv(substr(md5(cast(concat(
+      |    element_at(toks, p), ' ', element_at(toks, p + 1))
+      |    as binary)), 1, 8), 16, 10) as bigint), 64))""".stripMargin
+
+  private[graft] def dsirBigrams(spark: SparkSession, dir: String)
+      : DataFrame =
+    docs(spark, dir)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(dsirBucketsExpr)).as("b"))
+
+  /** The trained model as a driver map (≤ 64 entries — bounded by the
+    * bucket count, never by data): bucket → integer-log importance
+    * weight, for the streaming gate's broadcast. Buckets absent from
+    * either side are absent from the map, mirroring the batch query's
+    * inner joins. */
+  private[graft] def dsirWeights(spark: SparkSession, dir: String)
+      : Map[Long, Long] = {
+    val bg = dsirBigrams(spark, dir)
+    val isTgt = col("doc_id") % 50 === 0
+    val tgt = bg.filter(isTgt).groupBy(col("b"))
+      .agg((count(lit(1)) + 1L).as("tb"))
+    val src = bg.filter(!isTgt).groupBy(col("b"))
+      .agg((count(lit(1)) + 1L).as("sb"))
+    val t = tgt.agg(sum(col("tb"))).head().getLong(0)
+    val s = src.agg(sum(col("sb"))).head().getLong(0)
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    tgt.join(src, Seq("b")).collect()
+      .map(r => r.getLong(0) ->
+        (bitlen(r.getLong(1) * s) - bitlen(r.getLong(2) * t)))
+      .toMap
+  }
+
+  private def dsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val bg = dsirBigrams(spark, dir)
+    val isTgt = col("doc_id") % 50 === 0
+    val perDoc = bg.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val tgt = bg.filter(isTgt).groupBy(col("b"))
+      .agg((count(lit(1)) + 1L).as("tb"))
+    val src = bg.filter(!isTgt).groupBy(col("b"))
+      .agg((count(lit(1)) + 1L).as("sb"))
+    val tsum = tgt.agg(sum(col("tb")).as("t"))
+    val ssum = src.agg(sum(col("sb")).as("s"))
+    val scored = perDoc.filter(!isTgt)
+      .join(broadcast(tgt), Seq("b"))
+      .join(broadcast(src), Seq("b"))
+      .crossJoin(broadcast(tsum)).crossJoin(broadcast(ssum))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") *
+          (length(expr("bin(tb * s)")) - length(expr("bin(sb * t)"))))
+          .cast("long").as("score"),
+        sum(col("c")).as("n_bigrams"))
+    scored
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("score"), col("n_bigrams"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  private[queries] val dsirSampleSql =
+    """WITH t0 AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      p -> CAST(('0x' || substr(md5(toks[p] || ' ' || toks[p+1]),
+      |        1, 8)) AS BIGINT) % 64)) AS b
+      |  FROM t0 WHERE len(toks) >= 2
+      |), pd AS (
+      |  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM bg GROUP BY 1, 2
+      |), tgt AS (
+      |  SELECT b, CAST(COUNT(*) + 1 AS BIGINT) AS tb FROM bg
+      |  WHERE doc_id % 50 = 0 GROUP BY b
+      |), src AS (
+      |  SELECT b, CAST(COUNT(*) + 1 AS BIGINT) AS sb FROM bg
+      |  WHERE doc_id % 50 <> 0 GROUP BY b
+      |), ts AS (SELECT CAST(SUM(tb) AS BIGINT) AS t FROM tgt),
+      |ss AS (SELECT CAST(SUM(sb) AS BIGINT) AS s FROM src),
+      |sc AS (
+      |  SELECT pd.doc_id,
+      |    CAST(SUM(pd.c * (length(bin(tgt.tb * ss.s))
+      |      - length(bin(src.sb * ts.t)))) AS BIGINT) AS score,
+      |    CAST(SUM(pd.c) AS BIGINT) AS n_bigrams
+      |  FROM pd JOIN tgt USING (b) JOIN src USING (b)
+      |  CROSS JOIN ts CROSS JOIN ss
+      |  WHERE pd.doc_id % 50 <> 0
+      |  GROUP BY pd.doc_id
+      |)
+      |SELECT doc_id, score, n_bigrams FROM sc
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_budget_select" -> (budgetSelect _),
+    "corpus_dsir_sample" -> (dsirSample _),
     "doc_zorder_layout" -> (zorderLayout _),
     "text_pii_scrub" -> (piiScrub _),
     "ml_mixture_weights" -> (mixtureWeights _),
@@ -282,6 +402,7 @@ object CorpusPipeline extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "corpus_budget_select" -> budgetSelectSql,
+    "corpus_dsir_sample" -> dsirSampleSql,
     "doc_zorder_layout" -> zorderLayoutSql,
     "text_pii_scrub" -> piiScrubSql,
     "ml_mixture_weights" -> mixtureWeightsSql,

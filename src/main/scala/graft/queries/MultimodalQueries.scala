@@ -96,6 +96,109 @@ object MultimodalQueries extends QueryModule {
       |FROM px GROUP BY doc_id, w, h
       |ORDER BY media_id""".stripMargin
 
+  /** IMAGE NEAR-DUP dedup via perceptual hash + Hamming-LSH banding
+    * (round 10) — the multimodal member of the dedup family: byte-exact
+    * dedup misses a re-encoded or slightly-retouched image, so the
+    * pipeline hashes PERCEPTUALLY (aHash over a decode-real 8×8 luma
+    * grid, [[graft.pipeline.Multimodal.phashImages]]) and joins on the
+    * four 16-bit HASH BANDS — at most 3 differing bits cannot touch all
+    * 4 bands (pigeonhole), so the banded equi-join is PROVABLY complete
+    * for Hamming ≤ 3, and the oracle's ALL-PAIRS form checks exactly
+    * that (a candidate the bands missed would fail the hash match — the
+    * containment-dedup proof shape, here with a closed-form pixel
+    * oracle: DuckDB never decodes a PNG, it re-derives every luma sample
+    * from the generator formula, including the near-dup corpus's
+    * single-pixel perturbation). Candidates are bounded by band-value
+    * collisions (~1/2¹⁶ of pairs + true dups), never |images|².
+    * Measured at sf0.01: 100 pairs — 43 of the 45 genuine near-dup
+    * pairs (the 2 misses flip > 3 bits when the perturbation's mean
+    * shift tips marginal bits; 5 further dup ids have e ≡ 9 mod 10,
+    * i.e. their base image is itself a perturbed render, so they are
+    * not near-dups of it by construction), plus deterministic aHash
+    * band collisions among same-dim LCG-related rasters — the false
+    * positives a perceptual hash honestly has, identical in both
+    * engines. */
+  private def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ph = Multimodal.phashImages(
+        Multimodal.synthNearDupImageTable(spark,
+          Tables.documents(spark, dir).select(col("doc_id"))))
+      .toDF().persist()
+    val bands = ph.select(col("media_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("k", "v")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.k") === col("y.k") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"))
+      .distinct()
+    val pa = ph.select(col("media_id").as("ma"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val pb = ph.select(col("media_id").as("mb"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val out = cand.join(pa, Seq("ma")).join(pb, Seq("mb"))
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("ma"), col("mb"), col("hamming"))
+      .orderBy(col("ma"), col("mb"))
+    graft.core.CachePin.sealAndRelease(out, ph)
+  }
+
+  private val mmPhashDedupSql =
+    """WITH d2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 9 THEN doc_id // 10 ELSE doc_id END AS e,
+      |    CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS pert
+      |  FROM documents
+      |), d3 AS (
+      |  SELECT doc_id, e, pert, CAST(8 + e % 5 AS BIGINT) AS w,
+      |    CAST(6 + e % 7 AS BIGINT) AS h
+      |  FROM d2
+      |), px AS (
+      |  SELECT doc_id, e, pert, pp.range AS p,
+      |    ((pp.range % 8) * w) // 8 AS sx, ((pp.range // 8) * h) // 8 AS sy
+      |  FROM d3, range(64) pp
+      |), lcg AS (
+      |  SELECT doc_id, p, pert, sx, sy,
+      |    (1103515245 * (sx + 16*sy + 256*e) + 12345) % 2147483648 AS v
+      |  FROM px
+      |), g AS (
+      |  SELECT doc_id, p,
+      |    299 * (CASE WHEN pert = 1 AND sx = 0 AND sy = 0
+      |        THEN (v % 256 + 128) % 256 ELSE v % 256 END)
+      |    + 587 * ((v // 256) % 256)
+      |    + 114 * ((v // 65536) % 256) AS gray
+      |  FROM lcg
+      |), tot AS (
+      |  SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total
+      |  FROM g GROUP BY doc_id
+      |), bits AS (
+      |  SELECT g.doc_id, g.p,
+      |    CASE WHEN g.gray * 64 >= t.total THEN 1 ELSE 0 END AS bit
+      |  FROM g JOIN tot t ON t.doc_id = g.doc_id
+      |), bands AS (
+      |  SELECT doc_id, p // 16 AS k,
+      |    CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(p % 16 AS INT)))
+      |      AS BIGINT) AS v
+      |  FROM bits GROUP BY 1, 2
+      |), hw AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN k = 0 THEN v END) AS b0,
+      |    MAX(CASE WHEN k = 1 THEN v END) AS b1,
+      |    MAX(CASE WHEN k = 2 THEN v END) AS b2,
+      |    MAX(CASE WHEN k = 3 THEN v END) AS b3
+      |  FROM bands GROUP BY doc_id
+      |)
+      |SELECT a.doc_id AS ma, b.doc_id AS mb,
+      |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      |    AS BIGINT) AS hamming
+      |FROM hw a JOIN hw b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+      |ORDER BY ma, mb""".stripMargin
+
   /** REAL audio codec roundtrip (round-5 verdict "next" #3): per doc_id,
     * synthesize a deterministic 16-bit PCM WAV on the executors, decode
     * it back through `javax.sound.sampled` (the JDK's WAVE parser), and
@@ -222,7 +325,8 @@ object MultimodalQueries extends QueryModule {
     "mm_resized_features" -> (mmResized _),
     "mm_decoded_audio" -> (mmAudio _),
     "mm_decoded_video" -> (mmVideo _),
-    "mm_decoded_mjpeg" -> (mmMjpeg _))
+    "mm_decoded_mjpeg" -> (mmMjpeg _),
+    "dedup_phash_images" -> (mmPhashDedup _))
 
   override def oracles: Map[String, String] = Map(
     "mm_binary_features" -> mmFeaturesSql,
@@ -230,5 +334,6 @@ object MultimodalQueries extends QueryModule {
     "mm_resized_features" -> mmResizedSql,
     "mm_decoded_audio" -> mmAudioSql,
     "mm_decoded_video" -> mmVideoSql,
-    "mm_decoded_mjpeg" -> mmMjpegSql)
+    "mm_decoded_mjpeg" -> mmMjpegSql,
+    "dedup_phash_images" -> mmPhashDedupSql)
 }

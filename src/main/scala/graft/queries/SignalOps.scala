@@ -381,8 +381,9 @@ object SignalOps extends QueryModule {
   private def pcaPower(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (c, v) = pcaScatterTop(spark, dir)
-    val ray = c.join(v.select($"i".as("j"), $"v".as("vj")), Seq("j"))
-      .join(v.select($"i", $"v".as("vi")), Seq("i"))
+    val ray = c.join(broadcast(v.select($"i".as("j"), $"v".as("vj"))),
+        Seq("j"))
+      .join(broadcast(v.select($"i", $"v".as("vi"))), Seq("i"))
       .agg((sum($"vi".cast(DecimalType(38, 0)) * $"cij" * $"vj").cast("double")
         / lit(1000000000000.0)).as("num"))
     val den = v.agg((sum($"v".cast(DecimalType(38, 0)) * $"v").cast("double")
@@ -413,15 +414,20 @@ object SignalOps extends QueryModule {
       .join(q.select($"vec_id", $"i".as("j"), $"qv".as("qw")), Seq("vec_id"))
       .groupBy($"i", $"j")
       .agg(sum($"qv".cast(DecimalType(38, 0)) * $"qw").as("sqq"))
+    // coalesce(1): the d² cell table is 4096 rows — every one of the 8+
+    // downstream iteration joins scans it, and 32 near-empty tasks per
+    // round cost more scheduling than the rows (measured: the deflate
+    // chain's 10 s was task overhead, not arithmetic)
     val c = cr
       .join(s.select($"i", $"si"), Seq("i"))
       .join(s.select($"i".as("j"), $"si".as("sj")), Seq("j"))
       .select($"i", $"j",
         (lit(n) * $"sqq" - $"si".cast(DecimalType(38, 0)) * $"sj").as("cij"))
+      .coalesce(1)
       .persist()
     var v = s.select($"i", lit(1000000L).as("v")).localCheckpoint(true)
     for (_ <- 1 to 4) {
-      val w = c.join(v.select($"i".as("j"), $"v"), Seq("j"))
+      val w = c.join(broadcast(v.select($"i".as("j"), $"v")), Seq("j"))
         .groupBy($"i").agg(sum($"cij" * $"v").as("wi"))
       val m = w.agg(max(abs($"wi")).as("mx"))
       v = w.crossJoin(broadcast(m))
@@ -470,8 +476,9 @@ object SignalOps extends QueryModule {
     val (c, dm, v1, x) = pcaDeflateParts(spark, dir)
     val vk = v1.select($"i",
       (signum($"v").cast("long") * expr("abs(v) div 1000L")).as("vk"))
-    val ray = dm.join(x.select($"i".as("j"), $"v".as("vj")), Seq("j"))
-      .join(x.select($"i", $"v".as("vi")), Seq("i"))
+    val ray = dm.join(broadcast(x.select($"i".as("j"), $"v".as("vj"))),
+        Seq("j"))
+      .join(broadcast(x.select($"i", $"v".as("vi"))), Seq("i"))
       .agg((sum($"vi".cast(DecimalType(38, 0)) * $"dkij" * $"vj")
         .cast("double") / lit(1000000000000.0)).as("num"))
     val den = x.agg((sum($"v".cast(DecimalType(38, 0)) * $"v").cast("double")
@@ -507,24 +514,25 @@ object SignalOps extends QueryModule {
     val ck = rescale(c, "cij", "ckij")
     val vk = v1.select($"i",
       (signum($"v").cast("long") * expr("abs(v) div 1000L")).as("vk"))
-    val u = ck.join(vk.select($"i".as("j"), $"vk"), Seq("j"))
+    val u = ck.join(broadcast(vk.select($"i".as("j"), $"vk")), Seq("j"))
       .groupBy($"i")
       .agg(sum($"ckij".cast(DecimalType(38, 0)) * $"vk").as("ui"))
     val d = u.join(vk, Seq("i"))
       .agg(sum($"ui" * $"vk").as("d"))
     val dm = rescale(
-      ck.join(u.select($"i", $"ui"), Seq("i"))
-        .join(u.select($"i".as("j"), $"ui".as("uj")), Seq("j"))
+      ck.join(broadcast(u.select($"i", $"ui")), Seq("i"))
+        .join(broadcast(u.select($"i".as("j"), $"ui".as("uj"))), Seq("j"))
         .crossJoin(broadcast(d))
         .select($"i", $"j",
           ($"d" * $"ckij".cast(DecimalType(38, 0)) - $"ui" * $"uj")
             .as("dij")),
       "dij", "dkij")
+      .coalesce(1)
       .persist()
     var x = dm.select($"i").distinct()
       .select($"i", ($"i".cast("long") + 1L).as("v")).localCheckpoint(true)
     for (_ <- 1 to 4) {
-      val w = dm.join(x.select($"i".as("j"), $"v"), Seq("j"))
+      val w = dm.join(broadcast(x.select($"i".as("j"), $"v")), Seq("j"))
         .groupBy($"i")
         .agg(sum($"dkij".cast(DecimalType(38, 0)) * $"v").as("wi"))
       val m = w.agg(max(abs($"wi")).as("mx"))
@@ -559,8 +567,8 @@ object SignalOps extends QueryModule {
           "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"))
           .as(Seq("i", "qv")))
     val out = q
-      .join(v1.select($"i", $"v".as("w1")), Seq("i"))
-      .join(v2.select($"i", $"v".as("w2")), Seq("i"))
+      .join(broadcast(v1.select($"i", $"v".as("w1"))), Seq("i"))
+      .join(broadcast(v2.select($"i", $"v".as("w2"))), Seq("i"))
       .groupBy($"vec_id", $"label")
       .agg(sum($"qv".cast(DecimalType(38, 0)) * $"w1").cast("long")
           .as("coord1"),

@@ -344,7 +344,26 @@ object StreamingQueries extends QueryModule {
     "stream_scd_lookup" ->
       ((s: SparkSession, d: String) =>
         StreamingPipelines.scdLookupStream(s, d)),
+    "stream_warm_start" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.warmStartStream(s, d)),
+    "stream_dsir_gate" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.dsirGateStream(s, d)),
     "gen_synthetic_txns" -> (syntheticTxns _))
+
+  /** Oracle for stream_warm_start: the batch query over the FULL history
+    * — the stream only replayed the second half; the first half entered
+    * through flatMapGroupsWithState initialState, and matching this SQL
+    * is the proof the handoff lost nothing. */
+  private val warmStartSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS micro
+      |  FROM events
+      |)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(micro) AS BIGINT) AS sum_micro
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Oracle for stream_bloom_gate: rebuilds the 4096-bit bloom filter from
     * the md5 bit positions IN SQL (32-bit words — DuckDB's checked shift
@@ -456,5 +475,7 @@ object StreamingQueries extends QueryModule {
     "stream_priority_sample" -> Sketches.prioritySampleSql,
     "stream_weighted_sample" -> Sketches.weightedSampleSql,
     "stream_scd_lookup" -> EventAnalytics.scdLookupSql,
+    "stream_warm_start" -> warmStartSql,
+    "stream_dsir_gate" -> CorpusPipeline.dsirSampleSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)
 }

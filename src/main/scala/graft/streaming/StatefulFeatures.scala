@@ -53,6 +53,46 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulFeatures {
 
+  // ------------------------------------------------ warm-start bootstrap
+  case class WarmIn(user_id: Long, micro: Long)
+  case class WarmState(n: Long, sum_micro: Long)
+  case class WarmOut(user_id: Long, n_events: Long, sum_micro: Long,
+      rev: Long)
+
+  /** Per-user running (count, integer-cent sum) with INITIAL STATE — the
+    * batch→streaming handoff every production feature platform performs
+    * at cutover: a batch backfill seeds the state store, the stream
+    * continues from the cutover timestamp, and the merged result must
+    * equal the batch query over the FULL history. Engine surface:
+    * `flatMapGroupsWithState`'s `initialState` overload. State is two
+    * longs per user; `rev` = running count (monotone per key) so the
+    * sink's latest row per user is the final one. Keys present only in
+    * the snapshot (no stream arrivals) may never be invoked — the
+    * pipeline's finale coalesces them from the snapshot, making the
+    * result independent of whether Spark invokes initial-state-only
+    * keys. */
+  def warmStartCounts(
+      ds: Dataset[WarmIn],
+      initial: org.apache.spark.sql.KeyValueGroupedDataset[Long, WarmState])
+      : Dataset[WarmOut] = {
+    implicit val outEnc = Encoders.product[WarmOut]
+    implicit val stEnc = Encoders.product[WarmState]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout,
+        initial) {
+        (uid: Long, events: Iterator[WarmIn], state: GroupState[WarmState]) =>
+          var s = state.getOption.getOrElse(WarmState(0L, 0L))
+          var changed = false
+          events.foreach { e =>
+            s = WarmState(s.n + 1L, s.sum_micro + e.micro); changed = true
+          }
+          if (changed) {
+            state.update(s)
+            Iterator.single(WarmOut(uid, s.n, s.sum_micro, s.n))
+          } else Iterator.empty
+      }
+  }
+
   case class EventIn(event_id: Long, user_id: Long, ems: Long, value: Double)
 
   // ------------------------------------------------------ SCD2 intervals

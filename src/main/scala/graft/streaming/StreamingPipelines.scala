@@ -1045,6 +1045,91 @@ object StreamingPipelines {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** Streaming DSIR gate (round 10) — the importance-scoring twin of the
+    * batch `corpus_dsir_sample`, in the broadcast-model contract of
+    * [[decontaminateStream]]/[[lmScoreStream]]: the 64-bucket integer-log
+    * weight table is trained batch-side (bounded by bucket count,
+    * `CorpusPipeline.dsirWeights`), broadcast, and every arriving train
+    * doc is scored STATELESSLY — bucket its bigrams with the identical
+    * Spark-side hash expression, sum broadcast weights (occurrences in
+    * buckets outside the map are skipped, mirroring the batch query's
+    * inner joins). Top-20 finale over the bounded sink; same oracle. */
+  def dsirGateStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = spark.sparkContext.broadcast(
+      graft.queries.CorpusPipeline.dsirWeights(spark, dir))
+    val in = docStreamReplay(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 50 =!= 0)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        expr(graft.queries.CorpusPipeline.dsirBucketsExpr).as("bs"))
+      .as[(Long, Seq[Long])]
+    val scored = in.map { case (id, bs) =>
+      val m = w.value
+      var s = 0L
+      var n = 0L
+      bs.foreach { b =>
+        m.get(b) match {
+          case Some(wt) => s += wt; n += 1
+          case None => ()
+        }
+      }
+      (id, s, n)
+    }.toDF("doc_id", "score", "n_bigrams")
+      .filter(col("n_bigrams") > 0)
+    runToMemory(spark, scored, "append", "dsirgate")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("score"), col("n_bigrams"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Streaming WARM START from a batch snapshot (round 10) — the
+    * batch→streaming CUTOVER every production feature platform performs:
+    * per-user (count, cent-sum) state is SEEDED from a batch aggregate
+    * over all events before the corpus midpoint timestamp
+    * (`flatMapGroupsWithState`'s initialState — the engine's state
+    * bootstrap surface), and the stream replays ONLY the second half;
+    * the merged result must equal the batch query over the full
+    * history, which is exactly what the oracle checks. The finale
+    * coalesces snapshot-only users (no stream arrivals) from the
+    * broadcast snapshot, so the result does not depend on whether the
+    * runtime invokes initial-state-only keys. At 100 TB this is how a
+    * stateful pipeline deploys against years of history: one batch
+    * backfill writes the state, the stream pays only for the tail. */
+  def warmStartStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, dir)
+      .withColumn("ems", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("micro",
+        floor(col("value") * 100.0 + 0.5).cast("long"))
+    val r = ev.agg(min(col("ems")), max(col("ems"))).head()
+    val split = (r.getLong(0) + r.getLong(1)) / 2
+    val snap = ev.filter(col("ems") < split)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n0"), sum(col("micro")).as("s0"))
+    val init = snap.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => StatefulFeatures.WarmState(t._2, t._3))
+    val in = eventStream(spark, dir)
+      .filter(col("ems") >= split)
+      .select(col("user_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("micro"))
+      .as[StatefulFeatures.WarmIn]
+    val sink = runToMemory(spark,
+      StatefulFeatures.warmStartCounts(in, init).toDF(), "update",
+      "warmstart")
+    val latest = latestBy(sink, "rev", "user_id")
+      .select(col("user_id"), col("n_events"), col("sum_micro"))
+    snap.join(latest, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_events"), col("n0")).as("n_events"),
+        coalesce(col("sum_micro"), col("s0")).as("sum_micro"))
+      .orderBy(col("user_id"))
+  }
+
   /** Streaming SCD2 point-in-interval lookup (round 10) — the production
     * enrichment shape for a slowly-changing dimension: the batch-built
     * SCD2 dim (bounded: versions per user, users < 40) is PACKED to one

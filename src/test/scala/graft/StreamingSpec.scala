@@ -45,6 +45,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(5) == 2L)
   }
 
+  test("warm start: seeded state folds in, stream-only keys start cold, " +
+      "snapshot-only keys never corrupt (round 10)") {
+    import graft.streaming.StatefulFeatures.{WarmIn, WarmState, WarmOut}
+    implicit val ctx = spark.sqlContext
+    // user 1 exists only in the snapshot; user 2 in both; user 3 only in
+    // the stream — the three handoff regimes
+    val init = Seq((1L, WarmState(3L, 300L)), (2L, WarmState(2L, 200L)))
+      .toDS().groupByKey(_._1).mapValues(_._2)
+    val in = MemoryStream[WarmIn]
+    val q = StatefulFeatures.warmStartCounts(in.toDS(), init).toDF()
+      .writeStream.format("memory").queryName("warmstart_test")
+      .outputMode("update").start()
+    try {
+      in.addData(WarmIn(2L, 50L), WarmIn(3L, 10L))
+      q.processAllAvailable()
+      in.addData(WarmIn(3L, 20L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table("warmstart_test").as[WarmOut].collect()
+      .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.rev) }
+    // seeded key: snapshot (2, 200) + one arrival of 50
+    assert(latest(2L).n_events == 3L && latest(2L).sum_micro == 250L)
+    // cold key: stream half only
+    assert(latest(3L).n_events == 2L && latest(3L).sum_micro == 30L)
+    // snapshot-only key: whether or not the runtime invokes it, any
+    // emission must be exactly the seed (the pipeline's coalesce makes
+    // the final result independent of this choice either way)
+    latest.get(1L).foreach { r =>
+      assert(r.n_events == 3L && r.sum_micro == 300L)
+    }
+  }
+
   test("streaming Markov transitions: cross-batch state carry, batch-internal (ems, id) order") {
     import graft.streaming.StatefulFeatures.MarkovEventIn
     implicit val ctx = spark.sqlContext
