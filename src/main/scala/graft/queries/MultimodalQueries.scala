@@ -145,7 +145,10 @@ object MultimodalQueries extends QueryModule {
     graft.core.CachePin.sealAndRelease(out, ph)
   }
 
-  private val mmPhashDedupSql =
+  /** CTE chain through per-doc band words (hw) + per-doc band rows
+    * (bands) — shared by the batch all-pairs oracle and the streaming
+    * keep-first-projection oracle. */
+  private[queries] val phashHwSql =
     """WITH d2 AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 10 = 9 THEN doc_id // 10 ELSE doc_id END AS e,
@@ -189,12 +192,38 @@ object MultimodalQueries extends QueryModule {
       |    MAX(CASE WHEN k = 2 THEN v END) AS b2,
       |    MAX(CASE WHEN k = 3 THEN v END) AS b3
       |  FROM bands GROUP BY doc_id
-      |)
+      |)""".stripMargin
+
+  private val mmPhashDedupSql =
+    s"""$phashHwSql
       |SELECT a.doc_id AS ma, b.doc_id AS mb,
       |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
       |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
       |    AS BIGINT) AS hamming
       |FROM hw a JOIN hw b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+      |ORDER BY ma, mb""".stripMargin
+
+  /** Oracle for the streaming phash collision service: the same chain,
+    * with the pair set restricted to the KEEP-FIRST projection — (a, b)
+    * counted iff a owns (= is MIN poster of) some band bucket b also
+    * posts, exactly what band-keyed keep-first state emits under the
+    * id-ordered replay. Same exact-Hamming filter. */
+  private[queries] val mmPhashStreamSql =
+    s"""$phashHwSql,
+      |win AS (
+      |  SELECT k, v, MIN(doc_id) AS w FROM bands GROUP BY k, v
+      |), pr AS (
+      |  SELECT DISTINCT win.w AS ma, f.doc_id AS mb
+      |  FROM bands f JOIN win ON win.k = f.k AND win.v = f.v
+      |    AND win.w < f.doc_id
+      |)
+      |SELECT pr.ma, pr.mb,
+      |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      |    AS BIGINT) AS hamming
+      |FROM pr JOIN hw a ON a.doc_id = pr.ma JOIN hw b ON b.doc_id = pr.mb
       |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
       |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
       |ORDER BY ma, mb""".stripMargin

@@ -350,6 +350,9 @@ object StreamingQueries extends QueryModule {
     "stream_dsir_gate" ->
       ((s: SparkSession, d: String) =>
         StreamingPipelines.dsirGateStream(s, d)),
+    "stream_phash_dedup" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.phashDedupStream(s, d)),
     "gen_synthetic_txns" -> (syntheticTxns _))
 
   /** Oracle for stream_warm_start: the batch query over the FULL history
@@ -477,5 +480,6 @@ object StreamingQueries extends QueryModule {
     "stream_scd_lookup" -> EventAnalytics.scdLookupSql,
     "stream_warm_start" -> warmStartSql,
     "stream_dsir_gate" -> CorpusPipeline.dsirSampleSql,
+    "stream_phash_dedup" -> MultimodalQueries.mmPhashStreamSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)
 }

@@ -1045,6 +1045,54 @@ object StreamingPipelines {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** Streaming IMAGE near-dup collision service (round 10) — the
+    * multimodal member of the keep-first family: each arriving image is
+    * synthesized + REAL-decoded + aHashed on the executors
+    * ([[graft.pipeline.Multimodal.phashImages]] over the replayed ids),
+    * and its four 16-bit hash bands post into band-keyed keep-first
+    * state (`bucketFirstUpdate`, fourth reuse — band_val = "k:v" so
+    * equal words under different band indexes never collide). A post
+    * into an owned bucket IS the near-dup candidate, emitted at
+    * arrival; with the id-ordered replay the owner is the global min
+    * poster, so the pair set is the KEEP-FIRST projection of the batch
+    * `dedup_phash_images` pairs (the service semantics: later uploads
+    * match against the corpus owner). Exact Hamming ≤ 3 filter on the
+    * bounded candidate set; state one winner per distinct band value. */
+  def phashDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    def bandRows(ids: DataFrame) = Multimodal.phashImages(
+        Multimodal.synthNearDupImageTable(spark, ids))
+      .toDF()
+      .select(col("media_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("k", "v")))
+    val in = bandRows(docStreamReplay(spark, dir).select(col("doc_id")))
+      .select(concat(col("k"), lit(":"), col("v")).as("band_val"),
+        col("media_id").as("doc_id"))
+      .as[StatefulFeatures.BandIn]
+    val sink = runToMemory(spark,
+      StatefulFeatures.bucketFirstUpdate(in).toDF(), "update", "phashdedup")
+    val hw = Multimodal.phashImages(
+        Multimodal.synthNearDupImageTable(spark,
+          graft.core.Tables.documents(spark, dir).select(col("doc_id"))))
+      .toDF()
+    val pa = hw.select(col("media_id").as("ma"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val pb = hw.select(col("media_id").as("mb"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    sink.filter(col("winner_id") < col("doc_id"))
+      .select(col("winner_id").as("ma"), col("doc_id").as("mb"))
+      .distinct()
+      .join(pa, Seq("ma")).join(pb, Seq("mb"))
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("ma"), col("mb"), col("hamming"))
+      .orderBy(col("ma"), col("mb"))
+  }
+
   /** Streaming DSIR gate (round 10) — the importance-scoring twin of the
     * batch `corpus_dsir_sample`, in the broadcast-model contract of
     * [[decontaminateStream]]/[[lmScoreStream]]: the 64-bucket integer-log
