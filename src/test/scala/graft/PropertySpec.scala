@@ -322,4 +322,43 @@ class WindowParitySpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(anchored == n, s"window ($ws,$k): aligned=$n anchored=$anchored")
     }
   }
+
+  // ---------------------------------------------------------------- round 10
+  // Weighted-ticket sampling: the streaming twin keeps only the global
+  // bottom-32 TICKET hashes per type (SketchState.kmvBottomK) and claims
+  // the exact top-8 items by min-ticket are always recoverable from that
+  // state. The proof is a pigeonhole bound (a top-8 item's min has at
+  // most 7 rivals x <=4 tickets below it); this property drives the
+  // recovery over arbitrary weight/hash layouts, including adversarial
+  // ones no corpus exercises (all-max weights, dense near-ties).
+  private val weightedGen: Gen[List[(Int, Int)]] = for {
+    n <- Gen.choose(1, 60)
+    ws <- Gen.listOfN(n, Gen.choose(1, 4))
+  } yield ws.zipWithIndex.map { case (w, i) => (i, w) }
+
+  test("weighted ticket sample: bottom-32 tickets always recover the exact top-8 (round 10)") {
+    val prop = Prop.forAll(weightedGen,
+        Gen.choose(Long.MinValue, Long.MaxValue)) {
+      (items: List[(Int, Int)], seed: Long) =>
+        val rnd = new scala.util.Random(seed)
+        // distinct ticket hashes (the md5-60-bit model; collisions are
+        // handled by the (h, id) re-rank rule, not this state bound)
+        val tickets = items
+          .flatMap { case (id, w) =>
+            (0 until w).map(_ => (rnd.nextLong() >>> 4, id))
+          }
+          .groupBy(_._1).map(_._2.head).toList
+        val minByItem = tickets.groupBy(_._2)
+          .map { case (id, ts) => (ts.map(_._1).min, id) }.toList
+        val top8 = minByItem.sorted.take(8)
+        val retained = tickets.map(_._1).sorted.take(32).toSet
+        val recovered = tickets.filter(t => retained(t._1)).groupBy(_._2)
+          .map { case (id, ts) => (ts.map(_._1).min, id) }.toList
+          .sorted.take(8)
+        recovered == top8
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(200).withInitialSeed(42L), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
