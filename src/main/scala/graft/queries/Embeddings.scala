@@ -91,7 +91,7 @@ object Embeddings extends QueryModule {
   // --------------------------------------------------- kNN classification
   /** kNN LABEL-VOTE classification eval (round 10) — the standard
     * embedding-quality probe (kNN accuracy on a held-out sample is the
-    * linear-probe-free way to grade an embedding space): every 4th
+    * linear-probe-free way to grade an embedding space): every 8th
     * vector queries its 10 nearest neighbors (self excluded, the
     * [[knnBrute]] cos/rounding/tie discipline), the majority neighbor
     * label (ties → smallest label) is the prediction, and the output is
@@ -1715,11 +1715,20 @@ object Embeddings extends QueryModule {
     * disjoint key sets is their union — so it shares the inline oracle
     * too: the store merge is what's under test. */
   private def ivfadcIncremental(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.KMeansQuantizer.assignCell
-    import spark.implicits._
     val store = new OnlineStore(spark,
       java.nio.file.Files.createTempDirectory("graft_ann_inc_").toString,
       nBuckets = 8)
+    buildIncrementalIvfadc(spark, dir, store)
+    ivfadcAnswerFrom(spark, store)
+  }
+
+  /** The two-batch MERGE build shared by `emb_ivfadc_incremental` and
+    * `emb_ivfadc_erase`: bulk corpus first, then the low-id block
+    * (including every query vector) MERGEs into the same posting lists. */
+  private def buildIncrementalIvfadc(spark: SparkSession, dir: String,
+      store: OnlineStore): Unit = {
+    import graft.operators.KMeansQuantizer.assignCell
+    import spark.implicits._
     val cent = fittedCentroids(spark, dir)
     val cb = pqCodebook(spark, dir)
     store.upsert(annCentroidsView,
@@ -1732,6 +1741,29 @@ object Embeddings extends QueryModule {
       .withColumn("cell", assignCell(col("embedding"), cent).cast("long"))
     store.upsert(annCodesView, stampTs(coded.filter(col("vec_id") >= 100)), 0L)
     store.upsert(annCodesView, stampTs(coded.filter(col("vec_id") < 100)), 1L)
+  }
+
+  /** GDPR erasure THROUGH the persisted ANN index (round-11, verdict r10
+    * #6): the OnlineStore has `erase`, but a deleted vector must leave
+    * the POSTING LISTS and the floats view too — this query proves it
+    * end-to-end, through the incremental-maintenance path. Build the
+    * codes view in two MERGE batches (the ivfadcIncremental split), erase
+    * every `vec_id % 37 = 5` subject (ids spanning BOTH history batches
+    * and the query sample — vec_id 5 is a query), then answer the recall
+    * query from the erased store alone. Erased vectors are gone from the
+    * candidate scan, the rerank, AND the graded ground truth (truth = the
+    * surviving corpus: "never returned" is the contract). Oracle = the
+    * ivfadc chain trained on the FULL corpus (the index predates the
+    * erasure — centroids/codebooks are not refit, exactly like
+    * production) but scanned and graded over survivors only. */
+  private def ivfadcErase(spark: SparkSession, dir: String): DataFrame = {
+    val store = new OnlineStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ann_erase_").toString,
+      nBuckets = 8)
+    buildIncrementalIvfadc(spark, dir, store)
+    store.erase(annCodesView,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 37 === 5)
+        .select(col("vec_id")), "gdpr11")
     ivfadcAnswerFrom(spark, store)
   }
 
@@ -1762,6 +1794,236 @@ object Embeddings extends QueryModule {
     graft.core.CachePin.sealAndRelease(
       adcRecallCore(q, pairsAll, cand, withNc = true), coded)
   }
+
+  private val annStoreCache =
+    new scala.collection.concurrent.TrieMap[String, OnlineStore]()
+
+  /** The SHARED persisted IVFADC index — built once per (session,
+    * dataset) and read by every consumer that only QUERIES the index
+    * (`emb_knn_classify_indexed`, `stream_knn_classify`). Queries that
+    * test the BUILD/MERGE path itself (`emb_ivfadc_persisted`,
+    * `emb_ivfadc_incremental`, `emb_ivfadc_erase`) keep their own fresh
+    * stores — their cost IS the build, and erase MUTATES. Session-scoped
+    * key like [[graft.queries.TextAnalysis.lshEdges]]. */
+  private[graft] def annStoreFor(spark: SparkSession, dir: String): OnlineStore =
+    annStoreCache.getOrElseUpdate(
+      s"${System.identityHashCode(spark)}@$dir@${embFingerprint(dir)}", {
+        val store = new OnlineStore(spark,
+          java.nio.file.Files.createTempDirectory("graft_ann_shared_")
+            .toString, nBuckets = 8)
+        buildPersistedIvfadc(spark, dir, store)
+        store
+      })
+
+  private[graft] def annCentroidsOf(store: OnlineStore): Seq[(Long, Seq[Double])] =
+    store.online(annCentroidsView).select(col("cell"), col("centroid"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+
+  /** Labeled (vec_id, cell, embedding, nrm) rows read from the persisted
+    * index's codes view — labels join back from the corpus table (class
+    * metadata is not part of the geometric index), norms hoisted once per
+    * vector (the emb_knn_classify perf lesson). */
+  private def annLabeledCoded(spark: SparkSession, dir: String,
+      store: OnlineStore): DataFrame =
+    store.online(annCodesView)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(embedding, x -> cast(x as double) * " +
+          "cast(x as double)), 0D, (acc, x) -> acc + x))"))
+
+  /** Driver-side load of the persisted index for broadcast serving (the
+    * streaming kNN gate): centroids + cell → posting-list array of
+    * (vec_id, label, floats, norm). Bounded by the index, which is
+    * bounded by the eval corpus here; at 100 TB the same structure lives
+    * as executor-resident shards (a serving node's RAM-pinned posting
+    * lists) — the per-event probe/scan/vote algorithm is identical. */
+  private[graft] def annIndexForBroadcast(spark: SparkSession, dir: String)
+      : (Seq[(Long, Seq[Double])],
+         Map[Long, Array[(Long, Int, Array[Float], Double)]]) = {
+    val store = annStoreFor(spark, dir)
+    val cent = annCentroidsOf(store)
+    val rows = annLabeledCoded(spark, dir, store)
+      .select(col("cell"), col("vec_id"), col("label"),
+        col("embedding"), col("nrm"))
+      .collect()
+    val m = rows.groupBy(_.getLong(0)).map { case (c, rs) =>
+      c -> rs.map(r => (r.getLong(1), r.getInt(2),
+        r.getSeq[Float](3).toArray, r.getDouble(4))).sortBy(_._1)
+    }
+    (cent, m)
+  }
+
+  // ------------------------------------------- kNN classify via the index
+  /** The kNN label-vote eval answered from the PERSISTED IVFADC index —
+    * the production path `emb_knn_classify` documents (round-11, verdict
+    * r10 #2). Same eval protocol (every 8th vector, 10-NN, majority vote,
+    * ties → smallest label), but the neighbor search probes the index's 3
+    * nearest coarse cells and exact-cosine-reranks ONLY their members
+    * (the floats live in the codes view) instead of brute-scanning the
+    * corpus — the candidate set is ~3/8 of the corpus here and O(probed
+    * cells) at any scale. The exact brute predictions are recomputed
+    * in-query as ground truth (the recall-gating discipline every ANN row
+    * follows: the eval is the measuring stick), and the output carries
+    * the measured accuracy gap per class: exact vs indexed accuracy,
+    * their delta, and how often the two paths agree. Scoring cost is ONE
+    * |sample|·|corpus| cosine pass serving both sides — the indexed
+    * ranking is a filter over it, so the pruning loss (not a second
+    * scan) is what's measured. */
+  private def knnClassifyIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.KMeansQuantizer.probeCells
+    val store = annStoreFor(spark, dir)
+    val cent = annCentroidsOf(store)
+    val coded = annLabeledCoded(spark, dir, store).persist()
+    val q = coded.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("true_label"), col("nrm").as("qn"))
+      .withColumn("probes", probeCells(col("qv"), cent, 3))
+    val pairsAll = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(qv, embedding, (x, y) -> " +
+          "cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")
+          / (col("qn") * col("nrm")), 6))
+    def predsOf(scored: DataFrame, name: String): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val votes = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .groupBy(col("query_id"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val wv = Window.partitionBy(col("query_id"))
+        .orderBy(col("n").desc, col("label"))
+      votes.withColumn("r", row_number().over(wv)).filter(col("r") === 1)
+        .select(col("query_id"), col("true_label"), col("label").as(name))
+    }
+    val exact = predsOf(pairsAll, "pred_exact")
+    val idx = predsOf(
+      pairsAll.filter(array_contains(col("probes"), col("cell"))),
+      "pred_indexed").drop("true_label")
+    // left join: a query whose probed cells held no candidates keeps its
+    // exact row (NULL indexed pred counts as neither correct nor agreeing)
+    val joined = exact.join(idx, Seq("query_id"), "left")
+    graft.core.CachePin.sealAndRelease(
+      joined.groupBy(col("true_label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("pred_exact") === col("true_label"), 1L)
+            .otherwise(0L)).as("n_correct_exact"),
+          sum(when(col("pred_indexed") === col("true_label"), 1L)
+            .otherwise(0L)).as("n_correct_indexed"),
+          sum(when(col("pred_indexed") === col("pred_exact"), 1L)
+            .otherwise(0L)).as("n_agree"))
+        .select(col("true_label").cast("long").as("label"),
+          col("n_queries"), col("n_correct_exact"),
+          col("n_correct_indexed"), col("n_agree"),
+          (col("n_correct_exact").cast("double") / col("n_queries"))
+            .as("accuracy_exact"),
+          (col("n_correct_indexed").cast("double") / col("n_queries"))
+            .as("accuracy_indexed"),
+          ((col("n_correct_indexed") - col("n_correct_exact")).cast("double")
+            / col("n_queries")).as("accuracy_delta"))
+        .orderBy(col("label")), coded)
+  }
+
+  /** Shared CTE chain for the indexed-classify oracles: centroid fit
+    * unrolled (kmFitCtes), cell assignment, 3-cell probes, and the one
+    * scored (query × corpus) cosine pass both ranking chains filter. */
+  private def knnIndexedCtes: String =
+    s"""WITH $kmFitCtes, nv AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding,
+       |    SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings
+       |), cells AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${kmDist2("e", "c")}, c.cell) AS rn
+       |    FROM embeddings e, cent$kmIters c) WHERE rn = 1
+       |), q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding, label AS true_label, nrm AS qn
+       |  FROM nv WHERE vec_id % 8 = 0
+       |), probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${kmDist2("q", "c")}, c.cell) AS rn
+       |    FROM q, cent$kmIters c) WHERE rn <= 3
+       |), scored AS MATERIALIZED (
+       |  SELECT q.query_id, q.true_label, e.vec_id, e.label, cl.cell,
+       |    ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+       |      (acc, x) -> acc + x) / (q.qn * e.nrm), 6) AS cos
+       |  FROM nv e JOIN cells cl USING (vec_id) CROSS JOIN q
+       |  WHERE e.vec_id <> q.query_id
+       |), irk AS (
+       |  SELECT s.query_id, s.true_label, s.label,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY s.cos DESC, s.vec_id) AS rank
+       |  FROM scored s JOIN probes p
+       |    ON p.query_id = s.query_id AND p.cell = s.cell
+       |), ivotes AS (
+       |  SELECT query_id, true_label, label, COUNT(*) AS n
+       |  FROM irk WHERE rank <= 10 GROUP BY 1, 2, 3
+       |), ipred AS (
+       |  SELECT query_id, true_label, label AS pred_indexed,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY n DESC, label) AS r
+       |  FROM ivotes
+       |)""".stripMargin
+
+  private def knnClassifyIndexedSql: String =
+    s"""$knnIndexedCtes, erk AS (
+       |  SELECT query_id, true_label, label,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored
+       |), evotes AS (
+       |  SELECT query_id, true_label, label, COUNT(*) AS n
+       |  FROM erk WHERE rank <= 10 GROUP BY 1, 2, 3
+       |), epred AS (
+       |  SELECT query_id, true_label, label AS pred_exact,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY n DESC, label) AS r
+       |  FROM evotes
+       |), jp AS (
+       |  SELECT e.query_id, e.true_label, e.pred_exact, i.pred_indexed
+       |  FROM (SELECT * FROM epred WHERE r = 1) e
+       |  LEFT JOIN (SELECT query_id, pred_indexed FROM ipred WHERE r = 1) i
+       |    USING (query_id)
+       |)
+       |SELECT CAST(true_label AS BIGINT) AS label,
+       |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(CASE WHEN pred_exact = true_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct_exact,
+       |  CAST(SUM(CASE WHEN pred_indexed = true_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct_indexed,
+       |  CAST(SUM(CASE WHEN pred_indexed = pred_exact THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN pred_exact = true_label THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS accuracy_exact,
+       |  CAST(SUM(CASE WHEN pred_indexed = true_label THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS accuracy_indexed,
+       |  CAST(SUM(CASE WHEN pred_indexed = true_label THEN 1 ELSE 0 END)
+       |    - SUM(CASE WHEN pred_exact = true_label THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS accuracy_delta
+       |FROM jp GROUP BY true_label ORDER BY label""".stripMargin
+
+  /** Oracle for the streaming twin: the indexed prediction chain only,
+    * per-class. */
+  private[graft] def streamKnnClassifySql: String =
+    s"""$knnIndexedCtes
+       |SELECT CAST(true_label AS BIGINT) AS label,
+       |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(CASE WHEN pred_indexed = true_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  CAST(SUM(CASE WHEN pred_indexed = true_label THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS accuracy
+       |FROM (SELECT * FROM ipred WHERE r = 1)
+       |GROUP BY true_label ORDER BY label""".stripMargin
 
   // -------------------------------------------------------- SemDeDup
   /** SemDeDup (Abbas et al. 2023): semantic dedup via embedding
@@ -2039,15 +2301,25 @@ object Embeddings extends QueryModule {
        |LEFT JOIN rhits r USING (query_id)
        |ORDER BY q.query_id""".stripMargin
 
-  private def ivfadcRecallSql =
-    s"""WITH $kmFitCtes, ${pqTrainCtes("p")}, q AS MATERIALIZED (
-       |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20
+  private def ivfadcRecallSql = ivfadcRecallSqlOver("TRUE")
+
+  /** The persisted-index recall oracle over the vectors satisfying
+    * `keepPred`: training CTEs always run on the FULL corpus (quantizers
+    * are fit before any erasure), but the stored codes, the candidate
+    * scan, the rerank, and the brute ground truth cover survivors only —
+    * `emb_ivfadc_erase` passes the erasure complement, everything else
+    * passes TRUE (corp = embeddings). */
+  private def ivfadcRecallSqlOver(keepPred: String) =
+    s"""WITH $kmFitCtes, ${pqTrainCtes("p")}, corp AS (
+       |  SELECT * FROM embeddings WHERE $keepPred
+       |), q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding FROM corp WHERE vec_id < 20
        |), cells AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${kmDist2("e", "c")}, c.cell) AS rn
-       |    FROM embeddings e, cent$kmIters c) WHERE rn = 1
+       |    FROM corp e, cent$kmIters c) WHERE rn = 1
        |), probes AS (
        |  SELECT query_id, cell FROM (
        |    SELECT q.query_id, c.cell,
@@ -2087,7 +2359,7 @@ object Embeddings extends QueryModule {
        |            j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE))
        |               * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE)))),
        |          (acc, x) -> acc + x), 6), s.vec_id) AS rn
-       |    FROM adc50 s JOIN embeddings e ON e.vec_id = s.vec_id
+       |    FROM adc50 s JOIN corp e ON e.vec_id = s.vec_id
        |    JOIN q ON q.query_id = s.query_id) WHERE rn <= 10
        |), brute AS (
        |  SELECT query_id, vec_id FROM (
@@ -2098,7 +2370,7 @@ object Embeddings extends QueryModule {
        |            j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE))
        |               * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE)))),
        |          (acc, x) -> acc + x), 6), e.vec_id) AS rn
-       |    FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 10
+       |    FROM corp e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 10
        |), hits AS (
        |  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
        |  FROM brute b JOIN adctop t
@@ -2129,6 +2401,8 @@ object Embeddings extends QueryModule {
     "emb_ivfadc_recall" -> (ivfadcRecall _),
     "emb_ivfadc_persisted" -> (ivfadcPersisted _),
     "emb_ivfadc_incremental" -> (ivfadcIncremental _),
+    "emb_ivfadc_erase" -> (ivfadcErase _),
+    "emb_knn_classify_indexed" -> (knnClassifyIndexed _),
     "emb_sq8_recall" -> (sq8Recall _),
     "emb_ivfadc_residual" -> (ivfadcResidualRecall _),
     "dedup_semantic" -> (semDedup _),
@@ -2152,6 +2426,8 @@ object Embeddings extends QueryModule {
     "emb_ivfadc_recall" -> ivfadcRecallSql,
     "emb_ivfadc_persisted" -> ivfadcRecallSql,
     "emb_ivfadc_incremental" -> ivfadcRecallSql,
+    "emb_ivfadc_erase" -> ivfadcRecallSqlOver("NOT (vec_id % 37 = 5)"),
+    "emb_knn_classify_indexed" -> knnClassifyIndexedSql,
     "emb_sq8_recall" -> sq8RecallSql,
     "emb_ivfadc_residual" -> ivfadcResidualSql,
     "dedup_semantic" -> semDedupSql,

@@ -220,7 +220,13 @@ object LayoutOps extends QueryModule {
   private[graft] def zorderLayout(spark: SparkSession, dir: String): String = {
     import spark.implicits._
     val t = tag(dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$t"
+    // pid-namespaced like StreamingPipelines.ckptRoot: two concurrent
+    // forked JVMs (sbt test + Verify) must not race the first-time write,
+    // and a stale layout from a previous binary must not survive a code
+    // change to the written columns (round-10 advice).
+    val pid = ProcessHandle.current().pid()
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_zorder_p${pid}_$t"
     if (!new java.io.File(s"$base/_SUCCESS").exists()) {
       Tables.events(spark, dir)
         .withColumn("ems", epochMs($"ts"))

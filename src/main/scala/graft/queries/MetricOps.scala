@@ -506,12 +506,7 @@ object MetricOps extends QueryModule {
     * node. */
   private def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bands = TextAnalysis.lshBandRows(
-      Tables.documents(spark, dir).select($"doc_id", $"text"))
-    val e = bands.select($"band_val", $"doc_id".as("a"))
-      .join(bands.select($"band_val", $"doc_id".as("b")), Seq("band_val"))
-      .filter($"a" < $"b")
-      .select($"a", $"b").distinct()
+    val e = TextAnalysis.lshEdges(spark, dir)
     val deg = e.select($"a".as("doc_id"))
       .unionAll(e.select($"b".as("doc_id")))
       .groupBy($"doc_id").agg(count(lit(1)).as("deg"))
@@ -594,12 +589,7 @@ object MetricOps extends QueryModule {
     * like every other query on this graph. */
   private def assortativity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bands = TextAnalysis.lshBandRows(
-      Tables.documents(spark, dir).select($"doc_id", $"text"))
-    val e = bands.select($"band_val", $"doc_id".as("a"))
-      .join(bands.select($"band_val", $"doc_id".as("b")), Seq("band_val"))
-      .filter($"a" < $"b")
-      .select($"a", $"b").distinct()
+    val e = TextAnalysis.lshEdges(spark, dir)
     val deg = e.select($"a".as("n"))
       .unionAll(e.select($"b".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg"))

@@ -353,6 +353,9 @@ object StreamingQueries extends QueryModule {
     "stream_phash_dedup" ->
       ((s: SparkSession, d: String) =>
         StreamingPipelines.phashDedupStream(s, d)),
+    "stream_knn_classify" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.knnClassifyStream(s, d)),
     "gen_synthetic_txns" -> (syntheticTxns _))
 
   /** Oracle for stream_warm_start: the batch query over the FULL history
@@ -481,5 +484,6 @@ object StreamingQueries extends QueryModule {
     "stream_warm_start" -> warmStartSql,
     "stream_dsir_gate" -> CorpusPipeline.dsirSampleSql,
     "stream_phash_dedup" -> MultimodalQueries.mmPhashStreamSql,
+    "stream_knn_classify" -> Embeddings.streamKnnClassifySql,
     "gen_synthetic_txns" -> syntheticTxnsSql)
 }

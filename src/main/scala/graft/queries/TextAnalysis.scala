@@ -1656,6 +1656,34 @@ object TextAnalysis extends QueryModule {
     """transform(sequence(0, 7), j -> array_min(transform(si,
       |    x -> ((2*j + 1) * x + 97*j + 13) % 2147483647)))""".stripMargin
 
+  private val edgeCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** THE LSH-band candidate edge set (node = doc, edge = pair of docs
+    * sharing ≥ 1 band bucket), oriented a &lt; b, distinct — the one graph
+    * under `graph_triangles`, `graph_clustering_coeff`,
+    * `graph_assortativity`, and `dedup_minhash_eval`'s candidate side.
+    * Built ONCE per (session, dataset) and localCheckpoint'd (round-11,
+    * verdict r10 #3: the three graph queries each rebuilt this identical
+    * edge set — ~2/3 of the family's bench time was the duplicated band
+    * self-join). Eager checkpoint rather than persist: the edge set
+    * re-enters every consumer's logical plan, and truncated lineage keeps
+    * Catalyst from re-optimizing the shingle→minhash→self-join tree per
+    * query (the pinned-matrix lesson). Session-scoped key: checkpointed
+    * blocks die with their session, so a frame cached under one session
+    * must never be served to another. */
+  private[graft] def lshEdges(spark: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrElseUpdate(s"${System.identityHashCode(spark)}@$dir", {
+      val bands = lshBandRows(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      bands.select(col("band_val"), col("doc_id").as("a"))
+        .join(bands.select(col("band_val"), col("doc_id").as("b")),
+          Seq("band_val"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+        .localCheckpoint(true)
+    })
+
   /** (doc_id, band_val) rows for MinHash LSH banding over a (doc_id,
     * text) frame — pure per-row map + explode, streaming-safe. */
   private[graft] def lshBandRows(df: DataFrame): DataFrame =
@@ -1663,6 +1691,11 @@ object TextAnalysis extends QueryModule {
       .withColumn("sh", expr(shingleExpr))
       .withColumn("si", expr(shingleHashExpr))
       .withColumn("mh", expr(minhashExpr))
+      // sub-shingle guard (same as fuzzySigRows): a <3-token doc has null
+      // minhash slots — concat_ws would skip them and collide all such
+      // docs on bare '0'..'3' bands while the oracle's `||` yields NULL.
+      // Emit no bands for shingle-less docs so every path agrees.
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"),
         col("mh"))
       .select(col("doc_id"),
@@ -1872,10 +1905,7 @@ object TextAnalysis extends QueryModule {
     import spark.implicits._
     val truth = prefixScored(spark, dir).filter($"jaccard" >= 0.6)
     val d = docs(spark, dir)
-    val bands = lshBandRows(d.select($"doc_id", $"text"))
-    val cand = bands.select($"band_val", $"doc_id".as("a"))
-      .join(bands.select($"band_val", $"doc_id".as("b")), Seq("band_val"))
-      .filter($"a" < $"b").select($"a", $"b").distinct()
+    val cand = lshEdges(spark, dir)
     val sets = d.select($"doc_id", expr(shingleExpr).as("sh"))
     val candJ = cand
       .join(sets.select($"doc_id".as("a"), $"sh".as("sa")), Seq("a"))
@@ -1973,13 +2003,7 @@ object TextAnalysis extends QueryModule {
     * cluster-coherence check on a dedup graph. Output: per-doc triangle
     * participation. */
   private def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val bands = lshBandRows(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-    val e = bands.select(col("band_val"), col("doc_id").as("a"))
-      .join(bands.select(col("band_val"), col("doc_id").as("b")),
-        Seq("band_val"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val e = lshEdges(spark, dir)
     val tri = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
       .join(e.select(col("a"), col("b").as("c"), lit(1).as("closed")),

@@ -335,6 +335,10 @@ object StreamingPipelines {
     * at-a-time by contract: Verify/Bench/the probes all run streaming
     * queries strictly sequentially on this session. A concurrent batch
     * query on the same session could observe the pinned value. */
+  /** Physical plan of the most recent runToMemory micro-batch — test
+    * observability only (PlanPinSpec's stream-static join pins). */
+  @volatile private[graft] var lastExecutedPlan: Option[String] = None
+
   def runToMemory(spark: SparkSession, out: DataFrame, mode: String,
                   caller: String = "query",
                   stateParts: String = StatePartitions): DataFrame = {
@@ -359,12 +363,33 @@ object StreamingPipelines {
     // checkpoints are verification-ephemeral (deleted on stop); a
     // production deployment points this at durable storage and sizes the
     // commit cost explicitly (ARCHITECTURE.md "streaming fixed costs").
-    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, name)
+    // graft.ckpt.base system property: measurement override for the
+    // durable-checkpoint cost table (ARCHITECTURE.md) — lets ScaleCheck
+    // re-run the same stateful query against /dev/shm vs a disk-backed
+    // dir vs an fsync-contended disk without touching the default.
+    val ckptBase = sys.props.get("graft.ckpt.base")
+      .map { p =>
+        val d = java.nio.file.Paths.get(p)
+        java.nio.file.Files.createDirectories(d); d
+      }.getOrElse(ckptRoot)
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, name)
     try {
       val q = out.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ckpt.toString)
         .outputMode(mode).start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        // expose the last micro-batch's PHYSICAL plan so PlanPinSpec can
+        // pin stream-static join strategies (broadcast, not shuffle) —
+        // a Spark upgrade must not silently regress a plan the bench
+        // would only catch as a timing blip (round-11, verdict r10 #8)
+        lastExecutedPlan = q match {
+          case w: org.apache.spark.sql.execution.streaming.runtime
+              .StreamingQueryWrapper =>
+            Option(w.streamingQuery.lastExecution).map(_.executedPlan.toString)
+          case _ => None
+        }
+      } finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       import scala.jdk.CollectionConverters._
@@ -479,7 +504,7 @@ object StreamingPipelines {
     * the session late-update and the single-trigger complete-mode window
     * measured FLAT-to-best at 8 and keep the global default — a pin is
     * only honest where the sweep actually moved. */
-  private val LateUpdateParts = "4"
+  private[graft] val LateUpdateParts = "4"
 
   def intervalJoinStream(spark: SparkSession, dir: String,
                          nChunks: Int = 8,
@@ -932,7 +957,10 @@ object StreamingPipelines {
       get_json_object(col("props"), "$.k"))
     val dim = graft.core.Tables.events(spark, dir)
       .filter(col("event_type") === "purchase" && col("value") > 97)
-      .select(keyCol.as("k")).distinct()
+      // a props row without key 'k' concats to a NULL k; collect would
+      // unbox its NULL wi/bits to 0 and clobber word 0 of the filter —
+      // the oracle drops NULL keys via join non-match, so drop them here
+      .select(keyCol.as("k")).filter(col("k").isNotNull).distinct()
     val words = dim
       .select(explode(expr("sequence(0, 2)")).as("i"), col("k"))
       .select(expr(s"""cast(conv(substr(md5(cast(concat(i, ':', k) as binary)),
@@ -1134,6 +1162,128 @@ object StreamingPipelines {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** embeddings.parquet staged as a vec_id-ORDERED nChunks file stream —
+    * docStreamReplay's staging contract for the vector table. */
+  def embStreamReplay(spark: SparkSession, dir: String,
+      nChunks: Int = 2): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import java.nio.charset.StandardCharsets
+    import scala.jdk.CollectionConverters._
+    val path = s"$dir/embeddings.parquet"
+    val src = Paths.get(path)
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_embreplay_" + path.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${nChunks}_p$procToken")
+    val marker = stage.resolve("_staged")
+    val sig =
+      s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}:v1"
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == sig
+    if (!fresh) {
+      if (Files.exists(stage)) {
+        val walk = Files.walk(stage)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+        finally walk.close()
+      }
+      graft.core.Tables.embeddings(spark, dir)
+        .repartitionByRange(nChunks, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(stage.toString)
+      val listing = Files.list(stage)
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toSeq
+          .sortBy(_.getFileName.toString)
+        finally listing.close()
+      val t0 = Files.getLastModifiedTime(src).toMillis
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(t0 + i * 1000L))
+      }
+      Files.write(marker, sig.getBytes(StandardCharsets.UTF_8))
+    }
+    val schema = spark.read.parquet(stage.toString).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+  }
+
+  /** Streaming kNN label-vote classification (round-11, verdict r10 #7)
+    * — the broadcast-model gate contract (stream_dsir_gate) applied to
+    * the persisted ANN index: the index (centroids + per-cell posting
+    * lists with raw floats and hoisted norms) is read ONCE from the
+    * shared persisted store at query start — the per-index-load collect
+    * a serving node does — and rides to the executors as a broadcast.
+    * Every arriving query vector (every 8th vec_id, the eval sample)
+    * classifies STATELESSLY: probe the 3 nearest coarse cells, exact-
+    * cosine-scan only their members (self excluded), vote over the
+    * top-10 (cos ROUND HALF_UP to 6 dp desc, vec_id tie; majority vote,
+    * ties → smallest label — bit-identical to the batch/oracle
+    * discipline, including java.math.BigDecimal.valueOf rounding =
+    * Spark's shortest-string HALF_UP). Zero streaming state, zero
+    * stream-side shuffle, O(probed cells) per event. Finale aggregates
+    * per class; oracle = the shared indexed-prediction CTE chain. */
+  def knnClassifyStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cent, cellsIdx) =
+      graft.queries.Embeddings.annIndexForBroadcast(spark, dir)
+    val bcCent = spark.sparkContext.broadcast(
+      cent.map { case (c, v) => (c, v.toArray) }.sortBy(_._1).toArray)
+    val bcIdx = spark.sparkContext.broadcast(cellsIdx)
+    val in = embStreamReplay(spark, dir)
+      .filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+    val out = in.flatMap { case (qid, trueLabel, qvSeq) =>
+      val qv = qvSeq.toArray
+      // qn: the same sequential square fold the batch path and oracle run
+      var sq = 0.0
+      var j = 0
+      while (j < qv.length) { sq += qv(j).toDouble * qv(j).toDouble; j += 1 }
+      val qn = math.sqrt(sq)
+      // probe: top-3 cells by sequential-fold L2, ties on cell id
+      val probes = bcCent.value.map { case (c, cv) =>
+        var d = 0.0
+        var i = 0
+        while (i < cv.length) {
+          val t = qv(i).toDouble - cv(i); d += t * t; i += 1
+        }
+        (d, c)
+      }.sortBy(identity).take(3).map(_._2)
+      // scan posting lists of probed cells: (rounded cos, vec_id, label)
+      val cands = probes.iterator
+        .flatMap(c => bcIdx.value.getOrElse(c, Array.empty[(Long, Int, Array[Float], Double)]))
+        .filter(_._1 != qid)
+        .map { case (vid, lbl, emb, nrm) =>
+          var dot = 0.0
+          var i = 0
+          while (i < emb.length) {
+            dot += qv(i).toDouble * emb(i).toDouble; i += 1
+          }
+          val cos = java.math.BigDecimal.valueOf(dot / (qn * nrm))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          (cos, vid, lbl)
+        }.toArray
+      if (cands.isEmpty) Iterator.empty
+      else {
+        val top = cands.sortBy { case (cos, vid, _) => (-cos, vid) }.take(10)
+        val pred = top.groupBy(_._3).map { case (l, xs) => (xs.length, l) }
+          .toSeq.sortBy { case (n, l) => (-n, l) }.head._2
+        Iterator.single((qid, trueLabel, pred))
+      }
+    }.toDF("query_id", "true_label", "pred_label")
+    val sink = runToMemory(spark, out, "append", "knncls")
+    sink.groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("true_label").cast("long").as("label"),
+        col("n_queries"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_queries")).as("accuracy"))
+      .orderBy(col("label"))
+  }
+
   /** Streaming WARM START from a batch snapshot (round 10) — the
     * batch→streaming CUTOVER every production feature platform performs:
     * per-user (count, cent-sum) state is SEEDED from a batch aggregate
@@ -1267,17 +1417,30 @@ object StreamingPipelines {
     * rollup is the SAME `funnelRollup` the batch funnel reports
     * through, so the oracle is the batch funnel's SQL verbatim. */
   def curationFunnelStream(spark: SparkSession, dir: String,
-      stateParts: String = LateUpdateParts): DataFrame = {
+      stateParts: String = LateUpdateParts,
+      stageTimes: scala.collection.mutable.Map[String, Double] = null)
+      : DataFrame = {
     import graft.queries.TextAnalysis
+    // per-stage attribution hook (ScaleCheck's stream_corpus_funnel row —
+    // round-11, verdict r10 #4): wall time of each streaming query; the
+    // caller's total minus these is the finale rollup's batch cost
+    def staged[A](name: String)(f: => A): A =
+      if (stageTimes == null) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        stageTimes(name) = (System.nanoTime() - t0) / 1e9; r
+      }
     // the three STATELESS gates stack in ONE single-trigger pass (the
     // column-appending cores; multi-trigger replay only exercises state
     // semantics, which these gates have none of). Docs with <2 tokens
     // drop here, matching the batch funnel's inner join against the
     // repetition gate.
-    val evalGrams: Set[Long] = TextAnalysis.evalGramTable(spark, dir)
-      .collect().map(_.getLong(0)).toSet
+    val evalGrams: Set[Long] = staged("decontam_broadcast") {
+      TextAnalysis.evalGramTable(spark, dir)
+        .collect().map(_.getLong(0)).toSet
+    }
     val bc = spark.sparkContext.broadcast(evalGrams)
-    val stateless = {
+    val stateless = staged("stateless_gates") {
       import spark.implicits._
       runToMemory(spark,
         TextAnalysis.withRepetitionCols(
@@ -1322,15 +1485,22 @@ object StreamingPipelines {
         .withColumn("mh", expr(minhashExpr))
         .select(col("doc_id"), explode(concat(
           array(concat(lit("x"), md5(col("text").cast("binary")))),
-          expr("""transform(sequence(0, 3), b -> concat_ws(':', b,
-            |  element_at(mh, 2*b + 1), element_at(mh, 2*b + 2)))"""
+          // sub-shingle guard (fuzzySigRows / lshBandRows): a <3-token doc
+          // has null minhash slots; concat_ws would emit bare '0'..'3'
+          // bands colliding all such docs while the oracle's || is NULL.
+          expr("""if(size(sh) > 0,
+            |  transform(sequence(0, 3), b -> concat_ws(':', b,
+            |    element_at(mh, 2*b + 1), element_at(mh, 2*b + 2))),
+            |  array())"""
             .stripMargin))).as("band_val"))
         .select(col("band_val"), col("doc_id"))
         .as[StatefulFeatures.BandIn]
     }
-    val fusedSink = runToMemory(spark,
-      StatefulFeatures.bucketFirstUpdate(fusedIn).toDF(), "update",
-      "funnelem", stateParts)
+    val fusedSink = staged("fused_state") {
+      runToMemory(spark,
+        StatefulFeatures.bucketFirstUpdate(fusedIn).toDF(), "update",
+        "funnelem", stateParts)
+    }
     val e = fusedSink.filter(substring(col("band_val"), 1, 1) === "x")
       .select(col("doc_id"), (col("winner_id") === col("doc_id")).as("e"))
     val m = fusedSink.filter(substring(col("band_val"), 1, 1) =!= "x")
