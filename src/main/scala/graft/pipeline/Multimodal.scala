@@ -149,13 +149,29 @@ object Multimodal {
     *   s(i) = ((31 i^2 + 7 i + 13 id) % 65536) - 32768
     * Encoded as PCM_SIGNED 16-bit mono little-endian with the JDK's
     * `AudioSystem` WAVE writer (lossless by spec). */
-  def synthWav(id: Long): Array[Byte] = {
-    val rate = (8000 + (id % 4) * 4000).toInt
-    val n = (400 + id % 100).toInt
+  def synthWav(id: Long): Array[Byte] = synthWavPert(id, 0L, 0L)
+
+  /** [[synthWav]] with two extensions for the near-dup corpus, both
+    * closed-form for the oracle: `pert = 1` gives sample 5 a +1 INSIDE
+    * the % 65536 wrap (the audio analogue of the image table's
+    * single-pixel retouch — no clamp case), and `crossK` adds a
+    * crossK·e·i term so different ids differ in waveform SHAPE, not just
+    * a constant offset (the base formula's 13·e term shifts every sample
+    * equally, which leaves adjacent-frame energy ORDER nearly
+    * id-independent — a fingerprint over it matches half the corpus;
+    * measured 14,922 Hamming-≤1 pairs at sf0.01 before the cross term,
+    * ~150 after). `pert = crossK = 0` is byte-identical to the original
+    * generator, so the roundtrip oracle is untouched. */
+  private[graft] def synthWavPert(e: Long, pert: Long,
+      crossK: Long): Array[Byte] = {
+    val rate = (8000 + (e % 4) * 4000).toInt
+    val n = (400 + e % 100).toInt
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val s = (((31L * i * i + 7L * i + 13L * id) % 65536L) - 32768L).toInt
+      val d = if (pert == 1L && i == 5) 1L else 0L
+      val s = (((31L * i * i + 7L * i + 13L * e + crossK * e * i + d)
+        % 65536L) - 32768L).toInt
       pcm(2 * i) = (s & 0xff).toByte
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
@@ -183,6 +199,77 @@ object Multimodal {
             declared_h = (400 + id % 100).toInt)
         }
       }
+  }
+
+  /** Near-dup WAV corpus: ids with `id % 10 == 9` re-synthesize their
+    * BASE `e = id div 10` (same rate, same length, same samples) with
+    * the one-sample perturbation — a genuinely near-duplicate recording
+    * a byte-exact dedup misses. Synthesis runs per-partition on
+    * executors, like every media table here. */
+  def synthNearDupAudioTable(spark: SparkSession,
+      ids: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val e = if (id % 10 == 9) id / 10 else id
+          val pert = if (id % 10 == 9) 1L else 0L
+          MediaRow(id, synthWavPert(e, pert, 97L), "audio/wav",
+            declared_w = (8000 + (e % 4) * 4000).toInt,
+            declared_h = (400 + e % 100).toInt)
+        }
+      }
+  }
+
+  /** Energy-delta audio fingerprint (Shazam-lite, the audio member of
+    * the perceptual-dedup family): REAL decode → 8-sample frame energies
+    * (exact Longs — ≤ 8·32768² per frame) → one bit per adjacent-frame
+    * comparison (E_{f+1} > E_f; gain-invariant — a uniform gain scales
+    * every energy but flips no comparison), giving 49–61 bits for this
+    * corpus's 400–499-sample clips, packed into FOUR 16-bit BAND words
+    * (the dedup_phash_images shape: a Hamming-≤3 pair cannot differ in
+    * all 4 bands, so a (band, frame-count, word) equi-join is PROVABLY
+    * complete at Hamming ≤ 3 among equal-length fingerprints, and the
+    * 2¹⁶ band space keeps bucket occupancy ~n/2¹⁶ — scale-safe where a
+    * short word would saturate). */
+  case class AudioFp(media_id: Long, fc: Long, w0: Long, w1: Long,
+      w2: Long, w3: Long)
+
+  def audioFingerprint(ds: Dataset[MediaRow]): Dataset[AudioFp] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        val pcm = ais.readAllBytes()
+        ais.close()
+        val n = pcm.length / 2
+        val lo = if (fmt.isBigEndian) 1 else 0
+        val fc = n / 8
+        val en = new Array[Long](fc)
+        var f = 0
+        while (f < fc) {
+          var e = 0L
+          var i = 8 * f
+          while (i < 8 * (f + 1)) {
+            val s = ((pcm(2 * i + lo) & 0xff) |
+              (pcm(2 * i + 1 - lo).toInt << 8)).toShort.toLong
+            e += s * s
+            i += 1
+          }
+          en(f) = e
+          f += 1
+        }
+        val w = new Array[Long](4)
+        var b = 0
+        while (b < fc - 1 && b < 64) {
+          if (en(b + 1) > en(b)) w(b / 16) |= (1L << (b % 16))
+          b += 1
+        }
+        AudioFp(r.media_id, fc.toLong, w(0), w(1), w(2), w(3))
+      }
+    }
   }
 
   /** REAL per-partition audio decode via `javax.sound.sampled` (the JDK
@@ -256,11 +343,35 @@ object Multimodal {
   private def list(listType: String, children: Array[Byte]): Array[Byte] =
     chunk("LIST", fourcc(listType) ++ children)
 
-  def synthAvi(id: Long): Array[Byte] = {
-    val w = 8 + (id % 5).toInt
-    val h = 6 + (id % 7).toInt
-    val nFrames = 3 + (id % 4).toInt
-    val fps = 10 + (id % 5).toInt
+  def synthAvi(id: Long): Array[Byte] =
+    buildAvi(8 + (id % 5).toInt, 6 + (id % 7).toInt, 3 + (id % 4).toInt,
+      10 + (id % 5).toInt,
+      // (f, x, y) -> (blue, green, red): the original linear gradient
+      (f, x, y) => (((5 * x + 11 * y + 17 * f + id) % 256).toInt,
+        ((2 * x + 3 * y + 7 * f + 2 * id) % 256).toInt,
+        ((x + y + f + 3 * id) % 256).toInt))
+
+  /** Near-dup AVI for base clip `e`: identical container, pixels one LCG
+    * step each — `v = (1103515245·(x + 16y + 256f + 4096e) + 12345) mod
+    * 2³¹` — because an aHash over [[synthAvi]]'s linear gradient is the
+    * same mask for every clip (the synthPngNear lesson); `perturb` adds
+    * 128 (mod 256) to frame 0's (0,0) blue channel — the one-pixel
+    * retouch of a single keyframe. */
+  private[graft] def synthAviNear(e: Long, perturb: Boolean): Array[Byte] =
+    buildAvi(8 + (e % 5).toInt, 6 + (e % 7).toInt, 3 + (e % 4).toInt,
+      10 + (e % 5).toInt,
+      (f, x, y) => {
+        val v = (1103515245L * (x + 16L * y + 256L * f + 4096L * e) +
+          12345L) % 2147483648L
+        val b0 = (v % 256L).toInt
+        val blu =
+          if (perturb && f == 0 && x == 0 && y == 0) (b0 + 128) % 256
+          else b0
+        (blu, ((v / 256L) % 256L).toInt, ((v / 65536L) % 256L).toInt)
+      })
+
+  private def buildAvi(w: Int, h: Int, nFrames: Int, fps: Int,
+      px: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val stride = (w * 3 + 3) & ~3
     val frameBytes = stride * h
 
@@ -271,9 +382,10 @@ object Multimodal {
         val off = (h - 1 - y) * stride // DIB: image row y stored bottom-up
         var x = 0
         while (x < w) {
-          a(off + 3 * x) = ((5 * x + 11 * y + 17 * f + id) % 256).toByte
-          a(off + 3 * x + 1) = ((2 * x + 3 * y + 7 * f + 2 * id) % 256).toByte
-          a(off + 3 * x + 2) = ((x + y + f + 3 * id) % 256).toByte
+          val (blu, grn, red) = px(f, x, y)
+          a(off + 3 * x) = blu.toByte
+          a(off + 3 * x + 1) = grn.toByte
+          a(off + 3 * x + 2) = red.toByte
           x += 1
         }
         y += 1
@@ -326,6 +438,108 @@ object Multimodal {
     * frame chunk's DIB pixels (bottom-up rows, 4-byte stride) into the
     * top-down position-weighted sum. Narrows [[decodeStub]]'s boundary
     * to compressed codecs. */
+  /** Near-dup AVI corpus: ids with `id % 10 == 9` re-render their BASE
+    * `e = id div 10` (same dims, frames, fps, pixels) with the one-pixel
+    * frame-0 retouch — the lightly-edited re-upload a byte-exact video
+    * dedup misses. */
+  def synthNearDupVideoTable(spark: SparkSession,
+      ids: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val dup = id % 10 == 9
+          val e = if (dup) id / 10 else id
+          MediaRow(id, synthAviNear(e, dup), "video/avi",
+            declared_w = 8 + (e % 5).toInt, declared_h = 6 + (e % 7).toInt)
+        }
+      }
+  }
+
+  /** Per-KEYFRAME perceptual hash over the REAL container decode: one
+    * row per frame with a 16-bit aHash of the 4×4 NN-resampled luma grid
+    * (sx = tx·w div 4, the [[resizeImages]] convention; integer luma
+    * 299r+587g+114b; mean threshold multiplied through — bit p set iff
+    * gray_p·16 ≥ Σ gray). The frame index is the LSH band downstream:
+    * clips share ≥ 3 frames, so a ≤ 2-bit total difference cannot touch
+    * every frame's hash. Same spec-derived RIFF walk as [[decodeVideo]]
+    * (bottom-up DIB rows, 4-byte stride, BGR). */
+  case class VideoFpRow(media_id: Long, w: Int, h: Int, nf: Long, f: Long,
+      hash16: Long)
+
+  def videoFingerprint(ds: Dataset[MediaRow]): Dataset[VideoFpRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bb = java.nio.ByteBuffer.wrap(r.payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fcc(): String = {
+          val a = new Array[Byte](4); bb.get(a)
+          new String(a, java.nio.charset.StandardCharsets.US_ASCII)
+        }
+        require(fcc() == "RIFF" && { bb.getInt; fcc() == "AVI " },
+          s"not a RIFF AVI for media ${r.media_id}")
+        var w = 0; var h = 0; var stride = 0
+        var isDib = false; var framesSeen = 0L
+        val out = scala.collection.mutable.ArrayBuffer.empty[VideoFpRow]
+        while (bb.remaining >= 8) {
+          val id = fcc(); val sz = bb.getInt
+          if (id == "LIST") fcc()
+          else {
+            val start = bb.position()
+            id match {
+              case "strh" =>
+                val (t, hd) = (fcc(), fcc())
+                require(t == "vids" && hd == "DIB ",
+                  s"unexpected stream $t/$hd for media ${r.media_id}")
+                isDib = true
+              case "strf" =>
+                bb.position(start + 4); w = bb.getInt(); h = bb.getInt()
+                bb.position(start + 14)
+                val bits = bb.getShort(); val compression = bb.getInt()
+                require(bits == 24 && compression == 0,
+                  s"not uncompressed BI_RGB for media ${r.media_id}")
+                stride = (w * 3 + 3) & ~3
+              case "00db" =>
+                require(isDib && stride > 0 && sz == stride * h,
+                  s"malformed frame for media ${r.media_id}")
+                val gray = new Array[Long](16)
+                var total = 0L
+                var ty = 0
+                while (ty < 4) {
+                  val sy = ty * h / 4
+                  val off = start + (h - 1 - sy) * stride
+                  var tx = 0
+                  while (tx < 4) {
+                    val sx = tx * w / 4
+                    val blu = r.payload(off + 3 * sx) & 0xff
+                    val grn = r.payload(off + 3 * sx + 1) & 0xff
+                    val red = r.payload(off + 3 * sx + 2) & 0xff
+                    val g = 299L * red + 587L * grn + 114L * blu
+                    gray(4 * ty + tx) = g
+                    total += g
+                    tx += 1
+                  }
+                  ty += 1
+                }
+                var hash = 0L
+                var p = 0
+                while (p < 16) {
+                  if (gray(p) * 16L >= total) hash |= (1L << p)
+                  p += 1
+                }
+                out += VideoFpRow(r.media_id, w, h, 0L, framesSeen, hash)
+                framesSeen += 1
+              case _ => ()
+            }
+            bb.position(start + sz + (sz & 1))
+          }
+        }
+        out.map(v => v.copy(nf = framesSeen))
+      }
+    }
+  }
+
   def decodeVideo(ds: Dataset[MediaRow]): Dataset[DecodedVideo] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>

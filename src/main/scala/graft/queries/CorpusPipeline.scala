@@ -392,8 +392,159 @@ object CorpusPipeline extends QueryModule {
       |SELECT doc_id, score, n_bigrams FROM sc
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------- RAG chunking
+  private val chunkSize = 64L
+  private val chunkStride = 48L
+
+  /** RAG/pretraining document chunker (round 11): fixed 64-token windows
+    * every 48 tokens (16-token overlap) per document — the retrieval-
+    * chunking shape. Docs chunk INDEPENDENTLY, so this is a pure per-row
+    * explode with zero shuffle at any corpus size; the window grid is a
+    * closed all-non-negative integer formula both engines share
+    * (`1 + (max(0, n−64) + 47) div 48` — operands kept ≥ 0 because
+    * Spark `div` truncates while DuckDB `//` floors, and they only agree
+    * on non-negatives). Output: one row per (doc, chunk) with the span
+    * and an md5-derived fingerprint of the chunk text, proving both
+    * engines cut byte-identical spans. */
+  private def chunkWindows(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks", expr(
+        s"1L + (greatest(0L, n - $chunkSize) + ${chunkStride - 1}) div $chunkStride"))
+      .withColumn("chunk_idx", explode(expr("sequence(0L, n_chunks - 1)")))
+      .withColumn("start_tok", col("chunk_idx") * chunkStride)
+      .withColumn("n_toks",
+        least(lit(chunkSize), col("n") - col("start_tok")))
+      .withColumn("chunk_text", expr(
+        "concat_ws(' ', slice(toks, cast(start_tok + 1 as int), " +
+          "cast(n_toks as int)))"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_toks"),
+        expr("cast(conv(substr(md5(cast(chunk_text as binary)), 1, 8), " +
+          "16, 10) as bigint)").as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val chunkWindowsSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), d AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+       |  FROM t WHERE len(toks) > 0
+       |), g AS (
+       |  SELECT doc_id, toks, n,
+       |    1 + (GREATEST(0, n - $chunkSize) + ${chunkStride - 1})
+       |      // $chunkStride AS n_chunks
+       |  FROM d
+       |), c AS (
+       |  SELECT doc_id, toks, n,
+       |    CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_idx
+       |  FROM g
+       |)
+       |SELECT doc_id, chunk_idx,
+       |  chunk_idx * $chunkStride AS start_tok,
+       |  LEAST($chunkSize, n - chunk_idx * $chunkStride) AS n_toks,
+       |  CAST(('0x' || substr(md5(array_to_string(
+       |    toks[chunk_idx * $chunkStride + 1 :
+       |         chunk_idx * $chunkStride +
+       |         LEAST($chunkSize, n - chunk_idx * $chunkStride)], ' ')),
+       |    1, 8)) AS BIGINT) AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --------------------------------------- concat-and-chunk token packing
+  private val ctxTokens = 256L
+
+  /** GPT-style concat-and-chunk sequence packing (round 11): the per-lang
+    * token stream (docs concatenated in doc_id order) split into EXACT
+    * 256-token context windows. Unlike `doc_pack_bins` (doc-granular
+    * bins, docs never split), documents here STRADDLE window boundaries —
+    * the composition a pretraining dataloader actually sees. Prefix sums
+    * give every doc its absolute token interval; each doc explodes to
+    * only the windows it touches (fan-out = interval/C, Σ = total
+    * tokens/C), then one window-keyed agg — no sequential scan. The
+    * running sum is per-lang (parallel across langs); at 100 TB the
+    * module-doc prefix-sharding note applies. Output per window: doc
+    * count, first/last doc, token count (C except the final partial),
+    * and the head carry-over (tokens belonging to a doc that began in an
+    * earlier window — the boundary-fraction statistic). */
+  private def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("cum_end", sum(col("n_toks")).over(byLang))
+      .withColumn("start", col("cum_end") - col("n_toks"))
+      .withColumn("first_w", expr(s"start div $ctxTokens"))
+      .withColumn("last_w", expr(s"(cum_end - 1) div $ctxTokens"))
+    val exploded = d
+      .withColumn("w", explode(expr("sequence(first_w, last_w)")))
+      .withColumn("contrib",
+        least(col("cum_end"), (col("w") + 1) * ctxTokens) -
+          greatest(col("start"), col("w") * ctxTokens))
+      .withColumn("head_carry",
+        when(col("start") < col("w") * ctxTokens,
+          least(col("cum_end"), (col("w") + 1) * ctxTokens) -
+            col("w") * ctxTokens).otherwise(lit(0L)))
+    exploded.groupBy(col("lang"), col("w").as("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("contrib")).as("n_tokens"),
+        max(col("head_carry")).as("head_carry"))
+      .select(col("lang"), col("window_id"), col("n_docs"),
+        col("first_doc"), col("last_doc"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("head_carry").cast("long").as("head_carry"),
+        (col("n_tokens").cast("double") / ctxTokens.toDouble)
+          .as("fill_ratio"))
+      .orderBy(col("lang"), col("window_id"))
+  }
+
+  private val tokenPackingSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_toks
+       |  FROM documents
+       |), d AS (
+       |  SELECT doc_id, lang, n_toks,
+       |    SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+       |  FROM t WHERE n_toks > 0
+       |), iv AS (
+       |  SELECT doc_id, lang, n_toks,
+       |    CAST(cum_end AS BIGINT) AS cum_end,
+       |    CAST(cum_end - n_toks AS BIGINT) AS strt,
+       |    CAST((cum_end - n_toks) // $ctxTokens AS BIGINT) AS first_w,
+       |    CAST((cum_end - 1) // $ctxTokens AS BIGINT) AS last_w
+       |  FROM d
+       |), e AS (
+       |  SELECT doc_id, lang, n_toks, cum_end, strt,
+       |    CAST(unnest(range(first_w, last_w + 1)) AS BIGINT) AS w
+       |  FROM iv
+       |), x AS (
+       |  SELECT lang, w, doc_id,
+       |    LEAST(cum_end, (w + 1) * $ctxTokens)
+       |      - GREATEST(strt, w * $ctxTokens) AS contrib,
+       |    CASE WHEN strt < w * $ctxTokens THEN
+       |      LEAST(cum_end, (w + 1) * $ctxTokens) - w * $ctxTokens
+       |    ELSE 0 END AS head_carry
+       |  FROM e
+       |)
+       |SELECT lang, w AS window_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  CAST(SUM(contrib) AS BIGINT) AS n_tokens,
+       |  CAST(MAX(head_carry) AS BIGINT) AS head_carry,
+       |  CAST(SUM(contrib) AS BIGINT) / ${ctxTokens.toDouble} AS fill_ratio
+       |FROM x GROUP BY lang, w ORDER BY lang, w""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_budget_select" -> (budgetSelect _),
+    "text_chunking" -> (chunkWindows _),
+    "ml_token_packing" -> (tokenPacking _),
     "corpus_dsir_sample" -> (dsirSample _),
     "doc_zorder_layout" -> (zorderLayout _),
     "text_pii_scrub" -> (piiScrub _),
@@ -402,6 +553,8 @@ object CorpusPipeline extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "corpus_budget_select" -> budgetSelectSql,
+    "text_chunking" -> chunkWindowsSql,
+    "ml_token_packing" -> tokenPackingSql,
     "corpus_dsir_sample" -> dsirSampleSql,
     "doc_zorder_layout" -> zorderLayoutSql,
     "text_pii_scrub" -> piiScrubSql,

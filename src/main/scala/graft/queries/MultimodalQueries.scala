@@ -263,6 +263,204 @@ object MultimodalQueries extends QueryModule {
       |FROM samples GROUP BY doc_id, rate, n
       |ORDER BY media_id""".stripMargin
 
+  /** Audio near-dup dedup via energy-delta fingerprint + Hamming-LSH
+    * banding (round 11) — the AUDIO member of the perceptual-dedup
+    * family (`dedup_phash_images` is the image member, same machinery
+    * shape): byte-exact dedup misses a re-mastered or lightly-edited
+    * recording, so the pipeline fingerprints PERCEPTUALLY — REAL
+    * javax.sound decode → 8-sample frame energies (exact Longs) → one
+    * sign-of-delta bit per adjacent frame pair (the Shazam-lite
+    * signature: robust to uniform gain, which scales every energy but
+    * flips no comparisons), 49–61 bits packed into FOUR 16-bit BAND
+    * words keyed by (band, frame count): a Hamming-≤3 pair cannot
+    * differ in all 4 bands, so the banded equi-join is PROVABLY
+    * complete at Hamming ≤ 3 among equal-length fingerprints (and the
+    * 2¹⁶ band space keeps bucket occupancy ~n/2¹⁶ at corpus scale —
+    * the first 7-bit-word cut saturated its 128 buckets, see git
+    * history), and the oracle's ALL-PAIRS closed-form recompute (DuckDB
+    * never parses a WAV — it re-derives every sample from the generator
+    * formula, including the near-dup corpus's single-sample
+    * perturbation) grades exactly that.
+    * Perturbed copies (id % 10 = 9 re-renders base id div 10 with one
+    * sample +1) change ONLY frame 0's energy (by 2·s₅+1 ≪ the ~8.6e9
+    * frame scale), which feeds only delta bit 0 — so a true dup pair
+    * sits at Hamming ≤ 1 BY CONSTRUCTION, no recall knob to tune.
+    * Measured at sf0.01: exactly the 45 genuine dup pairs, all at
+    * Hamming 0, ZERO collisions (the other 5 dup ids have e ≡ 9 mod 10:
+    * their base is itself a perturbed render, so they are not near-dups
+    * of it, same as the image corpus) — a ~56-bit signature separates a
+    * 500-clip corpus cleanly, OperatorSpec pins the bit packing and the
+    * only-bit-0 dup property. */
+  private def mmAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Multimodal.audioFingerprint(
+        Multimodal.synthNearDupAudioTable(spark,
+          Tables.documents(spark, dir).select(col("doc_id"))))
+      .toDF().persist()
+    val bands = fp.select(col("media_id"), col("fc"),
+      posexplode(array(col("w0"), col("w1"), col("w2"), col("w3")))
+        .as(Seq("k", "v")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.k") === col("y.k") && col("x.fc") === col("y.fc") &&
+          col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"))
+      .distinct()
+    val pa = fp.select(col("media_id").as("ma"), col("w0").as("a0"),
+      col("w1").as("a1"), col("w2").as("a2"), col("w3").as("a3"))
+    val pb = fp.select(col("media_id").as("mb"), col("w0").as("c0"),
+      col("w1").as("c1"), col("w2").as("c2"), col("w3").as("c3"))
+    val out = cand.join(pa, Seq("ma")).join(pb, Seq("mb"))
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("ma"), col("mb"), col("hamming"))
+      .orderBy(col("ma"), col("mb"))
+    graft.core.CachePin.sealAndRelease(out, fp)
+  }
+
+  private val mmAudioDedupSql =
+    """WITH d2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 9 THEN doc_id // 10 ELSE doc_id END AS e,
+      |    CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS pert
+      |  FROM documents
+      |), dim AS (
+      |  SELECT doc_id, e, pert, CAST(400 + e % 100 AS BIGINT) AS n
+      |  FROM d2
+      |), sv AS (
+      |  SELECT doc_id, n, i // 8 AS f,
+      |    ((31 * i * i + 7 * i + 13 * e + 97 * e * i
+      |      + CASE WHEN pert = 1 AND i = 5 THEN 1 ELSE 0 END) % 65536)
+      |      - 32768 AS s
+      |  FROM (SELECT doc_id, e, pert, n,
+      |          CAST(unnest(range(n)) AS BIGINT) AS i FROM dim)
+      |  WHERE i < (n // 8) * 8
+      |), en AS (
+      |  SELECT doc_id, n, f, SUM(s * s) AS ef
+      |  FROM sv GROUP BY doc_id, n, f
+      |), db AS (
+      |  SELECT doc_id, n, f,
+      |    CASE WHEN lead(ef) OVER (PARTITION BY doc_id ORDER BY f) > ef
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM en
+      |), fpx AS MATERIALIZED (
+      |  SELECT doc_id, CAST(n // 8 AS BIGINT) AS fc,
+      |    CAST(SUM(CASE WHEN f // 16 = 0
+      |      THEN b * (1 << CAST(f % 16 AS INT)) ELSE 0 END) AS BIGINT) AS w0,
+      |    CAST(SUM(CASE WHEN f // 16 = 1
+      |      THEN b * (1 << CAST(f % 16 AS INT)) ELSE 0 END) AS BIGINT) AS w1,
+      |    CAST(SUM(CASE WHEN f // 16 = 2
+      |      THEN b * (1 << CAST(f % 16 AS INT)) ELSE 0 END) AS BIGINT) AS w2,
+      |    CAST(SUM(CASE WHEN f // 16 = 3
+      |      THEN b * (1 << CAST(f % 16 AS INT)) ELSE 0 END) AS BIGINT) AS w3
+      |  FROM db WHERE f < n // 8 - 1
+      |  GROUP BY doc_id, n
+      |)
+      |SELECT a.doc_id AS ma, b.doc_id AS mb,
+      |  CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+      |     + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))
+      |    AS BIGINT) AS hamming
+      |FROM fpx a JOIN fpx b
+      |  ON a.fc = b.fc AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+      |    + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= 3
+      |ORDER BY ma, mb""".stripMargin
+
+  /** VIDEO near-dup dedup via per-keyframe perceptual hashes (round 11)
+    * — completes the perceptual-dedup family across all three media
+    * modalities (image aHash, audio energy-delta, video keyframe-hash):
+    * a re-encoded or lightly-retouched re-upload defeats byte dedup, so
+    * each clip's frames hash perceptually (REAL RIFF/AVI container walk
+    * → 4×4 NN luma grid → 16-bit aHash per frame,
+    * [[graft.pipeline.Multimodal.videoFingerprint]]) and the FRAME INDEX
+    * is the LSH band: clips in this corpus share ≥ 3 frames, and a pair
+    * within total Hamming ≤ 2 cannot differ in every frame's hash, so
+    * the (frame, dims, frame-count, hash) equi-join is PROVABLY complete
+    * at the threshold. The oracle is the ALL-PAIRS closed form — DuckDB
+    * never parses an AVI; it re-derives every sampled pixel from the
+    * generator's LCG formula, including the near-dup corpus's one-pixel
+    * frame-0 retouch (the gradient-vs-LCG lesson from the image corpus
+    * applies verbatim: synthAviNear's Scaladoc). Measured at sf0.01:
+    * EXACTLY the 45 genuine dup pairs (39 at Hamming 0, 4 at 1, 2 at 2
+    * — the retouch shifts the 4×4 grid's (0,0) luma, occasionally
+    * tipping a neighbor bit of frame 0's mean), zero collisions —
+    * 16 bits × ≥3 frames separates pseudo-random rasters cleanly;
+    * OperatorSpec pins the per-frame hash against an independent
+    * recompute. */
+  private def mmVideoDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Multimodal.videoFingerprint(
+        Multimodal.synthNearDupVideoTable(spark,
+          Tables.documents(spark, dir).select(col("doc_id"))))
+      .toDF().persist()
+    val cand = fp.as("x").join(fp.as("y"),
+        col("x.f") === col("y.f") && col("x.w") === col("y.w") &&
+          col("x.h") === col("y.h") && col("x.nf") === col("y.nf") &&
+          col("x.hash16") === col("y.hash16") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"))
+      .distinct()
+    val pa = fp.select(col("media_id").as("ma"), col("f"),
+      col("hash16").as("ha"))
+    val pb = fp.select(col("media_id").as("mb"), col("f"),
+      col("hash16").as("hb"))
+    val out = cand.join(pa, Seq("ma")).join(pb, Seq("mb", "f"))
+      .groupBy(col("ma"), col("mb"))
+      .agg(sum(expr("bit_count(ha ^ hb)")).cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .select(col("ma"), col("mb"), col("hamming"))
+      .orderBy(col("ma"), col("mb"))
+    graft.core.CachePin.sealAndRelease(out, fp)
+  }
+
+  private val mmVideoDedupSql =
+    """WITH d2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 9 THEN doc_id // 10 ELSE doc_id END AS e,
+      |    CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS pert
+      |  FROM documents
+      |), dim AS (
+      |  SELECT doc_id, e, pert, CAST(8 + e % 5 AS BIGINT) AS w,
+      |    CAST(6 + e % 7 AS BIGINT) AS h, CAST(3 + e % 4 AS BIGINT) AS nf
+      |  FROM d2
+      |), cells AS (
+      |  SELECT doc_id, e, pert, w, h, nf,
+      |    CAST(unnest(range(nf)) AS BIGINT) AS f
+      |  FROM dim
+      |), px AS (
+      |  SELECT c.doc_id, c.e, c.pert, c.w, c.h, c.nf, c.f,
+      |    4 * ty.range + tx.range AS p,
+      |    (tx.range * c.w) // 4 AS sx, (ty.range * c.h) // 4 AS sy
+      |  FROM cells c, range(4) ty, range(4) tx
+      |), lum AS (
+      |  SELECT doc_id, w, h, nf, f, p, pert, sx, sy,
+      |    (1103515245 * (sx + 16 * sy + 256 * f + 4096 * e) + 12345)
+      |      % 2147483648 AS v
+      |  FROM px
+      |), gr AS (
+      |  SELECT doc_id, w, h, nf, f, p,
+      |    299 * ((v // 65536) % 256) + 587 * ((v // 256) % 256)
+      |    + 114 * (CASE WHEN pert = 1 AND f = 0 AND sx = 0 AND sy = 0
+      |             THEN ((v % 256) + 128) % 256 ELSE v % 256 END) AS g
+      |  FROM lum
+      |), tot AS (
+      |  SELECT doc_id, f, SUM(g) AS total FROM gr GROUP BY doc_id, f
+      |), hp AS MATERIALIZED (
+      |  SELECT gr.doc_id, gr.w, gr.h, gr.nf, gr.f,
+      |    CAST(SUM(CASE WHEN gr.g * 16 >= t.total
+      |      THEN 1 << CAST(gr.p AS INT) ELSE 0 END) AS BIGINT) AS hash16
+      |  FROM gr JOIN tot t ON t.doc_id = gr.doc_id AND t.f = gr.f
+      |  GROUP BY gr.doc_id, gr.w, gr.h, gr.nf, gr.f
+      |)
+      |SELECT a.doc_id AS ma, b.doc_id AS mb,
+      |  CAST(SUM(bit_count(xor(a.hash16, b.hash16))) AS BIGINT) AS hamming
+      |FROM hp a JOIN hp b
+      |  ON a.w = b.w AND a.h = b.h AND a.nf = b.nf AND a.f = b.f
+      |  AND a.doc_id < b.doc_id
+      |GROUP BY ma, mb
+      |HAVING SUM(bit_count(xor(a.hash16, b.hash16))) <= 2
+      |ORDER BY ma, mb""".stripMargin
+
   /** REAL video container roundtrip (round 6): per doc_id, synthesize a
     * deterministic RIFF/AVI with uncompressed DIB frames on the
     * executors, parse it back structurally (chunk walk + avih/strh/strf
@@ -355,7 +553,9 @@ object MultimodalQueries extends QueryModule {
     "mm_decoded_audio" -> (mmAudio _),
     "mm_decoded_video" -> (mmVideo _),
     "mm_decoded_mjpeg" -> (mmMjpeg _),
-    "dedup_phash_images" -> (mmPhashDedup _))
+    "dedup_phash_images" -> (mmPhashDedup _),
+    "dedup_audio_fingerprint" -> (mmAudioDedup _),
+    "dedup_video_fingerprint" -> (mmVideoDedup _))
 
   override def oracles: Map[String, String] = Map(
     "mm_binary_features" -> mmFeaturesSql,
@@ -364,5 +564,7 @@ object MultimodalQueries extends QueryModule {
     "mm_decoded_audio" -> mmAudioSql,
     "mm_decoded_video" -> mmVideoSql,
     "mm_decoded_mjpeg" -> mmMjpegSql,
-    "dedup_phash_images" -> mmPhashDedupSql)
+    "dedup_phash_images" -> mmPhashDedupSql,
+    "dedup_audio_fingerprint" -> mmAudioDedupSql,
+    "dedup_video_fingerprint" -> mmVideoDedupSql)
 }

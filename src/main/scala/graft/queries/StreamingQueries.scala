@@ -356,6 +356,9 @@ object StreamingQueries extends QueryModule {
     "stream_knn_classify" ->
       ((s: SparkSession, d: String) =>
         StreamingPipelines.knnClassifyStream(s, d)),
+    "stream_budget_gate" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.budgetGateStream(s, d)),
     "gen_synthetic_txns" -> (syntheticTxns _))
 
   /** Oracle for stream_warm_start: the batch query over the FULL history
@@ -485,5 +488,6 @@ object StreamingQueries extends QueryModule {
     "stream_dsir_gate" -> CorpusPipeline.dsirSampleSql,
     "stream_phash_dedup" -> MultimodalQueries.mmPhashStreamSql,
     "stream_knn_classify" -> Embeddings.streamKnnClassifySql,
+    "stream_budget_gate" -> StreamingPipelines.budgetGateSql,
     "gen_synthetic_txns" -> syntheticTxnsSql)
 }

@@ -93,6 +93,39 @@ object StatefulFeatures {
       }
   }
 
+  // ------------------------------------------------- token-budget gate
+  case class BudgetIn(doc_id: Long, lang: String, n_tok: Long)
+  case class BudgetOut(doc_id: Long, lang: String, n_tok: Long,
+      kept: Boolean)
+
+  /** Streaming per-language token-budget ADMISSION gate (round 11):
+    * state is ONE long per language — the running token total in
+    * arrival (doc_id) order. A doc is admitted iff the cumulative total
+    * INCLUDING it stays within budget: the CUTOFF variant, where every
+    * arrival consumes budget whether or not it is kept, so `kept` is a
+    * prefix property and the oracle is a per-lang windowed running sum.
+    * (The skip-doesn't-consume greedy variant is knapsack-shaped and
+    * order-fragile — deliberately not this operator.) In-batch arrivals
+    * sort by doc_id, the id-ordered replay contract of the append-mode
+    * family. At 100 TB: |langs| longs of state, zero stream-side
+    * shuffle beyond the lang key. */
+  def budgetGate(ds: Dataset[BudgetIn], budget: Long): Dataset[BudgetOut] = {
+    implicit val outEnc = Encoders.product[BudgetOut]
+    implicit val stEnc = Encoders.scalaLong
+    ds.groupByKey(_.lang)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (lang: String, docs: Iterator[BudgetIn], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = docs.toArray.sortBy(_.doc_id).map { d =>
+            cum += d.n_tok
+            BudgetOut(d.doc_id, lang, d.n_tok, cum <= budget)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   case class EventIn(event_id: Long, user_id: Long, ems: Long, value: Double)
 
   // ------------------------------------------------------ SCD2 intervals

@@ -1284,6 +1284,39 @@ object StreamingPipelines {
       .orderBy(col("label"))
   }
 
+  /** Streaming token-budget admission gate (round 11): the per-lang
+    * cutoff gate over the id-ordered doc replay —
+    * [[StatefulFeatures.budgetGate]] with the same 2000-token budget the
+    * batch `corpus_budget_select` uses. Oracle = the per-lang windowed
+    * running sum (kept ⇔ cum ≤ budget), exact because every arrival
+    * consumes budget (prefix property). */
+  def budgetGateStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = docStreamReplay(spark, dir, nChunks = 2)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .as[StatefulFeatures.BudgetIn]
+    val out = StatefulFeatures.budgetGate(in, 2000L).toDF()
+    runToMemory(spark, out, "append", "budgetgate")
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[graft] val budgetGateSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t
+      |)
+      |SELECT doc_id, lang, n_tok, cum <= 2000 AS kept
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Streaming WARM START from a batch snapshot (round 10) — the
     * batch→streaming CUTOVER every production feature platform performs:
     * per-user (count, cent-sum) state is SEEDED from a batch aggregate

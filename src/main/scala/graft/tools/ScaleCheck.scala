@@ -414,6 +414,19 @@ object ScaleCheck {
     // equi-join, whose true-pair density is constant (every 10th id) and
     // whose LCG-relative collisions are fixed per-doc offsets — wall must
     // stay ~linear in images, never the all-pairs product
+    // audio fingerprint dedup (round 11): per-clip synth+encode+decode+
+    // energy fold is embarrassingly parallel like the phash row; the one
+    // shuffle is the 16-bit band equi-join (2^16 buckets — occupancy
+    // ~n/2^16, so candidate volume stays ~true-pair-bound at 10x)
+    def audioDedup(dir: String): Double = timed {
+      graft.SparkEntry.queries("dedup_audio_fingerprint")(spark, dir).count()
+    }
+    // video keyframe-hash dedup (round 11): per-clip container synth +
+    // walk + 4x4 luma hashes, embarrassingly parallel; the shuffle is
+    // the (frame, dims, hash) equi-join over 2^16 hash space per frame
+    def videoDedup(dir: String): Double = timed {
+      graft.SparkEntry.queries("dedup_video_fingerprint")(spark, dir).count()
+    }
     def phash(dir: String): Double = timed {
       graft.SparkEntry.queries("dedup_phash_images")(spark, dir).count()
     }
@@ -541,6 +554,16 @@ object ScaleCheck {
         val ct1 = stageContain(n1); val ct10 = stageContain(n1 * 10)
         phash(ct1) // warm
         (phash(ct1), phash(ct10))
+      }),
+      ("dedup_audio_fingerprint", () => {
+        val ct1 = stageContain(n1); val ct10 = stageContain(n1 * 10)
+        audioDedup(ct1) // warm
+        (audioDedup(ct1), audioDedup(ct10))
+      }),
+      ("dedup_video_fingerprint", () => {
+        val ct1 = stageContain(n1); val ct10 = stageContain(n1 * 10)
+        videoDedup(ct1) // warm
+        (videoDedup(ct1), videoDedup(ct10))
       }),
       ("containment_zipf_hash", () => {
         val cz1 = stageContainZipf(n1); val cz10 = stageContainZipf(n1 * 10)

@@ -414,6 +414,140 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("rayleigh") > 0.0)
   }
 
+  test("audio fingerprint: bit packing matches an independent recompute " +
+      "(round 11)") {
+    import TestSpark.spark
+    import graft.pipeline.Multimodal
+    import spark.implicits._
+    // independent reimplementation of the energy-delta fingerprint from
+    // the generator formula — never touches a WAV byte
+    def expected(e: Long, pert: Long): (Long, Seq[Long]) = {
+      val n = (400 + e % 100).toInt
+      val fc = n / 8
+      val en = (0 until fc).map { f =>
+        (8 * f until 8 * (f + 1)).map { i =>
+          val d = if (pert == 1L && i == 5) 1L else 0L
+          val s = ((31L * i * i + 7L * i + 13L * e + 97L * e * i + d)
+            % 65536L) - 32768L
+          s * s
+        }.sum
+      }
+      val w = new Array[Long](4)
+      for (b <- 0 until fc - 1 if en(b + 1) > en(b))
+        w(b / 16) |= (1L << (b % 16))
+      (fc.toLong, w.toSeq)
+    }
+    val ids = Seq(0L, 3L, 17L, 49L, 90L + 9L, 123L, 456L, 789L)
+    val fps = Multimodal.audioFingerprint(
+        Multimodal.synthNearDupAudioTable(spark, ids.toDF("doc_id")))
+      .collect().map(f => f.media_id -> f).toMap
+    ids.foreach { id =>
+      val e = if (id % 10 == 9) id / 10 else id
+      val pert = if (id % 10 == 9) 1L else 0L
+      val (fc, ws) = expected(e, pert)
+      val f = fps(id)
+      assert((f.fc, Seq(f.w0, f.w1, f.w2, f.w3)) == (fc, ws), s"id=$id")
+    }
+  }
+
+  test("audio fingerprint: a perturbed copy differs from its base in at " +
+      "most delta bit 0 (round 11)") {
+    import TestSpark.spark
+    import graft.pipeline.Multimodal
+    import spark.implicits._
+    // sample 5 lives in frame 0, whose energy feeds ONLY the E1>E0
+    // comparison — so the dup-pair Hamming is <= 1 by construction, for
+    // every base (no recall knob to tune; asserted over a spread of es)
+    // es with e % 10 == 9 are themselves perturbed renders of e/10 (the
+    // corpus rule), so their "base" has a different length — skip them,
+    // exactly as the query's measured-recall note does
+    val es = (0L until 40L).map(_ * 7L + 1L).filterNot(_ % 10L == 9L)
+    val ids = es ++ es.map(_ * 10L + 9L)
+    val fps = Multimodal.audioFingerprint(
+        Multimodal.synthNearDupAudioTable(spark, ids.toDF("doc_id")))
+      .collect().map(f => f.media_id -> f).toMap
+    es.foreach { e =>
+      val a = fps(e); val b = fps(e * 10L + 9L)
+      assert(a.fc == b.fc)
+      assert((a.w0 ^ b.w0) <= 1L && (a.w1 ^ b.w1) == 0L &&
+        (a.w2 ^ b.w2) == 0L && (a.w3 ^ b.w3) == 0L,
+        s"e=$e: only delta bit 0 may differ")
+    }
+  }
+
+  test("video keyframe hash matches an independent recompute (round 11)") {
+    import TestSpark.spark
+    import graft.pipeline.Multimodal
+    import spark.implicits._
+    // independent reimplementation from the LCG pixel formula — never
+    // touches a container byte; checks the RIFF walk, the bottom-up DIB
+    // row flip, the 4-byte stride, BGR order, and the NN sampling at once
+    def expected(e: Long, pert: Boolean): Seq[(Long, Long)] = {
+      val w = 8 + (e % 5).toInt; val h = 6 + (e % 7).toInt
+      val nf = 3 + (e % 4).toInt
+      (0 until nf).map { f =>
+        val gray = for (ty <- 0 until 4; tx <- 0 until 4) yield {
+          val sx = tx * w / 4; val sy = ty * h / 4
+          val v = (1103515245L * (sx + 16L * sy + 256L * f + 4096L * e) +
+            12345L) % 2147483648L
+          val b0 = v % 256L
+          val blu = if (pert && f == 0 && sx == 0 && sy == 0)
+            (b0 + 128L) % 256L else b0
+          299L * ((v / 65536L) % 256L) + 587L * ((v / 256L) % 256L) +
+            114L * blu
+        }
+        val total = gray.sum
+        var hash = 0L
+        for (p <- 0 until 16 if gray(p) * 16L >= total) hash |= (1L << p)
+        (f.toLong, hash)
+      }
+    }
+    val ids = Seq(0L, 5L, 42L, 139L, 777L)
+    val fps = Multimodal.videoFingerprint(
+        Multimodal.synthNearDupVideoTable(spark, ids.toDF("doc_id")))
+      .collect().groupBy(_.media_id)
+    ids.foreach { id =>
+      val e = if (id % 10 == 9) id / 10 else id
+      val exp = expected(e, id % 10 == 9)
+      val got = fps(id).sortBy(_.f).map(r => (r.f, r.hash16)).toSeq
+      assert(got == exp, s"id=$id")
+    }
+  }
+
+  test("streamed-up ANN index compacts without changing answers " +
+      "(round 11)") {
+    import TestSpark.spark
+    import graft.queries.Embeddings
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_cmp_")
+    val store = new graft.store.OnlineStore(spark, root.toString,
+      nBuckets = 8)
+    Embeddings.buildIncrementalIvfadc(spark, "/root/testdata/sf0.001", store)
+    def partFiles(): Long = {
+      import scala.jdk.CollectionConverters._
+      val hist = root.resolve("history").resolve("ann_codes")
+      val walk = java.nio.file.Files.walk(hist)
+      try walk.iterator().asScala
+        .count(p => p.getFileName.toString.startsWith("part-")).toLong
+      finally walk.close()
+    }
+    val filesBefore = partFiles()
+    val before = Embeddings.ivfadcAnswerFrom(spark, store).collect()
+    store.compactHistory(Embeddings.annCodesView)
+    val after = Embeddings.ivfadcAnswerFrom(spark, store).collect()
+    assert(before.map(_.toString).toSeq == after.map(_.toString).toSeq)
+    // compaction preserves batch IDENTITY (partitionBy batch — PIT reads
+    // still resolve) but coalesces the per-batch file spray to one
+    val hist = store.history(Embeddings.annCodesView)
+      .select(col("_batch_seq")).distinct().count()
+    assert(hist == 2L, s"batch identities must survive compaction: $hist")
+    // at sf0.001 each MERGE batch already lands as one file, so equality
+    // is the floor; the file-spray reduction itself is StoreSpec's
+    // compaction territory — THIS spec pins the ANN-index answer
+    val filesAfter = partFiles()
+    assert(filesAfter <= filesBefore,
+      s"compaction grew files: $filesBefore -> $filesAfter")
+  }
+
   test("HITS scores are max-normalized each round (round 9)") {
     import TestSpark.spark
     val rows = graft.SparkEntry.queries("graph_hits")(

@@ -43,6 +43,15 @@ class PlanPinSpec extends AnyFunSuite {
       s"SCD lookup grew streaming state:\n$plan")
   }
 
+  test("streaming kNN gate: pure map — no Exchange, no state store") {
+    val plan = planOf(StreamingPipelines.knnClassifyStream(spark, sf0001)
+      .collect())
+    // the broadcast-index contract: per-event probe/scan/vote only —
+    // any Exchange or StateStore here means the stateless design broke
+    assert(!plan.contains("Exchange"), s"kNN gate shuffled:\n$plan")
+    assert(!plan.contains("StateStore"), s"kNN gate grew state:\n$plan")
+  }
+
   test("winsorization monitor: broadcast cuts, no shuffle on the stream") {
     val plan = planOf(StreamingPipelines.winsorizeStream(spark, sf0001)
       .collect())
