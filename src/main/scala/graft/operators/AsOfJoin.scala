@@ -138,4 +138,82 @@ object AsOfJoin {
       .select(leftOut.map(col) ++
         rightCols.map(c => col(s"__matched.$c").as(c)): _*)
   }
+
+  /** NEAREST as-of join (round 11) — completes the pandas merge_asof
+    * direction trio (backward [[asOf]], forward [[forwardAsOf]],
+    * nearest): for each left row, attach the right row whose `rightTs`
+    * is CLOSEST to `leftTs` in either direction; ties between an equal
+    * backward and forward gap resolve BACKWARD (pandas' documented
+    * behavior). Both directional candidates come from ONE union-sort
+    * pass: the tagged union is hash-partitioned by key once, and the two
+    * running ignoreNulls windows (ascending = backward carry, descending
+    * = forward carry) are consecutive Sorts over the SAME Exchange — one
+    * shuffle, |left| + |right| rows total, no per-left match explosion.
+    * The payload carries `rightTs`, so tolerance windows apply downstream
+    * as a projection (|matchedTs − leftTs| ≤ Δt), like [[forwardAsOf]].
+    *
+    * Backward side-tag convention matches [[asOf]] (right sorts before
+    * left at equal ts ⇒ `<=` holds ascending); in the descending window
+    * the side stays ASC so an equal-ts right row still precedes the left
+    * row ⇒ `>=` holds, with tie DESC picking the smallest tieBreak among
+    * equal-ts right rows — forwardAsOf's discipline. */
+  def nearestAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val leftOut = left.columns.toSeq
+    val payloadCols = (rightCols :+ tieBreak :+ rightTs).distinct
+    val payloadType = StructType(
+      payloadCols.map(c => StructField(c, right.schema(c).dataType, nullable = true)))
+    val payload = struct(payloadCols.map(col): _*)
+
+    // side tags as in asOf: right = 0, left = 1 ascending (right first at
+    // equal ts); the descending mirror flips them implicitly via .desc
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast(right.schema(tieBreak).dataType))
+      .withColumn("__payload", lit(null).cast(payloadType))
+    val r = right
+      .select((keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")
+        :+ col(tieBreak).as("__tie") :+ payload.as("__payload")): _*)
+
+    val unioned = l.select(
+      (keys.map(col) ++ Seq(col("__ts"), col("__side"), col("__tie"), col("__payload"))
+        ++ leftOut.filterNot(keys.contains).map(col)): _*)
+      .unionByName(r.withColumns(
+        leftOut.filterNot(keys.contains).map(c =>
+          c -> lit(null).cast(left.schema(c).dataType)).toMap))
+
+    val wB = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ts DESC but side ASC: at equal ts the right row (side 0) must still
+    // sort BEFORE the left row (side 1) so `>=` holds in the forward carry
+    val wF = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side").asc, col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val both = unioned
+      .withColumn("__mb", last(col("__payload"), ignoreNulls = true).over(wB))
+      .withColumn("__mf", last(col("__payload"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+    val bTs = col(s"__mb.$rightTs")
+    val fTs = col(s"__mf.$rightTs")
+    val nearest = when(col("__mb").isNull, col("__mf"))
+      .when(col("__mf").isNull, col("__mb"))
+      .when(col("__ts") - bTs <= fTs - col("__ts"), col("__mb"))
+      .otherwise(col("__mf"))
+    both
+      .withColumn("__mn", nearest)
+      .select(leftOut.map(col) ++
+        rightCols.map(c => col(s"__mn.$c").as(c)): _*)
+  }
 }

@@ -935,6 +935,210 @@ object AdvancedOps extends QueryModule {
       |  CAST(SUM(y) AS DOUBLE) / count(*) AS pos_rate
       |FROM s GROUP BY score ORDER BY score""".stripMargin
 
+  // ------------------------------------------- Brier score decomposition
+  /** Murphy decomposition of the Brier score over the binned forecast
+    * (the [[calibrationBins]] rule score mapped to probabilities
+    * f = score/4): per bin, the reliability contribution
+    * n·(f − o)²/N (calibration error), the resolution contribution
+    * n·(o − ō)²/N (discrimination), and the shared uncertainty ō(1 − ō);
+    * Brier = REL − RES + UNC is an exact identity when bins = distinct
+    * forecast values, and the spec verifies it against an independently
+    * computed mean (f − y)². All counts exact BIGINT; each contribution
+    * is the same double formula in both engines (one division per term,
+    * squares of identical doubles). Single-pass groupBy — the
+    * forecast-verification report a scoring pipeline files next to its
+    * calibration curve. */
+  private def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = ev(spark, dir)
+      .withColumn("score",
+        when($"value" > 50.0, 1L).otherwise(0L) +
+        when($"value" > 80.0, 1L).otherwise(0L) +
+        when(expr("(ems div 3600000) % 24") < 6, 1L).otherwise(0L) +
+        when($"user_id" % 3 === 0, 1L).otherwise(0L))
+      .withColumn("y", when($"event_type" === "purchase", 1L).otherwise(0L))
+      .groupBy($"score").agg(count(lit(1)).as("n"), sum($"y").as("pos"))
+    val g = b.agg(sum($"n").as("tn"), sum($"pos").as("tp"))
+    val f = $"score" / lit(4.0)
+    val o = $"pos".cast("double") / $"n"
+    val obar = $"tp".cast("double") / $"tn"
+    b.crossJoin(broadcast(g))
+      .select($"score", $"n", $"pos",
+        f.as("forecast"), o.as("obs_rate"),
+        ($"n" * (f - o) * (f - o) / $"tn").as("reliability_c"),
+        ($"n" * (o - obar) * (o - obar) / $"tn").as("resolution_c"),
+        (obar * (lit(1.0) - obar)).as("uncertainty"))
+      .orderBy($"score")
+  }
+
+  private val brierDecompositionSql =
+    """WITH s AS (
+      |  SELECT
+      |    (CASE WHEN value > 50.0 THEN 1 ELSE 0 END
+      |     + CASE WHEN value > 80.0 THEN 1 ELSE 0 END
+      |     + CASE WHEN (epoch_ms(ts) // 3600000) % 24 < 6 THEN 1 ELSE 0 END
+      |     + CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS score,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |), b AS (
+      |  SELECT CAST(score AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM s GROUP BY score
+      |), g AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(pos) AS BIGINT) AS tp
+      |  FROM b
+      |)
+      |SELECT b.score, b.n, b.pos,
+      |  b.score / 4.0 AS forecast,
+      |  CAST(b.pos AS DOUBLE) / b.n AS obs_rate,
+      |  b.n * (b.score / 4.0 - CAST(b.pos AS DOUBLE) / b.n)
+      |      * (b.score / 4.0 - CAST(b.pos AS DOUBLE) / b.n) / g.tn
+      |    AS reliability_c,
+      |  b.n * (CAST(b.pos AS DOUBLE) / b.n - CAST(g.tp AS DOUBLE) / g.tn)
+      |      * (CAST(b.pos AS DOUBLE) / b.n - CAST(g.tp AS DOUBLE) / g.tn)
+      |      / g.tn AS resolution_c,
+      |  (CAST(g.tp AS DOUBLE) / g.tn) * (1.0 - CAST(g.tp AS DOUBLE) / g.tn)
+      |    AS uncertainty
+      |FROM b, g ORDER BY b.score""".stripMargin
+
+  // ------------------------------------------------- Qini uplift curve
+  /** Uplift-model evaluation (Qini curve by score level): a deterministic
+    * treatment assignment (user_id % 2 — the synthetic A/B split, like
+    * the A/B z-test query) against the purchase outcome, ranked by an
+    * integer uplift score (the rule-score family, with the user term on
+    * % 5 so score and treatment are not aliased). Per level: treated /
+    * control counts and positives (exact BIGINT), the per-level uplift
+    * (two divisions, one subtraction), and the cumulative Qini point
+    * cpt − cpc·cnt/cnc — incremental treated positives over the
+    * control expectation — walking the curve best-score-first. Positive
+    * head + negative tail levels on this corpus, so the curve genuinely
+    * discriminates. Single-pass groupBy + a |levels|-row window. */
+  private def qiniUplift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = ev(spark, dir)
+      .withColumn("score",
+        when($"value" > 50.0, 1L).otherwise(0L) +
+        when($"value" > 80.0, 1L).otherwise(0L) +
+        when(expr("(ems div 3600000) % 24") < 6, 1L).otherwise(0L) +
+        when($"user_id" % 5 === 0, 1L).otherwise(0L))
+      .withColumn("t", when($"user_id" % 2 === 0, 1L).otherwise(0L))
+      .withColumn("y", when($"event_type" === "purchase", 1L).otherwise(0L))
+    val b = s.groupBy($"score").agg(
+      sum($"t").as("nt"), sum(lit(1L) - $"t").as("nc"),
+      sum($"t" * $"y").as("pt"), sum((lit(1L) - $"t") * $"y").as("pc"))
+    val w = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("cnt", sum($"nt").over(w))
+      .withColumn("cnc", sum($"nc").over(w))
+      .withColumn("cpt", sum($"pt").over(w))
+      .withColumn("cpc", sum($"pc").over(w))
+      .select($"score", $"nt", $"nc", $"pt", $"pc",
+        ($"pt".cast("double") / $"nt" - $"pc".cast("double") / $"nc")
+          .as("uplift"),
+        ($"cpt" - $"cpc".cast("double") * $"cnt" / $"cnc").as("qini"))
+      .orderBy($"score".desc)
+  }
+
+  private val qiniUpliftSql =
+    """WITH s AS (
+      |  SELECT
+      |    (CASE WHEN value > 50.0 THEN 1 ELSE 0 END
+      |     + CASE WHEN value > 80.0 THEN 1 ELSE 0 END
+      |     + CASE WHEN (epoch_ms(ts) // 3600000) % 24 < 6 THEN 1 ELSE 0 END
+      |     + CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END) AS score,
+      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |), b AS (
+      |  SELECT CAST(score AS BIGINT) AS score,
+      |    CAST(SUM(t) AS BIGINT) AS nt, CAST(SUM(1 - t) AS BIGINT) AS nc,
+      |    CAST(SUM(t * y) AS BIGINT) AS pt,
+      |    CAST(SUM((1 - t) * y) AS BIGINT) AS pc
+      |  FROM s GROUP BY score
+      |), c AS (
+      |  SELECT score, nt, nc, pt, pc,
+      |    CAST(SUM(nt) OVER w AS BIGINT) AS cnt,
+      |    CAST(SUM(nc) OVER w AS BIGINT) AS cnc,
+      |    CAST(SUM(pt) OVER w AS BIGINT) AS cpt,
+      |    CAST(SUM(pc) OVER w AS BIGINT) AS cpc
+      |  FROM b WINDOW w AS (ORDER BY score DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT score, nt, nc, pt, pc,
+      |  CAST(pt AS DOUBLE) / nt - CAST(pc AS DOUBLE) / nc AS uplift,
+      |  cpt - CAST(cpc AS DOUBLE) * cnt / cnc AS qini
+      |FROM c ORDER BY score DESC""".stripMargin
+
+  // ----------------------------------------------- isotonic calibration
+  /** ISOTONIC regression calibration (the standard monotone calibrator
+    * next to [[calibrationBins]]'s raw reliability table) via the
+    * CLOSED-FORM max–min characterization instead of the sequential PAVA
+    * sweep: over B score bins,
+    *   iso(i) = max_{j≤i} min_{k≥j} (pos[j..k] / n[j..k])
+    * — mathematically identical to pool-adjacent-violators, but pure
+    * relational algebra (prefix sums + a B×B interval join + two grouped
+    * extrema), so both engines compute it without any data-dependent
+    * iteration. Interval rates are ONE double division of exact BIGINT
+    * prefix-sum differences; min/max of identical doubles are exact. The
+    * deliberately noisy bin score (floor(value) % 10 — independent of the
+    * purchase target) produces real pooling, not a vacuous pass-through.
+    *
+    * Scale: bins are bounded (10), so the interval join is 55 rows —
+    * the corpus-sized work is one groupBy(score). */
+  private def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = ev(spark, dir)
+      .withColumn("score", expr("cast(floor(value) as bigint) % 10"))
+      .withColumn("y", when($"event_type" === "purchase", 1L).otherwise(0L))
+      .groupBy($"score").agg(count(lit(1)).as("n"), sum($"y").as("pos"))
+    val wS = Window.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = b.withColumn("cn", sum($"n").over(wS))
+      .withColumn("cp", sum($"pos").over(wS))
+    val jSide = pre.select($"score".as("sj"),
+      ($"cp" - $"pos").as("cp0"), ($"cn" - $"n").as("cn0"))
+    val kSide = pre.select($"score".as("sk"), $"cp".as("cpk"), $"cn".as("cnk"))
+    val iv = jSide.join(broadcast(kSide), $"sk" >= $"sj")
+      .select($"sj",
+        (($"cpk" - $"cp0").cast("double") / ($"cnk" - $"cn0")).as("avg_jk"))
+    val mn = iv.groupBy($"sj").agg(min($"avg_jk").as("min_up"))
+    val iso = b.select($"score").join(broadcast(mn), $"sj" <= $"score")
+      .groupBy($"score").agg(max($"min_up").as("rate_iso"))
+    b.join(iso, Seq("score"))
+      .select($"score", $"n", $"pos".as("n_pos"),
+        ($"pos".cast("double") / $"n").as("rate_raw"), $"rate_iso")
+      .orderBy($"score")
+  }
+
+  private val isotonicCalibrationSql =
+    """WITH s AS (
+      |  SELECT CAST(FLOOR(value) AS BIGINT) % 10 AS score,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |), b AS (
+      |  SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM s GROUP BY score
+      |), pre AS (
+      |  SELECT score, n, pos,
+      |    CAST(SUM(n) OVER (ORDER BY score) AS BIGINT) AS cn,
+      |    CAST(SUM(pos) OVER (ORDER BY score) AS BIGINT) AS cp
+      |  FROM b
+      |), iv AS (
+      |  SELECT j.score AS sj,
+      |    CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+      |      / (k.cn - (j.cn - j.n)) AS avg_jk
+      |  FROM pre j JOIN pre k ON k.score >= j.score
+      |), mn AS (
+      |  SELECT sj, MIN(avg_jk) AS min_up FROM iv GROUP BY sj
+      |), iso AS (
+      |  SELECT b.score, MAX(m.min_up) AS rate_iso
+      |  FROM b JOIN mn m ON m.sj <= b.score GROUP BY b.score
+      |)
+      |SELECT b.score, b.n, b.pos AS n_pos,
+      |  CAST(b.pos AS DOUBLE) / b.n AS rate_raw, i.rate_iso
+      |FROM b JOIN iso i USING (score) ORDER BY b.score""".stripMargin
+
   // --------------------------------------- Holt linear-trend forecast
   /** The Holt two-parameter (level, trend) recurrence was documented in
     * round 7 as UNREACHABLE under DuckDB's sequential struct evaluation
@@ -1360,6 +1564,9 @@ object AdvancedOps extends QueryModule {
     "graph_link_prediction" -> (linkPrediction _),
     "ml_pinball_loss" -> (pinballLoss _),
     "ml_calibration_bins" -> (calibrationBins _),
+    "ml_isotonic_calibration" -> (isotonicCalibration _),
+    "ml_brier_decomposition" -> (brierDecomposition _),
+    "ml_qini_uplift" -> (qiniUplift _),
     "dq_k_anonymity" -> (kAnonymity _),
     "dq_l_diversity" -> (lDiversity _),
     "evt_seasonal_forecast" -> (seasonalForecast _),
@@ -1381,6 +1588,9 @@ object AdvancedOps extends QueryModule {
     "graph_link_prediction" -> linkPredictionSql,
     "ml_pinball_loss" -> pinballLossSql,
     "ml_calibration_bins" -> calibrationBinsSql,
+    "ml_isotonic_calibration" -> isotonicCalibrationSql,
+    "ml_brier_decomposition" -> brierDecompositionSql,
+    "ml_qini_uplift" -> qiniUpliftSql,
     "dq_k_anonymity" -> kAnonymitySql,
     "dq_l_diversity" -> lDiversitySql,
     "evt_seasonal_forecast" -> seasonalForecastSql,

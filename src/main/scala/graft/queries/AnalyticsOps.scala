@@ -459,6 +459,200 @@ object AnalyticsOps extends QueryModule {
       |FROM a WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  // ------------------------------------- U-shaped multi-touch attribution
+  /** POSITION-BASED (U-shaped) multi-touch attribution over the last-8
+    * touch lookback window — the other standard marketing model next to
+    * [[attribution]]'s last-touch: each purchase's revenue splits 40% to
+    * the FIRST touch in the window, 40% to the LAST, and 20% shared
+    * equally among the middles (m=1 → 100%, m=2 → 40/60 with the shared
+    * fifth folded into the last touch). All credit math is exact integer
+    * micro-units: base = FLOOR(value·1e6), first = base·2 div 5, each
+    * middle = (base div 5) div (m−2), last = base − first − Σmiddles — so
+    * credits CONSERVE exactly (Σ credits = base per purchase, remainder
+    * to the recency end) and both engines agree bit-for-bit (operands all
+    * non-negative, so Spark's truncating `div` == DuckDB's flooring `//`).
+    * A purchase with no prior touches credits the synthetic 'none'
+    * channel in full.
+    *
+    * Scale shape: touches get a per-user sequence number once (one
+    * entity-key window pass); each purchase EXPLODES to at most 8
+    * sequence slots (`sequence(t_lo, t_hi)`) and equi-joins touches on
+    * (user_id, tn) — bounded fan-out, no purchases×history pair blowup,
+    * which is what makes the lookback-window form (vs. all-priors) the
+    * one that survives hot users at 100 TB. */
+  private val touchLookback = 8
+
+  private def positionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wAll = Window.partitionBy($"user_id").orderBy($"ems", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = ev(spark, dir)
+      .withColumn("tn",
+        sum(($"event_type" =!= "purchase").cast("long")).over(wAll))
+    val touches = base.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"tn", $"event_type".as("channel"))
+    val purch = base.filter($"event_type" === "purchase")
+      .select($"user_id", $"tn".as("t_hi"),
+        floor($"value" * lit(1000000.0)).cast("long").as("base_micro"))
+    val direct = purch.filter($"t_hi" === 0)
+      .select(lit("none").as("channel"), $"base_micro".as("credit_micro"))
+    val firstC = expr("(base_micro * 2) div 5")
+    val midC = when($"m" >= 3,
+      expr("(base_micro div 5) div (m - 2)")).otherwise(lit(0L))
+    val credited = purch.filter($"t_hi" > 0)
+      .withColumn("t_lo", greatest(lit(1L), $"t_hi" - lit(touchLookback - 1L)))
+      .withColumn("m", $"t_hi" - $"t_lo" + lit(1L))
+      .withColumn("tn", explode(sequence($"t_lo", $"t_hi")))
+      .withColumn("credit_micro",
+        when($"m" === 1, $"base_micro")
+          .when($"tn" === $"t_lo", firstC)
+          .when($"tn" === $"t_hi",
+            $"base_micro" - firstC - ($"m" - 2) * midC)
+          .otherwise(midC))
+      .join(touches, Seq("user_id", "tn"))
+      .select($"channel", $"credit_micro")
+    credited.unionAll(direct)
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_credits"), sum($"credit_micro").as("credit_micro"))
+      .orderBy($"channel")
+  }
+
+  private[graft] val positionAttributionSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS tn
+      |  FROM events
+      |), touches AS (
+      |  SELECT user_id, tn, event_type AS channel FROM e
+      |  WHERE event_type <> 'purchase'
+      |), purch AS (
+      |  SELECT user_id, tn AS t_hi,
+      |    CAST(FLOOR(value * 1000000.0) AS BIGINT) AS base_micro
+      |  FROM e WHERE event_type = 'purchase'
+      |), direct AS (
+      |  SELECT 'none' AS channel, base_micro AS credit_micro
+      |  FROM purch WHERE t_hi = 0
+      |), win AS (
+      |  SELECT p.user_id, p.base_micro,
+      |    GREATEST(1, p.t_hi - 7) AS t_lo,
+      |    p.t_hi - GREATEST(1, p.t_hi - 7) + 1 AS m,
+      |    unnest(range(GREATEST(1, p.t_hi - 7), p.t_hi + 1)) AS tn
+      |  FROM purch p WHERE p.t_hi > 0
+      |), cr AS (
+      |  SELECT user_id, tn,
+      |    CASE WHEN m = 1 THEN base_micro
+      |         WHEN tn = t_lo THEN (base_micro * 2) // 5
+      |         WHEN tn = t_lo + m - 1 THEN base_micro - (base_micro * 2) // 5
+      |              - (m - 2) * (CASE WHEN m >= 3
+      |                           THEN (base_micro // 5) // (m - 2) ELSE 0 END)
+      |         ELSE (base_micro // 5) // (m - 2) END AS credit_micro
+      |  FROM win
+      |), j AS (
+      |  SELECT t.channel, c.credit_micro
+      |  FROM cr c JOIN touches t USING (user_id, tn)
+      |  UNION ALL SELECT channel, credit_micro FROM direct
+      |)
+      |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+      |  CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
+      |FROM j GROUP BY channel ORDER BY channel""".stripMargin
+
+  // -------------------------------------------- Kaplan-Meier survival curve
+  /** Kaplan–Meier time-to-convert survival estimator with RIGHT CENSORING
+    * — the statistically-honest upgrade over raw time-to-convert
+    * percentiles (which silently drop non-converters): per user, the
+    * clock starts at the first observed event; the conversion event is
+    * the first purchase with value > 150 (rarer than any-purchase, so a
+    * real censored population exists — at sf0.01: 67 convert, 83 censor
+    * at their last observed event). Durations bucket to hours; the life
+    * table carries (n_risk, events, censored) per hour and
+    * S(h) = Π_{h'≤h} (1 − d_{h'}/n_{h'}) — the product folds over the
+    * hour-ASCENDING factor list from 1.0 in both engines (a bare product
+    * aggregate would be order-dependent), deaths-before-censors at tied
+    * hours per the standard convention (both stay in the risk set at
+    * their own hour).
+    *
+    * Scale: the life table is bounded by the observation window in hours
+    * (never user count), so the global window + driver-size factor array
+    * are O(hours); the per-user reduction is one groupBy. */
+  private def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = ev(spark, dir).groupBy($"user_id")
+      .agg(min($"ems").as("s"), max($"ems").as("e"),
+        min(when($"event_type" === "purchase" && $"value" > 150.0, $"ems"))
+          .as("p"))
+    kmFromUsers(u)
+  }
+
+  /** KM life-table finale from per-user (s, e, p) rows — shared by the
+    * batch query and the streaming twin (which maintains the same three
+    * primitives per user in state), so the curve math cannot drift. */
+  private[graft] def kmFromUsers(u: DataFrame): DataFrame = {
+    val d = u.select(
+      when(col("p").isNotNull, expr("(p - s) div 3600000"))
+        .otherwise(expr("(e - s) div 3600000")).as("h"),
+      when(col("p").isNotNull, 1L).otherwise(0L).as("ev"))
+    val lt = d.groupBy(col("h"))
+      .agg(sum(col("ev")).as("d_h"), sum(lit(1L) - col("ev")).as("c_h"))
+    val tot = d.agg(count(lit(1)).as("total"))
+    val wPrior = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = lt.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("total") - coalesce(sum(col("d_h") + col("c_h")).over(wPrior),
+          lit(0L)))
+      .withColumn("factor",
+        lit(1.0) - col("d_h").cast("double") / col("n_risk"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+    val arr = risk
+      .agg(array_sort(collect_list(struct(col("h"), col("factor")))).as("hf"))
+      .select(expr("transform(hf, x -> x.factor)").as("fs"))
+    risk.crossJoin(broadcast(arr))
+      .select(col("h"), col("n_risk"), col("d_h").as("n_events"),
+        col("c_h").as("n_censored"),
+        expr("aggregate(slice(fs, 1, rn), 1.0D, (acc, x) -> acc * x)")
+          .as("surv"))
+      .orderBy(col("h"))
+  }
+
+  private[graft] val survivalKmSql =
+    """WITH u AS (
+      |  SELECT user_id, MIN(epoch_ms(ts)) AS s, MAX(epoch_ms(ts)) AS e,
+      |    MIN(CASE WHEN event_type = 'purchase' AND value > 150.0
+      |             THEN epoch_ms(ts) END) AS p
+      |  FROM events GROUP BY user_id
+      |), d AS (
+      |  SELECT
+      |    CASE WHEN p IS NOT NULL THEN (p - s) // 3600000
+      |         ELSE (e - s) // 3600000 END AS h,
+      |    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM u
+      |), lt AS (
+      |  SELECT h, CAST(SUM(ev) AS BIGINT) AS d_h,
+      |    CAST(SUM(1 - ev) AS BIGINT) AS c_h
+      |  FROM d GROUP BY h
+      |), risk AS (
+      |  SELECT h, d_h, c_h,
+      |    CAST((SELECT COUNT(*) FROM d) AS BIGINT)
+      |      - CAST(COALESCE(SUM(d_h + c_h) OVER (ORDER BY h
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS n_risk
+      |  FROM lt
+      |), f AS (
+      |  SELECT h, d_h, c_h, n_risk,
+      |    1.0 - CAST(d_h AS DOUBLE) / n_risk AS factor,
+      |    row_number() OVER (ORDER BY h) AS rn
+      |  FROM risk
+      |), arr AS (
+      |  SELECT list(factor ORDER BY h) AS fs FROM f
+      |)
+      |SELECT f.h, f.n_risk, f.d_h AS n_events, f.c_h AS n_censored,
+      |  list_reduce(list_prepend(1.0, (arr.fs)[1:f.rn]),
+      |    (acc, x) -> acc * x) AS surv
+      |FROM f, arr ORDER BY f.h""".stripMargin
+
   // -------------------------------------------------------- decile binning
   /** Equal-frequency decile binning of `value` with per-bin stats — the
     * quantile-binning feature transform. Global ntile(10) WITHOUT the
@@ -903,6 +1097,8 @@ object AnalyticsOps extends QueryModule {
     "dq_profile" -> (dqProfile _),
     "dq_constraints" -> (dqConstraints _),
     "evt_attribution" -> (attribution _),
+    "evt_attribution_position" -> (positionAttribution _),
+    "evt_survival_km" -> (survivalKm _),
     "ml_quantile_bins" -> (quantileBins _),
     "ml_gains_table" -> (gainsTable _),
     "evt_cumulative_users" -> (cumulativeUsers _),
@@ -923,6 +1119,8 @@ object AnalyticsOps extends QueryModule {
     "dq_profile" -> dqProfileSql,
     "dq_constraints" -> dqConstraintsSql,
     "evt_attribution" -> attributionSql,
+    "evt_attribution_position" -> positionAttributionSql,
+    "evt_survival_km" -> survivalKmSql,
     "ml_quantile_bins" -> quantileBinsSql,
     "ml_gains_table" -> gainsTableSql,
     "evt_cumulative_users" -> cumulativeUsersSql,

@@ -88,6 +88,313 @@ object Embeddings extends QueryModule {
 
   /** Spark-side zip_with needs the same fold; DuckDB side uses ranges. */
 
+  // ------------------------------------------- ColBERT-style late interaction
+  /** Multi-vector LATE-INTERACTION retrieval (ColBERT, Khattab & Zaharia
+    * 2020): each 64-dim embedding is treated as EIGHT 8-dim token vectors
+    * (contiguous slices), and the query–document score is MaxSim —
+    * Σ_i max_j cos(q_i, d_j) — instead of one pooled cosine. Queries are
+    * the fixed vec_id < 5 sample ([[knnBrute]]'s), top-5 docs per query.
+    *
+    * Exactness: each per-i max cosine is rounded to 6 dp, then the eight
+    * rounded maxes fold in ascending i order — a fixed-order double sum
+    * both engines replay identically (the oracle lists maxes ORDER BY i
+    * and folds from 0.0; a bare SUM would be order-dependent). Sub-vector
+    * norms are hoisted to the vector tables once (the emb_knn_classify
+    * lesson — norms per VECTOR, not per pair).
+    *
+    * Scale shape: the scoring is a |Q|·|corpus| scan with Q broadcast —
+    * right for bounded query batches; at index scale the same MaxSim tail
+    * sits behind the IVF candidate generation (probe cells on the pooled
+    * vector, late-interact only the probed members), exactly as the
+    * knn_classify_indexed twin does for single-vector scoring. The oracle
+    * deliberately computes per-(pair, i, j) cosines RELATIONALLY (unnest +
+    * GROUP BY) because a nested lambda capturing an outer lambda var plus
+    * a column is the documented DuckDB 1.0.0 mis-bind shape; Spark runs
+    * the equivalent nested higher-order expression, which it binds
+    * correctly. */
+  private def colbertMaxsim(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("subs",
+        expr("transform(sequence(0, 7), i -> slice(embedding, i*8 + 1, 8))"))
+      .withColumn("subn",
+        expr("transform(subs, s -> sqrt(aggregate(transform(s, " +
+          "x -> cast(x as double) * cast(x as double)), 0D, " +
+          "(acc, x) -> acc + x)))"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("subs").as("qs"),
+        col("subn").as("qn"))
+    val scoreExpr =
+      """aggregate(
+        |  transform(sequence(0, 7), i ->
+        |    round(
+        |      array_max(transform(sequence(0, 7), j ->
+        |        aggregate(zip_with(element_at(qs, i + 1), element_at(subs, j + 1),
+        |          (x, y) -> cast(x as double) * cast(y as double)), 0D,
+        |          (acc, x) -> acc + x)
+        |        / (element_at(qn, i + 1) * element_at(subn, j + 1)))),
+        |    6)),
+        |  0D, (acc, x) -> acc + x)""".stripMargin
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("maxsim_raw", expr(scoreExpr))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim_raw").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"),
+        round(col("maxsim_raw"), 6).as("maxsim"), col("label"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Shared per-(query, doc) MaxSim CTE chain — ends at `sc` with
+    * maxsim_raw; the top-5 query and the streaming threshold gate both
+    * project from it. */
+  private val colbertChainSql =
+    """WITH s AS MATERIALIZED (
+      |  SELECT vec_id, label, ii.i,
+      |    list_transform(embedding[ii.i*8 + 1 : ii.i*8 + 8],
+      |      x -> CAST(x AS DOUBLE)) AS sv
+      |  FROM embeddings, (SELECT unnest(range(8)) AS i) ii
+      |), sn AS MATERIALIZED (
+      |  SELECT vec_id, label, i, sv,
+      |    SQRT(list_reduce(list_prepend(0.0, list_transform(sv, x -> x*x)),
+      |      (acc, x) -> acc + x)) AS nrm
+      |  FROM s
+      |), q AS (
+      |  SELECT vec_id AS query_id, i AS qi, sv AS qv, nrm AS qn
+      |  FROM sn WHERE vec_id < 5
+      |), d AS (
+      |  SELECT vec_id AS doc_id, label, i AS dj, sv AS dv, nrm AS dn FROM sn
+      |), pairs AS MATERIALIZED (
+      |  SELECT q.query_id, d.doc_id, d.label, q.qi,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+      |      t -> q.qv[t] * d.dv[t])), (acc, x) -> acc + x)
+      |      / (q.qn * d.dn) AS cos
+      |  FROM q, d WHERE d.doc_id <> q.query_id
+      |), mx AS (
+      |  SELECT query_id, doc_id, label, qi, ROUND(MAX(cos), 6) AS m
+      |  FROM pairs GROUP BY query_id, doc_id, label, qi
+      |), sc AS (
+      |  SELECT query_id, doc_id, label,
+      |    list_reduce(list_prepend(0.0, list(m ORDER BY qi)),
+      |      (acc, x) -> acc + x) AS maxsim_raw
+      |  FROM mx GROUP BY query_id, doc_id, label
+      |)""".stripMargin
+
+  private val colbertMaxsimSql =
+    s"""$colbertChainSql,
+      |ranked AS (
+      |  SELECT query_id, doc_id, label, maxsim_raw,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY maxsim_raw DESC, doc_id) AS rank
+      |  FROM sc)
+      |SELECT query_id, rank, doc_id, ROUND(maxsim_raw, 6) AS maxsim, label
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for the streaming MaxSim gate: the same chain, thresholded
+    * instead of ranked (a stream cannot rank against docs it has not
+    * seen, so the gate is threshold-semantics by design). */
+  private[graft] val colbertGateSql =
+    s"""$colbertChainSql
+      |SELECT query_id, doc_id, label, ROUND(maxsim_raw, 6) AS maxsim
+      |FROM sc WHERE maxsim_raw >= 4.8
+      |ORDER BY query_id, doc_id""".stripMargin
+
+  /** Broadcast query model for the streaming gate: the vec_id < 5 query
+    * sample's 8 sub-vectors + sub-norms as driver-side doubles (bounded:
+    * 5 × 64 values), computed with the identical ascending folds. */
+  private[graft] def colbertQueryModel(spark: SparkSession, dir: String)
+      : Array[(Long, Array[Array[Double]], Array[Double])] = {
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val emb = r.getSeq[Float](1).toArray
+        val subs = Array.tabulate(8)(i =>
+          Array.tabulate(8)(t => emb(i * 8 + t).toDouble))
+        val norms = subs.map { sv =>
+          var s = 0.0; var t = 0
+          while (t < 8) { s += sv(t) * sv(t); t += 1 }
+          math.sqrt(s)
+        }
+        (id, subs, norms)
+      }.sortBy(_._1)
+  }
+
+  // ------------------------------------------------- integer-log NDCG eval
+  /** Exact-integer NDCG@10 retrieval eval over the label relevance of the
+    * vec_id < 20 query sample: rel = (neighbor label == query label), and
+    * the position discount is the repo's libm-free integer-log surrogate
+    * — weight(pos) = 12 div bitlen(pos+1), where bitlen = length(bin(x))
+    * (positions 1..10 have bitlen(pos+1) ∈ {2,3,4} and 12 is their LCM,
+    * so every weight is an EXACT integer: 6/6/4/4/4/4/3/3/3/3). DCG and
+    * the ideal DCG (all relevant docs moved to the top positions) are
+    * exact BIGINTs; ndcg is their single closing double division (0.0
+    * when nothing relevant ranks). Same reason as text_lm_score/HLL: a
+    * log2 discount is libm-dependent and would break the bit-exact
+    * oracle, and the bitlen surrogate preserves the ranking semantics to
+    * within log2 quantization.
+    *
+    * Scale: |Q|·|corpus| scan with norms hoisted per vector (the
+    * knn_classify lesson) and the query side broadcast; at index scale
+    * the ranking comes from the persisted IVFADC views and this eval
+    * tail is unchanged. */
+  private def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir).withColumn("nrm", expr(
+      "sqrt(aggregate(transform(embedding, x -> cast(x as double) * " +
+        "cast(x as double)), 0D, (acc, x) -> acc + x))"))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("true_label"), col("nrm").as("qn"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(qv, embedding, (x, y) -> " +
+          "cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")
+          / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val top = scored.withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= 10)
+      .withColumn("rel",
+        when(col("label") === col("true_label"), 1L).otherwise(0L))
+      .withColumn("wgt", expr("12 div length(bin(pos + 1))"))
+    val dcg = top.groupBy(col("query_id"), col("true_label"))
+      .agg(sum(col("rel")).as("n_rel"), sum(col("rel") * col("wgt")).as("dcg_s"))
+    val posW = spark.range(1, 11).select(col("id").as("pos"))
+      .withColumn("wgt", expr("12 div length(bin(pos + 1))"))
+    val ideal = dcg.join(broadcast(posW), col("pos") <= col("n_rel"))
+      .groupBy(col("query_id")).agg(sum(col("wgt")).as("idcg_s"))
+    dcg.join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"), col("true_label"), col("n_rel"), col("dcg_s"),
+        coalesce(col("idcg_s"), lit(0L)).as("idcg_s"),
+        when(coalesce(col("idcg_s"), lit(0L)) > 0,
+          col("dcg_s").cast("double") / col("idcg_s")).otherwise(lit(0.0))
+          .as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  private val ndcgEvalSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+       |  FROM embeddings WHERE vec_id < 20
+       |), scored AS (
+       |  SELECT q.query_id, q.true_label, e.vec_id, e.label,
+       |    ROUND(${duckCos("qv", "e.embedding")}, 6) AS cos
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, true_label, label,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS pos
+       |  FROM scored
+       |), top AS (
+       |  SELECT query_id, true_label,
+       |    CASE WHEN label = true_label THEN 1 ELSE 0 END AS rel,
+       |    12 // length(bin(pos + 1)) AS w
+       |  FROM ranked WHERE pos <= 10
+       |), dcg AS (
+       |  SELECT query_id, true_label,
+       |    CAST(SUM(rel) AS BIGINT) AS n_rel,
+       |    CAST(SUM(rel * w) AS BIGINT) AS dcg_s
+       |  FROM top GROUP BY query_id, true_label
+       |), ideal AS (
+       |  SELECT d.query_id,
+       |    CAST(SUM(12 // length(bin(p.pos + 1))) AS BIGINT) AS idcg_s
+       |  FROM dcg d JOIN (SELECT unnest(range(1, 11)) AS pos) p
+       |    ON p.pos <= d.n_rel
+       |  GROUP BY d.query_id
+       |)
+       |SELECT d.query_id, d.true_label, d.n_rel, d.dcg_s,
+       |  COALESCE(i.idcg_s, 0) AS idcg_s,
+       |  CASE WHEN COALESCE(i.idcg_s, 0) > 0
+       |       THEN CAST(d.dcg_s AS DOUBLE) / i.idcg_s ELSE 0.0 END AS ndcg
+       |FROM dcg d LEFT JOIN ideal i USING (query_id)
+       |ORDER BY d.query_id""".stripMargin
+
+  // ------------------------------------------------ average precision eval
+  /** Mean-average-precision companion to [[ndcgEval]] over the same
+    * vec_id < 20 query sample and label relevance:
+    * AP = (Σ_{k: rel_k} P@k) / n_rel with P@k = cum_rel(k)/k over the
+    * top-10. Each P@k is one double division of exact integers; the ≤10
+    * contributions fold in POSITION order from 0.0 in both engines (a
+    * bare SUM of doubles would be order-dependent), then one closing
+    * division by n_rel (0.0 when nothing relevant ranks). Same hoisted
+    * norms + broadcast-query scan shape as the other retrieval evals. */
+  private def avgPrecisionEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir).withColumn("nrm", expr(
+      "sqrt(aggregate(transform(embedding, x -> cast(x as double) * " +
+        "cast(x as double)), 0D, (acc, x) -> acc + x))"))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("true_label"), col("nrm").as("qn"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(qv, embedding, (x, y) -> " +
+          "cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")
+          / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val wCum = Window.partitionBy(col("query_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val top = scored.withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= 10)
+      .withColumn("rel",
+        when(col("label") === col("true_label"), 1L).otherwise(0L))
+      .withColumn("crel", sum(col("rel")).over(wCum))
+      .withColumn("c",
+        when(col("rel") === 1L, col("crel").cast("double") / col("pos"))
+          .otherwise(lit(0.0)))
+    top.groupBy(col("query_id"), col("true_label"))
+      .agg(max(col("crel")).as("n_rel"),
+        array_sort(collect_list(struct(col("pos"), col("c")))).as("cs"))
+      .select(col("query_id"), col("true_label"), col("n_rel"),
+        when(col("n_rel") > 0,
+          expr("aggregate(transform(cs, x -> x.c), 0D, (acc, x) -> acc + x)")
+            / col("n_rel")).otherwise(lit(0.0)).as("avg_precision"))
+      .orderBy(col("query_id"))
+  }
+
+  private val avgPrecisionEvalSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+       |  FROM embeddings WHERE vec_id < 20
+       |), scored AS (
+       |  SELECT q.query_id, q.true_label, e.vec_id, e.label,
+       |    ROUND(${duckCos("qv", "e.embedding")}, 6) AS cos
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, true_label, label,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS pos
+       |  FROM scored
+       |), top AS (
+       |  SELECT query_id, true_label, pos,
+       |    CASE WHEN label = true_label THEN 1 ELSE 0 END AS rel,
+       |    CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY query_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS crel
+       |  FROM ranked WHERE pos <= 10
+       |), contrib AS (
+       |  SELECT query_id, true_label, pos,
+       |    CASE WHEN rel = 1 THEN CAST(crel AS DOUBLE) / pos
+       |         ELSE 0.0 END AS c,
+       |    MAX(crel) OVER (PARTITION BY query_id) AS n_rel
+       |  FROM top
+       |)
+       |SELECT query_id, true_label,
+       |  CAST(MAX(n_rel) AS BIGINT) AS n_rel,
+       |  CASE WHEN MAX(n_rel) > 0
+       |       THEN list_reduce(list_prepend(0.0, list(c ORDER BY pos)),
+       |              (acc, x) -> acc + x) / MAX(n_rel)
+       |       ELSE 0.0 END AS avg_precision
+       |FROM contrib GROUP BY query_id, true_label
+       |ORDER BY query_id""".stripMargin
+
   // --------------------------------------------------- kNN classification
   /** kNN LABEL-VOTE classification eval (round 10) — the standard
     * embedding-quality probe (kNN accuracy on a held-out sample is the
@@ -2466,6 +2773,9 @@ object Embeddings extends QueryModule {
     "emb_ivfadc_residual" -> (ivfadcResidualRecall _),
     "dedup_semantic" -> (semDedup _),
     "emb_knn_bruteforce" -> (knnBrute _),
+    "emb_colbert_maxsim" -> (colbertMaxsim _),
+    "ml_ndcg_eval" -> (ndcgEval _),
+    "ml_average_precision" -> (avgPrecisionEval _),
     "emb_knn_classify" -> (knnClassify _),
     "emb_hard_negatives" -> (hardNegatives _),
     "emb_rp_recall" -> (rpRecall _),
@@ -2493,6 +2803,9 @@ object Embeddings extends QueryModule {
     "dedup_semantic" -> semDedupSql,
     "emb_ivf_recall" -> ivfRecallSql,
     "emb_knn_bruteforce" -> knnBruteSql,
+    "emb_colbert_maxsim" -> colbertMaxsimSql,
+    "ml_ndcg_eval" -> ndcgEvalSql,
+    "ml_average_precision" -> avgPrecisionEvalSql,
     "emb_knn_classify" -> knnClassifySql,
     "emb_hard_negatives" -> hardNegativesSql,
     "emb_rp_recall" -> rpRecallSql,

@@ -860,6 +860,62 @@ object SignalOps extends QueryModule {
       |    AS gap_ms
       |FROM m ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------ NEAREST as-of join
+  /** Nearest-direction as-of join (round 11,
+    * [[graft.operators.AsOfJoin.nearestAsOf]]): each purchase attaches
+    * the user's click CLOSEST in time in EITHER direction — the pandas
+    * merge_asof(direction='nearest') semantics completing the
+    * backward/forward trio, with ties to the backward side and a 24 h
+    * tolerance applied downstream as a projection on the carried click
+    * ts. One union-sort shuffle; the two directional carries are
+    * consecutive Sorts over the same Exchange. Signed gap_ms keeps the
+    * chosen direction visible (≤0 backward, >0 forward). */
+  private def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ems")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ems".as("c_ems"))
+    graft.operators.AsOfJoin.nearestAsOf(
+        purchases, clicks, Seq("user_id"), "ems", "c_ems",
+        rightCols = Seq("c_ems"), tieBreak = "c_ems")
+      .withColumn("near_click_ems",
+        when(abs($"c_ems" - $"ems") <= 86400000L, $"c_ems"))
+      .select($"user_id", $"event_id", $"ems",
+        $"near_click_ems",
+        ($"near_click_ems" - $"ems").as("gap_ms"))
+      .orderBy($"event_id")
+  }
+
+  private val asofNearestSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ems FROM events
+      |  WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, epoch_ms(ts) AS ems FROM events
+      |  WHERE event_type = 'click'
+      |), m AS (
+      |  SELECT p.user_id, p.event_id, p.ems,
+      |    CAST(MAX(CASE WHEN c.ems <= p.ems THEN c.ems END) AS BIGINT) AS b_ems,
+      |    CAST(MIN(CASE WHEN c.ems >= p.ems THEN c.ems END) AS BIGINT) AS f_ems
+      |  FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |  GROUP BY p.user_id, p.event_id, p.ems
+      |), pick AS (
+      |  SELECT user_id, event_id, ems,
+      |    CASE WHEN b_ems IS NULL THEN f_ems
+      |         WHEN f_ems IS NULL THEN b_ems
+      |         WHEN ems - b_ems <= f_ems - ems THEN b_ems
+      |         ELSE f_ems END AS near_ems
+      |  FROM m
+      |)
+      |SELECT user_id, event_id, ems,
+      |  CASE WHEN ABS(near_ems - ems) <= 86400000 THEN near_ems END
+      |    AS near_click_ems,
+      |  CASE WHEN ABS(near_ems - ems) <= 86400000 THEN near_ems - ems END
+      |    AS gap_ms
+      |FROM pick ORDER BY event_id""".stripMargin
+
   // ------------------------------------- permutation feature importance
   /** Permutation importance of `value` for the event-type-vs-rest labels:
     * exact Mann-Whitney AUC (the ml_feature_auc doubled-midrank algebra)
@@ -1014,6 +1070,7 @@ object SignalOps extends QueryModule {
     "emb_pca_project" -> (pcaProject _),
     "emb_pca_third" -> (pcaThird _),
     "evt_asof_forward" -> (asofForward _),
+    "evt_asof_nearest" -> (asofNearest _),
     "ml_permutation_importance" -> (permImportance _),
     "src_orc_roundtrip" -> (orcRoundtrip _))
 
@@ -1028,6 +1085,7 @@ object SignalOps extends QueryModule {
     "emb_pca_project" -> pcaProjectSql,
     "emb_pca_third" -> pcaThirdSql,
     "evt_asof_forward" -> asofForwardSql,
+    "evt_asof_nearest" -> asofNearestSql,
     "ml_permutation_importance" -> permImportanceSql,
     "src_orc_roundtrip" -> orcRoundtripSql)
 }

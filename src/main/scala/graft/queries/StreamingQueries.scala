@@ -319,6 +319,17 @@ object StreamingQueries extends QueryModule {
         StreamingPipelines.decontaminateFuzzyStream(s, d)),
     "stream_lm_score" ->
       ((s: SparkSession, d: String) => StreamingPipelines.lmScoreStream(s, d)),
+    "stream_ccnet_gate" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.ccnetGateStream(s, d)),
+    "stream_attribution_position" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.positionAttributionStream(s, d)),
+    "stream_survival_km" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.survivalKmStream(s, d)),
+    "stream_colbert_gate" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.colbertGateStream(s, d)),
     "stream_corpus_funnel" ->
       ((s: SparkSession, d: String) => StreamingPipelines.curationFunnelStream(s, d)),
     "stream_kmv_overlap" ->
@@ -473,6 +484,10 @@ object StreamingQueries extends QueryModule {
     "stream_decontaminate" -> TextAnalysis.decontaminateSql,
     "stream_decontaminate_fuzzy" -> TextAnalysis.decontaminateFuzzySql,
     "stream_lm_score" -> TextAnalysis.lmScoreSql,
+    "stream_ccnet_gate" -> TextAnalysis.ccnetGateSql,
+    "stream_attribution_position" -> AnalyticsOps.positionAttributionSql,
+    "stream_survival_km" -> AnalyticsOps.survivalKmSql,
+    "stream_colbert_gate" -> Embeddings.colbertGateSql,
     "stream_corpus_funnel" -> TextAnalysis.curationFunnelOracleSql,
     "stream_hll_distinct" -> Sketches.hllDistinctSql,
     "stream_kmv_overlap" -> Sketches.kmvStreamSql,

@@ -1322,6 +1322,119 @@ object TextAnalysis extends QueryModule {
        |       THEN lm_score / CAST(n_bigrams AS DOUBLE) ELSE 0.0 END > -5.0 AS keep
        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------- CCNet head/middle/tail split
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per LANGUAGE,
+    * rank documents by the bigram-LM quality score (the [[lmScore]] chain —
+    * integer-log surrogate, exact BIGINT) and split into terciles: head
+    * (best third), middle, tail; the pipeline keeps head+middle and drops
+    * the tail. ntile(3) over (avg_logp DESC, doc_id) is exact integer
+    * positional bucketing — identical ANSI semantics in both engines —
+    * so unlike a float-threshold split the bucket boundaries carry no
+    * rounding ambiguity. Docs with no bigrams score 0.0 (= best; they are
+    * length-gated elsewhere).
+    *
+    * Scale: the count tables are vocab-bounded and broadcast; the rank is
+    * a per-LANG window — language cardinality is small, so at 100 TB the
+    * per-lang partitions are the skew concern and the window swaps for
+    * the two-phase RankedWindow/percentile-selection reconstruction
+    * (operators/RankedWindow, rel_exact_percentiles) per language; the
+    * output is |langs|·3 rows either way. */
+  /** Per-doc scored + tercile-bucketed table (doc_id, lang, n_bigrams,
+    * avg_logp, bucket) — shared by the batch rollup and the streaming
+    * gate (which derives its per-lang cut scores from these buckets). */
+  private[graft] def ccnetDocBuckets(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (big, uni, bc) = lmCountTables(spark, dir)
+    val sc = big
+      .join(broadcast(bc), Seq("a", "b"))
+      .join(broadcast(uni), Seq("a"))
+      .withColumn("lp",
+        (length(bin(col("bcnt"))) - length(bin(col("ucnt")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lm_score"))
+    val scored = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          coalesce(col("lm_score"), lit(0L)) / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("avg_logp"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logp").desc, col("doc_id"))
+    scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+  }
+
+  private def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    ccnetDocBuckets(spark, dir)
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("sum_bigrams"),
+        max(col("avg_logp")).as("best_logp"),
+        min(col("avg_logp")).as("worst_logp"))
+      .withColumn("kept", col("bucket") <= 2)
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  private val ccnetBucketsSql =
+    s"""$bigramCtes,
+       |uni AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ucnt FROM big GROUP BY a),
+       |sc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(length(bin(bcnt)) - length(bin(ucnt))) AS BIGINT) AS lm_score
+       |  FROM big JOIN bc USING (a, b) JOIN uni USING (a) GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, COALESCE(n_bigrams, 0) AS n_bigrams,
+       |    CASE WHEN COALESCE(n_bigrams, 0) > 0
+       |         THEN lm_score / CAST(n_bigrams AS DOUBLE) ELSE 0.0 END AS avg_logp
+       |  FROM documents d LEFT JOIN sc USING (doc_id)),
+       |b AS (
+       |  SELECT lang, n_bigrams, avg_logp,
+       |    CAST(ntile(3) OVER (PARTITION BY lang
+       |      ORDER BY avg_logp DESC, doc_id) AS BIGINT) AS bucket
+       |  FROM scored)
+       |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+       |  MAX(avg_logp) AS best_logp, MIN(avg_logp) AS worst_logp,
+       |  bucket <= 2 AS kept
+       |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
+  /** Oracle for the STREAMING CCNet gate (stream_ccnet_gate): the gate
+    * scores arriving docs against broadcast count tables and buckets by
+    * per-lang THRESHOLDS (the min avg_logp of the batch head / middle
+    * terciles) — threshold semantics, not positional, because a stream
+    * cannot rank docs it has not seen; ties AT a cut score therefore all
+    * take the better bucket. The oracle re-derives the cuts from the
+    * batch tercile build and re-buckets every doc by the same rule. */
+  private[graft] val ccnetGateSql =
+    s"""$bigramCtes,
+       |uni AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ucnt FROM big GROUP BY a),
+       |sc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(length(bin(bcnt)) - length(bin(ucnt))) AS BIGINT) AS lm_score
+       |  FROM big JOIN bc USING (a, b) JOIN uni USING (a) GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, COALESCE(n_bigrams, 0) AS n_bigrams,
+       |    CASE WHEN COALESCE(n_bigrams, 0) > 0
+       |         THEN lm_score / CAST(n_bigrams AS DOUBLE) ELSE 0.0 END AS avg_logp
+       |  FROM documents d LEFT JOIN sc USING (doc_id)),
+       |b AS (
+       |  SELECT doc_id, lang, avg_logp,
+       |    CAST(ntile(3) OVER (PARTITION BY lang
+       |      ORDER BY avg_logp DESC, doc_id) AS BIGINT) AS bucket
+       |  FROM scored),
+       |cuts AS (
+       |  SELECT lang,
+       |    MIN(CASE WHEN bucket = 1 THEN avg_logp END) AS t1,
+       |    MIN(CASE WHEN bucket = 2 THEN avg_logp END) AS t2
+       |  FROM b GROUP BY lang)
+       |SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_logp,
+       |  CAST(CASE WHEN s.avg_logp >= c.t1 THEN 1
+       |            WHEN s.avg_logp >= c.t2 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+       |  CASE WHEN s.avg_logp >= c.t1 THEN 1
+       |       WHEN s.avg_logp >= c.t2 THEN 2 ELSE 3 END <= 2 AS kept
+       |FROM scored s JOIN cuts c USING (lang)
+       |ORDER BY s.doc_id""".stripMargin
+
   // ------------------------------------------------- TextRank keywords
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
     * PageRank over the word co-occurrence graph (adjacent-word edges,
@@ -1469,7 +1582,11 @@ object TextAnalysis extends QueryModule {
     * stage applies on the previous stage's survivors. The oracle embeds
     * the five already-proven oracle queries as derived tables — one
     * engine run, one SQL, same verdicts. */
-  private def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The five per-doc batch verdict frames (q/r/e/m as (doc_id, flag);
+    * dc0 covers train docs only) — shared by the funnel rollup and the
+    * per-stage audit so they cannot drift. */
+  private def funnelVerdicts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val q = quality(spark, dir).select(col("doc_id"), col("keep").as("q"))
     val r = repetition(spark, dir).select(col("doc_id"), col("keep").as("r"))
     val e = dedupExact(spark, dir)
@@ -1484,7 +1601,46 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), (col("nf") === col("nb")).as("m"))
     val d = decontaminate(spark, dir)
       .select(col("doc_id"), (!col("contaminated")).as("dc0"))
+    (q, r, e, m, d)
+  }
+
+  private def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val (q, r, e, m, d) = funnelVerdicts(spark, dir)
     funnelRollup(spark, Tables.documents(spark, dir), q, r, e, m, d)
+  }
+
+  // ------------------------------------------------ funnel attrition audit
+  /** Per-stage ATTRITION AUDIT of the curation funnel — the data-lineage
+    * report a production pipeline files next to the survivor counts: for
+    * every document, the FIRST stage (in funnel order) that rejects it,
+    * or 'kept'; rolled up to (stage, n_docs, sample_doc) with the
+    * smallest rejected doc_id as the concrete exemplar an auditor opens
+    * first. Stage ids align with corpus_curation_funnel's numbering
+    * (stage k rejects what stage k's survivor count no longer includes;
+    * 7 = kept), so the two reports cross-check: n_docs(kept) equals the
+    * funnel's final survivor count, and the audit partitions the corpus
+    * exactly once. Composes the same five per-doc verdict frames through
+    * [[funnelVerdicts]] — audit and funnel cannot drift. */
+  private def funnelAudit(spark: SparkSession, dir: String): DataFrame = {
+    val (q, r, e, m, d) = funnelVerdicts(spark, dir)
+    val fl = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(q, "doc_id").join(r, "doc_id").join(e, "doc_id")
+      .join(m, "doc_id").join(d, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("q"), col("r"), col("e"), col("m"),
+        (col("dc0").isNotNull && col("dc0")).as("dc"))
+    val tagged = fl.withColumn("stage_id",
+        when(!col("q"), 2L).when(!col("r"), 3L).when(!col("e"), 4L)
+          .when(!col("m"), 5L).when(!col("dc"), 6L).otherwise(7L))
+      .withColumn("stage",
+        when(col("stage_id") === 2L, "quality")
+          .when(col("stage_id") === 3L, "repetition")
+          .when(col("stage_id") === 4L, "exact_dedup")
+          .when(col("stage_id") === 5L, "near_dedup")
+          .when(col("stage_id") === 6L, "decontaminated")
+          .otherwise("kept"))
+    tagged.groupBy(col("stage_id"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("sample_doc"))
+      .orderBy(col("stage_id"))
   }
 
   /** Shared funnel tail: joins the five per-doc verdict frames
@@ -1547,6 +1703,32 @@ object TextAnalysis extends QueryModule {
        |  UNION ALL SELECT CAST(6 AS BIGINT), 'decontaminated',
        |    CAST(SUM(CASE WHEN q AND r AND e AND m AND dc THEN 1 ELSE 0 END) AS BIGINT) FROM fl
        |) ORDER BY stage_id""".stripMargin
+
+  private def funnelAuditSql =
+    s"""WITH qf AS (SELECT doc_id, keep AS q FROM ($qualitySql)),
+       |rf AS (SELECT doc_id, keep AS r FROM ($repetitionSql)),
+       |ef AS (SELECT doc_id, NOT is_duplicate AS e FROM ($dedupExactSql)),
+       |mf AS (SELECT doc_id, NOT is_duplicate AS m FROM ($dedupMinhashStreamSql)),
+       |cf AS (SELECT doc_id, NOT contaminated AS dc0 FROM ($decontaminateSql)),
+       |fl AS (
+       |  SELECT d.doc_id, qf.q, rf.r, ef.e, mf.m,
+       |    (cf.doc_id IS NOT NULL AND cf.dc0) AS dc
+       |  FROM documents d
+       |  JOIN qf USING (doc_id) JOIN rf USING (doc_id)
+       |  JOIN ef USING (doc_id) JOIN mf USING (doc_id)
+       |  LEFT JOIN cf USING (doc_id)
+       |), tagged AS (
+       |  SELECT doc_id,
+       |    CASE WHEN NOT q THEN 2 WHEN NOT r THEN 3 WHEN NOT e THEN 4
+       |         WHEN NOT m THEN 5 WHEN NOT dc THEN 6 ELSE 7 END AS stage_id
+       |  FROM fl)
+       |SELECT CAST(stage_id AS BIGINT) AS stage_id,
+       |  CASE stage_id WHEN 2 THEN 'quality' WHEN 3 THEN 'repetition'
+       |    WHEN 4 THEN 'exact_dedup' WHEN 5 THEN 'near_dedup'
+       |    WHEN 6 THEN 'decontaminated' ELSE 'kept' END AS stage,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS sample_doc
+       |FROM tagged GROUP BY stage_id ORDER BY stage_id""".stripMargin
 
   // ------------------------------------------------------------ exact dedup
   /** Exact dedup by content hash: group size and canonical (min doc_id)
@@ -2708,9 +2890,11 @@ object TextAnalysis extends QueryModule {
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_lm_score" -> (lmScore _),
+    "text_ccnet_buckets" -> (ccnetBuckets _),
     "text_rank_keywords" -> (textRank _),
     "dedup_substring" -> (dedupSubstring _),
     "corpus_curation_funnel" -> (curationFunnel _),
+    "corpus_funnel_audit" -> (funnelAudit _),
     "text_lang_id" -> (langId _),
     "text_langid_confusion" -> (langidConfusion _),
     "text_zipf_octaves" -> (zipfOctaves _),
@@ -2750,9 +2934,11 @@ object TextAnalysis extends QueryModule {
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_encode" -> bpeEncodeSql,
     "text_lm_score" -> lmScoreSql,
+    "text_ccnet_buckets" -> ccnetBucketsSql,
     "text_rank_keywords" -> textRankSql,
     "dedup_substring" -> dedupSubstringSql,
     "corpus_curation_funnel" -> curationFunnelSql,
+    "corpus_funnel_audit" -> funnelAuditSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "dedup_exact" -> dedupExactSql,

@@ -207,6 +207,104 @@ object StatefulFeatures {
       }
   }
 
+  // ----------------------------------- position-based (U-shaped) attribution
+  case class TouchEventIn(event_id: Long, user_id: Long, ems: Long,
+      event_type: String, value: Double)
+  /** Last-8 touch channels per user, oldest-first — the entire state
+    * (bounded at the lookback window regardless of history length). */
+  case class TouchWindow(channels: Array[String])
+  case class CreditRow(channel: String, credit_micro: Long)
+
+  /** Streaming U-shaped multi-touch attribution — the real-time twin of
+    * the batch `evt_attribution_position` query: state per user is the
+    * last-8 touch channel deque (an O(lookback) string array, never the
+    * history); a purchase arrival credits the CURRENT deque with the
+    * identical integer micro-unit formula (base = floor(value·1e6),
+    * first = base·2/5, middles = (base/5)/(m−2), last = remainder — Long
+    * `/` truncates, operands non-negative, so it matches Spark `div` and
+    * DuckDB `//`) and emits one credit row per touched channel at
+    * arrival. In-order replay contract (the append-mode family): within
+    * a micro-batch arrivals sort by (ems, event_id); across batches the
+    * chunked replay is globally (ts, event_id)-ordered. */
+  def positionCredits(ds: Dataset[TouchEventIn]): Dataset[CreditRow] = {
+    implicit val outEnc = Encoders.product[CreditRow]
+    implicit val stateEnc = Encoders.product[TouchWindow]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[TouchEventIn],
+         state: GroupState[TouchWindow]) =>
+          var chans: Array[String] =
+            state.getOption.map(_.channels).getOrElse(Array.empty[String])
+          val out = Vector.newBuilder[CreditRow]
+          events.toVector.sortBy(e => (e.ems, e.event_id)).foreach { e =>
+            if (e.event_type != "purchase") {
+              chans = (chans :+ e.event_type).takeRight(8)
+            } else {
+              val base = math.floor(e.value * 1000000.0).toLong
+              val m = chans.length
+              if (m == 0) out += CreditRow("none", base)
+              else if (m == 1) out += CreditRow(chans(0), base)
+              else {
+                val first = base * 2 / 5
+                val mid = if (m >= 3) base / 5 / (m - 2) else 0L
+                var i = 0
+                while (i < m) {
+                  val credit =
+                    if (i == 0) first
+                    else if (i == m - 1) base - first - (m - 2) * mid
+                    else mid
+                  out += CreditRow(chans(i), credit)
+                  i += 1
+                }
+              }
+            }
+          }
+          state.update(TouchWindow(chans))
+          out.result().iterator
+      }
+  }
+
+  // ----------------------------------------------- survival observation
+  case class SurvEventIn(event_id: Long, user_id: Long, ems: Long,
+      event_type: String, value: Double)
+  /** Per-user survival observation: first-seen ems, last-seen ems, first
+    * conversion ems (-1 = none yet) + emission rev — 4 primitives. */
+  case class SurvState(s: Long, e: Long, p: Long, rev: Long)
+  case class SurvRow(user_id: Long, s: Long, e: Long, p: Long, rev: Long)
+
+  /** Streaming per-user survival observation for the Kaplan–Meier twin:
+    * state is exactly the three primitives the batch query aggregates
+    * (min ems, max ems, min converting-purchase ems), updated per
+    * arrival and emitted with a bumped rev whenever the triple changes —
+    * update-mode retraction semantics, so the sink's max-rev row per
+    * user is the complete observation and the KM life-table finale
+    * (AnalyticsOps.kmFromUsers) reads it exactly as the batch query
+    * reads its groupBy. Arrival order is irrelevant (min/max/min are
+    * commutative), so this op has no in-order replay contract at all. */
+  def survivalObservations(ds: Dataset[SurvEventIn]): Dataset[SurvRow] = {
+    implicit val outEnc = Encoders.product[SurvRow]
+    implicit val stateEnc = Encoders.product[SurvState]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[SurvEventIn],
+         state: GroupState[SurvState]) =>
+          val prev = state.getOption.getOrElse(
+            SurvState(Long.MaxValue, Long.MinValue, -1L, 0L))
+          var s = prev.s; var e = prev.e; var p = prev.p
+          events.foreach { ev =>
+            if (ev.ems < s) s = ev.ems
+            if (ev.ems > e) e = ev.ems
+            if (ev.event_type == "purchase" && ev.value > 150.0 &&
+              (p == -1L || ev.ems < p)) p = ev.ems
+          }
+          if (s != prev.s || e != prev.e || p != prev.p) {
+            val rev = prev.rev + 1L
+            state.update(SurvState(s, e, p, rev))
+            Iterator.single(SurvRow(uid, s, e, p, rev))
+          } else Iterator.empty
+      }
+  }
+
   // --------------------------------------------------------------- EWMA
   case class EwmaEventIn(event_id: Long, user_id: Long, ems: Long,
       value: Double)

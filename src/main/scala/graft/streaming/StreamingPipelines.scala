@@ -1435,6 +1435,152 @@ object StreamingPipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAMING CCNet gate — the broadcast-model contract applied to the
+    * tercile split: the vocab-bounded LM count tables AND the per-lang
+    * tercile cut scores (min avg_logp of the batch head/middle buckets —
+    * 2 doubles per language) train batch-side, broadcast, and every
+    * arriving doc scores + buckets STATELESSLY by threshold (ties at a
+    * cut take the better bucket; the oracle re-derives the cuts and
+    * re-buckets every doc by the same rule — TextAnalysis.ccnetGateSql).
+    * Zero streaming state, zero stream-side shuffle. */
+  def ccnetGateStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, uni, bi) = graft.queries.TextAnalysis.lmCountTables(spark, dir)
+    val uniM: Map[String, Long] =
+      uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val biM: Map[(String, String), Long] =
+      bi.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    // per-lang (t1, t2) cut scores — |langs| rows, a scalar-sized model
+    val cutsM: Map[String, (Double, Double)] =
+      graft.queries.TextAnalysis.ccnetDocBuckets(spark, dir)
+        .groupBy(col("lang"))
+        .agg(min(when(col("bucket") === 1, col("avg_logp"))).as("t1"),
+          min(when(col("bucket") === 2, col("avg_logp"))).as("t2"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+    val bcU = spark.sparkContext.broadcast(uniM)
+    val bcB = spark.sparkContext.broadcast(biM)
+    val bcC = spark.sparkContext.broadcast(cutsM)
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val in = docStreamReplay(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+    val out = in.map { case (docId, lang, text) =>
+      val toks = text.trim.split("\\s+")
+      val u = bcU.value; val b = bcB.value
+      var n = 0L
+      var s = 0L
+      var i = 0
+      while (i < toks.length - 1) {
+        s += bitlen(b((toks(i), toks(i + 1)))) - bitlen(u(toks(i)))
+        n += 1
+        i += 1
+      }
+      val avg = if (n > 0) s.toDouble / n else 0.0
+      val (t1, t2) = bcC.value(lang)
+      val bucket = if (avg >= t1) 1L else if (avg >= t2) 2L else 3L
+      (docId, lang, n, avg, bucket, bucket <= 2)
+    }.toDF("doc_id", "lang", "n_bigrams", "avg_logp", "bucket", "kept")
+    runToMemory(spark, out, "append", "ccnetgate")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Streaming ColBERT MaxSim gate — the broadcast-model contract on the
+    * late-interaction matcher: the 5 query vectors' sub-vectors + norms
+    * (Embeddings.colbertQueryModel, 5×64 doubles) broadcast; every
+    * arriving corpus vector computes MaxSim against each query
+    * STATELESSLY with the identical arithmetic (ascending dot/norm
+    * folds, per-i max rounded via java.math.BigDecimal HALF_UP =
+    * Spark's round, summed in i order) and emits pairs clearing the 4.8
+    * threshold — threshold semantics, not top-k, because a stream cannot
+    * rank against docs it has not seen. Zero streaming state, zero
+    * stream-side shuffle; oracle = the batch MaxSim chain thresholded
+    * (Embeddings.colbertGateSql). */
+  def colbertGateStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      graft.queries.Embeddings.colbertQueryModel(spark, dir))
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val in = embStreamReplay(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+    val out = in.flatMap { case (did, lbl, embSeq) =>
+      val emb = embSeq.toArray
+      val dsubs = Array.tabulate(8)(j =>
+        Array.tabulate(8)(t => emb(j * 8 + t).toDouble))
+      val dn = dsubs.map { sv =>
+        var s = 0.0; var t = 0
+        while (t < 8) { s += sv(t) * sv(t); t += 1 }
+        math.sqrt(s)
+      }
+      bc.value.iterator.filter(_._1 != did).flatMap { case (qid, qsub, qn) =>
+        var maxsim = 0.0
+        var i = 0
+        while (i < 8) {
+          var best = Double.NegativeInfinity
+          var j = 0
+          while (j < 8) {
+            var dot = 0.0; var t = 0
+            while (t < 8) { dot += qsub(i)(t) * dsubs(j)(t); t += 1 }
+            val c = dot / (qn(i) * dn(j))
+            if (c > best) best = c
+            j += 1
+          }
+          maxsim += round6(best)
+          i += 1
+        }
+        if (maxsim >= 4.8)
+          Iterator.single((qid, did, lbl, round6(maxsim)))
+        else Iterator.empty
+      }
+    }.toDF("query_id", "doc_id", "label", "maxsim")
+    runToMemory(spark, out, "append", "colbertgate")
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** Streaming Kaplan–Meier: per-user survival observations
+    * (StatefulFeatures.survivalObservations — 3 primitives per user,
+    * order-independent min/max/min state) in update mode; the finale
+    * reads the max-rev row per user and runs the SAME life-table tail
+    * as the batch query (AnalyticsOps.kmFromUsers), so the oracle is
+    * the batch SQL verbatim. */
+  def survivalKmStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = eventStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"),
+        col("event_type"), col("value"))
+      .as[StatefulFeatures.SurvEventIn]
+    val out = StatefulFeatures.survivalObservations(in).toDF()
+    val sink = runToMemory(spark, out, "update", "survkm")
+    val u = latestBy(sink, "rev", "user_id")
+      .select(col("s"), col("e"),
+        when(col("p") >= 0L, col("p")).as("p"))
+    graft.queries.AnalyticsOps.kmFromUsers(u)
+  }
+
+  /** Streaming U-shaped multi-touch attribution
+    * (StatefulFeatures.positionCredits): per-user last-8 touch deque in
+    * state, purchases credit at arrival; the finale is the same
+    * channel rollup as the batch query, so the oracle is
+    * AnalyticsOps.positionAttributionSql verbatim. */
+  def positionAttributionStream(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val in = eventStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ems"),
+        col("event_type"), col("value"))
+      .as[StatefulFeatures.TouchEventIn]
+    val out = StatefulFeatures.positionCredits(in).toDF()
+    val sink = runToMemory(spark, out, "append", "posattr")
+    sink.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit_micro")).as("credit_micro"))
+      .orderBy(col("channel"))
+  }
+
   /** The full corpus-curation funnel with every stage in STREAMING form
     * (round-7 composition flagship): the doc replay feeds five stage
     * verdicts — quality and repetition gates as stateless single-pass

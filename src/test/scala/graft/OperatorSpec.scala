@@ -548,6 +548,242 @@ class OperatorSpec extends AnyFunSuite {
       s"compaction grew files: $filesBefore -> $filesAfter")
   }
 
+  test("U-shaped attribution credits conserve and split 40/20/40 (round 11)") {
+    import TestSpark.spark
+    // every purchase's credits must sum EXACTLY to floor(value*1e6):
+    // the channel rollup therefore conserves total purchase micro-value
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("evt_attribution_position")(spark, dir)
+      .agg(sum(col("credit_micro"))).head().getLong(0)
+    val total = graft.core.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * lit(1000000.0)).cast("long")))
+      .head().getLong(0)
+    assert(out == total, s"credits $out != purchase total $total")
+    // hand-computed splits: base 1000000, window positions oldest-first
+    def split(base: Long, m: Int): Seq[Long] = {
+      if (m == 1) Seq(base)
+      else {
+        val first = base * 2 / 5
+        val mid = if (m >= 3) base / 5 / (m - 2) else 0L
+        (0 until m).map { i =>
+          if (i == 0) first
+          else if (i == m - 1) base - first - (m - 2) * mid
+          else mid
+        }
+      }
+    }
+    assert(split(1000000L, 1) == Seq(1000000L))
+    assert(split(1000000L, 2) == Seq(400000L, 600000L)) // shared fifth -> last
+    assert(split(1000000L, 3) == Seq(400000L, 200000L, 400000L))
+    assert(split(1000001L, 5) == Seq(400000L, 66666L, 66666L, 66666L, 400003L))
+    assert(split(1000001L, 5).sum == 1000001L) // remainder lands on last
+  }
+
+  test("CCNet terciles are balanced and ordered per language (round 11)") {
+    import TestSpark.spark
+    val rows = graft.SparkEntry.queries("text_ccnet_buckets")(
+      spark, "/root/testdata/sf0.001").collect()
+    rows.groupBy(_.getAs[String]("lang")).values.foreach { rs =>
+      val byB = rs.sortBy(_.getAs[Long]("bucket"))
+      assert(byB.map(_.getAs[Long]("bucket")).toSeq == Seq(1L, 2L, 3L))
+      val ns = byB.map(_.getAs[Long]("n_docs"))
+      assert(ns.max - ns.min <= 1, s"ntile balance: ${ns.toSeq}")
+      // head's worst score >= middle's best boundary ... ordering holds
+      // across buckets: every bucket's best <= previous bucket's worst
+      val worst = byB.map(_.getAs[Double]("worst_logp"))
+      val best = byB.map(_.getAs[Double]("best_logp"))
+      assert(best(1) <= worst(0) && best(2) <= worst(1))
+      assert(byB.map(_.getAs[Boolean]("kept")).toSeq ==
+        Seq(true, true, false))
+    }
+  }
+
+  test("ColBERT MaxSim dominates the pooled cosine discipline (round 11)") {
+    import TestSpark.spark
+    // MaxSim >= sum of diagonal cosines is NOT generally true, but every
+    // per-i max is >= the matching diagonal term; spot-check the
+    // structural invariants instead: 5 queries x 5 ranks, scores sorted
+    // desc per query, self never returned
+    val rows = graft.SparkEntry.queries("emb_colbert_maxsim")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 25)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      val scores = sorted.map(_.getAs[Double]("maxsim"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(!rs.exists(r =>
+        r.getAs[Long]("doc_id") == r.getAs[Long]("query_id")))
+      // 8 per-token maxes of cosines each in [-1, 1]
+      assert(scores.forall(s => s >= -8.0 && s <= 8.0))
+    }
+  }
+
+  test("Kaplan-Meier curve is monotone and the life table telescopes " +
+      "(round 11)") {
+    import TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("evt_survival_km")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("h"))
+    assert(rows.nonEmpty)
+    // survival never increases
+    val surv = rows.map(_.getAs[Double]("surv"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-12 })
+    // risk set telescopes: n_risk(next) = n_risk - events - censored
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b.getAs[Long]("n_risk") ==
+        a.getAs[Long]("n_risk") - a.getAs[Long]("n_events") -
+          a.getAs[Long]("n_censored"))
+    }
+    // every user leaves exactly once
+    val total = rows.map(r =>
+      r.getAs[Long]("n_events") + r.getAs[Long]("n_censored")).sum
+    assert(total == rows.head.getAs[Long]("n_risk"))
+  }
+
+  test("isotonic calibration is monotone and mass-preserving (round 11)") {
+    import TestSpark.spark
+    val rows = graft.SparkEntry.queries("ml_isotonic_calibration")(
+      spark, "/root/testdata/sf0.001").collect()
+      .sortBy(_.getAs[Long]("score"))
+    val iso = rows.map(_.getAs[Double]("rate_iso"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => b >= a - 1e-12 })
+    // isotonic L2 fit preserves total weighted mass: sum n_i * iso_i =
+    // sum pos_i (pool-adjacent replaces each block with its mean)
+    val mass = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("rate_iso")).sum
+    val pos = rows.map(_.getAs[Long]("n_pos")).sum.toDouble
+    assert(math.abs(mass - pos) < 1e-6 * pos.max(1.0),
+      s"mass $mass != positives $pos")
+  }
+
+  test("integer-log NDCG: weights and ideal DCG match the closed form " +
+      "(round 11)") {
+    import TestSpark.spark
+    // weight(pos) = 12 div bitlen(pos+1) for pos 1..10
+    val w = (1 to 10).map(p => 12 / (64 - java.lang.Long.numberOfLeadingZeros(p + 1L)))
+    assert(w == Seq(6, 6, 4, 4, 4, 4, 3, 3, 3, 3))
+    val cumw = w.scanLeft(0L)(_ + _).tail // ideal DCG for n_rel = 1..10
+    val rows = graft.SparkEntry.queries("ml_ndcg_eval")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nRel = r.getAs[Long]("n_rel").toInt
+      val idcg = r.getAs[Long]("idcg_s")
+      assert(idcg == (if (nRel == 0) 0L else cumw(nRel - 1)),
+        s"idcg $idcg for n_rel $nRel")
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      assert(r.getAs[Long]("dcg_s") <= idcg)
+    }
+  }
+
+  test("nearestAsOf: direction picks, backward ties, and null edges " +
+      "(round 11)") {
+    import TestSpark.spark
+    import spark.implicits._
+    val left = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L))
+      .toDF("k", "ts")
+    val right = Seq(
+      (1L, 8L, "b"), (1L, 12L, "f"),   // tie |gap|=2 -> backward
+      (2L, 14L, "fwd_only"),           // only forward exists
+      (3L, 3L, "back_far"), (3L, 11L, "fwd_near") // forward closer
+      // k=4: no right rows -> null match
+    ).toDF("k", "rts", "tag")
+    val out = AsOfJoin.nearestAsOf(left, right, Seq("k"), "ts", "rts",
+        rightCols = Seq("rts", "tag"), tieBreak = "rts")
+      .collect().map(r => r.getAs[Long]("k") ->
+        Option(r.getAs[String]("tag"))).toMap
+    assert(out(1L) == Some("b"))         // equal gap resolves backward
+    assert(out(2L) == Some("fwd_only"))  // no backward candidate
+    assert(out(3L) == Some("fwd_near"))  // 1 < 7
+    assert(out(4L) == None)              // no candidates at all
+    // equal-ts right row is visible in BOTH directions (<= and >=)
+    val eq = AsOfJoin.nearestAsOf(
+      Seq((9L, 10L)).toDF("k", "ts"),
+      Seq((9L, 10L, "at")).toDF("k", "rts", "tag"),
+      Seq("k"), "ts", "rts", Seq("tag"), "rts").collect()
+    assert(eq.head.getAs[String]("tag") == "at")
+  }
+
+  test("funnel audit partitions the corpus and agrees with the funnel " +
+      "(round 11)") {
+    import TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val audit = graft.SparkEntry.queries("corpus_funnel_audit")(spark, dir)
+      .collect()
+    val funnel = graft.SparkEntry.queries("corpus_curation_funnel")(spark, dir)
+      .collect().map(r =>
+        r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    // every doc appears exactly once across first-reject stages + kept
+    assert(audit.map(_.getAs[Long]("n_docs")).sum == funnel("total"))
+    // kept == the funnel's final survivor count
+    val kept = audit.find(_.getAs[String]("stage") == "kept")
+      .map(_.getAs[Long]("n_docs")).getOrElse(0L)
+    assert(kept == funnel("decontaminated"))
+    // cumulative cross-check: docs rejected at or before stage k =
+    // total - funnel survivor count at stage k
+    val rejectedByQuality = audit.filter(_.getAs[Long]("stage_id") == 2L)
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(rejectedByQuality == funnel("total") - funnel("quality"))
+  }
+
+  test("Brier decomposition satisfies REL - RES + UNC = Brier (round 11)") {
+    import TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("ml_brier_decomposition")(spark, dir)
+      .collect()
+    val rel = rows.map(_.getAs[Double]("reliability_c")).sum
+    val res = rows.map(_.getAs[Double]("resolution_c")).sum
+    val unc = rows.head.getAs[Double]("uncertainty")
+    // independent Brier: mean (f - y)^2 over the raw events
+    // note the D suffixes: bare 1.0 in Spark SQL text is a DECIMAL literal
+    val brier = graft.core.Tables.events(spark, dir)
+      .selectExpr(
+        """((case when value > 50.0D then 1 else 0 end
+          | + case when value > 80.0D then 1 else 0 end
+          | + case when (unix_millis(cast(ts as timestamp)) div 3600000) % 24 < 6
+          |        then 1 else 0 end
+          | + case when user_id % 3 = 0 then 1 else 0 end) / 4.0D
+          | - case when event_type = 'purchase' then 1.0D else 0.0D end)
+          |as d""".stripMargin.replaceAll("\n", " "))
+      .agg(avg(expr("d * d"))).head().getDouble(0)
+    assert(math.abs((rel - res + unc) - brier) < 1e-9,
+      s"decomposition ${rel - res + unc} != brier $brier")
+  }
+
+  test("Qini curve's final point matches the overall uplift total " +
+      "(round 11)") {
+    import TestSpark.spark
+    val rows = graft.SparkEntry.queries("ml_qini_uplift")(
+      spark, "/root/testdata/sf0.001").collect()
+    val nt = rows.map(_.getAs[Long]("nt")).sum
+    val nc = rows.map(_.getAs[Long]("nc")).sum
+    val pt = rows.map(_.getAs[Long]("pt")).sum
+    val pc = rows.map(_.getAs[Long]("pc")).sum
+    val lastQini = rows.minBy(_.getAs[Long]("score")).getAs[Double]("qini")
+    val expected = pt - pc.toDouble * nt / nc
+    assert(math.abs(lastQini - expected) < 1e-9)
+  }
+
+  test("average precision agrees with NDCG on relevant-set sizes and " +
+      "bounds (round 11)") {
+    import TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val ap = graft.SparkEntry.queries("ml_average_precision")(spark, dir)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_rel"), r.getAs[Double]("avg_precision"))).toMap
+    val ndcg = graft.SparkEntry.queries("ml_ndcg_eval")(spark, dir)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("n_rel")).toMap
+    assert(ap.keySet == ndcg.keySet)
+    ap.foreach { case (q, (nRel, p)) =>
+      assert(nRel == ndcg(q)) // both evals rank the identical top-10
+      assert(p >= 0.0 && p <= 1.0)
+      if (nRel == 0) assert(p == 0.0)
+    }
+  }
+
   test("HITS scores are max-normalized each round (round 9)") {
     import TestSpark.spark
     val rows = graft.SparkEntry.queries("graph_hits")(
