@@ -653,6 +653,66 @@ object AnalyticsOps extends QueryModule {
       |    (acc, x) -> acc * x) AS surv
       |FROM f, arr ORDER BY f.h""".stripMargin
 
+  // ---------------------------------------------- online bootstrap CI
+  /** Online (Poisson/multinomial) BOOTSTRAP confidence interval for the
+    * mean of `value` — the Owen/Eckles one-pass resampling that actually
+    * runs on clusters: instead of materializing B resampled datasets,
+    * every event carries a deterministic md5-derived multiplicity
+    * m ∈ {0,1,2} (mean 1 — the 3-point surrogate for Poisson(1)) per
+    * replicate b < 32, and replicate means are Σm·value / Σm with exact
+    * DECIMAL(25,6) accumulation (one double division each). The 95%-ish
+    * interval is the 2nd/31st order statistics of the 32 replicate means
+    * (exact selection, no libm quantiles). One pass over the data with a
+    * 32× bounded fan-out; B counters per aggregate is the whole state.
+    * Deterministic md5 multiplicities keep both engines resampling the
+    * identical "randomness" — the repo's hash rule. */
+  private def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir).select($"event_id", $"value")
+    val reps = e.crossJoin(broadcast(spark.range(32).select($"id".as("b"))))
+      .withColumn("m",
+        conv(substring(md5(concat($"event_id".cast("string"), lit("_"),
+          $"b".cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 3)
+    val bm = reps.groupBy($"b")
+      .agg(sum($"m").as("n_eff"),
+        (sum($"value".cast(DecimalType(25, 6)) * $"m").cast("double") /
+          sum($"m")).as("boot_mean"))
+    val ranked = bm.withColumn("rn",
+      row_number().over(Window.orderBy($"boot_mean", $"b")))
+    val lo = ranked.filter($"rn" === 2).select($"boot_mean".as("ci_lo"))
+    val hi = ranked.filter($"rn" === 31).select($"boot_mean".as("ci_hi"))
+    val pt = e.agg(count(lit(1)).as("n"),
+      (sum($"value".cast(DecimalType(25, 6))).cast("double") /
+        count(lit(1))).as("mean_value"))
+    pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+  }
+
+  private val bootstrapCiSql =
+    """WITH reps AS (
+      |  SELECT e.event_id, e.value, b.b,
+      |    CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '_' ||
+      |      CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS m
+      |  FROM events e, (SELECT unnest(range(32)) AS b) b
+      |), bm AS (
+      |  SELECT b, CAST(SUM(m) AS BIGINT) AS n_eff,
+      |    CAST(SUM(m * CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+      |      / CAST(SUM(m) AS BIGINT) AS boot_mean
+      |  FROM reps GROUP BY b
+      |), ranked AS (
+      |  SELECT boot_mean, row_number() OVER (ORDER BY boot_mean, b) AS rn
+      |  FROM bm
+      |), pt AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+      |      AS mean_value
+      |  FROM events
+      |)
+      |SELECT pt.n, pt.mean_value,
+      |  (SELECT boot_mean FROM ranked WHERE rn = 2) AS ci_lo,
+      |  (SELECT boot_mean FROM ranked WHERE rn = 31) AS ci_hi
+      |FROM pt""".stripMargin
+
   // -------------------------------------------------------- decile binning
   /** Equal-frequency decile binning of `value` with per-bin stats — the
     * quantile-binning feature transform. Global ntile(10) WITHOUT the
@@ -1099,6 +1159,7 @@ object AnalyticsOps extends QueryModule {
     "evt_attribution" -> (attribution _),
     "evt_attribution_position" -> (positionAttribution _),
     "evt_survival_km" -> (survivalKm _),
+    "evt_bootstrap_ci" -> (bootstrapCi _),
     "ml_quantile_bins" -> (quantileBins _),
     "ml_gains_table" -> (gainsTable _),
     "evt_cumulative_users" -> (cumulativeUsers _),
@@ -1121,6 +1182,7 @@ object AnalyticsOps extends QueryModule {
     "evt_attribution" -> attributionSql,
     "evt_attribution_position" -> positionAttributionSql,
     "evt_survival_km" -> survivalKmSql,
+    "evt_bootstrap_ci" -> bootstrapCiSql,
     "ml_quantile_bins" -> quantileBinsSql,
     "ml_gains_table" -> gainsTableSql,
     "evt_cumulative_users" -> cumulativeUsersSql,

@@ -531,6 +531,82 @@ object EventAnalytics extends QueryModule {
       |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  // ------------------------------------------ Markov stationary distribution
+  /** Stationary distribution of the [[markov]] transition chain by
+    * 4 rounds of integer power iteration — which event type the
+    * clickstream settles into, the PageRank-of-types companion to the
+    * transition matrix. The iteration follows the repo's
+    * exact-integer template (TextRank/HITS/PCA): v starts at 10⁶ per
+    * type; each round u_j = Σ_i (v_i·n_ij) div rowsum_i (every term an
+    * exact floor division, summed as integers) then max-normalizes back
+    * to the 10⁶ fixed point, so both engines walk the identical
+    * trajectory — a float iteration would drift in the last bits.
+    *
+    * Scale: the transition matrix is |event types|² — BOUNDED METADATA,
+    * not data — so it driver-collects (like KMeans centroids) and the
+    * iteration is driver arithmetic; the data-sized work is the one
+    * lead() window + groupBy that builds the cells. The oracle unrolls
+    * all 4 rounds in CTEs. */
+  private def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ems", $"event_id")
+    val cells = ev(spark, dir)
+      .select($"user_id", $"event_type", $"ems", $"event_id")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rs = cells.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._3).sum }
+    val types = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+    var v: Map[String, Long] = types.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 4) {
+      val u = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      cells.foreach { case (f, to, n) => u(to) += v.getOrElse(f, 0L) * n / rs(f) }
+      val mx = u.values.max
+      v = types.map(ty => ty -> u(ty) * 1000000L / mx).toMap
+    }
+    v.toSeq.toDF("event_type", "stationary_fp")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("stationary_fp").desc, col("event_type")))
+        .cast("long"))
+      .orderBy(col("rank"))
+  }
+
+  private val markovStationarySql = {
+    val base =
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ems, event_id FROM events
+        |), t AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ems, event_id)
+        |      AS to_type
+        |  FROM e
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), r AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS rs FROM c GROUP BY 1
+        |), v0 AS (
+        |  SELECT DISTINCT from_type AS ty, CAST(1000000 AS BIGINT) AS v FROM c
+        |)""".stripMargin
+    val rounds = (1 to 4).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""u$k AS (
+         |  SELECT c.to_type AS ty, CAST(SUM((v.v * c.n) // r.rs) AS BIGINT) AS u
+         |  FROM c JOIN $prev v ON v.ty = c.from_type
+         |  JOIN r ON r.from_type = c.from_type
+         |  GROUP BY c.to_type
+         |), m$k AS (SELECT MAX(u) AS mx FROM u$k),
+         |v$k AS (SELECT ty, CAST((u * 1000000) // mx AS BIGINT) AS v
+         |        FROM u$k, m$k)""".stripMargin
+    }.mkString(", ")
+    s"""$base, $rounds
+       |SELECT ty AS event_type, v AS stationary_fp,
+       |  CAST(row_number() OVER (ORDER BY v DESC, ty) AS BIGINT) AS rank
+       |FROM v4 ORDER BY rank""".stripMargin
+  }
+
   // ----------------------------------------------------------------- B10
   /** Sequence-pattern matching (the MATCH_RECOGNIZE shape at DataFrame
     * level): each user's time-ordered event-type initials collapse into
@@ -705,6 +781,7 @@ object EventAnalytics extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_markov_transitions" -> (markov _),
+    "graph_markov_stationary" -> (markovStationary _),
     "evt_sequence_pattern" -> (sequencePattern _),
     "evt_scd2_intervals" -> (scd2Intervals _),
     "evt_scd_lookup" -> (scdLookup _),
@@ -723,6 +800,7 @@ object EventAnalytics extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "evt_markov_transitions" -> markovSql,
+    "graph_markov_stationary" -> markovStationarySql,
     "evt_sequence_pattern" -> sequencePatternSql,
     "evt_scd2_intervals" -> scd2IntervalsSql,
     "evt_scd_lookup" -> scdLookupSql,

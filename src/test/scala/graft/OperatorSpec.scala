@@ -784,6 +784,49 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("Markov stationary scores are max-normalized and ranked (round 11)") {
+    import TestSpark.spark
+    val rows = graft.SparkEntry.queries("graph_markov_stationary")(
+      spark, "/root/testdata/sf0.001").collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("stationary_fp") == 1000000L) // rank 1 = scale
+    val scores = rows.map(_.getAs[Long]("stationary_fp"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length))
+  }
+
+  test("bootstrap CI brackets are ordered and replicate the corpus size " +
+      "(round 11)") {
+    import TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.SparkEntry.queries("evt_bootstrap_ci")(spark, dir).head()
+    val n = graft.core.Tables.events(spark, dir).count()
+    assert(r.getAs[Long]("n") == n)
+    val lo = r.getAs[Double]("ci_lo"); val hi = r.getAs[Double]("ci_hi")
+    val mean = r.getAs[Double]("mean_value")
+    assert(lo <= hi)
+    // replicate means concentrate around the point estimate (multiplicity
+    // mean 1): the interval must sit within a loose +-20% band
+    assert(lo > mean * 0.8 && hi < mean * 1.2, s"[$lo, $hi] vs $mean")
+  }
+
+  test("dataset card agrees with the funnel's totals and quality stage " +
+      "(round 11)") {
+    import TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val card = graft.SparkEntry.queries("corpus_dataset_card")(spark, dir)
+      .collect().map(r => r.getAs[String]("metric") -> r).toMap
+    val funnel = graft.SparkEntry.queries("corpus_curation_funnel")(spark, dir)
+      .collect().map(r =>
+        r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(card("n_docs").getAs[Long]("n") == funnel("total"))
+    assert(card("quality_kept").getAs[Long]("n") == funnel("quality"))
+    val ratio = card("mean_doc_tokens").getAs[Double]("ratio")
+    assert(ratio == card("n_tokens").getAs[Long]("n").toDouble /
+      card("n_docs").getAs[Long]("n"))
+  }
+
   test("HITS scores are max-normalized each round (round 9)") {
     import TestSpark.spark
     val rows = graft.SparkEntry.queries("graph_hits")(
