@@ -688,7 +688,7 @@ object AnalyticsOps extends QueryModule {
     pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
   }
 
-  private val bootstrapCiSql =
+  private[graft] val bootstrapCiSql =
     """WITH reps AS (
       |  SELECT e.event_id, e.value, b.b,
       |    CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '_' ||
@@ -712,6 +712,146 @@ object AnalyticsOps extends QueryModule {
       |  (SELECT boot_mean FROM ranked WHERE rn = 2) AS ci_lo,
       |  (SELECT boot_mean FROM ranked WHERE rn = 31) AS ci_hi
       |FROM pt""".stripMargin
+
+  // ------------------------------------------------- difference-in-differences
+  /** Difference-in-differences estimate over the deterministic A/B split
+    * (user_id % 2, the Qini/z-test assignment) and a pre/post period cut
+    * at the data midpoint ((min+max) div 2 of event time — exact BIGINT):
+    * the 2×2 (treat, post) cells carry exact counts and purchase rates,
+    * and DiD = (r₁₁ − r₁₀) − (r₀₁ − r₀₀) — the causal-inference
+    * workhorse when randomization is suspect and a parallel-trends
+    * control exists. Rate subtractions are written in the identical
+    * order in both engines; the synthetic corpus yields an honest ~0
+    * effect. Single-pass groupBy over 4 cells. */
+  private def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir).select($"ems",
+      when($"user_id" % 2 === 0, 1L).otherwise(0L).as("treat"),
+      when($"event_type" === "purchase", 1L).otherwise(0L).as("y"))
+    val mid = e.agg(expr("(min(ems) + max(ems)) div 2").as("m"))
+    val cells = e.crossJoin(broadcast(mid))
+      .withColumn("post", when($"ems" >= $"m", 1L).otherwise(0L))
+      .groupBy($"treat", $"post")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+        (sum($"y").cast("double") / count(lit(1))).as("rate"))
+    val did = cells.agg(
+      ((max(when($"treat" === 1 && $"post" === 1, $"rate"))
+        - max(when($"treat" === 1 && $"post" === 0, $"rate")))
+        - (max(when($"treat" === 0 && $"post" === 1, $"rate"))
+          - max(when($"treat" === 0 && $"post" === 0, $"rate")))).as("did"))
+    cells.crossJoin(broadcast(did))
+      .select($"treat", $"post", $"n", $"n_pos", $"rate", $"did")
+      .orderBy($"treat", $"post")
+  }
+
+  private val diffInDiffSql =
+    """WITH e AS (
+      |  SELECT epoch_ms(ts) AS ems,
+      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |), mid AS (
+      |  SELECT (MIN(ems) + MAX(ems)) // 2 AS m FROM e
+      |), cells AS (
+      |  SELECT CAST(treat AS BIGINT) AS treat,
+      |    CAST(CASE WHEN ems >= m THEN 1 ELSE 0 END AS BIGINT) AS post,
+      |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+      |    CAST(SUM(y) AS DOUBLE) / COUNT(*) AS rate
+      |  FROM e, mid GROUP BY 1, 2
+      |), did AS (
+      |  SELECT
+      |    (MAX(CASE WHEN treat = 1 AND post = 1 THEN rate END)
+      |     - MAX(CASE WHEN treat = 1 AND post = 0 THEN rate END))
+      |    - (MAX(CASE WHEN treat = 0 AND post = 1 THEN rate END)
+      |       - MAX(CASE WHEN treat = 0 AND post = 0 THEN rate END)) AS did
+      |  FROM cells
+      |)
+      |SELECT c.treat, c.post, c.n, c.n_pos, c.rate, d.did
+      |FROM cells c, did d ORDER BY treat, post""".stripMargin
+
+  // ------------------------------------------------------------- CUPED
+  /** CUPED variance reduction (Deng et al. 2013 — the experimentation-
+    * platform standard next to [[diffInDiff]] and the A/B z-test): the
+    * pre-period per-user spend is the covariate, the post-period spend
+    * the metric; θ = cov(x,y)/var(x) from EXACT integer-cent moments
+    * (n·Σxy − ΣxΣy over n·Σx² − (Σx)², all BIGINT — the Pearson
+    * discipline), and each arm reports its raw vs CUPED-adjusted mean
+    * ȳ − θ(x̄_arm − x̄_global) plus the theoretical variance-reduction
+    * ρ² = cov²/(var(x)·var(y)). Per-user sums stay exact cents (never
+    * per-user mean doubles), so every moment is partition-order
+    * independent; doubles appear only in the closed-form tail, written
+    * identically in both engines. Honest ~0 reduction on this
+    * uncorrelated synthetic corpus. */
+  private def cuped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir).select($"user_id", $"ems",
+      floor($"value" * 100.0 + 0.5).cast("long").as("cents"),
+      when($"user_id" % 2 === 0, 1L).otherwise(0L).as("treat"))
+    val mid = e.agg(expr("(min(ems) + max(ems)) div 2").as("m"))
+    val u = e.crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg(max($"treat").as("treat"),
+        sum(when($"ems" < $"m", $"cents").otherwise(0L)).as("x"),
+        sum(when($"ems" >= $"m", $"cents").otherwise(0L)).as("y"))
+      .persist()
+    val g = u.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+      sum($"y" * $"y").as("syy"))
+    val th = g.select($"n", $"sx",
+      (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+        ($"n" * $"sxx" - $"sx" * $"sx")).as("theta"),
+      ((($"n" * $"sxy" - $"sx" * $"sy").cast("double") *
+        ($"n" * $"sxy" - $"sx" * $"sy")) /
+        (($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+          ($"n" * $"syy" - $"sy" * $"sy"))).as("rho2"))
+    val out = u.groupBy($"treat")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"y").as("ay"), sum($"x").as("ax"))
+      .crossJoin(broadcast(th))
+      .select($"treat", $"n_users",
+        ($"ay".cast("double") / $"n_users" / 100.0).as("raw_mean"),
+        (($"ay".cast("double") / $"n_users"
+          - $"theta" * ($"ax".cast("double") / $"n_users"
+            - $"sx".cast("double") / $"n")) / 100.0).as("cuped_mean"),
+        $"theta", $"rho2".as("var_reduction"))
+      .orderBy($"treat")
+    graft.core.CachePin.sealAndRelease(out, u)
+  }
+
+  private val cupedSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ems,
+      |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat
+      |  FROM events
+      |), mid AS (SELECT (MIN(ems) + MAX(ems)) // 2 AS m FROM e),
+      |u AS (
+      |  SELECT user_id, CAST(MAX(treat) AS BIGINT) AS treat,
+      |    CAST(SUM(CASE WHEN ems < m THEN cents ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN ems >= m THEN cents ELSE 0 END) AS BIGINT) AS y
+      |  FROM e, mid GROUP BY user_id
+      |), g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y*y) AS BIGINT) AS syy
+      |  FROM u
+      |), th AS (
+      |  SELECT n, sx,
+      |    CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) AS theta,
+      |    (CAST(n*sxy - sx*sy AS DOUBLE) * (n*sxy - sx*sy))
+      |      / (CAST(n*sxx - sx*sx AS DOUBLE) * (n*syy - sy*sy)) AS rho2
+      |  FROM g
+      |)
+      |SELECT u.treat, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(u.y) AS DOUBLE) / COUNT(*) / 100.0 AS raw_mean,
+      |  (CAST(SUM(u.y) AS DOUBLE) / COUNT(*)
+      |   - th.theta * (CAST(SUM(u.x) AS DOUBLE) / COUNT(*)
+      |                 - CAST(th.sx AS DOUBLE) / th.n)) / 100.0 AS cuped_mean,
+      |  th.theta AS theta, th.rho2 AS var_reduction
+      |FROM u, th GROUP BY u.treat, th.theta, th.rho2, th.sx, th.n
+      |ORDER BY treat""".stripMargin
 
   // -------------------------------------------------------- decile binning
   /** Equal-frequency decile binning of `value` with per-bin stats — the
@@ -1160,6 +1300,8 @@ object AnalyticsOps extends QueryModule {
     "evt_attribution_position" -> (positionAttribution _),
     "evt_survival_km" -> (survivalKm _),
     "evt_bootstrap_ci" -> (bootstrapCi _),
+    "ml_diff_in_diff" -> (diffInDiff _),
+    "ml_cuped" -> (cuped _),
     "ml_quantile_bins" -> (quantileBins _),
     "ml_gains_table" -> (gainsTable _),
     "evt_cumulative_users" -> (cumulativeUsers _),
@@ -1183,6 +1325,8 @@ object AnalyticsOps extends QueryModule {
     "evt_attribution_position" -> positionAttributionSql,
     "evt_survival_km" -> survivalKmSql,
     "evt_bootstrap_ci" -> bootstrapCiSql,
+    "ml_diff_in_diff" -> diffInDiffSql,
+    "ml_cuped" -> cupedSql,
     "ml_quantile_bins" -> quantileBinsSql,
     "ml_gains_table" -> gainsTableSql,
     "evt_cumulative_users" -> cumulativeUsersSql,

@@ -1454,6 +1454,117 @@ object Embeddings extends QueryModule {
   private def ivfKmeansParRecallSql =
     kmRecallSqlFrom(kmFitCtesFrom(kmParSeedCtes))
 
+  // ------------------------------------------------- nprobe tuning sweep
+  /** IVF nprobe TUNING CURVE (round 11): recall@10 and candidate volume
+    * for nprobe = 1..5 against the SAME trained quantizer and the same
+    * brute-force truth — the measurement a production index is tuned by
+    * (raise nprobe until recall clears the product bar, pay candidates
+    * linearly). One brute-truth pass and one cell assignment are shared
+    * across the five sweep points; each point differs only in how many
+    * probe cells its candidate join admits. Summary rows, not per-query:
+    * (nprobe, total_candidates, total_hits, mean_recall) — the curve's
+    * shape IS the result. */
+  private def ivfNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.KMeansQuantizer
+    val cent = fittedCentroids(spark, dir)
+    val emb = Tables.embeddings(spark, dir).persist()
+    val cells = emb.select(col("vec_id"),
+      KMeansQuantizer.assignCell(col("embedding"), cent).as("cell"))
+      .persist()
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val brute = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(expr(cosExpr), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id")).persist()
+    val nq = q.count()
+    val rows = (1 to 5).map { p =>
+      val probes = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"),
+          explode(KMeansQuantizer.probeCells(col("embedding"), cent, p))
+            .as("cell"))
+      val candIds = probes.join(cells, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+      val ivf = candIds
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos", round(expr(cosExpr), 6))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      val nCand = candIds.count()
+      val hits = ivf.join(brute, Seq("query_id", "vec_id")).count()
+      (p.toLong, nCand, hits, hits.toDouble / (nq * 10.0))
+    }
+    import spark.implicits._
+    val out = rows
+      .toDF("nprobe", "total_candidates", "total_hits", "mean_recall")
+      .orderBy(col("nprobe"))
+    graft.core.CachePin.sealAndRelease(out, emb, cells, brute)
+  }
+
+  private def ivfNprobeSweepSql = {
+    val blocks = (1 to 5).map { p =>
+      s"""probes$p AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM assigned WHERE vec_id < 20) WHERE rn <= $p
+         |), cand_ids$p AS (
+         |  SELECT p.query_id, c.vec_id
+         |  FROM probes$p p JOIN cells c ON p.cell = c.cell
+         |  WHERE c.vec_id <> p.query_id
+         |), ivf$p AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT ci.query_id, ci.vec_id,
+         |      row_number() OVER (PARTITION BY ci.query_id
+         |        ORDER BY ROUND(${duckCos("q.qv", "e.embedding")}, 6) DESC,
+         |          ci.vec_id) AS rn
+         |    FROM cand_ids$p ci
+         |    JOIN embeddings e ON ci.vec_id = e.vec_id
+         |    JOIN q ON ci.query_id = q.query_id) WHERE rn <= 10
+         |), s$p AS (
+         |  SELECT CAST($p AS BIGINT) AS nprobe,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_ids$p)
+         |      AS total_candidates,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf$p i
+         |       JOIN brute b ON i.query_id = b.query_id
+         |         AND i.vec_id = b.vec_id) AS total_hits
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $kmFitCtes, assigned AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cell, ${kmDist2("e", "c")} AS d2
+       |  FROM embeddings e CROSS JOIN cent$kmIters c
+       |), cells AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM assigned) WHERE rn = 1
+       |), q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < 20
+       |), nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM q),
+       |brute AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ROUND(${duckCos("q.qv", "e.embedding")}, 6) DESC,
+       |          e.vec_id) AS rn
+       |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+       |  WHERE rn <= 10
+       |), $blocks
+       |SELECT s.nprobe, s.total_candidates, s.total_hits,
+       |  CAST(s.total_hits AS DOUBLE) / (nq.nq * 10.0) AS mean_recall
+       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+       |      UNION ALL SELECT * FROM s5) s, nq
+       |ORDER BY s.nprobe""".stripMargin
+  }
+
   private def kmRecallSqlFrom(fitCtes: String) =
     s"""WITH $fitCtes, assigned AS (
        |  SELECT e.vec_id, c.cell, ${kmDist2("e", "c")} AS d2
@@ -2788,6 +2899,7 @@ object Embeddings extends QueryModule {
     "emb_ivf_recall" -> (ivfRecall _),
     "emb_kmeans_cells" -> (kmeansCells _),
     "emb_ivf_kmeans_recall" -> (ivfKmeansRecall _),
+    "emb_ivf_nprobe_sweep" -> (ivfNprobeSweep _),
     "emb_ivf_kmeans_par_recall" -> (ivfKmeansParRecall _))
 
   override def oracles: Map[String, String] = Map(
@@ -2817,5 +2929,6 @@ object Embeddings extends QueryModule {
     "emb_ann_recall" -> annRecallSql,
     "emb_kmeans_cells" -> kmeansCellsSql,
     "emb_ivf_kmeans_recall" -> ivfKmeansRecallSql,
+    "emb_ivf_nprobe_sweep" -> ivfNprobeSweepSql,
     "emb_ivf_kmeans_par_recall" -> ivfKmeansParRecallSql)
 }

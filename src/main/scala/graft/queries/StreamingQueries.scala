@@ -330,6 +330,9 @@ object StreamingQueries extends QueryModule {
     "stream_colbert_gate" ->
       ((s: SparkSession, d: String) =>
         StreamingPipelines.colbertGateStream(s, d)),
+    "stream_bootstrap_ci" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.bootstrapCiStream(s, d)),
     "stream_corpus_funnel" ->
       ((s: SparkSession, d: String) => StreamingPipelines.curationFunnelStream(s, d)),
     "stream_kmv_overlap" ->
@@ -488,6 +491,7 @@ object StreamingQueries extends QueryModule {
     "stream_attribution_position" -> AnalyticsOps.positionAttributionSql,
     "stream_survival_km" -> AnalyticsOps.survivalKmSql,
     "stream_colbert_gate" -> Embeddings.colbertGateSql,
+    "stream_bootstrap_ci" -> AnalyticsOps.bootstrapCiSql,
     "stream_corpus_funnel" -> TextAnalysis.curationFunnelOracleSql,
     "stream_hll_distinct" -> Sketches.hllDistinctSql,
     "stream_kmv_overlap" -> Sketches.kmvStreamSql,

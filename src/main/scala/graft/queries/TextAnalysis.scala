@@ -2968,7 +2968,104 @@ object TextAnalysis extends QueryModule {
       |    / CAST(4 * m.m * m.m AS DOUBLE) AS q_contrib
       |FROM rows_, m ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------- partition conductance
+  /** CONDUCTANCE of each language community over the same simhash
+    * near-dup graph as [[modularity]] — the other standard community
+    * quality measure (modularity rewards intra-density, conductance
+    * penalizes boundary leakage): φ_c = cut_c / min(vol_c, 2m − vol_c),
+    * where cut_c counts edges with exactly one endpoint in c and vol_c
+    * is c's degree sum. All moments exact BIGINTs from the proven
+    * bucketed edge join; one double division per row (guarded for
+    * empty/whole-graph communities). Low φ = a well-separated near-dup
+    * community; complements the Q_c rows rather than duplicating them. */
+  private def conductance(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HammingDistance.register(spark)
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val sims = d
+      .select(col("doc_id"), col("lang"), expr(simhashExpr).as("simhash"))
+      .withColumn("bucket", expr("simhash div 16777216"))
+      .persist()
+    val a = sims.select(col("bucket"), col("doc_id").as("src"),
+      col("lang").as("lang_src"), col("simhash").as("sh_a"))
+    val b = sims.select(col("bucket"), col("doc_id").as("dst"),
+      col("lang").as("lang_dst"), col("simhash").as("sh_b"))
+    val edges = a.join(b, Seq("bucket"))
+      .filter(col("src") < col("dst"))
+      .filter(expr("hamming_distance(sh_a, sh_b)") <= 6)
+      .select(col("src"), col("dst"), col("lang_src"), col("lang_dst"))
+      .persist()
+    val m = edges.agg(count(lit(1)).as("m"))
+    val deg = edges.select(col("src").as("id"), col("lang_src").as("lang"))
+      .unionAll(edges.select(col("dst").as("id"), col("lang_dst").as("lang")))
+      .groupBy(col("id"), col("lang")).agg(count(lit(1)).as("deg"))
+    val dc = deg.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
+    val crossE = edges.filter(col("lang_src") =!= col("lang_dst"))
+    val cut = crossE.select(col("lang_src").as("lang"))
+      .unionAll(crossE.select(col("lang_dst").as("lang")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("cut_c"))
+    val out = dc.join(cut, Seq("lang"), "left").crossJoin(broadcast(m))
+      .select($"lang", $"n_nodes",
+        coalesce($"cut_c", lit(0L)).as("cut_c"),
+        $"d_c".cast("long").as("d_c"),
+        when(least($"d_c", lit(2L) * $"m" - $"d_c") > 0,
+          coalesce($"cut_c", lit(0L)).cast("double") /
+            least($"d_c", lit(2L) * $"m" - $"d_c"))
+          .otherwise(lit(0.0)).as("conductance"))
+      .orderBy($"lang")
+    graft.core.CachePin.sealAndRelease(out, sims, edges)
+  }
+
+  private val conductanceSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+      |    s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS si
+      |  FROM documents
+      |), sim AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32), b ->
+      |      CASE WHEN 2 * len(list_filter(si, x -> (x // CAST(power(2, b) AS BIGINT)) % 2 = 1)) > len(si)
+      |           THEN CAST(power(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |      (acc, x) -> acc + x) AS simhash
+      |  FROM t
+      |), bkt AS (
+      |  SELECT s.doc_id, s.simhash, s.simhash // 16777216 AS bucket, d.lang
+      |  FROM sim s JOIN documents d ON s.doc_id = d.doc_id
+      |), edges AS MATERIALIZED (
+      |  SELECT a.doc_id AS src, c.doc_id AS dst,
+      |    a.lang AS lang_src, c.lang AS lang_dst
+      |  FROM bkt a JOIN bkt c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+      |  WHERE bit_count(xor(a.simhash, c.simhash)) <= 6
+      |), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+      |deg AS (
+      |  SELECT id, lang, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT src AS id, lang_src AS lang FROM edges
+      |    UNION ALL SELECT dst, lang_dst FROM edges)
+      |  GROUP BY id, lang
+      |), dc AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |    CAST(SUM(deg) AS BIGINT) AS d_c
+      |  FROM deg GROUP BY lang
+      |), cut AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS cut_c FROM (
+      |    SELECT lang_src AS lang, COUNT(*) AS c FROM edges
+      |    WHERE lang_src <> lang_dst GROUP BY 1
+      |    UNION ALL
+      |    SELECT lang_dst, COUNT(*) FROM edges
+      |    WHERE lang_src <> lang_dst GROUP BY 1)
+      |  GROUP BY lang
+      |)
+      |SELECT dc.lang, dc.n_nodes, COALESCE(cut.cut_c, 0) AS cut_c, dc.d_c,
+      |  CASE WHEN LEAST(dc.d_c, 2 * m.m - dc.d_c) > 0
+      |       THEN CAST(COALESCE(cut.cut_c, 0) AS DOUBLE)
+      |            / LEAST(dc.d_c, 2 * m.m - dc.d_c)
+      |       ELSE 0.0 END AS conductance
+      |FROM dc LEFT JOIN cut ON dc.lang = cut.lang, m
+      |ORDER BY dc.lang""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_conductance" -> (conductance _),
     "dedup_cdc_chunks" -> (cdcChunks _),
     "graph_modularity" -> (modularity _),
     "text_phrase_search" -> (phraseSearch _),
@@ -3013,6 +3110,7 @@ object TextAnalysis extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "dedup_cdc_chunks" -> cdcChunksSql,
     "graph_modularity" -> modularitySql,
+    "graph_conductance" -> conductanceSql,
     "text_phrase_search" -> phraseSearchSql,
     "text_bm25_search" -> bm25SearchSql,
     "text_langid_confusion" -> langidConfusionSql,

@@ -1541,6 +1541,39 @@ object StreamingPipelines {
       .orderBy(col("query_id"), col("doc_id"))
   }
 
+  /** Streaming online-bootstrap CI — the batch query's fan-out and exact
+    * DECIMAL sums run as a COMPLETE-mode aggregation with 33 groups of
+    * state (32 replicates + the b = −1 identity resample, whose
+    * multiplicity is 1 everywhere so its group IS the point estimate):
+    * stateless per-event explode to (b, m) with the identical md5
+    * multiplicity expression, groupBy(b) with mergeable integer/decimal
+    * sums, and the same order-statistic finale. Oracle = the batch SQL
+    * verbatim (AnalyticsOps.bootstrapCiSql). */
+  def bootstrapCiStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val in = eventStream(spark, dir).select(col("event_id"), col("value"))
+      .withColumn("b", explode(sequence(lit(-1L), lit(31L))))
+      .withColumn("m", when(col("b") === -1L, lit(1L)).otherwise(
+        conv(substring(md5(concat(col("event_id").cast("string"), lit("_"),
+          col("b").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 3))
+    val agg = in.groupBy(col("b"))
+      .agg(sum(col("value").cast(DecimalType(25, 6)) * col("m")).as("sv"),
+        sum(col("m")).as("sm"))
+    val sink = runToMemory(spark, agg, "complete", "bootci")
+    val bm = sink.filter(col("b") >= 0)
+      .select(col("b"), (col("sv").cast("double") / col("sm")).as("boot_mean"))
+    val ranked = bm.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("boot_mean"), col("b"))))
+    val lo = ranked.filter(col("rn") === 2).select(col("boot_mean").as("ci_lo"))
+    val hi = ranked.filter(col("rn") === 31).select(col("boot_mean").as("ci_hi"))
+    val pt = sink.filter(col("b") === -1L)
+      .select(col("sm").as("n"),
+        (col("sv").cast("double") / col("sm")).as("mean_value"))
+    pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+  }
+
   /** Streaming Kaplan–Meier: per-user survival observations
     * (StatefulFeatures.survivalObservations — 3 primitives per user,
     * order-independent min/max/min state) in update mode; the finale

@@ -499,6 +499,44 @@ object ScaleCheck {
         "left_outer").count()
     }
 
+    // Position attribution: last-8 lookback (bounded ≤8 explode + equi
+    // join) vs the all-priors variant (equi on user + tn ≤ t_hi range
+    // residual → probes×touches pair volume per key). On the 40%-hot-key
+    // corpus the hot user's purchases AND touches both grow ∝ n, so
+    // all-priors is quadratic while the lookback stays ~n — the measured
+    // reason evt_attribution_position windows its credits.
+    def attrParts(dir: String) = {
+      import org.apache.spark.sql.expressions.Window
+      val df = spark.read.parquet(dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ems"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = df.withColumn("tn",
+        sum((col("event_type") =!= "purchase").cast("long")).over(w))
+      val touches = base.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("tn"), col("event_type").as("channel"))
+      val purch = base.filter(col("event_type") === "purchase")
+        .filter(col("tn") > 0)
+        .select(col("user_id"), col("tn").as("t_hi"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("base_micro"))
+      (touches, purch)
+    }
+    def attrLookback(dir: String): Double = timed {
+      val (touches, purch) = attrParts(dir)
+      purch
+        .withColumn("tn",
+          explode(sequence(greatest(lit(1L), col("t_hi") - 7L), col("t_hi"))))
+        .join(touches, Seq("user_id", "tn"))
+        .groupBy(col("channel")).agg(sum(col("base_micro"))).count()
+    }
+    def attrAllPriors(dir: String): Double = timed {
+      val (touches, purch) = attrParts(dir)
+      purch.join(touches,
+          purch("user_id") === touches("user_id") &&
+            touches("tn") <= purch("t_hi"))
+        .groupBy(col("channel")).agg(sum(col("base_micro"))).count()
+    }
+
     // SPARK_GRAFT_SCALE_ONLY=a,b,c runs a subset (each row stages its
     // corpora and measures lazily; a filtered run skips everything else,
     // so a new row iterates in seconds instead of a full sweep).
@@ -539,6 +577,14 @@ object ScaleCheck {
       ("scd_lookup_theta_hotkey", () => {
         scdTheta(stageSkewed(n1 / 10)) // warm
         (scdTheta(s1), scdTheta(s10))
+      }),
+      ("attribution_lookback_hotkey", () => {
+        attrLookback(s1) // warm
+        (attrLookback(s1), attrLookback(s10))
+      }),
+      ("attribution_allpriors_hotkey", () => {
+        attrAllPriors(stageSkewed(n1 / 10)) // warm
+        (attrAllPriors(s1), attrAllPriors(s10))
       }),
       ("dedup_containment", () => {
         val ct1 = stageContain(n1); val ct10 = stageContain(n1 * 10)

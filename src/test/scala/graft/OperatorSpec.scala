@@ -827,6 +827,41 @@ class OperatorSpec extends AnyFunSuite {
       card("n_docs").getAs[Long]("n"))
   }
 
+  test("diff-in-diff equals the recomposed cell rates (round 11)") {
+    import TestSpark.spark
+    val rows = graft.SparkEntry.queries("ml_diff_in_diff")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 4)
+    val r = rows.map(x => (x.getAs[Long]("treat"), x.getAs[Long]("post")) ->
+      x.getAs[Double]("rate")).toMap
+    val did = rows.head.getAs[Double]("did")
+    assert(rows.forall(_.getAs[Double]("did") == did)) // one estimate
+    assert(did == (r((1L, 1L)) - r((1L, 0L))) - (r((0L, 1L)) - r((0L, 0L))))
+    rows.foreach { x =>
+      assert(x.getAs[Double]("rate") ==
+        x.getAs[Long]("n_pos").toDouble / x.getAs[Long]("n"))
+    }
+  }
+
+  test("nprobe sweep: candidates and recall are monotone in nprobe " +
+      "(round 11)") {
+    import TestSpark.spark
+    val rows = graft.SparkEntry.queries("emb_ivf_nprobe_sweep")(
+      spark, "/root/testdata/sf0.001").collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == (1L to 5L))
+    // probe-p candidate sets are NESTED in probe-(p+1)'s, so both the
+    // candidate volume and the hit count can only grow with nprobe
+    val cands = rows.map(_.getAs[Long]("total_candidates"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => b >= a })
+    val hits = rows.map(_.getAs[Long]("total_hits"))
+    assert(hits.zip(hits.tail).forall { case (a, b) => b >= a })
+    rows.foreach { r =>
+      val mr = r.getAs[Double]("mean_recall")
+      assert(mr >= 0.0 && mr <= 1.0)
+    }
+  }
+
   test("HITS scores are max-normalized each round (round 9)") {
     import TestSpark.spark
     val rows = graft.SparkEntry.queries("graph_hits")(

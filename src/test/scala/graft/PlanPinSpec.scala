@@ -59,4 +59,30 @@ class PlanPinSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"stream-static join shuffled:\n$plan")
   }
+
+  test("nearestAsOf: both directional carries share ONE Exchange (round 11)") {
+    // the operator's design claim: union once, hash-partition once, two
+    // consecutive Sorts — a second Exchange means the windows stopped
+    // sharing the partitioning and the one-shuffle contract broke
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables
+    val e = Tables.events(spark, sf0001)
+      .withColumn("ems", unix_millis(col("ts").cast("timestamp")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ems"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ems").as("c_ems"))
+    val df = graft.operators.AsOfJoin.nearestAsOf(
+      purchases, clicks, Seq("user_id"), "ems", "c_ems",
+      rightCols = Seq("c_ems"), tieBreak = "c_ems")
+    df.collect()
+    // AQE's toString repeats the plan under "== Initial Plan ==" — count
+    // operators in the FINAL plan section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 Exchange, found $exchanges:\n$plan")
+    val sorts = "\\bSort\\b".r.findAllIn(plan).length
+    assert(sorts >= 2, s"expected both directional Sorts:\n$plan")
+  }
 }
