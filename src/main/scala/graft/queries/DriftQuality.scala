@@ -519,7 +519,90 @@ object DriftQuality extends QueryModule {
       |  (mx - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1)) AS max_z
       |FROM s ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------- MMD kernel drift
+  /** Kernel two-sample drift WITHOUT pair enumeration: MMD² under the
+    * polynomial kernel k(x, y) = (c + x·y)² collapses to exact MOMENTS —
+    * Σ_{ij}(c + x_i y_j)² = n_x n_y c² + 2c·Σx·Σy + Σx²·Σy² — so the
+    * O(n²) kernel sums a textbook MMD needs become one pass of integer
+    * aggregation (the V-statistic form, diagonal included, documented).
+    * Values lift to exact cents; Σx/Σx² stay BIGINT and their cross
+    * products go through DECIMAL(38,0) (exact — the products reach
+    * ~10²⁷); doubles appear only in the closing 3-term combination,
+    * written in the identical order in both engines. c = 10⁹ cents²
+    * keeps the three kernel terms within a few orders of each other.
+    *
+    * This is the drift family's kernel member next to KS/PSI/χ²/
+    * Wasserstein: sensitive to mean AND second-moment shifts in one
+    * number, and the moment collapse is what makes a kernel method
+    * 100 TB-viable — the same six sums also make the streaming twin a
+    * complete-mode aggregation. */
+  private def mmdPoly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mmdFromMoments(mmdMoments(ev(spark, dir)))
+  }
+
+  /** The six per-type moments (shared with the streaming twin). */
+  private[graft] def mmdMoments(e: DataFrame): DataFrame =
+    e.withColumn("x", floor(col("value") * 100.0 + 0.5).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("is_ref").cast("long")).as("nx"),
+        sum(lit(1L) - col("is_ref")).as("ny"),
+        sum(when(col("is_ref") === 1, col("x")).otherwise(0L)).as("sx"),
+        sum(when(col("is_ref") === 0, col("x")).otherwise(0L)).as("sy"),
+        sum(when(col("is_ref") === 1, col("x") * col("x")).otherwise(0L))
+          .as("sxx"),
+        sum(when(col("is_ref") === 0, col("x") * col("x")).otherwise(0L))
+          .as("syy"))
+
+  /** Closed-form MMD² tail (shared batch/stream). */
+  private[graft] def mmdFromMoments(mo: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val nxd = col("nx").cast("double"); val nyd = col("ny").cast("double")
+    val term = (na: org.apache.spark.sql.Column,
+                nb: org.apache.spark.sql.Column,
+                sa: String, sb: String, qa: String, qb: String) =>
+      (na * nb * lit(1.0e18)
+        + lit(2.0e9) * (d38(col(sa)) * d38(col(sb))).cast("double")
+        + (d38(col(qa)) * d38(col(qb))).cast("double")) / (na * nb)
+    mo.select(col("event_type"), col("nx"), col("ny"),
+        (term(nxd, nxd, "sx", "sx", "sxx", "sxx")
+          + term(nyd, nyd, "sy", "sy", "syy", "syy")
+          - lit(2.0) * term(nxd, nyd, "sx", "sy", "sxx", "syy")).as("mmd2"))
+      .orderBy(col("event_type"))
+  }
+
+  private[graft] val mmdPolySql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CASE WHEN epoch_ms(ts) < 1705363200000 THEN 1 ELSE 0 END AS is_ref,
+      |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS x
+      |  FROM events
+      |), mo AS (
+      |  SELECT event_type,
+      |    CAST(SUM(is_ref) AS BIGINT) AS nx,
+      |    CAST(SUM(1 - is_ref) AS BIGINT) AS ny,
+      |    CAST(SUM(CASE WHEN is_ref = 1 THEN x ELSE 0 END) AS DECIMAL(38,0)) AS sx,
+      |    CAST(SUM(CASE WHEN is_ref = 0 THEN x ELSE 0 END) AS DECIMAL(38,0)) AS sy,
+      |    CAST(SUM(CASE WHEN is_ref = 1 THEN x*x ELSE 0 END) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(CASE WHEN is_ref = 0 THEN x*x ELSE 0 END) AS DECIMAL(38,0)) AS syy
+      |  FROM e GROUP BY event_type
+      |)
+      |SELECT event_type, nx, ny,
+      |  (CAST(nx AS DOUBLE) * nx * 1e18
+      |     + 2e9 * CAST(sx * sx AS DOUBLE) + CAST(sxx * sxx AS DOUBLE))
+      |    / (CAST(nx AS DOUBLE) * nx)
+      |  + (CAST(ny AS DOUBLE) * ny * 1e18
+      |     + 2e9 * CAST(sy * sy AS DOUBLE) + CAST(syy * syy AS DOUBLE))
+      |    / (CAST(ny AS DOUBLE) * ny)
+      |  - 2.0 * (CAST(nx AS DOUBLE) * ny * 1e18
+      |     + 2e9 * CAST(sx * sy AS DOUBLE) + CAST(sxx * syy AS DOUBLE))
+      |    / (CAST(nx AS DOUBLE) * ny) AS mmd2
+      |FROM mo ORDER BY event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "drift_mmd_poly" -> (mmdPoly _),
     "ml_class_rebalance" -> (classRebalance _),
     "ml_feature_hashing" -> (featureHashing _),
     "ml_feature_scaling" -> (featureScaling _),
@@ -532,6 +615,7 @@ object DriftQuality extends QueryModule {
     "ml_stratified_split" -> (stratifiedSplit _))
 
   override def oracles: Map[String, String] = Map(
+    "drift_mmd_poly" -> mmdPolySql,
     "drift_ks_statistic" -> ksSql,
     "drift_wasserstein" -> wassersteinSql,
     "drift_psi" -> psiSql,

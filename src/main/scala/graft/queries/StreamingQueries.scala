@@ -302,6 +302,8 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.winsorizeStream(s, d)),
     "stream_drift_psi" ->
       ((s: SparkSession, d: String) => StreamingPipelines.psiStream(s, d)),
+    "stream_drift_mmd" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.mmdStream(s, d)),
     "stream_feature_scaling" ->
       ((s: SparkSession, d: String) => StreamingPipelines.featureScalingStream(s, d)),
     "stream_scd2_intervals" ->
@@ -479,6 +481,7 @@ object StreamingQueries extends QueryModule {
     "stream_seasonality" -> FeatureOps.seasonalitySql,
     "stream_winsorize" -> AdvancedOps.winsorizeSql,
     "stream_drift_psi" -> DriftQuality.psiSql,
+    "stream_drift_mmd" -> DriftQuality.mmdPolySql,
     "stream_feature_scaling" -> DriftQuality.featureScalingSql,
     "stream_scd2_intervals" -> EventAnalytics.scd2ClosedSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,

@@ -2289,6 +2289,22 @@ object StreamingPipelines {
     DriftQuality.psiRollup(counts)
   }
 
+  /** Streaming MMD kernel-drift monitor: the six per-type moments the
+    * closed-form MMD² needs are plain mergeable sums, so the kernel
+    * two-sample test runs as a COMPLETE-mode aggregation (|types| groups
+    * of 6 longs) with the SAME moment/finale code as the batch query —
+    * the moment collapse that makes a kernel method streamable at all.
+    * Oracle = the batch SQL verbatim (DriftQuality.mmdPolySql). */
+  def mmdStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.DriftQuality
+    val e = eventStream(spark, dir)
+      .withColumn("is_ref",
+        (col("ems") < DriftQuality.cutoffMs).cast("int"))
+    val mo = DriftQuality.mmdMoments(e)
+    val sink = runToMemory(spark, mo, "complete", "mmdstream")
+    DriftQuality.mmdFromMoments(sink)
+  }
+
   /** W5 per-event session steps (the Flink MapState clickstream path):
     * constant-size running session state per key, one output row per
     * event. */

@@ -862,6 +862,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("MMD drift: squared-norm non-negativity and exact zero on " +
+      "identical samples (round 11)") {
+    import TestSpark.spark
+    val rows = graft.SparkEntry.queries("drift_mmd_poly")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // MMD^2 (V-statistic) is ||mu_x - mu_y||^2 in the RKHS: >= 0 up to
+    // the closing double combination
+    rows.foreach { r =>
+      val v = r.getAs[Double]("mmd2")
+      assert(v >= -1e-3, s"${r.getAs[String]("event_type")}: $v")
+    }
+    // identical moment sets cancel EXACTLY (same doubles subtract to 0)
+    import spark.implicits._
+    val same = Seq(("t", 7L, 7L, 123456L, 123456L, 99L, 99L))
+      .toDF("event_type", "nx", "ny", "sx", "sy", "sxx", "syy")
+    val z = graft.queries.DriftQuality.mmdFromMoments(same)
+      .head().getAs[Double]("mmd2")
+    assert(z == 0.0, s"MMD(X,X) = $z")
+  }
+
   test("HITS scores are max-normalized each round (round 9)") {
     import TestSpark.spark
     val rows = graft.SparkEntry.queries("graph_hits")(
