@@ -948,30 +948,38 @@ object AdvancedOps extends QueryModule {
     * squares of identical doubles). Single-pass groupBy — the
     * forecast-verification report a scoring pipeline files next to its
     * calibration curve. */
-  private def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val b = ev(spark, dir)
-      .withColumn("score",
-        when($"value" > 50.0, 1L).otherwise(0L) +
-        when($"value" > 80.0, 1L).otherwise(0L) +
+  private def brierDecomposition(spark: SparkSession, dir: String): DataFrame =
+    brierFromBins(brierBins(ev(spark, dir)))
+
+  /** Per-score (n, pos) bins — shared with the streaming twin (where the
+    * same expression aggregates in complete mode). */
+  private[graft] def brierBins(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    e.withColumn("score",
+        when(c("value") > 50.0, 1L).otherwise(0L) +
+        when(c("value") > 80.0, 1L).otherwise(0L) +
         when(expr("(ems div 3600000) % 24") < 6, 1L).otherwise(0L) +
-        when($"user_id" % 3 === 0, 1L).otherwise(0L))
-      .withColumn("y", when($"event_type" === "purchase", 1L).otherwise(0L))
-      .groupBy($"score").agg(count(lit(1)).as("n"), sum($"y").as("pos"))
-    val g = b.agg(sum($"n").as("tn"), sum($"pos").as("tp"))
-    val f = $"score" / lit(4.0)
-    val o = $"pos".cast("double") / $"n"
-    val obar = $"tp".cast("double") / $"tn"
-    b.crossJoin(broadcast(g))
-      .select($"score", $"n", $"pos",
-        f.as("forecast"), o.as("obs_rate"),
-        ($"n" * (f - o) * (f - o) / $"tn").as("reliability_c"),
-        ($"n" * (o - obar) * (o - obar) / $"tn").as("resolution_c"),
-        (obar * (lit(1.0) - obar)).as("uncertainty"))
-      .orderBy($"score")
+        when(c("user_id") % 3 === 0, 1L).otherwise(0L))
+      .withColumn("y", when(c("event_type") === "purchase", 1L).otherwise(0L))
+      .groupBy(c("score")).agg(count(lit(1)).as("n"), sum(c("y")).as("pos"))
   }
 
-  private val brierDecompositionSql =
+  /** Shared Murphy-decomposition finale from the (score, n, pos) bins. */
+  private[graft] def brierFromBins(b: DataFrame): DataFrame = {
+    val g = b.agg(sum(col("n")).as("tn"), sum(col("pos")).as("tp"))
+    val f = col("score") / lit(4.0)
+    val o = col("pos").cast("double") / col("n")
+    val obar = col("tp").cast("double") / col("tn")
+    b.crossJoin(broadcast(g))
+      .select(col("score"), col("n"), col("pos"),
+        f.as("forecast"), o.as("obs_rate"),
+        (col("n") * (f - o) * (f - o) / col("tn")).as("reliability_c"),
+        (col("n") * (o - obar) * (o - obar) / col("tn")).as("resolution_c"),
+        (obar * (lit(1.0) - obar)).as("uncertainty"))
+      .orderBy(col("score"))
+  }
+
+  private[graft] val brierDecompositionSql =
     """WITH s AS (
       |  SELECT
       |    (CASE WHEN value > 50.0 THEN 1 ELSE 0 END

@@ -732,19 +732,33 @@ object AnalyticsOps extends QueryModule {
     val cells = e.crossJoin(broadcast(mid))
       .withColumn("post", when($"ems" >= $"m", 1L).otherwise(0L))
       .groupBy($"treat", $"post")
-      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
-        (sum($"y").cast("double") / count(lit(1))).as("rate"))
-    val did = cells.agg(
-      ((max(when($"treat" === 1 && $"post" === 1, $"rate"))
-        - max(when($"treat" === 1 && $"post" === 0, $"rate")))
-        - (max(when($"treat" === 0 && $"post" === 1, $"rate"))
-          - max(when($"treat" === 0 && $"post" === 0, $"rate")))).as("did"))
-    cells.crossJoin(broadcast(did))
-      .select($"treat", $"post", $"n", $"n_pos", $"rate", $"did")
-      .orderBy($"treat", $"post")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"))
+    didFromCells(cells)
   }
 
-  private val diffInDiffSql =
+  /** The per-arm training-data midpoint, broadcast to the streaming twin
+    * as its trained constant. */
+  private[graft] def didMidpoint(spark: SparkSession, dir: String): Long =
+    ev(spark, dir).agg(expr("(min(ems) + max(ems)) div 2")).head().getLong(0)
+
+  /** Shared DiD finale from (treat, post, n, n_pos) cells — batch and
+    * streaming twin report through one code path. */
+  private[graft] def didFromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0.withColumn("rate",
+      col("n_pos").cast("double") / col("n"))
+    val did = cells.agg(
+      ((max(when(col("treat") === 1 && col("post") === 1, col("rate")))
+        - max(when(col("treat") === 1 && col("post") === 0, col("rate"))))
+        - (max(when(col("treat") === 0 && col("post") === 1, col("rate")))
+          - max(when(col("treat") === 0 && col("post") === 0, col("rate")))))
+        .as("did"))
+    cells.crossJoin(broadcast(did))
+      .select(col("treat"), col("post"), col("n"), col("n_pos"),
+        col("rate"), col("did"))
+      .orderBy(col("treat"), col("post"))
+  }
+
+  private[graft] val diffInDiffSql =
     """WITH e AS (
       |  SELECT epoch_ms(ts) AS ems,
       |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat,

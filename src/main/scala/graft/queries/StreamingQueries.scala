@@ -304,6 +304,11 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.psiStream(s, d)),
     "stream_drift_mmd" ->
       ((s: SparkSession, d: String) => StreamingPipelines.mmdStream(s, d)),
+    "stream_diff_in_diff" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.diffInDiffStream(s, d)),
+    "stream_brier" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.brierStream(s, d)),
     "stream_feature_scaling" ->
       ((s: SparkSession, d: String) => StreamingPipelines.featureScalingStream(s, d)),
     "stream_scd2_intervals" ->
@@ -482,6 +487,8 @@ object StreamingQueries extends QueryModule {
     "stream_winsorize" -> AdvancedOps.winsorizeSql,
     "stream_drift_psi" -> DriftQuality.psiSql,
     "stream_drift_mmd" -> DriftQuality.mmdPolySql,
+    "stream_diff_in_diff" -> AnalyticsOps.diffInDiffSql,
+    "stream_brier" -> AdvancedOps.brierDecompositionSql,
     "stream_feature_scaling" -> DriftQuality.featureScalingSql,
     "stream_scd2_intervals" -> EventAnalytics.scd2ClosedSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,

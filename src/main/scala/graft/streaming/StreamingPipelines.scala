@@ -2305,6 +2305,37 @@ object StreamingPipelines {
     DriftQuality.mmdFromMoments(sink)
   }
 
+  /** Streaming diff-in-diff monitor: the 2×2 (treat, post) cells are
+    * mergeable counts, so the DiD estimate runs as a complete-mode
+    * aggregation with FOUR groups of state; the pre/post midpoint trains
+    * batch-side and broadcasts as the gate's constant (the threshold
+    * contract — a stream cannot know its own max timestamp). Shared
+    * didFromCells finale; oracle = the batch SQL verbatim. */
+  def diffInDiffStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.AnalyticsOps
+    val mid = AnalyticsOps.didMidpoint(spark, dir)
+    val cells = eventStream(spark, dir)
+      .select(col("ems"),
+        when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("treat"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .withColumn("post", when(col("ems") >= mid, 1L).otherwise(0L))
+      .groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val sink = runToMemory(spark, cells, "complete", "didstream")
+    AnalyticsOps.didFromCells(sink)
+  }
+
+  /** Streaming Brier-decomposition monitor: per-score (n, pos) bins are
+    * mergeable counts — a complete-mode aggregation with |scores| groups
+    * of state — and the Murphy finale is the same shared code as the
+    * batch query; oracle = the batch SQL verbatim. */
+  def brierStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.AdvancedOps
+    val bins = AdvancedOps.brierBins(eventStream(spark, dir))
+    val sink = runToMemory(spark, bins, "complete", "brierstream")
+    AdvancedOps.brierFromBins(sink)
+  }
+
   /** W5 per-event session steps (the Flink MapState clickstream path):
     * constant-size running session state per key, one output row per
     * event. */
