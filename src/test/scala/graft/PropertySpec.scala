@@ -261,6 +261,42 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("nearestAsOf equals the naive closest-with-backward-ties per row " +
+      "(round 11)") {
+    // tie-heavy grid (ts multiples on a small range) so equal backward /
+    // forward gaps and equal-ts right rows actually occur
+    val gen: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+      ln <- Gen.choose(1, 10)
+      rn <- Gen.choose(0, 10)
+      l <- Gen.listOfN(ln, Gen.zip(Gen.choose(1L, 2L),
+        Gen.choose(0L, 10L).map(_ * 10L)))
+      r <- Gen.listOfN(rn, Gen.zip(Gen.choose(1L, 2L),
+        Gen.choose(0L, 10L).map(_ * 10L)))
+    } yield (l, r)
+    check(Prop.forAll(gen) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("qid", "k", "qts")
+      val right = rs.map { case (k, t) => (k, t) }.toDF("k", "rts")
+      val got = AsOfJoin.nearestAsOf(left, right, Seq("k"), "qts", "rts",
+          Seq("rts"), "rts")
+        .collect().map(r => r.getAs[Long]("qid") ->
+          (if (r.isNullAt(r.fieldIndex("rts"))) None
+           else Some(r.getAs[Long]("rts")))).toMap
+      ls.zipWithIndex.forall { case ((k, t), i) =>
+        val cand = rs.filter(_._1 == k).map(_._2)
+        val naive =
+          if (cand.isEmpty) None
+          else {
+            // closest |gap|; equal gaps resolve BACKWARD (rts <= qts)
+            val best = cand.minBy(rts =>
+              (math.abs(rts - t), if (rts <= t) 0 else 1))
+            Some(best)
+          }
+        got(i.toLong) == naive
+      }
+    })
+  }
+
   test("tumbling 1m partials rolled up equal direct 5m sliding windows") {
     check(Prop.forAll(eventsGen) { evs =>
       val df = evs.map { case (t, k) => (t, k) }.toDF("ems", "k")
