@@ -52,6 +52,21 @@ object Bench {
         else times.sorted.apply(times.size / 2)
       (name, median, times.min, times.max)
     }
+    // Variance observatory (round-12 verdict #8): the in-suite 2x family
+    // drift has cost three rounds of "regression or variance?" analysis.
+    // After the timed suite, re-run the 5 worst queries back-to-back in
+    // the same (now fully warm) JVM and record both numbers side by side
+    // — a future regression question becomes a lookup: a query whose
+    // isolated number tracks its in-suite number moved for real; one
+    // whose isolated number snaps back was neighbors' heap churn.
+    val worst5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1)
+    val isolated = worst5.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to runs).map(_ => timeOne(fn))
+      val med = if (times.contains(-1.0)) -1.0
+                else times.sorted.apply(times.size / 2)
+      name -> med
+    }
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val spread = results
@@ -59,19 +74,49 @@ object Bench {
         "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + "}"
       }
       .mkString("{", ",", "}")
+    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"isolated_worst5":$iso,"runs":$runs,"sf":"$sfDir"}"""
     println(json)
     // the driver's BENCH_r{N}.json tail truncates to 4 KB, losing the
     // per-query map for names early in the alphabet — persist the full
     // line in-repo so every round's complete numbers are diffable
     // a filtered (BENCH_ONLY) run must not clobber the full-suite record
-    if (only.isEmpty)
+    if (only.isEmpty) {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_latest.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () } // bench output must not fail the run
+      stampRoundRecord(results)
+    }
     spark.stop()
   }
+
+  /** Auto-stamp ARCHITECTURE.md's Round-record line from this run (full
+    * suite only). The r11 verdict found the doc's bench narrative stale
+    * two rounds running — a count-only stamp let dead numbers stand with
+    * authority. This stamp rewrites the ONE line that states round
+    * numbers, and EndToEndSpec pins it against the committed
+    * bench_latest.json, so the recorded total MUST move each round. */
+  private def stampRoundRecord(
+      results: Seq[(String, Double, Double, Double)]): Unit =
+    try {
+      val total = results.map(_._2).sum
+      val (wName, wMed, _, _) = results.maxBy(_._2)
+      val line = f"Round-record (auto-stamped by Bench): ${results.size}%d " +
+        f"queries, sum of medians $total%.1f s, worst $wName%s $wMed%.2f s."
+      val p = java.nio.file.Paths.get("ARCHITECTURE.md")
+      if (java.nio.file.Files.exists(p)) {
+        val text = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val out = text.replaceAll(
+          "(?m)^Round-record \\(auto-stamped by Bench\\): .*$",
+          java.util.regex.Matcher.quoteReplacement(line))
+        if (out != text)
+          java.nio.file.Files.write(p,
+            out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } catch { case _: Throwable => () } // the stamp must not fail the bench
 }

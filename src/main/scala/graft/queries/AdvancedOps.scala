@@ -935,6 +935,71 @@ object AdvancedOps extends QueryModule {
       |  CAST(SUM(y) AS DOUBLE) / count(*) AS pos_rate
       |FROM s GROUP BY score ORDER BY score""".stripMargin
 
+  // ------------------------------------- expected calibration error (ECE)
+  /** Expected Calibration Error over the [[brierBins]] reliability table
+    * (round 12 — the scalar summary next to ml_calibration_bins' raw
+    * curve and the Brier Murphy decomposition:
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b|, the metric model cards quote).
+    * Determinism: each bin's term n_b·|acc−conf| is quantized to
+    * micro-ints BEFORE summation (integer sums are order-independent; a
+    * bare double Σ over bins would depend on bin visit order), and the
+    * closing value is ONE exact-BIGINT-over-BIGINT division. Bins are
+    * bounded (5 rule-score levels), the corpus-sized work is the one
+    * groupBy — mergeable counts, which is what makes the streaming twin
+    * a complete-mode aggregation. */
+  private def eceEval(spark: SparkSession, dir: String): DataFrame =
+    eceFromBins(brierBins(ev(spark, dir)))
+
+  /** Shared ECE finale from the (score, n, pos) bins — the streaming
+    * twin reads the same bins off its complete-mode sink. */
+  private[graft] def eceFromBins(b: DataFrame): DataFrame = {
+    val withC = b
+      .withColumn("conf", col("score") / lit(4.0))
+      .withColumn("acc", col("pos").cast("double") / col("n"))
+      .withColumn("contrib_micro",
+        floor(abs(col("acc") - col("conf")) * col("n") * lit(1000000.0))
+          .cast("long"))
+    val g = withC.agg(sum(col("n")).as("tn"),
+      sum(col("contrib_micro")).as("cm"))
+    withC.crossJoin(broadcast(g))
+      .select(col("score"), col("n"), col("pos"), col("conf"), col("acc"),
+        col("contrib_micro"),
+        (col("cm").cast("double") / (col("tn") * lit(1000000L)).cast("double"))
+          .as("ece"))
+      .orderBy(col("score"))
+  }
+
+  private[graft] val eceSql =
+    """WITH s AS (
+      |  SELECT
+      |    (CASE WHEN value > 50.0 THEN 1 ELSE 0 END
+      |     + CASE WHEN value > 80.0 THEN 1 ELSE 0 END
+      |     + CASE WHEN (epoch_ms(ts) // 3600000) % 24 < 6 THEN 1 ELSE 0 END
+      |     + CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS score,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |), b AS (
+      |  SELECT CAST(score AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM s GROUP BY score
+      |), c AS (
+      |  SELECT score, n, pos, score / 4.0 AS conf,
+      |    CAST(pos AS DOUBLE) / n AS acc
+      |  FROM b
+      |), d AS (
+      |  SELECT score, n, pos, conf, acc,
+      |    CAST(FLOOR(ABS(acc - conf) * n * 1000000.0) AS BIGINT)
+      |      AS contrib_micro
+      |  FROM c
+      |), g AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+      |    CAST(SUM(contrib_micro) AS BIGINT) AS cm
+      |  FROM d
+      |)
+      |SELECT score, n, pos, conf, acc, contrib_micro,
+      |  CAST(cm AS DOUBLE) / CAST(tn * 1000000 AS DOUBLE) AS ece
+      |FROM d, g ORDER BY score""".stripMargin
+
   // ------------------------------------------- Brier score decomposition
   /** Murphy decomposition of the Brier score over the binned forecast
     * (the [[calibrationBins]] rule score mapped to probabilities
@@ -1041,9 +1106,14 @@ object AdvancedOps extends QueryModule {
       .withColumn("cpt", sum($"pt").over(w))
       .withColumn("cpc", sum($"pc").over(w))
       .select($"score", $"nt", $"nc", $"pt", $"pc",
-        ($"pt".cast("double") / $"nt" - $"pc".cast("double") / $"nc")
+        // single-arm levels (nt or nc = 0) yield NULL in DuckDB but a
+        // runtime DivideByZero under ANSI mode — guard both engines to
+        // NULL identically (r11 advice; the graph_conductance discipline)
+        when($"nt" > 0 && $"nc" > 0,
+          $"pt".cast("double") / $"nt" - $"pc".cast("double") / $"nc")
           .as("uplift"),
-        ($"cpt" - $"cpc".cast("double") * $"cnt" / $"cnc").as("qini"))
+        when($"cnc" > 0,
+          $"cpt" - $"cpc".cast("double") * $"cnt" / $"cnc").as("qini"))
       .orderBy($"score".desc)
   }
 
@@ -1073,8 +1143,10 @@ object AdvancedOps extends QueryModule {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |)
       |SELECT score, nt, nc, pt, pc,
-      |  CAST(pt AS DOUBLE) / nt - CAST(pc AS DOUBLE) / nc AS uplift,
-      |  cpt - CAST(cpc AS DOUBLE) * cnt / cnc AS qini
+      |  CASE WHEN nt > 0 AND nc > 0
+      |    THEN CAST(pt AS DOUBLE) / nt - CAST(pc AS DOUBLE) / nc END AS uplift,
+      |  CASE WHEN cnc > 0
+      |    THEN cpt - CAST(cpc AS DOUBLE) * cnt / cnc END AS qini
       |FROM c ORDER BY score DESC""".stripMargin
 
   // ----------------------------------------------- isotonic calibration
@@ -1574,6 +1646,7 @@ object AdvancedOps extends QueryModule {
     "ml_calibration_bins" -> (calibrationBins _),
     "ml_isotonic_calibration" -> (isotonicCalibration _),
     "ml_brier_decomposition" -> (brierDecomposition _),
+    "ml_ece" -> (eceEval _),
     "ml_qini_uplift" -> (qiniUplift _),
     "dq_k_anonymity" -> (kAnonymity _),
     "dq_l_diversity" -> (lDiversity _),
@@ -1598,6 +1671,7 @@ object AdvancedOps extends QueryModule {
     "ml_calibration_bins" -> calibrationBinsSql,
     "ml_isotonic_calibration" -> isotonicCalibrationSql,
     "ml_brier_decomposition" -> brierDecompositionSql,
+    "ml_ece" -> eceSql,
     "ml_qini_uplift" -> qiniUpliftSql,
     "dq_k_anonymity" -> kAnonymitySql,
     "dq_l_diversity" -> lDiversitySql,

@@ -2132,13 +2132,8 @@ object Embeddings extends QueryModule {
     * must be IDENTICAL to the one-shot index — latest-per-key over
     * disjoint key sets is their union — so it shares the inline oracle
     * too: the store merge is what's under test. */
-  private def ivfadcIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val store = new OnlineStore(spark,
-      java.nio.file.Files.createTempDirectory("graft_ann_inc_").toString,
-      nBuckets = 8)
-    buildIncrementalIvfadc(spark, dir, store)
-    ivfadcAnswerFrom(spark, store)
-  }
+  private def ivfadcIncremental(spark: SparkSession, dir: String): DataFrame =
+    ivfadcAnswerFrom(spark, annIncStoreFor(spark, dir))
 
   /** The two-batch MERGE build shared by `emb_ivfadc_incremental` and
     * `emb_ivfadc_erase`: bulk corpus first, then the low-id block
@@ -2233,14 +2228,75 @@ object Embeddings extends QueryModule {
     * erasure — centroids/codebooks are not refit, exactly like
     * production) but scanned and graded over survivors only. */
   private def ivfadcErase(spark: SparkSession, dir: String): DataFrame = {
-    val store = new OnlineStore(spark,
-      java.nio.file.Files.createTempDirectory("graft_ann_erase_").toString,
-      nBuckets = 8)
-    buildIncrementalIvfadc(spark, dir, store)
+    // Erase MUTATES, so it cannot share the live incremental store — but
+    // re-running centroid fit + PQ train + two MERGE batches per
+    // invocation made this the suite's most expensive query (r11 driver
+    // bench: 10.96 s median, 13.18 s max — the first worst-run crossing
+    // of the 12.5 s bar). A store directory is fully relocatable (the
+    // manifest holds only bucket=version:minTs lines, every path is
+    // root-relative), so clone the session-shared incremental store with
+    // a file copy and erase the CLONE. What this query tests — the erase
+    // rewrite through the posting lists + the answer over survivors — is
+    // unchanged; the build it no longer repeats is tested by
+    // emb_ivfadc_incremental on the very store being cloned. At 100 TB
+    // this is also the production shape: GDPR erasure rewrites the live
+    // index's buckets, it does not rebuild the index first.
+    val src = annIncStoreFor(spark, dir)
+    val clone = cloneStoreDir(src.basePath, "graft_ann_erase_")
+    val store = new OnlineStore(spark, clone, nBuckets = 8)
     store.erase(annCodesView,
       Tables.embeddings(spark, dir).filter(col("vec_id") % 37 === 5)
         .select(col("vec_id")), "gdpr11")
     ivfadcAnswerFrom(spark, store)
+  }
+
+  /** Measured ANN mutation-lifecycle phases for ScaleCheck (round-12
+    * verdict #6 — the build/merge/erase path's scaling was asserted from
+    * the bucketed-rewrite design, never measured): cold build = Lloyd
+    * fit + PQ train + coding + two MERGE batches; warm rebuild = the
+    * same call with the (dir-fingerprint-keyed) quantizer caches hot, so
+    * cold−warm isolates training; then directory clone, GDPR erase
+    * rewrite through the cloned store, and the serving answer. */
+  private[graft] def annLifecycleTimings(spark: SparkSession, dir: String)
+      : Seq[(String, Double)] = {
+    def timed(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def freshStore() = new OnlineStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ann_sc_").toString,
+      nBuckets = 8)
+    val s1 = freshStore()
+    val tCold = timed(buildIncrementalIvfadc(spark, dir, s1))
+    val s2 = freshStore()
+    val tWarm = timed(buildIncrementalIvfadc(spark, dir, s2))
+    var clonePath: String = null
+    val tClone = timed {
+      clonePath = cloneStoreDir(s2.basePath, "graft_ann_sc_clone_")
+    }
+    val s3 = new OnlineStore(spark, clonePath, nBuckets = 8)
+    val tErase = timed(s3.erase(annCodesView,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 37 === 5)
+        .select(col("vec_id")), "gdpr_sc"))
+    val tAnswer = timed(ivfadcAnswerFrom(spark, s3).count())
+    Seq("cold_build" -> tCold, "warm_build" -> tWarm, "clone" -> tClone,
+      "erase" -> tErase, "answer" -> tAnswer)
+  }
+
+  /** Recursive file copy of a store root into a fresh temp dir — the
+    * cheap "branch" a relocatable manifest layout buys (all manifest
+    * entries are root-relative version strings). */
+  private def cloneStoreDir(srcRoot: String, prefix: String): String = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(srcRoot)
+    val dst = Files.createTempDirectory(prefix)
+    val walk = Files.walk(src)
+    try walk.iterator().asScala.foreach { p: Path =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+    dst.toString
   }
 
   /** The query half: answers from `store`'s index tables only (no
@@ -2283,11 +2339,33 @@ object Embeddings extends QueryModule {
     * key like [[graft.queries.TextAnalysis.lshEdges]]. */
   private[graft] def annStoreFor(spark: SparkSession, dir: String): OnlineStore =
     annStoreCache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}@$dir@${embFingerprint(dir)}", {
+      s"${graft.core.SessionKeys.of(spark)}@$dir@${embFingerprint(dir)}", {
         val store = new OnlineStore(spark,
           java.nio.file.Files.createTempDirectory("graft_ann_shared_")
             .toString, nBuckets = 8)
         buildPersistedIvfadc(spark, dir, store)
+        store
+      })
+
+  /** The SHARED two-batch-MERGE-built index (round-12, verdict r11 #2) —
+    * built once per (session, dataset) through the SAME
+    * [[buildIncrementalIvfadc]] path and then read by
+    * `emb_ivfadc_incremental` (whose subject — latest-per-key over two
+    * MERGE batches equals the one-shot build — is a property of the
+    * build, exercised once per session exactly like [[annStoreFor]] /
+    * funnelFlags / lshEdges) and CLONED by `emb_ivfadc_erase` (erase
+    * mutates, so it branches the directory instead of sharing the live
+    * store). Before this cache the erase query re-ran centroid fit + PQ
+    * train + both MERGE batches per invocation — three of the four most
+    * expensive bench queries were fresh rebuilds of the same index. */
+  private[graft] def annIncStoreFor(spark: SparkSession, dir: String)
+      : OnlineStore =
+    annStoreCache.getOrElseUpdate(
+      s"inc:${graft.core.SessionKeys.of(spark)}@$dir@${embFingerprint(dir)}", {
+        val store = new OnlineStore(spark,
+          java.nio.file.Files.createTempDirectory("graft_ann_inc_")
+            .toString, nBuckets = 8)
+        buildIncrementalIvfadc(spark, dir, store)
         store
       })
 
@@ -2513,19 +2591,35 @@ object Embeddings extends QueryModule {
     * real duplicate embeddings sit above 0.9 — the knob, not the
     * mechanics, moves). */
   private def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.KMeansQuantizer.assignCell
-    val cent = fittedCentroids(spark, dir)
-    val cells = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        assignCell(col("embedding"), cent).as("cell"))
+    // Candidate generation reads the SESSION-SHARED persisted index
+    // (round 12, verdict r11 #7): (vec_id, cell, embedding) come off the
+    // annStoreFor posting lists — the cells were assigned once at index
+    // build with the same cached centroids, so re-running assignCell's
+    // 64-distance scan per invocation bought nothing. Scoring stays
+    // EXACT brute cosine within the cell (the floats live in the codes
+    // view; nothing is ADC-approximated), with norms hoisted to the
+    // vector table once (the emb_knn_classify lesson — one fold per
+    // vector, not three per pair). The suppressed set is therefore
+    // IDENTICAL to the compute-from-scratch brute-within-cell form by
+    // construction — same cells, same exact cosines — which is why the
+    // oracle is unchanged and no delta column is needed.
+    val store = annStoreFor(spark, dir)
+    val cells = store.online(annCodesView)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(embedding, x -> cast(x as double) * " +
+          "cast(x as double)), 0D, (acc, x) -> acc + x))"))
       .persist()
     val dups = cells
       .select(col("cell"), col("vec_id").as("id_a"),
-        col("embedding").as("qv"))
+        col("embedding").as("qv"), col("nrm").as("qn"))
       .join(cells.select(col("cell"), col("vec_id").as("id_b"),
-        col("embedding")), Seq("cell"))
+        col("embedding"), col("nrm")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(expr(cosExpr), 6))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(qv, embedding, (x, y) -> " +
+          "cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")
+          / (col("qn") * col("nrm")), 6))
       .filter(col("cos") >= 0.35)
       .groupBy(col("id_b").as("vec_id"))
       .agg(min(col("id_a")).as("dup_min"))

@@ -588,15 +588,24 @@ object EventAnalytics extends QueryModule {
         |), r AS (
         |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS rs FROM c GROUP BY 1
         |), v0 AS (
-        |  SELECT DISTINCT from_type AS ty, CAST(1000000 AS BIGINT) AS v FROM c
+        |  -- the type UNIVERSE is from ∪ to (r11 advice): a type that only
+        |  -- ever appears as a source (no predecessor) must still carry a
+        |  -- zero-mass row through every round, mirroring the Spark side's
+        |  -- withDefaultValue(0) over (from ∪ to) — on skewed corpora the
+        |  -- old DISTINCT from_type seed dropped such rows entirely
+        |  SELECT ty, CAST(1000000 AS BIGINT) AS v FROM
+        |  (SELECT from_type AS ty FROM c UNION SELECT to_type FROM c)
         |)""".stripMargin
     val rounds = (1 to 4).map { k =>
       val prev = if (k == 1) "v0" else s"v${k - 1}"
-      s"""u$k AS (
+      s"""u${k}raw AS (
          |  SELECT c.to_type AS ty, CAST(SUM((v.v * c.n) // r.rs) AS BIGINT) AS u
          |  FROM c JOIN $prev v ON v.ty = c.from_type
          |  JOIN r ON r.from_type = c.from_type
          |  GROUP BY c.to_type
+         |), u$k AS (
+         |  SELECT v0.ty, COALESCE(u.u, CAST(0 AS BIGINT)) AS u
+         |  FROM v0 LEFT JOIN u${k}raw u ON u.ty = v0.ty
          |), m$k AS (SELECT MAX(u) AS mx FROM u$k),
          |v$k AS (SELECT ty, CAST((u * 1000000) // mx AS BIGINT) AS v
          |        FROM u$k, m$k)""".stripMargin

@@ -324,7 +324,43 @@ object Relational extends QueryModule {
       |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** ROLLUP multi-level aggregation (round 12 — the one relational
+    * operator family the suite lacked): per-(returnflag, linestatus)
+    * pricing cells, per-returnflag subtotals, and the grand total in ONE
+    * pass. Spark plans `rollup` as a single Expand + hash aggregate —
+    * one shuffle for all three grouping levels, map-side partials intact
+    * — which is exactly the 100 TB shape (three separate groupBys would
+    * scan and shuffle three times). GROUPING flags disambiguate rolled-up
+    * NULLs from data NULLs; keys are COALESCEd to 'ALL' so the output
+    * carries no NULLs and ordering is plain string order in both
+    * engines. Quantity sums through the DECIMAL(25,6) discipline. */
+  private def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(grouping($"l_returnflag").cast("long").as("g_rf"),
+        grouping($"l_linestatus").cast("long").as("g_ls"),
+        count(lit(1)).as("n_rows"),
+        dsum($"l_quantity").as("sum_qty"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"g_rf", $"g_ls", $"n_rows", $"sum_qty")
+      .orderBy($"g_rf", $"g_ls", $"returnflag", $"linestatus")
+  }
+
+  private val qRollupSql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_rollup_pricing" -> (qRollup _),
     "rel_pivot_status" -> (qPivot _),
     "rel_q04_exists_semi" -> (q04 _),
     "rel_q13_custdist" -> (q13 _),
@@ -339,6 +375,7 @@ object Relational extends QueryModule {
     "rel_scalar_funcs" -> (qScalar _))
 
   override def oracles: Map[String, String] = Map(
+    "rel_rollup_pricing" -> qRollupSql,
     "rel_pivot_status" -> qPivotSql,
     "rel_q04_exists_semi" -> q04Sql,
     "rel_q13_custdist" -> q13Sql,

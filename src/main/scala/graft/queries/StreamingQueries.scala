@@ -309,6 +309,8 @@ object StreamingQueries extends QueryModule {
         StreamingPipelines.diffInDiffStream(s, d)),
     "stream_brier" ->
       ((s: SparkSession, d: String) => StreamingPipelines.brierStream(s, d)),
+    "stream_ece" ->
+      ((s: SparkSession, d: String) => StreamingPipelines.eceStream(s, d)),
     "stream_feature_scaling" ->
       ((s: SparkSession, d: String) => StreamingPipelines.featureScalingStream(s, d)),
     "stream_scd2_intervals" ->
@@ -489,6 +491,7 @@ object StreamingQueries extends QueryModule {
     "stream_drift_mmd" -> DriftQuality.mmdPolySql,
     "stream_diff_in_diff" -> AnalyticsOps.diffInDiffSql,
     "stream_brier" -> AdvancedOps.brierDecompositionSql,
+    "stream_ece" -> AdvancedOps.eceSql,
     "stream_feature_scaling" -> DriftQuality.featureScalingSql,
     "stream_scd2_intervals" -> EventAnalytics.scd2ClosedSql,
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,

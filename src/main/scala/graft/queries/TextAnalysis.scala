@@ -1616,7 +1616,7 @@ object TextAnalysis extends QueryModule {
     * session-scoped key because checkpointed blocks die with their
     * session. */
   private def funnelFlags(spark: SparkSession, dir: String): DataFrame =
-    flagsCache.getOrElseUpdate(s"${System.identityHashCode(spark)}@$dir", {
+    flagsCache.getOrElseUpdate(s"${graft.core.SessionKeys.of(spark)}@$dir", {
       val (q, r, e, m, d) = funnelVerdicts(spark, dir)
       Tables.documents(spark, dir).select(col("doc_id"))
         .join(q, "doc_id").join(r, "doc_id").join(e, "doc_id")
@@ -1954,7 +1954,7 @@ object TextAnalysis extends QueryModule {
     * blocks die with their session, so a frame cached under one session
     * must never be served to another. */
   private[graft] def lshEdges(spark: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate(s"${System.identityHashCode(spark)}@$dir", {
+    edgeCache.getOrElseUpdate(s"${graft.core.SessionKeys.of(spark)}@$dir", {
       val bands = lshBandRows(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       bands.select(col("band_val"), col("doc_id").as("a"))
@@ -2271,6 +2271,134 @@ object TextAnalysis extends QueryModule {
       |    CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE)
       |  ELSE 1.0 END AS recall
       |FROM agg, nt""".stripMargin
+
+  // ------------------------------------------------- MinHash LSH S-curve
+  /** MEASURED band-collision rate vs the ANALYTIC LSH S-curve (round-12;
+    * completes the dedup family's eval story: `dedup_minhash_eval`
+    * measures recall at one threshold, this measures the THEORY the
+    * banding parameters were chosen by). For every bounded
+    * (lang, length-band) candidate pair — the `dedup_ngram_jaccard`
+    * universe, never all-pairs — compute the exact shingle-set Jaccard J
+    * (60-bit hashed sets, codegen'd two-pointer intersect), bucket it
+    * into integer deciles (`LEAST(9, (10·inter) div un)` — pure BIGINT,
+    * no float boundary), and per decile report the measured fraction of
+    * pairs whose 4 LSH band values overlap next to the analytic
+    * collision probability 1−(1−J²)⁴ for b=4 bands of r=2 rows.
+    *
+    * Exactness discipline: the analytic curve needs NO libm pow — J² is
+    * one multiply and (1−J²)⁴ is two squarings, an identical IEEE
+    * expression tree in both engines — and per-pair expectations are
+    * quantized to micro-ints (FLOOR(p·10⁶), floor-then-cast because
+    * DuckDB CAST rounds) BEFORE averaging: integer sums are
+    * order-independent where a bare double mean is not. The per-decile
+    * expected rate is then one exact-integer-over-integer division.
+    *
+    * Scale: one scan computes shingles + signature per doc (the md5 term,
+    * embarrassingly parallel); pairs are bounded by the (lang, band)
+    * bucket key exactly like dedup_ngram_jaccard (measured there: pair
+    * volume, not hashing, dominates growth, and the bucket key caps it);
+    * the rollup is ≤10 rows. */
+  private def minhashScurve(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SortedIntersectCount.register(spark)
+    val sig = docs(spark, dir)
+      .withColumn("band", expr("size(toks) div 10"))
+      .withColumn("sh", expr(shingleExpr))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sj",
+        expr("""array_sort(array_distinct(transform(sh,
+          |  s -> cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10)
+          |       as bigint))))""".stripMargin))
+      .withColumn("si", expr(shingleHashExpr))
+      .withColumn("mh", expr(minhashExpr))
+      .withColumn("bands",
+        expr("""transform(sequence(0, 3), b -> concat_ws(':', b,
+          |  element_at(mh, 2*b + 1), element_at(mh, 2*b + 2)))""".stripMargin))
+      .select(col("doc_id"), col("lang"), col("band"), col("sj"), col("bands"))
+      .persist()
+    val a = sig.select(col("lang"), col("band"), col("doc_id").as("doc_a"),
+      col("sj").as("sj_a"), col("bands").as("bands_a"))
+    val b = sig.select(col("lang"), col("band"), col("doc_id").as("doc_b"),
+      col("sj").as("sj_b"), col("bands").as("bands_b"))
+    val pairs = a.join(b, Seq("lang", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter",
+        expr("sorted_intersect_count(sj_a, sj_b)").cast("long"))
+      .withColumn("un",
+        (size(col("sj_a")) + size(col("sj_b"))).cast("long") - col("inter"))
+      .withColumn("collided", arrays_overlap(col("bands_a"), col("bands_b")))
+      .withColumn("decile", least(lit(9L), expr("(10 * inter) div un")))
+      .withColumn("j", col("inter").cast("double") / col("un").cast("double"))
+      // p = 1 − ((1−j·j)·(1−j·j))·((1−j·j)·(1−j·j)): the exact expression
+      // tree mirrored in the oracle — IEEE *, − are deterministic, pow is
+      // libm and is not
+      .withColumn("q", lit(1.0) - col("j") * col("j"))
+      .withColumn("p", lit(1.0) - (col("q") * col("q")) * (col("q") * col("q")))
+      .withColumn("micro", floor(col("p") * lit(1000000.0)).cast("long"))
+    val out = pairs.groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(when(col("collided"), 1L).otherwise(0L)).as("n_collided"),
+        sum(col("micro")).as("micro_sum"))
+      .select(col("decile"), col("n_pairs"), col("n_collided"),
+        (col("n_collided").cast("double") / col("n_pairs").cast("double"))
+          .as("measured_rate"),
+        col("micro_sum"),
+        (col("micro_sum").cast("double") /
+          (col("n_pairs") * lit(1000000L)).cast("double")).as("expected_rate"))
+      .orderBy(col("decile"))
+    graft.core.CachePin.sealAndRelease(out, sig)
+  }
+
+  private val minhashScurveSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), s0 AS (
+      |  SELECT doc_id, lang, len(toks) // 10 AS band,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), s1 AS (
+      |  SELECT doc_id, lang, band,
+      |    list_sort(list_distinct(list_transform(sh,
+      |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS sj,
+      |    list_transform(range(8), j -> list_min(list_transform(sh,
+      |      s -> ((2*j + 1) * CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+      |            + 97*j + 13) % 2147483647))) AS mh
+      |  FROM s0 WHERE len(sh) > 0
+      |), s2 AS MATERIALIZED (
+      |  SELECT doc_id, lang, band, sj,
+      |    list_transform(range(4),
+      |      b -> b || ':' || mh[2*b + 1] || ':' || mh[2*b + 2]) AS bands
+      |  FROM s1
+      |), pairs AS (
+      |  SELECT
+      |    CAST(len(list_filter(x.sj, v -> list_contains(y.sj, v))) AS BIGINT)
+      |      AS inter,
+      |    CAST(len(x.sj) + len(y.sj) AS BIGINT) AS sab,
+      |    len(list_filter(x.bands, v -> list_contains(y.bands, v))) > 0
+      |      AS collided
+      |  FROM s2 x JOIN s2 y
+      |    ON x.lang = y.lang AND x.band = y.band AND x.doc_id < y.doc_id
+      |), sc AS (
+      |  SELECT collided,
+      |    LEAST(CAST(9 AS BIGINT), CAST((10 * inter) // (sab - inter) AS BIGINT))
+      |      AS decile,
+      |    CAST(inter AS DOUBLE) / CAST(sab - inter AS DOUBLE) AS j
+      |  FROM pairs
+      |), e AS (
+      |  SELECT decile, collided,
+      |    CAST(FLOOR((1.0 - ((1.0 - j*j)*(1.0 - j*j))*((1.0 - j*j)*(1.0 - j*j)))
+      |      * 1000000.0) AS BIGINT) AS micro
+      |  FROM sc
+      |)
+      |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN collided THEN 1 ELSE 0 END) AS BIGINT) AS n_collided,
+      |  CAST(SUM(CASE WHEN collided THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS measured_rate,
+      |  CAST(SUM(micro) AS BIGINT) AS micro_sum,
+      |  CAST(SUM(micro) AS DOUBLE)
+      |    / CAST(CAST(COUNT(*) AS BIGINT) * 1000000 AS DOUBLE) AS expected_rate
+      |FROM e GROUP BY decile ORDER BY decile""".stripMargin
 
   // ---------------------------------------------------- triangle counting
   /** Triangle counting over the near-dup candidate graph (node = doc,
@@ -3105,7 +3233,8 @@ object TextAnalysis extends QueryModule {
     "dedup_clusters" -> (dedupClusters _),
     "graph_triangles" -> (triangles _),
     "dedup_prefix_join" -> (prefixJoin _),
-    "dedup_minhash_eval" -> (minhashEval _))
+    "dedup_minhash_eval" -> (minhashEval _),
+    "dedup_minhash_scurve" -> (minhashScurve _))
 
   override def oracles: Map[String, String] = Map(
     "dedup_cdc_chunks" -> cdcChunksSql,
@@ -3148,5 +3277,6 @@ object TextAnalysis extends QueryModule {
     "dedup_clusters" -> dedupClustersSql,
     "graph_triangles" -> trianglesSql,
     "dedup_prefix_join" -> prefixJoinSql,
-    "dedup_minhash_eval" -> minhashEvalSql)
+    "dedup_minhash_eval" -> minhashEvalSql,
+    "dedup_minhash_scurve" -> minhashScurveSql)
 }

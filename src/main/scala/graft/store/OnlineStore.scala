@@ -51,6 +51,10 @@ import org.apache.spark.sql.functions._
 class OnlineStore(spark: SparkSession, root: String, nBuckets: Int = 32,
     gcGraceMs: Long = 600000L,
     clock: () => Long = () => System.currentTimeMillis()) {
+
+  /** The store root — exposed so a relocatable store can be cloned by a
+    * plain directory copy (every manifest entry is root-relative). */
+  def basePath: String = root
   import java.nio.file.{Files, Paths, StandardCopyOption}
   import java.nio.charset.StandardCharsets
 

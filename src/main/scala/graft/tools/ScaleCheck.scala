@@ -709,6 +709,34 @@ object ScaleCheck {
         f"build=$tBuild%8.2fs query_median=${tQ.sorted.apply(1)}%8.2fs " +
         f"(q_min=${tQ.min}%.2f q_max=${tQ.max}%.2f)")
     }
+    // ANN MUTATION lifecycle at 1x vs 10x vectors (round-12 verdict #6):
+    // the build/MERGE/erase path's growth measured per phase instead of
+    // asserted from the bucketed-rewrite design. 1x matches the sf0.1
+    // embeddings corpus (~6.4k vectors); cold-warm isolates quantizer
+    // training (session-cached per dir thereafter — the annIncStoreFor
+    // amortization the erase query now leans on), clone is the
+    // file-copy branch the erase query takes, erase is the posting-list
+    // rewrite, answer is the serving read.
+    if (want("ann_lifecycle")) {
+      def synthEmbDir(n: Long): String = {
+        val dir = s"$base/emb_$n"
+        spark.range(0, n).select(
+          col("id").as("vec_id"),
+          expr("""transform(sequence(0, 63), j ->
+            |  cast(cast(pmod(cast(conv(substring(md5(cast(concat(id, '_', j)
+            |    as binary)), 1, 8), 16, 10) as bigint), 2000) as double)
+            |    / 1000.0 - 1.0 as float))""".stripMargin).as("embedding"),
+          pmod(col("id"), lit(10L)).cast("int").as("label"))
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        dir
+      }
+      Seq(6400L, 64000L).foreach { n =>
+        val ts = graft.queries.Embeddings
+          .annLifecycleTimings(spark, synthEmbDir(n))
+        println(f"[scalecheck] ann_lifecycle n=$n%-7d " +
+          ts.map { case (k, v) => f"$k=$v%7.2fs" }.mkString(" "))
+      }
+    }
     // Durable-checkpoint cost (round-11, verdict r10 #5): the same
     // stateful chunked-replay query (stream_dedup_minhash — 4
     // micro-batches x band-keyed state commits) timed with its

