@@ -2595,6 +2595,40 @@ object TextAnalysis extends QueryModule {
       |    (acc, x) -> acc + x) AS simhash
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------- keep-best cluster canonical
+  /** Quality-argmax canonical selection per near-dup cluster (round 12 —
+    * SemDeDup/RefinedWeb practice: when a duplicate cluster collapses to
+    * one survivor, keep the HIGHEST-QUALITY member, not the smallest id;
+    * min-id is an arbitrary tie-break, quality-argmax is the one that
+    * improves the training corpus). Clusters come from the simhash
+    * connected components ([[dedupClusters]]' chain), quality from the
+    * shared Gopher-style score ([[withQualityCols]] — the same doubles
+    * text_quality_score grades, so the cross-engine ranking is exact);
+    * winner = row_number() over (quality DESC, doc_id) = 1. The join is
+    * cluster-member-sized (docs in no cluster are untouched survivors by
+    * definition and are not re-listed). */
+  private def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+    val q = withQualityCols(docs(spark, dir))
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(q, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("cluster_id"), col("doc_id"), col("cluster_size"),
+        col("quality_score"), (col("rk") === 1).as("keep"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  private val dedupKeepBestSql =
+    s"""WITH c AS (SELECT * FROM ($dedupClustersSql)),
+       |q AS (SELECT doc_id, quality_score FROM ($qualitySql))
+       |SELECT c.cluster_id, c.doc_id, c.cluster_size, q.quality_score,
+       |  (row_number() OVER (PARTITION BY c.cluster_id
+       |     ORDER BY q.quality_score DESC, c.doc_id) = 1) AS keep
+       |FROM c JOIN q USING (doc_id)
+       |ORDER BY c.cluster_id, c.doc_id""".stripMargin
+
   // ------------------------------------------------- BPE-ish tokenization
   /** Sub-word ("BPE-ish") tokenization via greedy regex chunking: both
     * engines chunk [a-z]{1,4} left-to-right identically. Reports sub-token
@@ -3234,7 +3268,8 @@ object TextAnalysis extends QueryModule {
     "graph_triangles" -> (triangles _),
     "dedup_prefix_join" -> (prefixJoin _),
     "dedup_minhash_eval" -> (minhashEval _),
-    "dedup_minhash_scurve" -> (minhashScurve _))
+    "dedup_minhash_scurve" -> (minhashScurve _),
+    "dedup_keep_best" -> (dedupKeepBest _))
 
   override def oracles: Map[String, String] = Map(
     "dedup_cdc_chunks" -> cdcChunksSql,
@@ -3278,5 +3313,6 @@ object TextAnalysis extends QueryModule {
     "graph_triangles" -> trianglesSql,
     "dedup_prefix_join" -> prefixJoinSql,
     "dedup_minhash_eval" -> minhashEvalSql,
-    "dedup_minhash_scurve" -> minhashScurveSql)
+    "dedup_minhash_scurve" -> minhashScurveSql,
+    "dedup_keep_best" -> dedupKeepBestSql)
 }

@@ -897,4 +897,62 @@ class OperatorSpec extends AnyFunSuite {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("ECE recomposes from hand-computed bins (round 12)") {
+    import TestSpark.spark
+    import spark.implicits._
+    // bins: (score 0, n 4, pos 1) -> conf 0.0, acc 0.25, term 4*0.25 = 1.0
+    //       (score 4, n 6, pos 3) -> conf 1.0, acc 0.5,  term 6*0.5  = 3.0
+    // N = 10, micro sum 4e6 -> ECE = 4e6 / 1e7 = 0.4 exactly
+    val bins = Seq((0L, 4L, 1L), (4L, 6L, 3L)).toDF("score", "n", "pos")
+    val rows = graft.queries.AdvancedOps.eceFromBins(bins).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("contrib_micro") == 1000000L)
+    assert(rows(1).getAs[Long]("contrib_micro") == 3000000L)
+    rows.foreach(r => assert(r.getAs[Double]("ece") == 0.4))
+  }
+
+  test("S-curve: expected-rate identity, bounds, and the certain tail " +
+      "(round 12)") {
+    import TestSpark.spark
+    val rows = graft.SparkEntry.queries("dedup_minhash_scurve")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_pairs")
+      val micro = r.getAs[Long]("micro_sum")
+      val d = r.getAs[Long]("decile")
+      assert(d >= 0 && d <= 9)
+      assert(micro >= 0 && micro <= n * 1000000L)
+      // the reported expectation IS the quantized integer mean — no
+      // second arithmetic path
+      assert(r.getAs[Double]("expected_rate") ==
+        micro.toDouble / (n * 1000000L).toDouble)
+      val m = r.getAs[Double]("measured_rate")
+      assert(m >= 0.0 && m <= 1.0)
+    }
+    // analytic endpoint: decile 9 means J >= 0.9, where
+    // 1-(1-J^2)^4 >= 1-0.19^4 = 0.9987 — near-identical pairs must be
+    // expected to collide
+    rows.filter(_.getAs[Long]("decile") == 9).foreach { r =>
+      assert(r.getAs[Double]("expected_rate") > 0.99)
+    }
+  }
+
+  test("keep-best selects exactly one survivor per cluster (round 12)") {
+    import TestSpark.spark
+    val df = graft.SparkEntry.queries("dedup_keep_best")(
+      spark, "/root/testdata/sf0.001")
+    val perCluster = df.groupBy(col("cluster_id"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        count(org.apache.spark.sql.functions.lit(1)).as("n_members"))
+      .collect()
+    assert(perCluster.nonEmpty)
+    perCluster.foreach { r =>
+      assert(r.getAs[Long]("n_keep") == 1L,
+        s"cluster ${r.get(0)} kept ${r.getAs[Long]("n_keep")}")
+      assert(r.getAs[Long]("n_members") >= 2L,
+        "a near-dup cluster needs at least two members")
+    }
+  }
 }

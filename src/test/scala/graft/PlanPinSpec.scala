@@ -85,4 +85,22 @@ class PlanPinSpec extends AnyFunSuite {
     val sorts = "\\bSort\\b".r.findAllIn(plan).length
     assert(sorts >= 2, s"expected both directional Sorts:\n$plan")
   }
+
+  test("ROLLUP: all grouping levels from ONE Expand + one aggregate " +
+      "shuffle (round 12)") {
+    // the operator's scale claim: three grouping levels in a single scan
+    // — Expand replicates rows per level, one hash aggregate shuffles
+    // once; three separate groupBys (3 scans, 3 shuffles) would show up
+    // here as extra Exchanges
+    val df = graft.SparkEntry.queries("rel_rollup_pricing")(
+      spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val expands = "Expand".r.findAllIn(plan).length
+    assert(expands == 1, s"expected 1 Expand, found $expands:\n$plan")
+    // one aggregate Exchange + the final ORDER BY's range partitioning
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 Exchanges, found $exchanges:\n$plan")
+  }
 }
