@@ -2300,19 +2300,42 @@ object TextAnalysis extends QueryModule {
     * the rollup is ≤10 rows. */
   private def minhashScurve(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SortedIntersectCount.register(spark)
-    val sig = docs(spark, dir)
+    // Signature build in RELATIONAL form (the probe-measured fix: the
+    // withColumn chain of higher-order transforms ran INTERPRETED and
+    // CollapseProject duplicated the shingle+md5 pipeline into every
+    // consumer — 6 of the query's 9 s were md5 evaluated twice per
+    // shingle inside lambdas). Explode shingles to rows, hash each ONCE
+    // under whole-stage codegen, and rebuild the per-doc signature with
+    // aggregates: sj = sorted collect_set of the 60-bit hashes, each
+    // minhash slot = a plain MIN over the permuted 32-bit hashes
+    // (min over rows ≡ array_min over the per-doc array, and duplicate
+    // shingles cannot change a min or a set). Values are bit-identical
+    // to the expression-constant form; only where they are computed
+    // moved. This is also the 100 TB-friendlier shape: narrow rows
+    // through one groupBy instead of giant per-row arrays in
+    // interpreted lambdas.
+    val rows = docs(spark, dir)
       .withColumn("band", expr("size(toks) div 10"))
-      .withColumn("sh", expr(shingleExpr))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sj",
-        expr("""array_sort(array_distinct(transform(sh,
-          |  s -> cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10)
-          |       as bigint))))""".stripMargin))
-      .withColumn("si", expr(shingleHashExpr))
-      .withColumn("mh", expr(minhashExpr))
-      .withColumn("bands",
-        expr("""transform(sequence(0, 3), b -> concat_ws(':', b,
-          |  element_at(mh, 2*b + 1), element_at(mh, 2*b + 2)))""".stripMargin))
+      // ≥3 tokens ⟺ the shingle set is non-empty (the sub-shingle
+      // guard in row form: such docs simply have no rows to group)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), col("band"),
+        explode(expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+            |                 element_at(toks, i + 2)))""".stripMargin)).as("s"))
+      .withColumn("h", md5(col("s").cast("binary")))
+      .withColumn("h15", expr("cast(conv(substr(h, 1, 15), 16, 10) as bigint)"))
+      .withColumn("h8", expr("cast(conv(substr(h, 1, 8), 16, 10) as bigint)"))
+    val mhAggs = (0 until 8).map(j =>
+      min(expr(s"((${2 * j + 1}) * h8 + ${97 * j} + 13) % 2147483647"))
+        .as(s"mh${j + 1}"))
+    val sig = rows
+      .groupBy(col("doc_id"), col("lang"), col("band"))
+      .agg(array_sort(collect_set(col("h15"))).as("sj"),
+        mhAggs: _*)
+      .withColumn("bands", array((0 until 4).map(b =>
+        concat_ws(":", lit(b), col(s"mh${2 * b + 1}"), col(s"mh${2 * b + 2}"))): _*))
       .select(col("doc_id"), col("lang"), col("band"), col("sj"), col("bands"))
       .persist()
     val a = sig.select(col("lang"), col("band"), col("doc_id").as("doc_a"),
