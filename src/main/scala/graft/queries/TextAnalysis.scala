@@ -913,18 +913,14 @@ object TextAnalysis extends QueryModule {
           |  s -> cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10)
           |       as bigint))))""".stripMargin))
       .withColumn("si", expr(shingleHashExpr))
-      .withColumn("mh", expr(minhashExpr))
       .select(col("doc_id"), col("sj"),
-        // a doc with <3 tokens has NO shingles: its minhash slots are null
-        // and concat_ws would SKIP them, emitting bands '0'..'3' that
-        // collide across all such docs — while the oracle's `||` yields
-        // NULL (no join). Emit no bands at all for sub-shingle docs so
-        // batch, stream, and oracle agree (round-9 advice).
-        expr("""if(size(sj) > 0,
-          |  transform(sequence(0, 3), b -> concat_ws(':', b,
-          |    element_at(mh, 2*b + 1), element_at(mh, 2*b + 2))),
-          |  array())""".stripMargin)
-          .as("bands"))
+        // a doc with <3 tokens has NO shingles: emit no bands at all for
+        // sub-shingle docs so batch, stream, and oracle agree (round-9
+        // advice — the oracle's `||` yields NULL, no join). Bands come
+        // from the single-reference fold (bandArrayExpr): naming mh as a
+        // column and reading it 8 times inside one projection re-inlined
+        // the md5 chain per reference (round 12).
+        expr(s"if(size(sj) > 0, $bandArrayExpr, array())").as("bands"))
 
   // ------------------------------------------------ b-bit MinHash eval
   /** b-bit MinHash (Li & König 2010, b = 1): 64 one-bit minhashes packed
@@ -1933,9 +1929,37 @@ object TextAnalysis extends QueryModule {
       |                   element_at(toks, i + 2))))""".stripMargin
   private[graft] val shingleHashExpr =
     "transform(sh, s -> cast(conv(substr(md5(cast(s as binary)), 1, 8), 16, 10) as bigint))"
+  // ONE fold over si, si referenced ONCE (round 12): the previous
+  // transform-of-array_min form referenced si inside the outer lambda,
+  // so after CollapseProject inlined the chained projections the
+  // md5-per-shingle pipeline re-ran once PER PERMUTATION — 8 hash
+  // passes per doc (measured via tools/ScurveProbe; the scurve query
+  // paid the same shape). The fold computes identical slot values:
+  // slot j = min over shingles of ((2j+1)·x + 97j + 13) mod p, seeded
+  // at p itself (every permuted value is < p, so the seed never
+  // survives a non-empty si; empty si yields the p-sentinel instead of
+  // the old nulls — both only reachable behind the size(sh) > 0 guards).
   private[graft] val minhashExpr =
-    """transform(sequence(0, 7), j -> array_min(transform(si,
-      |    x -> ((2*j + 1) * x + 97*j + 13) % 2147483647)))""".stripMargin
+    """aggregate(si,
+      |  transform(sequence(0, 7), j -> cast(2147483647 as bigint)),
+      |  (acc, x) -> zip_with(acc, sequence(0, 7),
+      |    (a, j) -> least(a, ((2*j + 1) * x + 97*j + 13) % 2147483647)))""".stripMargin
+
+  /** The 4 band values computed straight from `si` in ONE expression
+    * (aggregate's FINISH lambda reads the fold buffer), for consumers
+    * that would otherwise reference `mh` several times inside a single
+    * projection — each reference re-inlines the whole md5 chain (the
+    * same CollapseProject duplication [[minhashExpr]]'s doc describes;
+    * element_at(mh, k) ×8 meant 8 hash passes per doc). The
+    * explode(sequence)+col("mh") pattern does NOT need this: a Generate
+    * node materializes its child projection once per input row. */
+  private[graft] val bandArrayExpr =
+    """aggregate(si,
+      |  transform(sequence(0, 7), j -> cast(2147483647 as bigint)),
+      |  (acc, x) -> zip_with(acc, sequence(0, 7),
+      |    (a, j) -> least(a, ((2*j + 1) * x + 97*j + 13) % 2147483647)),
+      |  acc -> transform(sequence(0, 3), b -> concat_ws(':', b,
+      |    element_at(acc, 2*b + 1), element_at(acc, 2*b + 2))))""".stripMargin
 
   private val edgeCache =
     new scala.collection.concurrent.TrieMap[String, DataFrame]()

@@ -1772,17 +1772,14 @@ object StreamingPipelines {
         .withColumn("toks", split(trim(col("text")), "\\s+"))
         .withColumn("sh", expr(shingleExpr))
         .withColumn("si", expr(shingleHashExpr))
-        .withColumn("mh", expr(minhashExpr))
         .select(col("doc_id"), explode(concat(
           array(concat(lit("x"), md5(col("text").cast("binary")))),
           // sub-shingle guard (fuzzySigRows / lshBandRows): a <3-token doc
-          // has null minhash slots; concat_ws would emit bare '0'..'3'
-          // bands colliding all such docs while the oracle's || is NULL.
-          expr("""if(size(sh) > 0,
-            |  transform(sequence(0, 3), b -> concat_ws(':', b,
-            |    element_at(mh, 2*b + 1), element_at(mh, 2*b + 2))),
-            |  array())"""
-            .stripMargin))).as("band_val"))
+          // emits no bands at all (the oracle's || is NULL). Bands come
+          // from the single-reference fold (bandArrayExpr) — an mh column
+          // read 8 times inside this generator re-inlined the md5 chain
+          // per reference (round 12).
+          expr(s"if(size(sh) > 0, $bandArrayExpr, array())"))).as("band_val"))
         .select(col("band_val"), col("doc_id"))
         .as[StatefulFeatures.BandIn]
     }
