@@ -397,4 +397,35 @@ class WindowParitySpec extends org.scalatest.funsuite.AnyFunSuite {
       .withMinSuccessfulTests(200).withInitialSeed(42L), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("minhash fold equals the per-permutation array_min reference " +
+      "(round 12)") {
+    // the round-12 single-pass fold replaced the transform-of-array_min
+    // form everywhere under the minhash family — prove the slot values
+    // identical on randomized signatures (the fold's correctness, not
+    // the corpus's)
+    val rnd = new scala.util.Random(4242)
+    val sigs: Seq[Seq[Long]] = (1 to 60).map { _ =>
+      Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong().abs % 4294967291L)
+    }
+    val df = sigs.toDF("si")
+    val refExpr =
+      """transform(sequence(0, 7), j -> array_min(transform(si,
+        |    x -> ((2*j + 1) * x + 97*j + 13) % 2147483647)))""".stripMargin
+    val rows = df.selectExpr(
+      s"${graft.queries.TextAnalysis.minhashExpr} as a",
+      s"$refExpr as b").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"fold ${r.getSeq[Long](0)} != reference ${r.getSeq[Long](1)}")
+    }
+    // the empty-signature sentinel: the fold keeps its modulus seed
+    // (every guarded consumer filters size(sh) > 0 before bands are
+    // built, so the sentinel is unreachable in query output — pin the
+    // value so a future consumer without the guard is caught in review)
+    val empty = Seq(Seq.empty[Long]).toDF("si")
+      .selectExpr(s"${graft.queries.TextAnalysis.minhashExpr} as a")
+      .collect().head.getSeq[Long](0)
+    assert(empty == Seq.fill(8)(2147483647L))
+  }
 }
