@@ -1830,24 +1830,47 @@ object Embeddings extends QueryModule {
       adcRecallCore(q, pairsAll, cand, withNc = true), emb)
   }
 
+  private val residCodedCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** The residual-PQ CODED CORPUS — the index-build artifact (cell
+    * assignment + residual + 3 sub-codes per vector), built once per
+    * (session, dataset) and localCheckpoint'd (round-13, verdict r12 #1:
+    * the residual variant was the only ANN member still re-coding the
+    * corpus per invocation — BENCH_r12's single worst-run bar crossing).
+    * The [[graft.queries.TextAnalysis.lshEdges]] pattern: eager
+    * checkpoint truncates lineage so the interpreted pqCode/residual
+    * expression tree is evaluated once per session, not re-optimized and
+    * re-run per consumer; the query-side ADC scan + rerank stays
+    * per-invocation (that is the cost under test). */
+  private def residCodedFor(spark: SparkSession, dir: String,
+      cent: Seq[(Long, Seq[Double])], cb: Seq[Seq[Seq[Double]]]): DataFrame =
+    residCodedCache.getOrElseUpdate(
+      s"${graft.core.SessionKeys.of(spark)}@$dir@${embFingerprint(dir)}", {
+        import graft.operators.KMeansQuantizer.{assignCell, pqCode}
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+          .withColumn("cell", assignCell(col("embedding"), cent))
+          .withColumn("resid",
+            residCol(cent, col("embedding"), col("cell")))
+          .withColumn("codes", array((0 until pqM).map(s =>
+            pqCode(col("resid"), s, pqSub, cb(s))): _*))
+          .drop("resid")
+          .localCheckpoint(true)
+      })
+
   /** Residual IVFADC — the classical refinement (Jegou et al. §III):
     * codebooks quantize x − centroid(cell) instead of raw vectors, so
     * the 24 bits spend their resolution on the WITHIN-cell variance the
     * coarse quantizer leaves behind; the query builds one distance table
     * per probed cell from its own residual against that cell. Same scan
     * shape and cost as emb_ivfadc_recall; the recall delta is what the
-    * residual buys. */
+    * residual buys. The coded corpus comes from the session-shared
+    * [[residCodedFor]] build. */
   private def ivfadcResidualRecall(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.KMeansQuantizer.{assignCell, probeCells, pqCode, dist2SubTo}
+    import graft.operators.KMeansQuantizer.{probeCells, dist2SubTo}
     val cent = fittedCentroids(spark, dir)
     val cb = pqResidCodebook(spark, dir, cent)
-    val emb = Tables.embeddings(spark, dir).persist()
-    val coded = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("cell", assignCell(col("embedding"), cent))
-      .withColumn("resid", residCol(cent, col("embedding"), col("cell")))
-      .withColumn("codes", array((0 until pqM).map(s =>
-        pqCode(col("resid"), s, pqSub, cb(s))): _*))
-      .drop("resid")
+    val coded = residCodedFor(spark, dir, cent, cb)
     val q0 = coded.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     // one distance table per (query, probed cell), over the query's
@@ -1862,8 +1885,7 @@ object Embeddings extends QueryModule {
       .filter(col("vec_id") =!= col("query_id"))
     val cand = coded.join(broadcast(qp), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-    graft.core.CachePin.sealAndRelease(
-      adcRecallCore(q0, pairsAll, cand, withNc = true), emb)
+    adcRecallCore(q0, pairsAll, cand, withNc = true)
   }
 
   // --------------------------------------------- SQ8 scalar quantization
@@ -2247,7 +2269,12 @@ object Embeddings extends QueryModule {
     store.erase(annCodesView,
       Tables.embeddings(spark, dir).filter(col("vec_id") % 37 === 5)
         .select(col("vec_id")), "gdpr11")
-    ivfadcAnswerFrom(spark, store)
+    // ivfadcAnswerFrom seals its result with an eager localCheckpoint,
+    // so the clone is dead the moment it returns — delete it (round-12
+    // advice: 3 clones/bench + ScaleCheck's lifecycle clones were
+    // unbounded /tmp growth on a long-lived host)
+    try ivfadcAnswerFrom(spark, store)
+    finally deleteRecursively(clone)
   }
 
   /** Measured ANN mutation-lifecycle phases for ScaleCheck (round-12
@@ -2278,9 +2305,25 @@ object Embeddings extends QueryModule {
       Tables.embeddings(spark, dir).filter(col("vec_id") % 37 === 5)
         .select(col("vec_id")), "gdpr_sc"))
     val tAnswer = timed(ivfadcAnswerFrom(spark, s3).count())
+    // all four store dirs are scratch — reclaim them (round-12 advice)
+    Seq(s1.basePath, s2.basePath, clonePath).foreach(deleteRecursively)
     Seq("cold_build" -> tCold, "warm_build" -> tWarm, "clone" -> tClone,
       "erase" -> tErase, "answer" -> tAnswer)
   }
+
+  /** Recursive delete of a scratch store directory (clone cleanup). */
+  private def deleteRecursively(root: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    } catch { case _: Throwable => () } // cleanup must not fail the query
 
   /** Recursive file copy of a store root into a fresh temp dir — the
     * cheap "branch" a relocatable manifest layout buys (all manifest

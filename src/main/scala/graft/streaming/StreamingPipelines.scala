@@ -829,8 +829,26 @@ object StreamingPipelines {
       "graft_bandreplay_" + path.replaceAll("[^A-Za-z0-9]", "_") +
         s"_${nChunks}_${order}_p$procToken")
     val marker = stage.resolve("_staged")
+    // the staged log is valid only while the band EXPRESSIONS are the
+    // ones that produced it — key the signature on a content hash of
+    // the lshBandRows plan (over an empty local relation: stable string,
+    // no paths) instead of a hand-bumped version tag a future edit can
+    // forget (round-12 advice: stale pre-computed bands would silently
+    // feed stream_dedup_minhash otherwise)
+    val planStr = graft.queries.TextAnalysis.lshBandRows(
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))))
+      .queryExecution.logical.toString
+    val exprHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(planStr.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
     val sig =
-      s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}:v1"
+      s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}:$exprHash"
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == sig
     if (!fresh) {

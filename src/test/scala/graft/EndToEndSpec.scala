@@ -57,14 +57,34 @@ class EndToEndSpec extends AnyFunSuite {
       .map { case (k, v) => k -> v.values.toString.toDouble }
     assert(m.group(1).toInt == qs.size,
       s"record states ${m.group(1)} queries, bench_latest has ${qs.size}")
+    // Locale.ROOT mirrors the Bench stamp (round-12 advice): a
+    // comma-decimal default locale must not fail the pin spuriously
+    def fmt(p: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, p, v.asInstanceOf[AnyRef])
     val total = qs.map(_._2).sum
-    assert(m.group(2) == f"$total%.1f",
-      s"record total ${m.group(2)} vs bench_latest ${f"$total%.1f"}")
+    assert(m.group(2) == fmt("%.1f", total),
+      s"record total ${m.group(2)} vs bench_latest ${fmt("%.1f", total)}")
     val (wName, wMed) = qs.maxBy(_._2)
     assert(m.group(3) == wName,
       s"record worst ${m.group(3)} vs bench_latest $wName")
-    assert(m.group(4) == f"$wMed%.2f",
-      s"record worst time ${m.group(4)} vs bench_latest ${f"$wMed%.2f"}")
+    assert(m.group(4) == fmt("%.2f", wMed),
+      s"record worst time ${m.group(4)} vs bench_latest ${fmt("%.2f", wMed)}")
+    // observatory shape pin (round-12 verdict #2): isolated re-runs must
+    // cover the worst 5 by MEDIAN plus every query whose worst RUN
+    // crossed the per-query bar — max-spike crossings (r12 residual
+    // 18.0 s) escaped the median-only column
+    val iso = (j \ "isolated_worst5").asInstanceOf[org.json4s.JObject].obj
+      .map(_._1).toSet
+    val worst5 = qs.sortBy(-_._2).take(5).map(_._1)
+    worst5.foreach(n => assert(iso.contains(n),
+      s"worst-by-median $n missing from isolated_worst5"))
+    val spreadObj = (j \ "spread").asInstanceOf[org.json4s.JObject].obj
+    spreadObj.foreach { case (name, v) =>
+      val mx = (v \ "max").values.toString.toDouble
+      if (mx > 12.5)
+        assert(iso.contains(name),
+          s"$name max ${mx}s crossed the bar but is not in isolated_worst5")
+    }
   }
 
   private def syntheticTxns(n: Int): Seq[TransactionEvent] = {
