@@ -795,13 +795,11 @@ object TextAnalysis extends QueryModule {
     * band probe, |candidates| bounded by banding — never |train|·|eval|. */
   private def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SortedIntersectCount.register(spark)
-    val sig = docs(spark, dir)
-      .select(col("doc_id"), expr(shingleExpr).as("sh"))
-      .select(col("doc_id"), expr(shingleHashExpr).as("si"),
-        expr("""array_sort(array_distinct(transform(sh,
-          |  s -> cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10)
-          |       as bigint))))""".stripMargin).as("sj"))
-      .select(col("doc_id"), col("sj"), expr(minhashExpr).as("mh"))
+    // one md5 pass per shingle via the hexes Generate barrier (round-13,
+    // verdict r12 #3): sj and mh both derive from the same digests
+    val sig = hexRows(docs(spark, dir))
+      .select(col("doc_id"), expr(sjFromHexesExpr).as("sj"),
+        expr(mhFromHexesExpr).as("mh"))
       .persist()
     // size(sj) guard: a sub-shingle doc (<3 tokens) has null minhash slots
     // — concat_ws would skip them and collide all such docs on bands
@@ -906,21 +904,15 @@ object TextAnalysis extends QueryModule {
     * Jaccard scoring plus the 4 LSH band values off the 8-slot MinHash
     * signature. Used by the streaming fuzzy-decontamination gate. */
   private[graft] def fuzzySigRows(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(trim(col("text")), "\\s+"))
-      .withColumn("sh", expr(shingleExpr))
-      .withColumn("sj",
-        expr("""array_sort(array_distinct(transform(sh,
-          |  s -> cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10)
-          |       as bigint))))""".stripMargin))
-      .withColumn("si", expr(shingleHashExpr))
-      .select(col("doc_id"), col("sj"),
-        // a doc with <3 tokens has NO shingles: emit no bands at all for
-        // sub-shingle docs so batch, stream, and oracle agree (round-9
-        // advice — the oracle's `||` yields NULL, no join). Bands come
-        // from the single-reference fold (bandArrayExpr): naming mh as a
-        // column and reading it 8 times inside one projection re-inlined
-        // the md5 chain per reference (round 12).
-        expr(s"if(size(sj) > 0, $bandArrayExpr, array())").as("bands"))
+    // ONE md5 pass per shingle (round-13, verdict r12 #3: sj's 15-hex
+    // and the bands' 8-hex prefixes come from the SAME digest — the old
+    // two-transform form hashed every shingle twice). hexRows puts the
+    // digests behind a Generate barrier; sub-shingle docs (<3 tokens,
+    // empty hexes) emit sj = [] and NO bands so batch, stream, and
+    // oracle agree (round-9 advice — the oracle's `||` yields NULL).
+    hexRows(df).select(col("doc_id"),
+      expr(sjFromHexesExpr).as("sj"),
+      expr(s"if(size(hexes) > 0, $bandsFromHexesExpr, array())").as("bands"))
 
   // ------------------------------------------------ b-bit MinHash eval
   /** b-bit MinHash (Li & König 2010, b = 1): 64 one-bit minhashes packed
@@ -1960,6 +1952,49 @@ object TextAnalysis extends QueryModule {
       |    (a, j) -> least(a, ((2*j + 1) * x + 97*j + 13) % 2147483647)),
       |  acc -> transform(sequence(0, 3), b -> concat_ws(':', b,
       |    element_at(acc, 2*b + 1), element_at(acc, 2*b + 2))))""".stripMargin
+
+  /** Single-md5-pass variants for the fuzzy-decontamination family
+    * (round-13, verdict r12 #3): consumers that need BOTH the 60-bit
+    * exact-Jaccard hashes (15-hex prefix) and the MinHash permutation
+    * input (8-hex prefix) of the SAME digest used to run md5 twice per
+    * shingle — once per derived column, because CollapseProject
+    * re-inlines a named intermediate into every consumer. These
+    * expressions instead read a `hexes` column holding the raw md5 hex
+    * strings, which the caller materializes ONCE per row behind a
+    * Generate barrier (`explode(array(transform(sh, s -> md5(...))))`
+    * — a Generate output attribute cannot be collapsed back into
+    * downstream projections, so the digests are computed exactly once;
+    * the stream-safe sibling of the scurve relational rebuild). Values
+    * are bit-identical to the two-pass forms: same digest, same
+    * prefixes, same fold arithmetic as [[bandArrayExpr]]. */
+  private[graft] val sjFromHexesExpr =
+    """array_sort(array_distinct(transform(hexes,
+      |  h -> cast(conv(substr(h, 1, 15), 16, 10) as bigint))))""".stripMargin
+  private[graft] val mhFromHexesExpr =
+    """aggregate(
+      |  transform(hexes, h -> cast(conv(substr(h, 1, 8), 16, 10) as bigint)),
+      |  transform(sequence(0, 7), j -> cast(2147483647 as bigint)),
+      |  (acc, x) -> zip_with(acc, sequence(0, 7),
+      |    (a, j) -> least(a, ((2*j + 1) * x + 97*j + 13) % 2147483647)))"""
+      .stripMargin
+  private[graft] val bandsFromHexesExpr =
+    """aggregate(
+      |  transform(hexes, h -> cast(conv(substr(h, 1, 8), 16, 10) as bigint)),
+      |  transform(sequence(0, 7), j -> cast(2147483647 as bigint)),
+      |  (acc, x) -> zip_with(acc, sequence(0, 7),
+      |    (a, j) -> least(a, ((2*j + 1) * x + 97*j + 13) % 2147483647)),
+      |  acc -> transform(sequence(0, 3), b -> concat_ws(':', b,
+      |    element_at(acc, 2*b + 1), element_at(acc, 2*b + 2))))""".stripMargin
+
+  /** (doc_id, hexes) — the one-md5-pass digest materialization all
+    * [[sjFromHexesExpr]]-family consumers build on: pure map + a
+    * 1-element explode (stream-safe, no shuffle). */
+  private[graft] def hexRows(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("sh", expr(shingleExpr))
+      .select(col("doc_id"),
+        explode(array(expr("transform(sh, s -> md5(cast(s as binary)))")))
+          .as("hexes"))
 
   private val edgeCache =
     new scala.collection.concurrent.TrieMap[String, DataFrame]()

@@ -103,4 +103,22 @@ class PlanPinSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 2, s"expected <=2 Exchanges, found $exchanges:\n$plan")
   }
+
+  test("fuzzySigRows: ONE md5 pass per shingle behind the Generate " +
+      "barrier (round 13)") {
+    // sj (15-hex) and the bands (8-hex) are prefixes of the SAME digest;
+    // the old two-transform form hashed every shingle twice because
+    // CollapseProject re-inlines a named hex column into each consumer.
+    // The hexes Generate output attribute is the barrier — a future
+    // refactor that reads md5 from two expressions again shows up here
+    // as a second md5 in the physical plan.
+    import org.apache.spark.sql.functions.col
+    val df = graft.queries.TextAnalysis.fuzzySigRows(
+      graft.core.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text")))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val md5s = "md5".r.findAllIn(plan).length
+    assert(md5s == 1, s"expected exactly 1 md5 in the plan, found $md5s:\n$plan")
+  }
 }
