@@ -2722,6 +2722,196 @@ object TextAnalysis extends QueryModule {
        |FROM c JOIN q USING (doc_id)
        |ORDER BY c.cluster_id, c.doc_id""".stripMargin
 
+  // ------------------------------------------- paragraph-granular near-dup
+  /** Paragraph-granular near-dedup (round 13, verdict r12 #6 — Lee et
+    * al. 2022 dedup at BOTH document and passage level; D4/RefinedWeb
+    * carry a per-doc duplication-fraction signal): documents split into
+    * fixed 30-token paragraphs (the synthetic corpus has no newline
+    * structure, so the block split IS the passage boundary — documented,
+    * deterministic), each paragraph MinHash-banded with the SAME 4×2
+    * banding as the doc-level family ([[fuzzySigRows]] over the
+    * paragraph text), candidates from the band equi-join (never
+    * paragraph²), confirmed at exact shingle Jaccard ≥ 0.5 (the integer
+    * test 3·inter ≥ |a|+|b|), keep-first by (doc_id, paragraph index).
+    * Output: per-doc paragraph counts + the duplication fraction (the
+    * D4 signal a curation pipeline trains its doc-level gate on).
+    * Honest corpus note: this corpus duplicates whole documents, so
+    * fractions land at 0 or 1 — partially-copied docs would land
+    * between. Scale: paragraphs ≈ tokens/30 rows, banded join, window-
+    * free keep-first (dup = any confirmed earlier match). Sub-shingle
+    * paragraphs (a <3-token tail block) emit no bands and are counted
+    * as unique, like every sub-shingle doc in the family. */
+  private def dedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SortedIntersectCount.register(spark)
+    val paras = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(
+          "sequence(0, greatest((size(toks) + 29) div 30, 1) - 1)")).as("g"),
+        col("toks"))
+      .select(col("doc_id"),
+        (col("doc_id") * 100000 + col("g")).as("pkey"),
+        expr("slice(toks, cast(g * 30 + 1 as int), 30)").as("ptoks"))
+    val sig = fuzzySigRows(
+        paras.filter(size(col("ptoks")) >= 3)
+          .select(col("pkey").as("doc_id"),
+            concat_ws(" ", col("ptoks")).as("text")))
+      .select(col("doc_id").as("pkey"), col("sj"), col("bands"))
+      .persist()
+    val bandRows = sig.select(col("pkey"), explode(col("bands")).as("band_val"))
+    val cand = bandRows.select(col("band_val"), col("pkey").as("ka"))
+      .join(bandRows.select(col("band_val"), col("pkey").as("kb")),
+        Seq("band_val"))
+      .filter(col("ka") < col("kb"))
+      .select(col("ka"), col("kb")).distinct()
+    val dup = cand
+      .join(sig.select(col("pkey").as("ka"), col("sj").as("sa")), Seq("ka"))
+      .join(sig.select(col("pkey").as("kb"), col("sj").as("sb")), Seq("kb"))
+      .filter(expr("sorted_intersect_count(sa, sb)") * 3 >=
+        size(col("sa")).cast("long") + size(col("sb")))
+      .select(col("kb").as("pkey")).distinct()
+      .withColumn("isdup", lit(1L))
+    val out = paras.join(dup, Seq("pkey"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_paras"),
+        sum(coalesce(col("isdup"), lit(0L))).cast("long").as("n_dup_paras"))
+      .withColumn("dup_fraction",
+        col("n_dup_paras").cast("double") / col("n_paras"))
+      .orderBy(col("doc_id"))
+    graft.core.CachePin.sealAndRelease(out, sig)
+  }
+
+  private val dedupParagraphSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), par AS MATERIALIZED (
+      |  SELECT doc_id, doc_id * 100000 + g AS pkey,
+      |    toks[CAST(g*30+1 AS INT):CAST(g*30+30 AS INT)] AS ptoks
+      |  FROM t, (SELECT unnest(range(64)) AS g)
+      |  WHERE g < greatest((len(toks) + 29) // 30, 1)
+      |), psh AS (
+      |  SELECT pkey, list_distinct(list_transform(range(1, len(ptoks) - 1),
+      |    i -> ptoks[i] || ' ' || ptoks[i+1] || ' ' || ptoks[i+2])) AS sh
+      |  FROM par WHERE len(ptoks) >= 3
+      |), sig AS MATERIALIZED (
+      |  SELECT pkey,
+      |    list_sort(list_distinct(list_transform(sh,
+      |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS sj,
+      |    list_transform(range(8), j -> list_min(list_transform(sh,
+      |      s -> ((2*j + 1) * CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+      |            + 97*j + 13) % 2147483647))) AS mh
+      |  FROM psh
+      |), bands AS MATERIALIZED (
+      |  SELECT pkey, b || ':' || mh[2*b + 1] || ':' || mh[2*b + 2] AS band_val
+      |  FROM sig, (SELECT unnest(range(4)) AS b)
+      |), cand AS (
+      |  SELECT DISTINCT a.pkey AS ka, b.pkey AS kb
+      |  FROM bands a JOIN bands b
+      |    ON a.band_val = b.band_val AND a.pkey < b.pkey
+      |), dup AS (
+      |  SELECT DISTINCT c.kb AS pkey
+      |  FROM cand c JOIN sig x ON x.pkey = c.ka JOIN sig y ON y.pkey = c.kb
+      |  WHERE 3 * len(list_intersect(x.sj, y.sj)) >= len(x.sj) + len(y.sj)
+      |)
+      |SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |  CAST(COUNT(d.pkey) AS BIGINT) AS n_dup_paras,
+      |  CAST(COUNT(d.pkey) AS DOUBLE) / COUNT(*) AS dup_fraction
+      |FROM par p LEFT JOIN dup d USING (pkey)
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
+  // --------------------------------------- incremental new-vs-corpus dedup
+  /** Cross-snapshot incremental dedup (round 13, verdict r12 #7 — the
+    * production shape: a NEW crawl snapshot dedups against the EXISTING
+    * corpus without ever re-pairing the old corpus with itself). Split:
+    * doc_id % 3 == 0 is the new snapshot, the rest the accepted corpus.
+    * The band join probes new-side bands against the WHOLE band index
+    * but keeps only pairs whose other side ranks EARLIER — rank =
+    * (is_new, doc_id), i.e. every corpus doc precedes every new doc
+    * (arrival order), new docs order among themselves by id — so
+    * old×old pairs never materialize and the work scales with |new|'s
+    * band posts, not |corpus|² (ScaleCheck `dedup_incremental`
+    * measures it). A new doc is a duplicate iff some banded candidate
+    * confirms at exact shingle Jaccard ≥ 0.5. The oracle runs the
+    * FULL-corpus keep-first dedup under the same rank order and
+    * restricts to new docs — equality proves the asymmetric join
+    * changes nothing about the verdicts, only the cost. */
+  private def dedupIncrementalBands(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SortedIntersectCount.register(spark)
+    val sig = fuzzySigRows(
+        docs(spark, dir).select(col("doc_id"), col("text")))
+      .persist()
+    val bandRows = sig.select(col("doc_id"), explode(col("bands")).as("band_val"))
+    val cand = bandRows.filter(col("doc_id") % 3 === 0)
+      .select(col("band_val"), col("doc_id").as("n"))
+      .join(bandRows.select(col("band_val"), col("doc_id").as("o")),
+        Seq("band_val"))
+      // rank(other) < rank(new): any corpus doc, or an earlier new doc
+      .filter(col("o") % 3 =!= 0 || col("o") < col("n"))
+      .select(col("n"), col("o")).distinct()
+    val matches = cand
+      .join(sig.select(col("doc_id").as("n"), col("sj").as("sa")), Seq("n"))
+      .join(sig.select(col("doc_id").as("o"), col("sj").as("sb")), Seq("o"))
+      .withColumn("conf",
+        when(expr("sorted_intersect_count(sa, sb)") * 3 >=
+          size(col("sa")).cast("long") + size(col("sb")), 1L).otherwise(0L))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("conf")).as("n_matches"))
+    val out = docs(spark, dir).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+      .join(matches.withColumnRenamed("n", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_matches"), lit(0L)).cast("long").as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+      .orderBy(col("doc_id"))
+    graft.core.CachePin.sealAndRelease(out, sig)
+  }
+
+  /** The oracle is the FULL-corpus pairing (old×old included) under the
+    * (is_new, doc_id) rank, restricted to new docs — deliberately NOT
+    * the incremental join, so a bug in the asymmetric filter (e.g.
+    * dropping new-vs-earlier-new pairs) fails the hash. */
+  private val dedupIncrementalBandsSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), sig AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(list_transform(sh,
+      |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS sj,
+      |    list_transform(range(8), j -> list_min(list_transform(sh,
+      |      s -> ((2*j + 1) * CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+      |            + 97*j + 13) % 2147483647))) AS mh
+      |  FROM sh
+      |), bands AS MATERIALIZED (
+      |  SELECT doc_id, b || ':' || mh[2*b + 1] || ':' || mh[2*b + 2] AS band_val
+      |  FROM sig, (SELECT unnest(range(4)) AS b)
+      |), cand AS (
+      |  -- EVERY doc's rank-earlier candidates (old docs included), so a
+      |  -- Spark-side filter bug cannot hide: the restriction to new docs
+      |  -- happens only in the final projection
+      |  SELECT DISTINCT a.doc_id AS n, b.doc_id AS o
+      |  FROM bands a JOIN bands b ON a.band_val = b.band_val
+      |  WHERE (CASE WHEN b.doc_id % 3 = 0 THEN 1 ELSE 0 END, b.doc_id)
+      |      < (CASE WHEN a.doc_id % 3 = 0 THEN 1 ELSE 0 END, a.doc_id)
+      |), m AS (
+      |  SELECT c.n, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |    CAST(SUM(CASE WHEN 3 * len(list_intersect(x.sj, y.sj))
+      |          >= len(x.sj) + len(y.sj) THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_matches
+      |  FROM cand c JOIN sig x ON x.doc_id = c.n JOIN sig y ON y.doc_id = c.o
+      |  GROUP BY c.n
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(m.n_candidates, 0) AS n_candidates,
+      |  COALESCE(m.n_matches, 0) AS n_matches,
+      |  COALESCE(m.n_matches, 0) > 0 AS is_dup
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+      |LEFT JOIN m ON m.n = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------- BPE-ish tokenization
   /** Sub-word ("BPE-ish") tokenization via greedy regex chunking: both
     * engines chunk [a-z]{1,4} left-to-right identically. Reports sub-token
@@ -3362,7 +3552,9 @@ object TextAnalysis extends QueryModule {
     "dedup_prefix_join" -> (prefixJoin _),
     "dedup_minhash_eval" -> (minhashEval _),
     "dedup_minhash_scurve" -> (minhashScurve _),
-    "dedup_keep_best" -> (dedupKeepBest _))
+    "dedup_keep_best" -> (dedupKeepBest _),
+    "dedup_paragraph" -> (dedupParagraph _),
+    "dedup_incremental_bands" -> (dedupIncrementalBands _))
 
   override def oracles: Map[String, String] = Map(
     "dedup_cdc_chunks" -> cdcChunksSql,
@@ -3407,5 +3599,7 @@ object TextAnalysis extends QueryModule {
     "dedup_prefix_join" -> prefixJoinSql,
     "dedup_minhash_eval" -> minhashEvalSql,
     "dedup_minhash_scurve" -> minhashScurveSql,
-    "dedup_keep_best" -> dedupKeepBestSql)
+    "dedup_keep_best" -> dedupKeepBestSql,
+    "dedup_paragraph" -> dedupParagraphSql,
+    "dedup_incremental_bands" -> dedupIncrementalBandsSql)
 }

@@ -486,15 +486,21 @@ object StreamingPipelines {
     * streaming query starts through. */
   private val StatePartitions = "8"
 
-  /** Interval-join pin: 4 state partitions, not the global 8 — a
-    * stream-stream join carries FOUR state stores per partition, so its
-    * per-batch commit cost is the suite's steepest in the partition
-    * knob. PartsSweep (ARCHITECTURE.md) measured {2,4,8} on the real
-    * sf0.1 pipeline: 8→4 recovers ~1.2 s/run, 4→2 only 0.23 s more
-    * while halving capacity. At 100× data the same knob turns the other
-    * way (IntervalJoin100x: 32 parts beats 8 once per-row work
-    * dominates). */
-  private val IntervalJoinParts = "4"
+  /** Interval-join pin: 2 chunks × 2 state partitions (round 13,
+    * verdict r12 #4 — the full chunk-count × partition GRID, PartsSweep
+    * `ivgrid`, median-of-3 warm at sf0.1, table in ARCHITECTURE.md):
+    * per-batch fixed cost is (batches × partitions × 4 state stores),
+    * so the two knobs MULTIPLY — the old 8-chunk/4-part pin measured
+    * 7.53 s, 2×2 measures 3.00 s. Two chunks still exercise the
+    * cross-batch boundary (batch-2 purchases join batch-1 clicks held
+    * in state — the same measured-cadence choice stream_ivfadc_update
+    * made), and inner-join results are chunk-invariant: the ts-ordered
+    * replay evicts a click only after the watermark proves no later
+    * purchase can need it. At 100× data the knobs turn the other way
+    * (IntervalJoin100x: 32 parts beats 8 once per-row work dominates)
+    * — this is the verify-scale pin, not a constant. */
+  private val IntervalJoinParts = "2"
+  private[graft] val IntervalJoinChunks = 2
 
   /** Round-7 sweep of the remaining heavy streams (PartsSweep over
     * {2,4,8}, median-of-3 warm, sf0.1 — full table in ARCHITECTURE.md):
@@ -507,7 +513,7 @@ object StreamingPipelines {
   private[graft] val LateUpdateParts = "4"
 
   def intervalJoinStream(spark: SparkSession, dir: String,
-                         nChunks: Int = 8,
+                         nChunks: Int = IntervalJoinChunks,
                          stateParts: String = IntervalJoinParts): DataFrame = {
     val es = eventStreamReplay(spark, dir, nChunks)
       .withColumn("ts", col("ts").cast("timestamp"))
@@ -549,18 +555,19 @@ object StreamingPipelines {
     * session-window oracle does: unmatched purchases appear iff
     * p_ts ≤ global max event time − 1 h. Same state-partition pin and
     * bounded-state story as [[intervalJoinStream]]. */
-  /** Left-join pin: 2 state partitions. PartsSweep over {2,4,8} on the
-    * sf0.1 pipeline (median-of-3 warm): 9.74 / 10.94 / 11.32 s — the
-    * outer join pays the per-partition commit cost of the inner join
-    * PLUS a per-partition eviction scan for the null emissions, so the
-    * partition knob is even steeper and the sweep bottoms one notch
-    * lower than the inner join's 4. Same reversal at scale as the inner
-    * join (IntervalJoin100x): once per-row work dominates, more
-    * partitions win — this is the verify-scale pin, not a constant. */
+  /** Left-join pin: 2 chunks × 2 state partitions (round-13 `ivleftgrid`
+    * sweep, median-of-3 warm at sf0.1, table in ARCHITECTURE.md: 2×2 =
+    * 4.17 s vs the old 8×2 = 8.52 s — the outer join pays the inner
+    * join's per-batch commit cost PLUS a per-partition eviction scan
+    * for the null emissions, so the chunk knob is even steeper). The
+    * left-outer frontier semantics are chunk-invariant: the oracle's
+    * cutoff is global-max-event-time − 1 h, reached at the last batch
+    * regardless of how the replay is chunked. Same reversal at scale as
+    * the inner join (IntervalJoin100x) — a verify-scale pin. */
   private val IntervalLeftJoinParts = "2"
 
   def intervalLeftJoinStream(spark: SparkSession, dir: String,
-                             nChunks: Int = 8,
+                             nChunks: Int = IntervalJoinChunks,
                              stateParts: String = IntervalLeftJoinParts): DataFrame = {
     val es = eventStreamReplay(spark, dir, nChunks)
       .withColumn("ts", col("ts").cast("timestamp"))

@@ -60,6 +60,30 @@ object PartsSweep {
             f"(min=${ts.head}%.2f max=${ts.last}%.2f)")
         }
       }
+
+    // Round-13 (verdict r12 #4): chunk-count x state-partition GRID for
+    // the interval join — the suite's worst honest streaming cost. The
+    // replay chunk count sets the number of micro-batches (each batch
+    // commits all four join state stores per partition), so chunks and
+    // partitions multiply into the per-run fixed cost; stream_ivfadc
+    // _update picked its cadence from a measured sweep and this query
+    // deserves the same evidence. Inner-join results are chunk-count
+    // invariant (ts-ordered replay: a click is evicted only after the
+    // watermark proves no later purchase can need it), so every grid
+    // cell answers the same oracle. SPARK_GRAFT_SWEEP=ivgrid.
+    if (which == "ivgrid" || which == "ivleftgrid") {
+      val fn: (Int, String) => DataFrame =
+        if (which == "ivgrid") intervalJoinStream(spark, dir, _, _)
+        else intervalLeftJoinStream(spark, dir, _, _)
+      val chunks = Seq(2, 4, 8)
+      for (c <- chunks; p <- parts)
+        fn(c, p).count() // warm (plans + staging)
+      for (c <- chunks; p <- parts) {
+        val ts = (1 to 3).map(_ => timed(fn(c, p).count())).sorted
+        println(f"[psweep] $which%s chunks=$c%d parts=$p%3s " +
+          f"median=${ts(1)}%7.2fs (min=${ts.head}%.2f max=${ts.last}%.2f)")
+      }
+    }
     spark.stop()
   }
 }

@@ -245,6 +245,67 @@ object ScaleCheck {
     def funnel(dir: String): Double = timed {
       graft.SparkEntry.queries("corpus_curation_funnel")(spark, dir).count()
     }
+    // paragraph-granular near-dup (round 13): paragraphs = tokens/30
+    // rows, banded join — wall must stay ~linear in docs like the
+    // doc-level family (synthDocs: 64 tokens -> 3 paragraphs/doc,
+    // every-10th-doc dups give real paragraph collisions)
+    def paragraph(dir: String): Double = timed {
+      graft.SparkEntry.queries("dedup_paragraph")(spark, dir).count()
+    }
+    // incremental new-vs-corpus dedup (round 13, verdict r12 #7): the
+    // claim is that probe cost follows the NEW snapshot's band posts,
+    // not the corpus — so the snapshot is FIXED at 500 docs while the
+    // corpus grows 10x, signatures precomputed untimed (production
+    // stores them with the corpus; re-fingerprinting old docs is the
+    // exact cost incrementality removes). Contrast row: the full
+    // corpus re-pair (every a<b band pair re-scored) at the same sizes.
+    def stageSig(dir: String): String = {
+      val out = dir + "_sig"
+      graft.queries.TextAnalysis.fuzzySigRows(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    def incrProbe(sigDir: String, newCount: Long): Double = {
+      graft.functions.SortedIntersectCount.register(spark)
+      timed {
+        val sig = spark.read.parquet(sigDir)
+        val bandRows = sig.select(col("doc_id"),
+          explode(col("bands")).as("band_val"))
+        val cand = bandRows.filter(col("doc_id") < newCount)
+          .select(col("band_val"), col("doc_id").as("n"))
+          .join(bandRows.select(col("band_val"), col("doc_id").as("o")),
+            Seq("band_val"))
+          .filter(col("o") >= newCount || col("o") < col("n"))
+          .select(col("n"), col("o")).distinct()
+        cand
+          .join(sig.select(col("doc_id").as("n"), col("sj").as("sa")), Seq("n"))
+          .join(sig.select(col("doc_id").as("o"), col("sj").as("sb")), Seq("o"))
+          .filter(expr("sorted_intersect_count(sa, sb)") * 3 >=
+            size(col("sa")).cast("long") + size(col("sb")))
+          .count()
+      }
+    }
+    def fullRepair(sigDir: String): Double = {
+      graft.functions.SortedIntersectCount.register(spark)
+      timed {
+        val sig = spark.read.parquet(sigDir)
+        val bandRows = sig.select(col("doc_id"),
+          explode(col("bands")).as("band_val"))
+        val cand = bandRows.select(col("band_val"), col("doc_id").as("a"))
+          .join(bandRows.select(col("band_val"), col("doc_id").as("b")),
+            Seq("band_val"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        cand
+          .join(sig.select(col("doc_id").as("a"), col("sj").as("sa")), Seq("a"))
+          .join(sig.select(col("doc_id").as("b"), col("sj").as("sb")), Seq("b"))
+          .filter(expr("sorted_intersect_count(sa, sb)") * 3 >=
+            size(col("sa")).cast("long") + size(col("sb")))
+          .count()
+      }
+    }
     // exact-substring dedup (round 7): the corpus-wide gram shuffle is
     // the one shuffle the op owns — must stay ~linear in docs
     def substring(dir: String): Double = timed {
@@ -623,6 +684,20 @@ object ScaleCheck {
       ("rel_band_join", () => {
         val o1 = stageOrders(n1); val o10 = stageOrders(n1 * 10)
         (bandJoin(o1), bandJoin(o10))
+      }),
+      ("dedup_paragraph", () => {
+        paragraph(c1) // warm
+        (paragraph(c1), paragraph(c10))
+      }),
+      ("dedup_incremental_fixed_new", () => {
+        val g1 = stageSig(c1); val g10 = stageSig(c10)
+        incrProbe(g1, 500) // warm
+        (incrProbe(g1, 500), incrProbe(g10, 500))
+      }),
+      ("dedup_full_repair", () => {
+        val g1 = stageSig(c1); val g10 = stageSig(c10)
+        fullRepair(g1) // warm
+        (fullRepair(g1), fullRepair(g10))
       }),
       ("graph_link_prediction", () => {
         val t1 = stageTrade(n1); val t10 = stageTrade(n1 * 10)

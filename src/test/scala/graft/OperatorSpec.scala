@@ -955,4 +955,84 @@ class OperatorSpec extends AnyFunSuite {
         "a near-dup cluster needs at least two members")
     }
   }
+
+  test("paragraph dedup: conservation, fraction bounds, and both dup " +
+      "regimes present (round 13)") {
+    import TestSpark.spark
+    val df = graft.SparkEntry.queries("dedup_paragraph")(
+      spark, TestSpark.sf0001).collect()
+    assert(df.nonEmpty)
+    // conservation: per-doc paragraph counts must sum to the
+    // independently-computed ceil(tokens/30) total
+    val expectedParas = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(expr("greatest((size(split(trim(text), '\\\\s+')) + 29) " +
+        "div 30, 1)").as("np"))
+      .agg(sum(col("np"))).collect()(0).getLong(0)
+    assert(df.map(_.getAs[Long]("n_paras")).sum == expectedParas)
+    df.foreach { r =>
+      val (np, nd, f) = (r.getAs[Long]("n_paras"),
+        r.getAs[Long]("n_dup_paras"), r.getAs[Double]("dup_fraction"))
+      assert(nd >= 0 && nd <= np, s"doc ${r.get(0)}: $nd of $np dup")
+      assert(f >= 0.0 && f <= 1.0 && f == nd.toDouble / np)
+    }
+    // the corpus carries whole-doc near-dups (fraction 1) AND at least
+    // one partially-copied doc (0 < fraction < 1) — the D4 signal this
+    // query exists for; a corpus regen that loses either regime should
+    // be noticed, not silently graded vacuously
+    assert(df.exists(_.getAs[Double]("dup_fraction") == 1.0))
+    assert(df.exists { r =>
+      val f = r.getAs[Double]("dup_fraction"); f > 0.0 && f < 1.0
+    })
+  }
+
+  test("incremental dedup equals the full rank-ordered pairing " +
+      "restricted to new docs, incl. the old-id-after-new boundary " +
+      "(round 13)") {
+    import TestSpark.spark
+    graft.functions.SortedIntersectCount.register(spark)
+    val got = graft.SparkEntry.queries("dedup_incremental_bands")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_matches"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(got.nonEmpty && got.keySet.forall(_ % 3 == 0))
+    got.values.foreach { case (nc, nm, dup) =>
+      assert(nm <= nc && dup == (nm > 0))
+    }
+    // independent reference: FULL both-direction pairing under the
+    // (is_new, doc_id) rank, restricted to new docs at the END — the
+    // assembly the oracle uses, rebuilt with engine primitives
+    val sig = graft.queries.TextAnalysis.fuzzySigRows(
+      spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+        .select(col("doc_id"), col("text")))
+    val bands = sig.select(col("doc_id"), explode(col("bands")).as("bv"))
+    def rank(c: org.apache.spark.sql.Column) =
+      when(c % 3 === 0, 1L).otherwise(0L) * 100000 + c
+    val pairs = bands.select(col("bv"), col("doc_id").as("x"))
+      .join(bands.select(col("bv"), col("doc_id").as("y")), Seq("bv"))
+      .filter(rank(col("y")) < rank(col("x")))
+      .select(col("x"), col("y")).distinct()
+      .join(sig.select(col("doc_id").as("x"), col("sj").as("sx")), Seq("x"))
+      .join(sig.select(col("doc_id").as("y"), col("sj").as("sy")), Seq("y"))
+      .withColumn("conf", expr("sorted_intersect_count(sx, sy)") * 3 >=
+        size(col("sx")).cast("long") + size(col("sy")))
+    val ref = pairs.filter(col("x") % 3 === 0)
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("nc"),
+        sum(when(col("conf"), 1L).otherwise(0L)).as("nm"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { case (id, (nc, nm, _)) =>
+      val (rc, rm) = ref.getOrElse(id, (0L, 0L))
+      assert((nc, nm) == (rc, rm),
+        s"doc $id: query ($nc,$nm) vs reference ($rc,$rm)")
+    }
+    // the boundary that makes the rank order matter: at least one NEW
+    // doc must be marked dup via an OLD doc with a LARGER id (plain
+    // id-order keep-first would let it survive)
+    val boundary = pairs
+      .filter(col("x") % 3 === 0 && col("y") % 3 =!= 0 &&
+        col("y") > col("x") && col("conf"))
+      .count()
+    assert(boundary > 0, "corpus lost the old-id-after-new dup case")
+  }
 }
