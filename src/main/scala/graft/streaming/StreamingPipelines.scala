@@ -842,6 +842,11 @@ object StreamingPipelines {
     // no paths) instead of a hand-bumped version tag a future edit can
     // forget (round-12 advice: stale pre-computed bands would silently
     // feed stream_dedup_minhash otherwise)
+    // exprIds (`doc_id#123L`) are session-lifetime counters, so the raw
+    // plan string differs on EVERY call — an unnormalized hash restaged
+    // the log per invocation (caught by the round-13 bench:
+    // stream_dedup_minhash 2.3 -> 16 s). Strip them; any real edit to
+    // the band expressions still changes the normalized string.
     val planStr = graft.queries.TextAnalysis.lshBandRows(
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -850,7 +855,7 @@ object StreamingPipelines {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType)))))
-      .queryExecution.logical.toString
+      .queryExecution.logical.toString.replaceAll("#\\d+", "#")
     val exprHash = java.security.MessageDigest.getInstance("MD5")
       .digest(planStr.getBytes(StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
