@@ -2214,7 +2214,12 @@ object StreamingPipelines {
     * anomaly counts accumulate additively in complete mode (in-flight
     * state ≤ 120 rows, order-free). Same oracle as evt_seasonality. */
   def seasonalityStream(spark: SparkSession, dir: String): DataFrame = {
+    // train ONCE, then join the materialized 120 rows: a stream-static
+    // join re-executes the static side's plan every micro-batch, so an
+    // un-checkpointed full-scan aggregate here ran 8x per invocation
+    // (round 13 — the production semantics is train-once anyway)
     val base = graft.queries.FeatureOps.seasonalityBase(spark, dir)
+      .localCheckpoint(true)
     val in = eventStreamReplay(spark, dir)
       .withColumn("hod", expr("(ems div 3600000) % 24"))
     val agg = in.join(broadcast(base), Seq("event_type", "hod"))
@@ -2235,7 +2240,14 @@ object StreamingPipelines {
     * (decimal addition is exact and commutative — arrival order cannot
     * matter). Same oracle as quality_winsorize. */
   def winsorizeStream(spark: SparkSession, dir: String): DataFrame = {
+    // train ONCE: the percentile cuts are a sort-heavy full-table
+    // aggregate, and the stream-static join re-executed it per
+    // micro-batch — 9 runs per invocation made this the suite-worst
+    // median (9.9 s) in the round-13 bench; checkpointed it is ~4 s
+    // (the remaining cost is the 8-batch replay's fixed commits, the
+    // floor every complete-mode monitor pays)
     val cuts = graft.queries.AdvancedOps.winsorizeCuts(spark, dir)
+      .localCheckpoint(true)
     val in = eventStreamReplay(spark, dir)
     val agg = in.join(broadcast(cuts), Seq("event_type"))
       .withColumn("w", least(greatest(col("value"), col("p05")), col("p95")))
