@@ -2740,7 +2740,10 @@ object TextAnalysis extends QueryModule {
     * between. Scale: paragraphs ≈ tokens/30 rows, banded join, window-
     * free keep-first (dup = any confirmed earlier match). Sub-shingle
     * paragraphs (a <3-token tail block) emit no bands and are counted
-    * as unique, like every sub-shingle doc in the family. */
+    * as unique, like every sub-shingle doc in the family. pkey packs
+    * (doc, paragraph) as doc_id·1e5 + idx — exact for docs up to 100k
+    * paragraphs (3M tokens) and ids up to ~9e13; a corpus beyond either
+    * bound swaps the packed key for a struct key, nothing else moves. */
   private def dedupParagraph(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SortedIntersectCount.register(spark)
     val paras = docs(spark, dir)
