@@ -71,6 +71,24 @@ object PartsSweep {
     // invariant (ts-ordered replay: a click is evicted only after the
     // watermark proves no later purchase can need it), so every grid
     // cell answers the same oracle. SPARK_GRAFT_SWEEP=ivgrid.
+    // Round-13: replay-chunk sweep for the complete-mode ADDITIVE
+    // monitors (chunk-invariant by algebra — commutative sums over the
+    // same row multiset; the append-mode state ops are excluded because
+    // their within-batch tie reconciliation makes chunking semantic).
+    if (which == "monitors") {
+      val ms: Seq[(String, Int => DataFrame)] = Seq(
+        "seasonality" -> (c => seasonalityStream(spark, dir, c)),
+        "winsorize" -> (c => winsorizeStream(spark, dir, c)),
+        "abtest" -> (c => abTestStream(spark, dir, c)))
+      val chunks = Seq(2, 4, 8)
+      for ((_, fn) <- ms; c <- chunks) fn(c).count() // warm + staging
+      for ((name, fn) <- ms; c <- chunks) {
+        val ts = (1 to 3).map(_ => timed(fn(c).count())).sorted
+        println(f"[psweep] monitor:$name%-12s chunks=$c%d " +
+          f"median=${ts(1)}%7.2fs (min=${ts.head}%.2f max=${ts.last}%.2f)")
+      }
+    }
+
     if (which == "ivgrid" || which == "ivleftgrid") {
       val fn: (Int, String) => DataFrame =
         if (which == "ivgrid") intervalJoinStream(spark, dir, _, _)
