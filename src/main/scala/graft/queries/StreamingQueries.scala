@@ -321,6 +321,9 @@ object StreamingQueries extends QueryModule {
       ((s: SparkSession, d: String) => StreamingPipelines.dedupMinhashStream(s, d)),
     "stream_dedup_minhash_update" ->
       ((s: SparkSession, d: String) => StreamingPipelines.dedupMinhashUpdateStream(s, d)),
+    "stream_dedup_incremental" ->
+      ((s: SparkSession, d: String) =>
+        StreamingPipelines.dedupIncrementalStream(s, d)),
     "stream_decontaminate" ->
       ((s: SparkSession, d: String) => StreamingPipelines.decontaminateStream(s, d)),
     "stream_decontaminate_fuzzy" ->
@@ -497,6 +500,7 @@ object StreamingQueries extends QueryModule {
     "stream_dedup_first" -> EventAnalytics.dedupFirstSql,
     "stream_dedup_minhash" -> TextAnalysis.dedupMinhashStreamSql,
     "stream_dedup_minhash_update" -> TextAnalysis.dedupMinhashStreamSql,
+    "stream_dedup_incremental" -> TextAnalysis.dedupIncrementalBandsSql,
     "stream_decontaminate" -> TextAnalysis.decontaminateSql,
     "stream_decontaminate_fuzzy" -> TextAnalysis.decontaminateFuzzySql,
     "stream_lm_score" -> TextAnalysis.lmScoreSql,

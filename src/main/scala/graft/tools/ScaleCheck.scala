@@ -66,7 +66,8 @@ object ScaleCheck {
     * the streaming near-dup path exercises real suppression. Doc count
     * is n/10 (documents are bigger units than events; 1x here matches
     * the sf0.1 corpus within 2x). */
-  private def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+  private def synthDocs(spark: SparkSession, n: Long,
+      tokens: Int = 64): DataFrame = {
     val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
       "value", "part", "hash", "batch", "window", "spark", "order", "data",
       "column", "join", "small", "line", "customer", "query", "big",
@@ -77,7 +78,7 @@ object ScaleCheck {
         when(pmod(col("id"), lit(10L)) === 9, expr("id div 10"))
           .otherwise(col("id")))
       .select(col("id").as("doc_id"),
-        expr(s"""concat_ws(' ', transform(sequence(0, 63),
+        expr(s"""concat_ws(' ', transform(sequence(0, ${tokens - 1}),
           |  j -> element_at(array(${vocab.map("'" + _ + "'").mkString(",")}),
           |    cast(pmod(cast(conv(substring(md5(cast(concat(e, '_', j) as binary)),
           |      1, 8), 16, 10) as bigint), 32) as int) + 1)))""".stripMargin)
@@ -251,6 +252,20 @@ object ScaleCheck {
     // every-10th-doc dups give real paragraph collisions)
     def paragraph(dir: String): Double = timed {
       graft.SparkEntry.queries("dedup_paragraph")(spark, dir).count()
+    }
+    // the OTHER paragraph axis (round 14, verdict r13 #8): tokens-per-doc
+    // 10x at FIXED doc count — a 100 TB book corpus grows documents, not
+    // just document counts, and long docs explode the pkey space; the
+    // banded paragraph join must stay ~linear in paragraphs either way
+    def stageCorpusTok(n: Long, tokens: Int): String = {
+      val dir = s"$base/corpustok_${n}_$tokens"
+      synthDocs(spark, n / 10, tokens)
+        .withColumn("lang", lit("en"))
+        .withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20L))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
     }
     // incremental new-vs-corpus dedup (round 13, verdict r12 #7): the
     // claim is that probe cost follows the NEW snapshot's band posts,
@@ -688,6 +703,11 @@ object ScaleCheck {
       ("dedup_paragraph", () => {
         paragraph(c1) // warm
         (paragraph(c1), paragraph(c10))
+      }),
+      ("dedup_paragraph_tokens10x", () => {
+        val p1 = stageCorpusTok(n1, 64); val p10 = stageCorpusTok(n1, 640)
+        paragraph(p1) // warm
+        (paragraph(p1), paragraph(p10))
       }),
       ("dedup_incremental_fixed_new", () => {
         val g1 = stageSig(c1); val g10 = stageSig(c10)

@@ -28,9 +28,14 @@ class StreamingSpec extends AnyFunSuite {
     StreamingPipelines.bandStreamReplay(spark, sf0001)
     val stageRoot = Paths.get(System.getProperty("java.io.tmpdir"))
     val listing = Files.list(stageRoot)
+    // only THIS process's staged dirs (names embed the pid): a concurrent
+    // sbt test fork restaging its own dir between the two calls must not
+    // flake this pin (round-13 advice)
+    val ownSuffix = "_p" + ProcessHandle.current().pid()
     val dirs =
       try listing.iterator().asScala.filter { p =>
         p.getFileName.toString.startsWith("graft_bandreplay_") &&
+          p.getFileName.toString.endsWith(ownSuffix) &&
           Files.exists(p.resolve("_staged"))
       }.toList
       finally listing.close()
@@ -72,6 +77,34 @@ class StreamingSpec extends AnyFunSuite {
     // late event anchors at its own ts: sees only event 1 (1000) + itself,
     // NOT the newer events already in state
     assert(rows(5) == 2L)
+  }
+
+  test("bucketPairs: cross-batch member carry, within-batch id order, " +
+      "no reversed or cross-bucket pairs (round 14)") {
+    import graft.streaming.StatefulFeatures.{BandIn, BandPair}
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[BandIn]
+    val q = StatefulFeatures.bucketPairs(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("bucketpairs_test")
+      .outputMode("update").start()
+    try {
+      // batch 1: docs 3 and 9 post band A (out of id order within the
+      // batch — the op must sort), doc 6 posts band B
+      in.addData(BandIn("A", 9L), BandIn("A", 3L), BandIn("B", 6L))
+      q.processAllAvailable()
+      // batch 2: doc 12 posts A (pairs with BOTH batch-1 members — the
+      // cross-batch carry), doc 15 posts B
+      in.addData(BandIn("A", 12L), BandIn("B", 15L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bucketpairs_test").as[BandPair].collect()
+      .map(p => (p.band_val, p.n, p.o)).toSet
+    assert(got == Set(
+      ("A", 9L, 3L),            // within-batch pair, id-sorted orientation
+      ("A", 12L, 3L), ("A", 12L, 9L), // cross-batch member carry
+      ("B", 15L, 6L)))
+    // orientation invariant: every pair has n (later) > o (earlier)
+    assert(got.forall { case (_, n, o) => n > o })
   }
 
   test("warm start: seeded state folds in, stream-only keys start cold, " +
