@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.SortedIntersectCount].getName,
         "sorted_intersect_count"),
       graft.functions.SortedIntersectCount.builder))
+    ext.injectFunction((
+      FunctionIdentifier("fdot"),
+      new ExpressionInfo(classOf[graft.functions.FloatDot].getName, "fdot"),
+      graft.functions.VectorFold.builder))
   }
 }

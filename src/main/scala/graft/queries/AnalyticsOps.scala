@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -662,37 +662,88 @@ object AnalyticsOps extends QueryModule {
     * replicate b < 32, and replicate means are Σm·value / Σm with exact
     * DECIMAL(25,6) accumulation (one double division each). The 95%-ish
     * interval is the 2nd/31st order statistics of the 32 replicate means
-    * (exact selection, no libm quantiles). One pass over the data with a
-    * 32× bounded fan-out; B counters per aggregate is the whole state.
-    * Deterministic md5 multiplicities keep both engines resampling the
-    * identical "randomness" — the repo's hash rule. */
+    * (exact selection, no libm quantiles). One pass over the data with
+    * NO row fan-out (round 14): the B replicate sums are 2B aggregate
+    * columns of the same scan, so the whole state is one row of
+    * counters. Deterministic md5 multiplicities keep both engines
+    * resampling the identical "randomness" — the repo's hash rule. */
+  /** 8 md5 digests per event; replicate b's multiplicity reads the 8-hex
+    * window (b % 4)·8+1 of digest b div 4 — 4× fewer md5 evaluations and
+    * (in the one-pass aggregate form) no 32× row fan-out at all. Shared
+    * by the batch query and the streaming twin so the two cannot drift;
+    * the oracle mirrors the same windows in its unnest form (DECIMAL
+    * addition is exact and commutative, so the evaluation SHAPE — 64
+    * aggregate columns here vs unnest + GROUP BY there — cannot change
+    * a single bit of the sums). */
+  private[graft] def withBootDigests(df: DataFrame): DataFrame =
+    (0 until 8).foldLeft(df)((d, g) =>
+      d.withColumn(s"h$g", md5(concat(col("event_id").cast("string"),
+        lit(s"_$g")).cast("binary"))))
+
+  private[graft] def bootMult(b: Int): Column =
+    conv(substring(col(s"h${b / 4}"), (b % 4) * 8 + 1, 8), 16, 10)
+      .cast("long") % 3
+
+  /** The shared one-row → 32-replicate finale: reshape the 64 aggregate
+    * columns to (b, boot_mean) rows, rank, pick the 2nd/31st order
+    * statistics, and attach the point estimate. Sums arrive as exact
+    * micro-unit LONGS (the cusum convention: value → DECIMAL(25,6) →
+    * ×10⁶ long, so long addition IS decimal addition) and convert back
+    * through exact decimal division by 10⁶ — the resulting DECIMAL(25,6)
+    * is bit-identical to the oracle's direct decimal sum, so the double
+    * casts agree to the last ulp. */
+  private[graft] def bootFinale(one: DataFrame): DataFrame = {
+    def dec(c: Column): Column =
+      (c.cast(DecimalType(31, 6)) / 1000000).cast(DecimalType(25, 6))
+    val bm = one.select(explode(array((0 until 32).map(b =>
+        struct(lit(b.toLong).as("b"),
+          (dec(col(s"sv$b")).cast("double") / col(s"sm$b"))
+            .as("boot_mean"))): _*))
+        .as("s"))
+      .select(col("s.b").as("b"), col("s.boot_mean").as("boot_mean"))
+    val ranked = bm.withColumn("rn",
+      row_number().over(Window.orderBy(col("boot_mean"), col("b"))))
+    val lo = ranked.filter(col("rn") === 2)
+      .select(col("boot_mean").as("ci_lo"))
+    val hi = ranked.filter(col("rn") === 31)
+      .select(col("boot_mean").as("ci_hi"))
+    val pt = one.select(col("n"),
+      (dec(col("svall")).cast("double") / col("n")).as("mean_value"))
+    pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+  }
+
+  /** The shared 66-column aggregate list over a frame carrying v_micro
+    * (exact 10⁶-scaled long) + the 8 digests: 32 (Σm·v, Σm) pairs in
+    * pure LONG arithmetic + the point estimate's (n, Σv). */
+  private[graft] def bootAggs(): Seq[Column] =
+    (0 until 32).flatMap { b =>
+      Seq(sum(col("vm") * bootMult(b)).as(s"sv$b"),
+        sum(bootMult(b)).as(s"sm$b"))
+    } ++ Seq(count(lit(1)).as("n"), sum(col("vm")).as("svall"))
+
   private def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = ev(spark, dir).select($"event_id", $"value")
-    val reps = e.crossJoin(broadcast(spark.range(32).select($"id".as("b"))))
-      .withColumn("m",
-        conv(substring(md5(concat($"event_id".cast("string"), lit("_"),
-          $"b".cast("string")).cast("binary")), 1, 8), 16, 10)
-          .cast("long") % 3)
-    val bm = reps.groupBy($"b")
-      .agg(sum($"m").as("n_eff"),
-        (sum($"value".cast(DecimalType(25, 6)) * $"m").cast("double") /
-          sum($"m")).as("boot_mean"))
-    val ranked = bm.withColumn("rn",
-      row_number().over(Window.orderBy($"boot_mean", $"b")))
-    val lo = ranked.filter($"rn" === 2).select($"boot_mean".as("ci_lo"))
-    val hi = ranked.filter($"rn" === 31).select($"boot_mean".as("ci_hi"))
-    val pt = e.agg(count(lit(1)).as("n"),
-      (sum($"value".cast(DecimalType(25, 6))).cast("double") /
-        count(lit(1))).as("mean_value"))
-    pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    // ONE aggregation pass, no row fan-out (round 14): the 32 replicate
+    // sums are 64 aggregate columns over the event scan (8 md5s/event,
+    // down from 32; the 33× explode was the query's whole cost), in
+    // exact micro-long arithmetic — all mergeable, all codegen'd.
+    val e = withBootDigests(ev(spark, dir).select($"event_id", $"value"))
+      .withColumn("vm",
+        ($"value".cast(DecimalType(25, 6)) * 1000000).cast("long"))
+    val aggs = bootAggs()
+    bootFinale(e.agg(aggs.head, aggs.tail: _*))
   }
 
   private[graft] val bootstrapCiSql =
     """WITH reps AS (
+      |  -- replicate b reads 8-hex window (b % 4)*8+1 of digest b // 4
+      |  -- (round 14: mirrors the Spark side's 8-digests-per-event form;
+      |  -- the unnest shape is kept here because DECIMAL sums are exact
+      |  -- and commutative, so the shapes cannot disagree)
       |  SELECT e.event_id, e.value, b.b,
       |    CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '_' ||
-      |      CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS m
+      |      CAST(b.b // 4 AS VARCHAR)), (b.b % 4) * 8 + 1, 8)) AS BIGINT)
+      |      % 3 AS m
       |  FROM events e, (SELECT unnest(range(32)) AS b) b
       |), bm AS (
       |  SELECT b, CAST(SUM(m) AS BIGINT) AS n_eff,

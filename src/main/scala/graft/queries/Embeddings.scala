@@ -26,12 +26,15 @@ object Embeddings extends QueryModule {
 
   /** Sequential-fold cosine between two vector columns, in double —
     * identical fold order in both engines, so the raw doubles agree
-    * bit-for-bit. */
+    * bit-for-bit. Round 14: the folds run through the native codegen
+    * [[graft.functions.FloatDot]] (`fdot`) instead of the interpreted
+    * `aggregate(zip_with(...))` — same ascending-index multiply-then-add
+    * sequence, so not one ulp moves, but the brute-force eval passes
+    * (the family's recall-gating ground truth) leave interpretation for
+    * whole-stage codegen. Registered per query by the [[queries]]
+    * wrapper. */
   private def cosOf(a: String, b: String) =
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)
-       | / (sqrt(aggregate(transform($a, x -> cast(x as double) * cast(x as double)), 0D, (acc, x) -> acc + x))
-       |    * sqrt(aggregate(transform($b, x -> cast(x as double) * cast(x as double)), 0D, (acc, x) -> acc + x)))"""
-      .stripMargin.replaceAll("\n", "")
+    s"fdot($a, $b) / (sqrt(fdot($a, $a)) * sqrt(fdot($b, $b)))"
 
   private val cosExpr = cosOf("qv", "embedding")
 
@@ -243,16 +246,14 @@ object Embeddings extends QueryModule {
   private def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir).withColumn("nrm", expr(
-      "sqrt(aggregate(transform(embedding, x -> cast(x as double) * " +
-        "cast(x as double)), 0D, (acc, x) -> acc + x))"))
+      "sqrt(fdot(embedding, embedding))"))
     val q = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("label").as("true_label"), col("nrm").as("qn"))
     val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(
-        expr("aggregate(zip_with(qv, embedding, (x, y) -> " +
-          "cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")
+        expr("fdot(qv, embedding)")
           / (col("qn") * col("nrm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -325,16 +326,14 @@ object Embeddings extends QueryModule {
   private def avgPrecisionEval(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir).withColumn("nrm", expr(
-      "sqrt(aggregate(transform(embedding, x -> cast(x as double) * " +
-        "cast(x as double)), 0D, (acc, x) -> acc + x))"))
+      "sqrt(fdot(embedding, embedding))"))
     val q = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("label").as("true_label"), col("nrm").as("qn"))
     val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(
-        expr("aggregate(zip_with(qv, embedding, (x, y) -> " +
-          "cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")
+        expr("fdot(qv, embedding)")
           / (col("qn") * col("nrm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -414,16 +413,14 @@ object Embeddings extends QueryModule {
     // benched at the 12.5 s bar; hoisting the two norm folds to the
     // vector tables leaves one fold per pair (12.2 s -> ~3 s)
     val emb = Tables.embeddings(spark, dir).withColumn("nrm", expr(
-      "sqrt(aggregate(transform(embedding, x -> cast(x as double) * " +
-        "cast(x as double)), 0D, (acc, x) -> acc + x))"))
+      "sqrt(fdot(embedding, embedding))"))
     val q = emb.filter(col("vec_id") % 8 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("label").as("true_label"), col("nrm").as("qn"))
     val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(
-        expr("aggregate(zip_with(qv, embedding, (x, y) -> " +
-          "cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")
+        expr("fdot(qv, embedding)")
           / (col("qn") * col("nrm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -2428,14 +2425,17 @@ object Embeddings extends QueryModule {
     * metadata is not part of the geometric index), norms hoisted once per
     * vector (the emb_knn_classify perf lesson). */
   private def annLabeledCoded(spark: SparkSession, dir: String,
-      store: OnlineStore): DataFrame =
+      store: OnlineStore): DataFrame = {
+    // callers outside this module's queries wrapper (the streaming kNN
+    // gate) reach the fdot norm through here — register first
+    graft.functions.VectorFold.register(spark)
     store.online(annCodesView)
       .select(col("vec_id"), col("cell"), col("embedding"))
       .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
         Seq("vec_id"))
       .withColumn("nrm", expr(
-        "sqrt(aggregate(transform(embedding, x -> cast(x as double) * " +
-          "cast(x as double)), 0D, (acc, x) -> acc + x))"))
+        "sqrt(fdot(embedding, embedding))"))
+  }
 
   /** Driver-side load of the persisted index for broadcast serving (the
     * streaming kNN gate): centroids + cell → posting-list array of
@@ -2488,8 +2488,7 @@ object Embeddings extends QueryModule {
     val pairsAll = coded.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(
-        expr("aggregate(zip_with(qv, embedding, (x, y) -> " +
-          "cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")
+        expr("fdot(qv, embedding)")
           / (col("qn") * col("nrm")), 6))
     def predsOf(scored: DataFrame, name: String): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
@@ -2657,8 +2656,7 @@ object Embeddings extends QueryModule {
     val cells = store.online(annCodesView)
       .select(col("vec_id"), col("cell"), col("embedding"))
       .withColumn("nrm", expr(
-        "sqrt(aggregate(transform(embedding, x -> cast(x as double) * " +
-          "cast(x as double)), 0D, (acc, x) -> acc + x))"))
+        "sqrt(fdot(embedding, embedding))"))
       .persist()
     val dups = cells
       .select(col("cell"), col("vec_id").as("id_a"),
@@ -2667,8 +2665,7 @@ object Embeddings extends QueryModule {
         col("embedding"), col("nrm")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(
-        expr("aggregate(zip_with(qv, embedding, (x, y) -> " +
-          "cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")
+        expr("fdot(qv, embedding)")
           / (col("qn") * col("nrm")), 6))
       .filter(col("cos") >= 0.35)
       .groupBy(col("id_b").as("vec_id"))
@@ -3016,7 +3013,12 @@ object Embeddings extends QueryModule {
        |LEFT JOIN rhits r USING (query_id)
        |ORDER BY q.query_id""".stripMargin
 
-  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // every member may reach a cosine/norm through the shared cosOf /
+  // hoisted-norm expressions, which now call the native `fdot` — the
+  // wrapper at the bottom registers it on the session first (idempotent,
+  // the SortedIntersectCount discipline)
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map[
+      String, (SparkSession, String) => DataFrame](
     "emb_pq_adc_recall" -> (pqAdcRecall _),
     "emb_ivfadc_recall" -> (ivfadcRecall _),
     "emb_ivfadc_persisted" -> (ivfadcPersisted _),
@@ -3044,7 +3046,12 @@ object Embeddings extends QueryModule {
     "emb_kmeans_cells" -> (kmeansCells _),
     "emb_ivf_kmeans_recall" -> (ivfKmeansRecall _),
     "emb_ivf_nprobe_sweep" -> (ivfNprobeSweep _),
-    "emb_ivf_kmeans_par_recall" -> (ivfKmeansParRecall _))
+    "emb_ivf_kmeans_par_recall" -> (ivfKmeansParRecall _)
+  ).map { case (name, f) =>
+    name -> ((s: SparkSession, d: String) => {
+      graft.functions.VectorFold.register(s); f(s, d)
+    })
+  }
 
   override def oracles: Map[String, String] = Map(
     "emb_pq_adc_recall" -> pqAdcRecallSql,

@@ -1721,14 +1721,12 @@ object StreamingPipelines {
       .orderBy(col("query_id"), col("doc_id"))
   }
 
-  /** Streaming online-bootstrap CI — the batch query's fan-out and exact
-    * DECIMAL sums run as a COMPLETE-mode aggregation with 33 groups of
-    * state (32 replicates + the b = −1 identity resample, whose
-    * multiplicity is 1 everywhere so its group IS the point estimate):
-    * stateless per-event explode to (b, m) with the identical md5
-    * multiplicity expression, groupBy(b) with mergeable integer/decimal
-    * sums, and the same order-statistic finale. Oracle = the batch SQL
-    * verbatim (AnalyticsOps.bootstrapCiSql).
+  /** Streaming online-bootstrap CI — the batch query's one-pass
+    * aggregate run as a COMPLETE-mode aggregation with ONE row of
+    * state: the identical 66 mergeable aggregate columns (32 replicate
+    * (Σm·v, Σm) pairs + the point estimate's (n, Σv)), then the shared
+    * order-statistic finale. Oracle = the batch SQL verbatim
+    * (AnalyticsOps.bootstrapCiSql).
     *
     * Runs over the chunked replay at the measured monitor cadence
     * (round 14, verdict r13 #1 — this was the last complete-mode
@@ -1741,28 +1739,20 @@ object StreamingPipelines {
   def bootstrapCiStream(spark: SparkSession, dir: String,
       nChunks: Int = MonitorReplayChunks): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val in = eventStreamReplay(spark, dir, nChunks)
-      .select(col("event_id"), col("value"))
-      .withColumn("b", explode(sequence(lit(-1L), lit(31L))))
-      .withColumn("m", when(col("b") === -1L, lit(1L)).otherwise(
-        conv(substring(md5(concat(col("event_id").cast("string"), lit("_"),
-          col("b").cast("string")).cast("binary")), 1, 8), 16, 10)
-          .cast("long") % 3))
-    val agg = in.groupBy(col("b"))
-      .agg(sum(col("value").cast(DecimalType(25, 6)) * col("m")).as("sv"),
-        sum(col("m")).as("sm"))
-    val sink = runToMemory(spark, agg, "complete", "bootci")
-    val bm = sink.filter(col("b") >= 0)
-      .select(col("b"), (col("sv").cast("double") / col("sm")).as("boot_mean"))
-    val ranked = bm.withColumn("rn", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("boot_mean"), col("b"))))
-    val lo = ranked.filter(col("rn") === 2).select(col("boot_mean").as("ci_lo"))
-    val hi = ranked.filter(col("rn") === 31).select(col("boot_mean").as("ci_hi"))
-    val pt = sink.filter(col("b") === -1L)
-      .select(col("sm").as("n"),
-        (col("sv").cast("double") / col("sm")).as("mean_value"))
-    pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    import graft.queries.AnalyticsOps.{withBootDigests, bootAggs, bootFinale}
+    // ONE-ROW complete-mode state (round 14, shared with the batch
+    // query's one-pass form): the 32 replicate (Σm·v, Σm) pairs + the
+    // point estimate's (n, Σv) are 66 mergeable aggregate columns over
+    // the replay — no 33× row fan-out, 8 md5s per event instead of 32,
+    // and the in-flight state is a single row. Chunk-invariant by
+    // algebra: every column is a commutative exact micro-long sum.
+    val in = withBootDigests(eventStreamReplay(spark, dir, nChunks)
+        .select(col("event_id"), col("value")))
+      .withColumn("vm",
+        (col("value").cast(DecimalType(25, 6)) * 1000000).cast("long"))
+    val aggs = bootAggs()
+    val agg = in.groupBy().agg(aggs.head, aggs.tail: _*)
+    bootFinale(runToMemory(spark, agg, "complete", "bootci"))
   }
 
   /** Streaming Kaplan–Meier: per-user survival observations

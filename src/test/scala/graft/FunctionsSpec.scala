@@ -82,9 +82,52 @@ class FunctionsSpec extends AnyFunSuite {
       assert(s2.sql(
         "SELECT sorted_intersect_count(array('a','b'), array('b','c'))")
         .head().getInt(0) == 1)
+      assert(s2.sql(
+        "SELECT fdot(array(cast(1.5 as float), cast(-2.0 as float)), " +
+          "array(cast(2.0 as float), cast(0.5 as float)))")
+        .head().getDouble(0) == 2.0)
     } finally {
       SparkSession.setActiveSession(orig)
       SparkSession.setDefaultSession(orig)
     }
+  }
+
+  test("fdot is bit-identical to the interpreted aggregate(zip_with) " +
+      "fold and stays inside whole-stage codegen (round 14)") {
+    graft.functions.VectorFold.register(spark)
+    // md5-derived pseudo-random float vectors — adversarial magnitudes
+    // (mixed signs, wide exponent range) so any fold-order or
+    // rounding difference would surface in the strict equality
+    val vecs = spark.range(0, 200)
+      .selectExpr(
+        """transform(sequence(0, 63), j -> cast(
+          |  (cast(conv(substring(md5(cast(concat(id, '_', j) as binary)),
+          |     1, 8), 16, 10) as bigint) - 2147483648.0) / 16777216.0
+          |  as float)) AS a""".stripMargin,
+        """transform(sequence(0, 63), j -> cast(
+          |  (cast(conv(substring(md5(cast(concat(id, '_q', j) as binary)),
+          |     1, 8), 16, 10) as bigint) - 2147483648.0) / 1048576.0
+          |  as float)) AS b""".stripMargin)
+    val rows = vecs.selectExpr(
+      "fdot(a, b) AS native",
+      """aggregate(zip_with(a, b, (x, y) ->
+        |  cast(x as double) * cast(y as double)), 0D,
+        |  (acc, x) -> acc + x) AS interpreted""".stripMargin,
+      "fdot(a, a) AS nrm2",
+      """aggregate(transform(a, x -> cast(x as double) * cast(x as double)),
+        |  0D, (acc, x) -> acc + x) AS nrm2i""".stripMargin)
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))
+    }
+    val plan = vecs.selectExpr("fdot(a, b) AS d")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("fdot") || plan.contains("floatdot"), plan)
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("fdot") || l.contains("floatdot")) &&
+        l.trim.startsWith("*")), plan)
   }
 }
