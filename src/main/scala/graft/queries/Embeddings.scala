@@ -1797,14 +1797,20 @@ object Embeddings extends QueryModule {
   }
 
   private def pqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    // codes off the SHARED session index (round 14, the ivfadcRecall
+    // move): annStoreFor's codes view carries the identical raw-PQ
+    // codes (same pqCodebook artifact), so the flat ADC scan — this
+    // query's subject, PQ without the IVF cell bound — reads the index
+    // instead of re-running the interpreted coding pass per invocation.
     val cb = pqCodebook(spark, dir)
-    val emb = Tables.embeddings(spark, dir).persist()
-    val coded = pqCoded(emb.select(col("vec_id"), col("embedding")), cb)
+    val coded = annStoreFor(spark, dir).online(annCodesView)
+      .select(col("vec_id"), col("codes"), col("embedding"))
+      .persist()
     val q = pqQueryFrame(coded, cb)
     val pairs = coded.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
     graft.core.CachePin.sealAndRelease(
-      adcRecallCore(q, pairs, pairs, withNc = false), emb)
+      adcRecallCore(q, pairs, pairs, withNc = false), coded)
   }
 
   /** IVFADC (the Jegou et al. composition): the k-means IVF cells bound

@@ -627,8 +627,14 @@ object TextAnalysis extends QueryModule {
       : DataFrame = {
     import graft.streaming.{StatefulFeatures, StreamingPipelines}
     import spark.implicits._
+    // 2-chunk replay (round 14, the StatefulReplayChunks argument): the
+    // state here is one winner per distinct fingerprint hash — the
+    // LARGEST state of the keep-first family (~|corpus|·fps/w buckets) —
+    // so each extra micro-batch commits an outsized store; keep-first
+    // over the id-ordered replay is chunk-invariant (owner = global min
+    // poster) and 2 batches still exercise the cross-batch collision.
     val fh = winnowCols(
-        StreamingPipelines.docStreamReplay(spark, dir)
+        StreamingPipelines.docStreamReplay(spark, dir, nChunks = 2)
           .select(col("doc_id"), col("text"))
           .withColumn("toks", split(trim(col("text")), "\\s+")))
       .select(col("doc_id"),
@@ -2164,11 +2170,23 @@ object TextAnalysis extends QueryModule {
         col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  private val prefixCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
   /** The prefix-filter candidate pairs with exact Jaccard, pre-threshold
-    * — shared by `dedup_prefix_join` and the LSH-recall eval (which uses
-    * the ≥ 0.6 survivors as COMPLETE ground truth: prefix filtering has
-    * no false negatives at the threshold). */
-  private def prefixScored(spark: SparkSession, dir: String): DataFrame = {
+    * — shared by `dedup_prefix_join`, `dedup_minhash_eval`, and the
+    * b-bit sketch eval (the ≥ 0.6 survivors are COMPLETE ground truth:
+    * prefix filtering has no false negatives at the threshold). Built
+    * once per (session, dataset) and localCheckpoint'd (round 14 — the
+    * lshEdges pattern: three queries re-ran the identical freq-sort +
+    * prefix self-join + exact-verify chain back to back; the pair table
+    * is collision-bounded, so session residency is small). */
+  private def prefixScored(spark: SparkSession, dir: String): DataFrame =
+    prefixCache.getOrElseUpdate(
+      s"${graft.core.SessionKeys.of(spark)}@$dir",
+      prefixScoredBuild(spark, dir).localCheckpoint(true))
+
+  private def prefixScoredBuild(spark: SparkSession, dir: String): DataFrame = {
     val tok = docs(spark, dir)
       .select(col("doc_id"), explode(expr(shingleExpr)).as("tok"))
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
