@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fdot"),
       new ExpressionInfo(classOf[graft.functions.FloatDot].getName, "fdot"),
       graft.functions.VectorFold.builder))
+    ext.injectFunction((
+      FunctionIdentifier("fsq"),
+      new ExpressionInfo(classOf[graft.functions.FloatSqDist].getName, "fsq"),
+      graft.functions.VectorFold.sqBuilder))
   }
 }

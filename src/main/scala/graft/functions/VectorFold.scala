@@ -95,6 +95,101 @@ case class FloatDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: the sequential-fold squared-L2 distance
+  * Σᵢ ((double)a[off+i] − (double)b[i])² between a window of `a` starting
+  * at 0-based `off` and the whole of `b` — bit-identical to the
+  * interpreted
+  * `aggregate(zip_with(slice(a, off+1, len(b)), b, (x, y) ->
+  * (cast(x as double) - cast(y as double)) * (...same...)), 0D,
+  * (acc, x) -> acc + x)` (same ascending order, subtract-square-add IEEE
+  * sequence, 0.0 seed, no FMA) and to the DuckDB `list_reduce` mirror,
+  * so swapping it under any distance expression cannot move an ulp.
+  *
+  * Why it exists (round 14): [[FloatDot]] removed HOF interpretation
+  * from the cosine paths, but every PQ/IVF coding and recall-truth pass
+  * still folded squared distances interpreted — `assignCell` evaluates
+  * k folds per vector, `pqCode` pqM×pqK sub-folds per vector, the recall
+  * graders one 64-dim fold per (query, corpus) pair. The offset operand
+  * additionally replaces the per-code `slice(...)` array copy in the PQ
+  * sub-distance with an index shift inside the generated loop.
+  *
+  * Contract: arrays non-null per row, no null elements, `off` a
+  * non-negative foldable INT with off + len(b) <= len(a) (callers pass
+  * literal subspace offsets; the loop runs over
+  * min(len(a) − off, len(b)) like the zip_with form over equal windows).
+  */
+case class FloatSqDist(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(first.dataType) && ok(second.dataType) &&
+        third.dataType == org.apache.spark.sql.types.IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fsq expects (ARRAY<FLOAT|DOUBLE>, ARRAY<FLOAT|DOUBLE>, INT), got " +
+          s"(${first.dataType.sql}, ${second.dataType.sql}, " +
+          s"${third.dataType.sql})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, o: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val off = o.asInstanceOf[Int]
+    val lf = elemType(first) == FloatType
+    val rf = elemType(second) == FloatType
+    val n = math.min(x.numElements() - off, y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(off + i).toDouble else x.getDouble(off + i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc = acc + d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, o) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val getX =
+        if (elemType(first) == FloatType) s"(double) $a.getFloat($o + $i)"
+        else s"$a.getDouble($o + $i)"
+      val getY =
+        if (elemType(second) == FloatType) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements() - $o, $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $getX - $getY;
+         |  $acc = $acc + $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorFold {
 
   val builder: Seq[Expression] => Expression = { exprs =>
@@ -102,14 +197,28 @@ object VectorFold {
     FloatDot(exprs(0), exprs(1))
   }
 
-  /** SQL registration: `SELECT fdot(a, b)`. */
-  def register(spark: SparkSession): Unit =
+  val sqBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 3, s"fsq expects 3 args, got ${exprs.size}")
+    FloatSqDist(exprs(0), exprs(1), exprs(2))
+  }
+
+  /** SQL registration: `SELECT fdot(a, b)`, `SELECT fsq(a, b, off)`. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fdot", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fsq", sqBuilder, "built-in")
+  }
 
   /** Column form (requires register() on the session first). */
   def fdot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.call_function
     call_function("fdot", a, b)
+  }
+
+  /** Column form of the windowed squared distance (register() first). */
+  def fsq(a: Column, b: Column, off: Column): Column = {
+    import org.apache.spark.sql.functions.call_function
+    call_function("fsq", a, b, off)
   }
 }

@@ -31,12 +31,16 @@ import org.apache.spark.sql.functions._
 object KMeansQuantizer {
 
   /** Squared-L2 distance from `emb` (array&lt;float&gt; column) to a literal
-    * centroid, as a sequential fold (matches the DuckDB list_reduce). */
+    * centroid, as a sequential fold (matches the DuckDB list_reduce).
+    * Round 14: the fold runs through the native codegen
+    * [[graft.functions.FloatSqDist]] (`fsq`) — bit-identical to the
+    * interpreted `aggregate(zip_with(...))` form it replaces (same
+    * ascending subtract-square-add sequence; FunctionsSpec pins raw-bit
+    * equality), but inside whole-stage codegen instead of per-element
+    * interpretation. Callers must have run `VectorFold.register` on the
+    * session (every Embeddings entry point and ScaleCheck do). */
   def dist2To(emb: Column, cv: Seq[Double]): Column =
-    aggregate(
-      zip_with(emb, array(cv.map(lit): _*),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFold.fsq(emb, array(cv.map(lit): _*), lit(0))
 
   /** Nearest-centroid cell id for `emb`: least over (dist2, cell) structs
     * — struct ordering gives the distance-then-cell-id tie-break. The
@@ -67,10 +71,10 @@ object KMeansQuantizer {
     * same sequential fold as [[dist2To]]. The product-quantization
     * sub-distance primitive. */
   def dist2SubTo(emb: Column, s: Int, sub: Int, cv: Seq[Double]): Column =
-    aggregate(
-      zip_with(slice(emb, s * sub + 1, sub), array(cv.map(lit): _*),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, x) => acc + x)
+    // fsq's offset operand replaces the per-code slice() array copy with
+    // an index shift inside the generated loop — same fold, fewer allocs
+    graft.functions.VectorFold.fsq(emb, array(cv.map(lit): _*),
+      lit(s * sub))
 
   /** PQ code of subspace `s`: argmin over that subspace's codebook
     * entries (distance, then code-id tie-break — same struct-least

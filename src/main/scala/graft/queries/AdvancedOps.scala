@@ -407,13 +407,11 @@ object AdvancedOps extends QueryModule {
     * nesting. */
   private def kcore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rel = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir),
-        $"l_orderkey" === $"o_orderkey")
-      .select(($"l_suppkey" * 2).as("src"), ($"o_custkey" * 2 + 1).as("dst"))
-      .distinct()
-    val edges = rel.unionByName(rel.select($"dst".as("src"), $"src".as("dst")))
-      .persist()
+    // shared session-cached symmetric edge table (round 14, TradeGraph):
+    // already localCheckpoint'd — lineage-truncated for the peel rounds,
+    // no per-invocation rebuild, no persist() pin re-entering each
+    // round's plan
+    val edges = TradeGraph.symEdges(spark, dir)
     var nodes = edges.select($"src".as("id")).distinct()
     for (_ <- 1 to 3) {
       val deg = edges
@@ -431,12 +429,10 @@ object AdvancedOps extends QueryModule {
     // never a global row_number window over the full node table
     val top = finalDeg.select($"src".as("id"), $"deg")
       .orderBy($"deg".desc, $"id").limit(50)
-    val out = top
+    top
       .select(row_number().over(Window.orderBy($"deg".desc, $"id"))
           .cast("long").as("rank"), $"id", $"deg")
       .orderBy($"rank")
-    edges.unpersist()
-    out
   }
 
   private val kcoreSql = {
@@ -824,9 +820,8 @@ object AdvancedOps extends QueryModule {
     * predicted links. */
   private def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rel = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-      .select($"l_suppkey".as("s"), $"o_custkey".as("c")).distinct()
+    // shared session-cached directed pair set (round 14, TradeGraph)
+    val rel = TradeGraph.rawPairs(spark, dir).select($"s", $"c")
     val deg = rel.groupBy($"c").agg(count(lit(1)).as("dc"))
     val weighted = rel.join(broadcast(deg), Seq("c"))
       .withColumn("w", expr("1000000 div length(bin(dc))"))

@@ -1298,16 +1298,9 @@ object AnalyticsOps extends QueryModule {
     * bounded, never materializing paths. Top 20 nearest nodes. */
   private def shortestCost(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rel = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-      .select($"l_orderkey".as("ok"), ($"l_suppkey" * 2).as("sid"),
-        ($"o_custkey" * 2 + 1).as("cid"))
-      .distinct()
-      .groupBy($"sid", $"cid").agg(count(lit(1)).as("n_ord"))
-      .select($"sid", $"cid", (lit(1L) + expr("100L div n_ord")).as("w"))
-    val e = rel.select($"sid".as("src"), $"cid".as("dst"), $"w")
-      .union(rel.select($"cid".as("src"), $"sid".as("dst"), $"w"))
-      .persist()
+    // shared session-cached weighted symmetric edges (round 14,
+    // TradeGraph — same pair counts, same 1 + 100 div n_ord weights)
+    val e = graft.queries.TradeGraph.symWeighted(spark, dir)
     var dist = Seq((2L, 0L)).toDF("id", "dist").localCheckpoint(true)
     for (_ <- 1 to 4) {
       val relaxed = e.join(dist.withColumnRenamed("id", "did"),
@@ -1317,13 +1310,11 @@ object AnalyticsOps extends QueryModule {
         .groupBy($"id").agg(min($"dist").as("dist"))
         .localCheckpoint(true)
     }
-    val out = dist.select(
+    dist.select(
         row_number().over(Window.orderBy($"dist", $"id"))
           .cast("long").as("rank"),
         $"id", $"dist")
       .orderBy($"rank").limit(20)
-    e.unpersist()
-    out
   }
 
   private val shortestCostSql = {

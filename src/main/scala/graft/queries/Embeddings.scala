@@ -636,13 +636,19 @@ object Embeddings extends QueryModule {
     * 8-bit bucket signature per vector; per-bucket occupancy. At scale the
     * ANN query joins candidates on bucket id instead of cross-joining the
     * corpus. */
-  private val bucketExpr =
-    """aggregate(sequence(0, 7), 0L, (acc, j) -> acc +
-      |  CASE WHEN aggregate(sequence(1, 64), 0D, (a, i) ->
-      |         a + cast(element_at(embedding, i) as double)
-      |           * cast(((7*j + 3) * i + 11*j + 5) % 97 - 48 as double)) > 0D
-      |       THEN cast(pow(2, j) as bigint) ELSE 0L END)"""
-      .stripMargin.replaceAll("\n", "")
+  // Round 14: the hyperplane weights are a pure (j, i) integer formula —
+  // hoisted to literal rows so each projection is one native fdot (the
+  // interpreted double-fold ran 8×64 per row); the bucket-bit sum is a
+  // left-assoc integer addition chain (exact, order-free). Same values:
+  // w(j,i) = ((7j+3)·i + 11j+5) % 97 − 48, sign test > 0, bit 2^j.
+  private lazy val lshPlanes: Seq[Seq[Double]] = (0 until 8).map { j =>
+    (1 to 64).map(i => (((7 * j + 3) * i + 11 * j + 5) % 97 - 48).toDouble)
+  }
+  private val bucketExpr = (0 until 8)
+    .map(j => s"(CASE WHEN fdot(embedding, array(" +
+      lshPlanes(j).map(w => s"${w}D").mkString(", ") +
+      s")) > 0D THEN ${1L << j}L ELSE 0L END)")
+    .foldLeft("0L")((acc, t) => s"($acc + $t)")
 
   private def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -825,18 +831,32 @@ object Embeddings extends QueryModule {
     * same way SQ8 cuts them by width — this is the dimension-side member
     * of the compression ladder (PQ/SQ8 are the code-side members).
     * Query set and output schema match the other recall queries. */
-  private val rpProjExpr =
-    """transform(sequence(0, 15), j ->
-      |  aggregate(zip_with(embedding, sequence(1, 64), (x, i) ->
-      |    cast(x as double) *
-      |    (case when cast(conv(substr(md5(concat('rp_', j, '_', i)), 1, 8), 16, 10) as bigint) % 2 = 0
-      |          then 1.0D else -1.0D end)),
-      |    0D, (acc, v) -> acc + v))""".stripMargin.replaceAll("\n", " ")
+  /** The 16×64 Rademacher sign matrix, computed ONCE on the driver with
+    * the same md5-parity rule the oracle uses (sign(j,i) = parity of the
+    * first-8-hex-chars value of md5("rp_j_i")). Round 14: the old
+    * in-expression form recomputed 1024 md5 digests PER ROW — md5 of a
+    * (j,i)-only string is a constant, but `j`/`i` are lambda variables,
+    * so Catalyst cannot constant-fold it out of the interpreted HOF. The
+    * first 8 hex chars are the first 4 digest bytes; parity is the low
+    * bit of byte 3 — the exact value `conv(substr(md5(..),1,8),16,10)%2`
+    * tests. */
+  private lazy val rpSigns: Seq[Seq[Double]] = (0 until 16).map { j =>
+    (1 to 64).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp_${j}_${i}".getBytes("UTF-8"))
+      if ((d(3) & 1) == 0) 1.0 else -1.0
+    }
+  }
 
   private def rpRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // proj_j = Σᵢ embᵢ·sign(j,i) ascending — fdot over the literal sign
+    // row is the identical multiply-then-add fold the zip_with form ran
+    // (×(+1.0|−1.0) is the same IEEE product the CASE branch produced)
     val emb = Tables.embeddings(spark, dir)
-      .withColumn("proj", expr(rpProjExpr)).persist()
+      .withColumn("proj", array(rpSigns.map(sj =>
+        graft.functions.VectorFold.fdot(col("embedding"),
+          array(sj.map(lit): _*))): _*)).persist()
     val q = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("proj").as("qp"))
@@ -1744,16 +1764,17 @@ object Embeddings extends QueryModule {
   private def adcRecallCore(q: DataFrame, pairsAll: DataFrame,
       cand: DataFrame, withNc: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // ADC: pqM table lookups + sequential adds — the production scan shape
-    val adcCol = expr(
-      s"""aggregate(sequence(0, ${pqM - 1}), cast(0.0 as double),
-         |  (acc, s) -> acc + element_at(dtable,
-         |    s * $pqK + cast(element_at(codes, s + 1) as int) + 1))""".stripMargin)
-    val exactCol = expr(
-      """aggregate(zip_with(embedding, qv,
-        |    (x, y) -> (cast(x as double) - cast(y as double))
-        |            * (cast(x as double) - cast(y as double))),
-        |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+    // ADC: pqM table lookups + sequential adds — the production scan
+    // shape. Round 14: the fold is unrolled to an explicit left-assoc
+    // addition chain of built-in element_at terms (whole-stage codegen;
+    // the interpreted aggregate-over-sequence ran per pair). The chain
+    // ((0.0 + t0) + t1) + … reproduces the fold's IEEE sequence exactly.
+    val adcCol = expr((0 until pqM)
+      .map(s => s"element_at(dtable, $s * $pqK + " +
+        s"cast(element_at(codes, $s + 1) as int) + 1)")
+      .foldLeft("cast(0.0 as double)")((acc, t) => s"($acc + $t)"))
+    // exact squared-L2 per pair through the native fsq (same fold)
+    val exactCol = expr("fsq(embedding, qv, 0)")
     val rankAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("vec_id"))
     val rankExact = Window.partitionBy(col("query_id"))
@@ -1936,25 +1957,26 @@ object Embeddings extends QueryModule {
           |        / (element_at(mxA, j) - element_at(mnA, j)) * 255.0)
           |        as bigint)))
           |  ELSE cast(0 as bigint) END)""".stripMargin))
+      // reconstruction hoisted to ONE interpreted pass per CORPUS row
+      // (round 14): the reconstruction values are a function of the row
+      // alone, but the old fold recomputed them inside every
+      // (query, corpus) pair's interpreted aggregate — 20× the work at
+      // 20 queries, all of it HOF interpretation. The per-pair distance
+      // is now the native codegen fsq over this column (bit-identical
+      // fold; the recon values are the same arithmetic expression).
+      .withColumn("recon", expr(
+        """transform(sequence(1, 64), j ->
+          |  element_at(mnA, j) + (cast(element_at(codes, j) as double)
+          |    + 0.5) * (element_at(mxA, j) - element_at(mnA, j)) / 256.0)"""
+          .stripMargin))
     val q = coded.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val pairs = coded.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-    // reconstruction distance: identical sequential fold both engines
-    val sqCol = expr(
-      """aggregate(sequence(1, 64), cast(0.0 as double), (acc, j) ->
-        |  acc + (cast(element_at(qv, j) as double)
-        |          - (element_at(mnA, j) + (cast(element_at(codes, j) as double)
-        |             + 0.5) * (element_at(mxA, j) - element_at(mnA, j)) / 256.0))
-        |      * (cast(element_at(qv, j) as double)
-        |          - (element_at(mnA, j) + (cast(element_at(codes, j) as double)
-        |             + 0.5) * (element_at(mxA, j) - element_at(mnA, j)) / 256.0)))"""
-        .stripMargin)
-    val exactCol = expr(
-      """aggregate(zip_with(embedding, qv,
-        |    (x, y) -> (cast(x as double) - cast(y as double))
-        |            * (cast(x as double) - cast(y as double))),
-        |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+    // reconstruction distance: identical sequential fold both engines —
+    // (qv_j − recon_j)² ascending, now inside whole-stage codegen
+    val sqCol = expr("fsq(qv, recon, 0)")
+    val exactCol = expr("fsq(embedding, qv, 0)")
     val rankSq = Window.partitionBy(col("query_id"))
       .orderBy(col("sqd").asc, col("vec_id"))
     val rankExact = Window.partitionBy(col("query_id"))
@@ -2147,7 +2169,7 @@ object Embeddings extends QueryModule {
     * output, same oracle as [[ivfadcRecall]]. */
   private def ivfadcPersisted(spark: SparkSession, dir: String): DataFrame = {
     val store = new OnlineStore(spark,
-      java.nio.file.Files.createTempDirectory("graft_ann_").toString,
+      graft.core.EphemeralDirs.tempDir("graft_ann_").toString,
       nBuckets = 8)
     buildPersistedIvfadc(spark, dir, store)
     ivfadcAnswerFrom(spark, store)
@@ -2206,7 +2228,7 @@ object Embeddings extends QueryModule {
     import graft.operators.KMeansQuantizer.assignCell
     import spark.implicits._
     val store = new OnlineStore(spark,
-      java.nio.file.Files.createTempDirectory("graft_ann_stream_").toString,
+      graft.core.EphemeralDirs.tempDir("graft_ann_stream_").toString,
       nBuckets = 8)
     val cent = fittedCentroids(spark, dir)
     val cb = pqCodebook(spark, dir)
@@ -2224,9 +2246,11 @@ object Embeddings extends QueryModule {
     val in = graft.streaming.StreamingPipelines
       .embStreamReplay(spark, dir, nChunks = 2)
       .select(col("vec_id"), col("embedding"))
-    val ckpt = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-      "graft_annstream_ckpt_")
+    // tmpfs checkpoint (round 14): this foreachBatch query bypassed
+    // runToMemory's /dev/shm checkpoint root — its per-micro-batch
+    // offset/commit fsyncs were the one remaining disk-backed
+    // checkpoint in the suite (the exact BENCH_r09 stall class).
+    val ckpt = graft.core.EphemeralDirs.tempDir("graft_annstream_ckpt_")
     val q = in.writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -2300,7 +2324,7 @@ object Embeddings extends QueryModule {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def freshStore() = new OnlineStore(spark,
-      java.nio.file.Files.createTempDirectory("graft_ann_sc_").toString,
+      graft.core.EphemeralDirs.tempDir("graft_ann_sc_").toString,
       nBuckets = 8)
     val s1 = freshStore()
     val tCold = timed(buildIncrementalIvfadc(spark, dir, s1))
@@ -2342,7 +2366,7 @@ object Embeddings extends QueryModule {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val src = Paths.get(srcRoot)
-    val dst = Files.createTempDirectory(prefix)
+    val dst = graft.core.EphemeralDirs.tempDir(prefix)
     val walk = Files.walk(src)
     try walk.iterator().asScala.foreach { p: Path =>
       val t = dst.resolve(src.relativize(p))
@@ -2394,7 +2418,7 @@ object Embeddings extends QueryModule {
     annStoreCache.getOrElseUpdate(
       s"${graft.core.SessionKeys.of(spark)}@$dir@${embFingerprint(dir)}", {
         val store = new OnlineStore(spark,
-          java.nio.file.Files.createTempDirectory("graft_ann_shared_")
+          graft.core.EphemeralDirs.tempDir("graft_ann_shared_")
             .toString, nBuckets = 8)
         buildPersistedIvfadc(spark, dir, store)
         store
@@ -2416,7 +2440,7 @@ object Embeddings extends QueryModule {
     annStoreCache.getOrElseUpdate(
       s"inc:${graft.core.SessionKeys.of(spark)}@$dir@${embFingerprint(dir)}", {
         val store = new OnlineStore(spark,
-          java.nio.file.Files.createTempDirectory("graft_ann_inc_")
+          graft.core.EphemeralDirs.tempDir("graft_ann_inc_")
             .toString, nBuckets = 8)
         buildIncrementalIvfadc(spark, dir, store)
         store

@@ -345,17 +345,16 @@ object ExtendedQueries extends QueryModule {
   private def pagerankTrade(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val Scale = 1000000000000L
-    val rel = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-      .select(($"l_suppkey" * 2).as("sid"), ($"o_custkey" * 2 + 1).as("cid"))
-      .distinct()
-    val ed = rel.select($"sid".as("src"), $"cid".as("dst"))
-      .union(rel.select($"cid".as("src"), $"sid".as("dst")))
-    val nodes = ed.select($"src".as("id")).distinct().persist()
+    // shared session-cached edge base (round 14, TradeGraph); the
+    // derived node and out-degree frames are localCheckpoint'd — NOT
+    // persist()'d — so the 5 iteration rounds replan against a leaf,
+    // not the nested build tree (the round-10 pinned-matrix rule)
+    val ed = TradeGraph.symEdges(spark, dir)
+    val nodes = ed.select($"src".as("id")).distinct().localCheckpoint(true)
     val e = ed.join(
         ed.groupBy($"src".as("osrc")).agg(count(lit(1)).as("odeg")),
         $"src" === $"osrc")
-      .select($"src", $"dst", $"odeg").persist()
+      .select($"src", $"dst", $"odeg").localCheckpoint(true)
     val n = nodes.count()
     val r0 = Scale / n
     val base = (15L * r0) / 100L
@@ -420,12 +419,8 @@ object ExtendedQueries extends QueryModule {
   private def bfsHops(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val seedId = 2L // supplier s_suppkey = 1
-    val rel = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-      .select(($"l_suppkey" * 2).as("sid"), ($"o_custkey" * 2 + 1).as("cid"))
-      .distinct()
-    val e = rel.select($"sid".as("src"), $"cid".as("dst"))
-      .union(rel.select($"cid".as("src"), $"sid".as("dst"))).persist()
+    // shared session-cached symmetric edges (round 14, TradeGraph)
+    val e = TradeGraph.symEdges(spark, dir)
     var visited = Seq((seedId, 0L)).toDF("id", "hop").localCheckpoint(true)
     var frontier = visited.select($"id")
     for (h <- 1 to 4) {

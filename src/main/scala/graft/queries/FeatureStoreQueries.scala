@@ -37,8 +37,14 @@ object FeatureStoreQueries extends QueryModule {
     * the 32-bucket default is a 100×-store layout. AsOfProbe measured
     * 8 buckets fastest at this scale (ARCHITECTURE.md, round 7). */
   private def tempStore(spark: SparkSession): OnlineStore =
+    // scratch store on the tmpfs ephemeral root (round 14): each fs_*
+    // query builds and reads a throwaway store per invocation — on the
+    // disk-backed tmpdir those rewrite-commit renames queued behind the
+    // driver sequence's writeback (the checkpoint-fsync mechanism,
+    // store edition)
     new OnlineStore(spark,
-      Files.createTempDirectory("graft_store_").toString, nBuckets = 8)
+      graft.core.EphemeralDirs.tempDir("graft_store_").toString,
+      nBuckets = 8)
 
   private val dailySqlCte =
     """daily AS (

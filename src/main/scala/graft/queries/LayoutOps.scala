@@ -56,7 +56,7 @@ object LayoutOps extends QueryModule {
     // rebuild the layout only once per (session, dataset): the write cost
     // is the amortized one-time shuffle, not part of the join
     if (!spark.catalog.tableExists(ct) || !spark.catalog.tableExists(ot)) {
-      val base = Files.createTempDirectory("graft_bkt_").toString
+      val base = graft.core.EphemeralDirs.tempDir("graft_bkt_").toString
       Tables.customer(spark, dir)
         .select($"c_custkey", $"c_mktsegment")
         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")

@@ -185,10 +185,11 @@ object SignalOps extends QueryModule {
   private def hits(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val Scale = 1000000000L
-    val rel = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-      .select($"l_suppkey".as("s"), $"o_custkey".as("c"))
-      .distinct().persist()
+    // shared session-cached directed pair set (round 14, TradeGraph) —
+    // already localCheckpoint'd, so the 3 HITS rounds replan against a
+    // leaf and nothing needs a persist() pin or release
+    val rel = graft.queries.TradeGraph.rawPairs(spark, dir)
+      .select(col("s"), col("c"))
     var hub = rel.select($"s".as("id")).distinct()
       .select($"id", lit(Scale).as("sc")).localCheckpoint(true)
     var auth: DataFrame = null
@@ -214,9 +215,7 @@ object SignalOps extends QueryModule {
           .cast("long").as("rank"),
         $"id", $"sc".as("score"))
       .filter($"rank" <= 10)
-    graft.core.CachePin.sealAndRelease(
-      top(hub, "hub").unionByName(top(auth, "auth")).orderBy($"role", $"rank"),
-      rel)
+    top(hub, "hub").unionByName(top(auth, "auth")).orderBy($"role", $"rank")
   }
 
   private val hitsSql = {

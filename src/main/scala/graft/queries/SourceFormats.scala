@@ -62,7 +62,8 @@ object SourceFormats extends QueryModule {
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), epochMs(col("ts")).as("ems"))
-    val tmp = Files.createTempDirectory(s"graft_${format}_rt_").toString
+    // scratch roundtrip dir on the tmpfs ephemeral root (round 14)
+    val tmp = graft.core.EphemeralDirs.tempDir(s"graft_${format}_rt_").toString
     e.write.mode(SaveMode.Overwrite).format(format)
       .option("header", "true").save(tmp)
     val schema = e.schema

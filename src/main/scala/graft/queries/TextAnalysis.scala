@@ -2570,10 +2570,47 @@ object TextAnalysis extends QueryModule {
                then cast(pow(2, b) as bigint) else 0L end),
         0L, (acc, x) -> acc + x)), 1)"""
 
+  /** The per-doc simhash frame (doc_id, lang, simhash, bucket) — built
+    * ONCE per (session, dataset) and localCheckpoint'd (round 14, the
+    * lshEdges pattern): five queries (`dedup_simhash`,
+    * `dedup_simhash_pairs`, `dedup_clusters`→`dedup_keep_best`,
+    * `graph_modularity`, `graph_conductance`) each recomputed the
+    * identical per-token-md5 signature pass and most re-ran the same
+    * bucket self-join on top of it. */
+  private val simsCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private[graft] def simhashFrame(spark: SparkSession, dir: String): DataFrame =
+    simsCache.getOrElseUpdate(
+      s"sims:${graft.core.SessionKeys.of(spark)}@$dir",
+      docs(spark, dir)
+        .select(col("doc_id"), col("lang"), expr(simhashExpr).as("simhash"))
+        .withColumn("bucket", expr("simhash div 16777216"))
+        .localCheckpoint(true))
+
+  /** The simhash near-dup EDGE SET (same top-8-bit bucket, hamming ≤ 6)
+    * with both endpoints' languages — the identical edge table
+    * `dedup_clusters`, `graph_modularity` and `graph_conductance` each
+    * built privately. Cached like [[simhashFrame]]. */
+  private[graft] def simhashLangEdges(spark: SparkSession, dir: String)
+      : DataFrame =
+    simsCache.getOrElseUpdate(
+      s"simedges:${graft.core.SessionKeys.of(spark)}@$dir", {
+        graft.functions.HammingDistance.register(spark)
+        val sims = simhashFrame(spark, dir)
+        val a = sims.select(col("bucket"), col("doc_id").as("src"),
+          col("lang").as("lang_src"), col("simhash").as("sh_a"))
+        val b = sims.select(col("bucket"), col("doc_id").as("dst"),
+          col("lang").as("lang_dst"), col("simhash").as("sh_b"))
+        a.join(b, Seq("bucket"))
+          .filter(col("src") < col("dst"))
+          .filter(expr("hamming_distance(sh_a, sh_b)") <= 6)
+          .select(col("src"), col("dst"), col("lang_src"), col("lang_dst"))
+          .localCheckpoint(true)
+      })
+
   private def simHash(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
-      col("doc_id"),
-      expr(simhashExpr).as("simhash"))
+    simhashFrame(spark, dir).select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
   /** SimHash candidate pairs: bucket on the top 8 signature bits, rank by
@@ -2582,23 +2619,19 @@ object TextAnalysis extends QueryModule {
     * inside whole-stage codegen; a UDF would box per pair). */
   private def simHashPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.HammingDistance.register(spark)
-    // both sides of the self-join need the signatures — materialize once
-    // (bounded: one long per doc)
-    val sims = docs(spark, dir)
-      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
-      .withColumn("bucket", expr("simhash div 16777216"))
-      .persist()
+    // both sides of the self-join read the shared session-cached
+    // signature frame (round 14) — already localCheckpoint'd, no pin
+    val sims = simhashFrame(spark, dir)
     val a = sims.select(col("bucket"), col("doc_id").as("doc_a"),
       col("simhash").as("sh_a"))
     val b = sims.select(col("bucket"), col("doc_id").as("doc_b"),
       col("simhash").as("sh_b"))
-    val out = a.join(b, Seq("bucket"))
+    a.join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", expr("hamming_distance(sh_a, sh_b)").cast("long"))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(50)
-    graft.core.CachePin.sealAndRelease(out, sims)
   }
 
   private val simHashPairsSql =
@@ -2638,27 +2671,17 @@ object TextAnalysis extends QueryModule {
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterCache.getOrElseUpdate(
       s"${graft.core.SessionKeys.of(spark)}@$dir", {
-        graft.functions.HammingDistance.register(spark)
-        val sims = docs(spark, dir)
-          .select(col("doc_id"), expr(simhashExpr).as("simhash"))
-          .withColumn("bucket", expr("simhash div 16777216"))
-          .persist()
-        val a = sims.select(col("bucket"), col("doc_id").as("src"),
-          col("simhash").as("sh_a"))
-        val b = sims.select(col("bucket"), col("doc_id").as("dst"),
-          col("simhash").as("sh_b"))
-        val edges = a.join(b, Seq("bucket"))
-          .filter(col("src") < col("dst"))
-          .filter(expr("hamming_distance(sh_a, sh_b)") <= 6)
+        // the shared edge set (round 14): same bucket join, same ≤6 cut
+        val edges = simhashLangEdges(spark, dir)
           .select(col("src"), col("dst"))
         val comp = graft.operators.ConnectedComponents.components(edges)
         val sizes = comp.groupBy(col("comp"))
           .agg(count(lit(1)).as("cluster_size"))
-        val out = comp.join(sizes, Seq("comp"))
+        comp.join(sizes, Seq("comp"))
           .select(col("comp").as("cluster_id"), col("id").as("doc_id"),
             col("cluster_size"))
           .orderBy(col("cluster_id"), col("doc_id"))
-        graft.core.CachePin.sealAndRelease(out, sims)
+          .localCheckpoint(true)
       })
 
   private val dedupClustersSql =
@@ -3354,21 +3377,10 @@ object TextAnalysis extends QueryModule {
     * integers first, so Q = Σ Q_c holds bit-exactly. Edge building is
     * the proven bucket join; degrees are one shuffle on node. */
   private def modularity(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.HammingDistance.register(spark)
     import spark.implicits._
-    val d = docs(spark, dir)
-    val sims = d
-      .select(col("doc_id"), col("lang"), expr(simhashExpr).as("simhash"))
-      .withColumn("bucket", expr("simhash div 16777216"))
-      .persist()
-    val a = sims.select(col("bucket"), col("doc_id").as("src"),
-      col("lang").as("lang_src"), col("simhash").as("sh_a"))
-    val b = sims.select(col("bucket"), col("doc_id").as("dst"),
-      col("lang").as("lang_dst"), col("simhash").as("sh_b"))
-    val edges = a.join(b, Seq("bucket"))
-      .filter(col("src") < col("dst"))
-      .filter(expr("hamming_distance(sh_a, sh_b)") <= 6)
-      .select(col("src"), col("dst"), col("lang_src"), col("lang_dst"))
+    // shared session-cached near-dup edge set (round 14): the signature
+    // pass and the bucket self-join run once per session, not per query
+    val edges = simhashLangEdges(spark, dir)
     val m = edges.agg(count(lit(1)).as("m"))
     val deg = edges.select(col("src").as("id"), col("lang_src").as("lang"))
       .unionAll(edges.select(col("dst").as("id"), col("lang_dst").as("lang")))
@@ -3388,7 +3400,7 @@ object TextAnalysis extends QueryModule {
         ((lit(4L) * $"m" * $"e_c" - $"d_c" * $"d_c").cast("double") /
           (lit(4L) * $"m" * $"m").cast("double")).as("q_contrib"))
       .orderBy($"lang")
-    graft.core.CachePin.sealAndRelease(out, sims)
+    out
   }
 
   private val modularitySql =
@@ -3450,22 +3462,10 @@ object TextAnalysis extends QueryModule {
     * empty/whole-graph communities). Low φ = a well-separated near-dup
     * community; complements the Q_c rows rather than duplicating them. */
   private def conductance(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.HammingDistance.register(spark)
     import spark.implicits._
-    val d = docs(spark, dir)
-    val sims = d
-      .select(col("doc_id"), col("lang"), expr(simhashExpr).as("simhash"))
-      .withColumn("bucket", expr("simhash div 16777216"))
-      .persist()
-    val a = sims.select(col("bucket"), col("doc_id").as("src"),
-      col("lang").as("lang_src"), col("simhash").as("sh_a"))
-    val b = sims.select(col("bucket"), col("doc_id").as("dst"),
-      col("lang").as("lang_dst"), col("simhash").as("sh_b"))
-    val edges = a.join(b, Seq("bucket"))
-      .filter(col("src") < col("dst"))
-      .filter(expr("hamming_distance(sh_a, sh_b)") <= 6)
-      .select(col("src"), col("dst"), col("lang_src"), col("lang_dst"))
-      .persist()
+    // shared session-cached near-dup edge set (round 14) — identical
+    // rows to the private build this replaces, no pins to release
+    val edges = simhashLangEdges(spark, dir)
     val m = edges.agg(count(lit(1)).as("m"))
     val deg = edges.select(col("src").as("id"), col("lang_src").as("lang"))
       .unionAll(edges.select(col("dst").as("id"), col("lang_dst").as("lang")))
@@ -3485,7 +3485,7 @@ object TextAnalysis extends QueryModule {
             least($"d_c", lit(2L) * $"m" - $"d_c"))
           .otherwise(lit(0.0)).as("conductance"))
       .orderBy($"lang")
-    graft.core.CachePin.sealAndRelease(out, sims, edges)
+    out
   }
 
   private val conductanceSql =

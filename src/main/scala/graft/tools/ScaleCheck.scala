@@ -100,6 +100,7 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFold.register(spark) // fdot/fsq for the ANN rows
     import spark.implicits._
 
     val base = java.nio.file.Files.createTempDirectory("graft_scalecheck_")

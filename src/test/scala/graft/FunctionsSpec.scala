@@ -136,4 +136,49 @@ class FunctionsSpec extends AnyFunSuite {
       (l.contains("floatdot") || l.contains("fdot")) &&
         l.trim.startsWith("*")), plan)
   }
+
+  test("fsq is bit-identical to the interpreted squared-distance fold " +
+      "(zero and subspace offsets) and stays in codegen (round 14)") {
+    graft.functions.VectorFold.register(spark)
+    val vecs = spark.range(0, 200)
+      .selectExpr(
+        """transform(sequence(0, 63), j -> cast(
+          |  (cast(conv(substring(md5(cast(concat(id, '_', j) as binary)),
+          |     1, 8), 16, 10) as bigint) - 2147483648.0) / 16777216.0
+          |  as float)) AS a""".stripMargin,
+        """transform(sequence(0, 63), j -> cast(
+          |  (cast(conv(substring(md5(cast(concat(id, '_q', j) as binary)),
+          |     1, 8), 16, 10) as bigint) - 2147483648.0) / 1048576.0
+          |  as float)) AS b""".stripMargin,
+        // an 8-dim double reference row (the PQ sub-centroid shape)
+        """transform(sequence(0, 7), j -> cast(
+          |  (cast(conv(substring(md5(cast(concat(id, '_c', j) as binary)),
+          |     1, 8), 16, 10) as bigint) - 2147483648.0) / 33554432.0
+          |  as double)) AS c""".stripMargin)
+    val rows = vecs.selectExpr(
+      "fsq(a, b, 0) AS native",
+      """aggregate(zip_with(a, b, (x, y) ->
+        |  (cast(x as double) - cast(y as double))
+        |  * (cast(x as double) - cast(y as double))), 0D,
+        |  (acc, x) -> acc + x) AS interpreted""".stripMargin,
+      // subspace offset 24 vs the slice-based interpreted form
+      "fsq(a, c, 24) AS nativeSub",
+      """aggregate(zip_with(slice(a, 25, 8), c, (x, y) ->
+        |  (cast(x as double) - y) * (cast(x as double) - y)), 0D,
+        |  (acc, x) -> acc + x) AS interpretedSub""".stripMargin)
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))
+    }
+    val mat = vecs.localCheckpoint(true)
+    val plan = mat.selectExpr("fsq(a, b, 0) AS d")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("floatsqdist") || plan.contains("fsq"), plan)
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("floatsqdist") || l.contains("fsq")) &&
+        l.trim.startsWith("*")), plan)
+  }
 }

@@ -15,6 +15,9 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // native fdot/fsq are session-registered by the query entry wrappers;
+    // suites that exercise the operators directly need them too
+    graft.functions.VectorFold.register(s)
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
