@@ -535,10 +535,12 @@ object TextAnalysis extends QueryModule {
   /** Streaming twin of [[winnowing]]: the per-row array computation is a
     * stateless map, so the stream form is the batch expression over the
     * doc replay — no shuffle, no state; same oracle. */
-  private def winnowingStream(spark: SparkSession, dir: String): DataFrame = {
+  private def winnowingStream(spark: SparkSession, dir: String,
+      nChunks: Int = graft.streaming.StreamingPipelines.GateReplayChunks)
+      : DataFrame = {
     import graft.streaming.StreamingPipelines
     val in = winnowCols(
-      StreamingPipelines.docStreamReplay(spark, dir)
+      StreamingPipelines.docStreamReplay(spark, dir, nChunks)
         .select(col("doc_id"), col("text"))
         .withColumn("toks", split(trim(col("text")), "\\s+")))
       .select(col("doc_id"), size(col("gh")).cast("long").as("n_grams"),
@@ -909,6 +911,23 @@ object TextAnalysis extends QueryModule {
     * no shuffle): the 60-bit sorted-distinct shingle hashes for exact
     * Jaccard scoring plus the 4 LSH band values off the 8-slot MinHash
     * signature. Used by the streaming fuzzy-decontamination gate. */
+  /** The full-corpus (doc_id, sj, bands) signature frame — built ONCE per
+    * (session, dataset) and localCheckpoint'd (round 14, the simhashFrame
+    * pattern): dedup_incremental_bands and stream_dedup_incremental each
+    * re-ran the identical per-shingle-md5 [[fuzzySigRows]] pass per
+    * invocation (the stream additionally re-checkpointing it as the
+    * static side of its stream-static probe). Pure reads of the cached
+    * frame are bit-identical to the private builds they replace. */
+  private val corpusSigCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private[graft] def corpusSigFrame(spark: SparkSession, dir: String)
+      : DataFrame =
+    corpusSigCache.getOrElseUpdate(
+      s"sig:${graft.core.SessionKeys.of(spark)}@$dir",
+      fuzzySigRows(docs(spark, dir).select(col("doc_id"), col("text")))
+        .localCheckpoint(true))
+
   private[graft] def fuzzySigRows(df: DataFrame): DataFrame =
     // ONE md5 pass per shingle (round-13, verdict r12 #3: sj's 15-hex
     // and the bands' 8-hex prefixes come from the SAME digest — the old
@@ -1149,8 +1168,22 @@ object TextAnalysis extends QueryModule {
     * both the learned rule trajectory AND the final (w, cnt, pos, sym)
     * symbol table — i.e. every distinct corpus word already encoded with
     * all trained merges applied. [[bpeMerges]] reports the former,
-    * [[bpeEncode]] the latter, so training and encoding cannot drift. */
+    * [[bpeEncode]] the latter, so training and encoding cannot drift.
+    *
+    * Session-cached (round 14, the funnelFlags pattern): the trainer is a
+    * driver-iterated 8-round loop whose full cost both text_bpe_merges and
+    * text_bpe_encode paid per invocation; the rule list is a bounded
+    * driver Seq and the final symbol table is localCheckpoint'd by its
+    * last round, so caching the pair is plan-stable. */
+  private val bpeCache = new scala.collection.concurrent.TrieMap[
+    String, (Seq[(Long, String, String, String, Long)], DataFrame)]()
+
   private def bpeTrain(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) =
+    bpeCache.getOrElseUpdate(
+      s"${graft.core.SessionKeys.of(spark)}@$dir", bpeTrainRun(spark, dir))
+
+  private def bpeTrainRun(spark: SparkSession, dir: String)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
     val words = docs(spark, dir)
@@ -1444,29 +1477,46 @@ object TextAnalysis extends QueryModule {
     * localCheckpoint caps plan growth (CLAUDE.md rule). */
   private val prIters = 5
 
+  /** The word co-occurrence edge table with hoisted out-weights — the
+    * corpus-proportional input pass of [[textRank]], built once per
+    * (session, dataset) (round 14, the lshEdges pattern; the 5 PageRank
+    * rounds stay live per invocation). */
+  private def textRankEdges(spark: SparkSession, dir: String): DataFrame =
+    simsCache.getOrElseUpdate(
+      s"tredges:${graft.core.SessionKeys.of(spark)}@$dir", {
+        val big = docs(spark, dir)
+          .select(explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+          .select(col("bg.a").as("a"), col("bg.b").as("b"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("bcnt"))
+        val ed = big.select(col("a").as("src"), col("b").as("dst"),
+            col("bcnt").as("c"))
+          .unionAll(big.select(col("b").as("src"), col("a").as("dst"),
+            col("bcnt").as("c")))
+          .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("wt"))
+        val ow = ed.groupBy(col("src")).agg(sum(col("wt")).as("wsrc"))
+        ed.join(ow, "src").localCheckpoint(true)
+      })
+
   private def textRank(spark: SparkSession, dir: String): DataFrame = {
-    val big = docs(spark, dir)
-      .select(explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
-        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
-      .select(col("bg.a").as("a"), col("bg.b").as("b"))
-      .filter(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("bcnt"))
-    val ed = big.select(col("a").as("src"), col("b").as("dst"), col("bcnt").as("c"))
-      .unionAll(big.select(col("b").as("src"), col("a").as("dst"), col("bcnt").as("c")))
-      .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("wt"))
-    val ow = ed.groupBy(col("src")).agg(sum(col("wt")).as("wsrc"))
-    val edges = ed.join(ow, "src").localCheckpoint(true)
+    val edges = textRankEdges(spark, dir)
     var s = edges.select(col("src").as("w")).distinct()
       .withColumn("sc", lit(1000000L))
     for (_ <- 1 to prIters) {
+      // coalesce(1): the iterate is vocab-bounded (one row per word) —
+      // without it every round materialized 32 near-empty shuffle tasks
+      // (the round-10 emb_pca lesson). Long-sum aggregation is
+      // order-independent, so the rows are bit-identical.
       s = edges.join(broadcast(s.withColumnRenamed("w", "src")), "src")
         .withColumn("contrib", expr("(sc * wt) div wsrc"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("inflow"))
         .select(col("dst").as("w"),
           (lit(150000L) + expr("(850000 * inflow) div 1000000")).as("sc"))
+        .coalesce(1)
         .localCheckpoint(true)
     }
     import org.apache.spark.sql.expressions.Window
@@ -2885,9 +2935,9 @@ object TextAnalysis extends QueryModule {
     * changes nothing about the verdicts, only the cost. */
   private def dedupIncrementalBands(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SortedIntersectCount.register(spark)
-    val sig = fuzzySigRows(
-        docs(spark, dir).select(col("doc_id"), col("text")))
-      .persist()
+    // shared session-cached corpus signature frame (round 14) — already
+    // localCheckpoint'd, no per-invocation md5 pass, no pin to release
+    val sig = corpusSigFrame(spark, dir)
     val bandRows = sig.select(col("doc_id"), explode(col("bands")).as("band_val"))
     val cand = bandRows.filter(col("doc_id") % 3 === 0)
       .select(col("band_val"), col("doc_id").as("n"))
@@ -2904,7 +2954,7 @@ object TextAnalysis extends QueryModule {
           size(col("sa")).cast("long") + size(col("sb")), 1L).otherwise(0L))
       .groupBy(col("n"))
       .agg(count(lit(1)).as("n_candidates"), sum(col("conf")).as("n_matches"))
-    val out = docs(spark, dir).filter(col("doc_id") % 3 === 0)
+    docs(spark, dir).filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"))
       .join(matches.withColumnRenamed("n", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -2912,7 +2962,6 @@ object TextAnalysis extends QueryModule {
         coalesce(col("n_matches"), lit(0L)).cast("long").as("n_matches"),
         (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
       .orderBy(col("doc_id"))
-    graft.core.CachePin.sealAndRelease(out, sig)
   }
 
   /** The oracle is the FULL-corpus pairing (old×old included) under the
@@ -3551,7 +3600,8 @@ object TextAnalysis extends QueryModule {
     "text_decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "dedup_bbit_minhash" -> (bbitMinhash _),
     "text_winnowing" -> (winnowing _),
-    "stream_winnowing" -> (winnowingStream _),
+    "stream_winnowing" ->
+      ((s: SparkSession, d: String) => winnowingStream(s, d)),
     "dedup_winnowing_pairs" -> (winnowingPairs _),
     "stream_winnowing_pairs" -> (winnowingPairsStream _),
     "text_bpe_merges" -> (bpeMerges _),

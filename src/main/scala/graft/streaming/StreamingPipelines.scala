@@ -914,8 +914,17 @@ object StreamingPipelines {
     * state is one id per bucket, and the verdict per doc is a 4-row
     * rollup. The batch oracle mirrors with a window MIN per band_val. */
   def dedupMinhashStream(spark: SparkSession, dir: String,
-      nChunks: Int = 4,
+      nChunks: Int = 2,
       stateParts: String = StatePartitions): DataFrame = {
+    // 2-chunk pin (round 14, PartsSweep `bandstate`: 2.13 s vs 2.56 s at
+    // 4 chunks, median-of-3 warm at sf0.1). Chunk-count invariance: the
+    // replay is doc_id-ordered, so the keep-first winner per band bucket
+    // is the MIN-id poster at ANY chunk boundary (within-batch ties
+    // reconcile to min id, across batches the earlier batch won already);
+    // 2 batches still exercise genuine cross-batch keep-first state (a
+    // batch-2 post losing to a batch-1 owner). The keep-min RETRACTION
+    // twin stays on its 4-chunk SHUFFLED replay — churn across batches
+    // is its story.
     import spark.implicits._
     val in = bandStreamReplay(spark, dir, nChunks)
       .select(col("band_val"), col("doc_id"))
@@ -959,10 +968,10 @@ object StreamingPipelines {
       stateParts: String = StatePartitions): DataFrame = {
     import spark.implicits._
     graft.functions.SortedIntersectCount.register(spark)
-    val sig = graft.queries.TextAnalysis.fuzzySigRows(
-        graft.core.Tables.documents(spark, dir)
-          .select(col("doc_id"), col("text")))
-      .localCheckpoint(true)
+    // shared session-cached corpus signatures (round 14) — the frame is
+    // already localCheckpoint'd (train-once static side); only the cheap
+    // band explode is re-checkpointed per invocation
+    val sig = graft.queries.TextAnalysis.corpusSigFrame(spark, dir)
     val corpusBands = sig.filter(col("doc_id") % 3 =!= 0)
       .select(explode(col("bands")).as("band_val"), col("doc_id").as("o"))
       .localCheckpoint(true)
@@ -1009,14 +1018,16 @@ object StreamingPipelines {
     * fixed eval set at scan speed, which is why this twin is a map, not
     * an aggregation (a per-doc groupBy would grow state with the
     * corpus). Same oracle as text_decontaminate. */
-  def decontaminateStream(spark: SparkSession, dir: String): DataFrame = {
+  def decontaminateStream(spark: SparkSession, dir: String,
+      nChunks: Int = GateReplayChunks): DataFrame = {
     import spark.implicits._
     val evalGrams: Map[Long, Long] =
       graft.queries.TextAnalysis.evalGramTable(spark, dir)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val bc = spark.sparkContext.broadcast(evalGrams)
     val in = graft.queries.TextAnalysis.gramRows(
-        docStreamReplay(spark, dir).select(col("doc_id"), col("text")))
+        docStreamReplay(spark, dir, nChunks)
+          .select(col("doc_id"), col("text")))
       .filter(col("doc_id") % 50 =!= 0)
       .as[(Long, Seq[Long])]
     val out = in.map { case (docId, grams) =>
@@ -1047,7 +1058,8 @@ object StreamingPipelines {
     * ties resolve to the smallest eval id — the oracle's
     * (jaccard DESC, ev_doc) ranking. Same oracle as
     * text_decontaminate_fuzzy. */
-  def decontaminateFuzzyStream(spark: SparkSession, dir: String): DataFrame = {
+  def decontaminateFuzzyStream(spark: SparkSession, dir: String,
+      nChunks: Int = GateReplayChunks): DataFrame = {
     import spark.implicits._
     val evalSig = graft.queries.TextAnalysis.fuzzySigRows(
         graft.core.Tables.documents(spark, dir)
@@ -1062,7 +1074,8 @@ object StreamingPipelines {
     val bcSj = spark.sparkContext.broadcast(evSj)
     val bcBands = spark.sparkContext.broadcast(evBands)
     val in = graft.queries.TextAnalysis.fuzzySigRows(
-        docStreamReplay(spark, dir).select(col("doc_id"), col("text")))
+        docStreamReplay(spark, dir, nChunks)
+          .select(col("doc_id"), col("text")))
       .filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), col("sj"), col("bands"))
       .as[(Long, Seq[Long], Seq[String])]
@@ -1252,7 +1265,11 @@ object StreamingPipelines {
     * `dedup_phash_images` pairs (the service semantics: later uploads
     * match against the corpus owner). Exact Hamming ≤ 3 filter on the
     * bounded candidate set; state one winner per distinct band value. */
-  def phashDedupStream(spark: SparkSession, dir: String): DataFrame = {
+  def phashDedupStream(spark: SparkSession, dir: String,
+      nChunks: Int = 2): DataFrame = {
+    // 2-chunk pin (round 14, PartsSweep `bandstate`: 2.65 s vs 3.07 s at
+    // 4 chunks) — same id-ordered keep-first invariance argument as
+    // dedupMinhashStream; 2 batches keep the cross-batch owner story.
     import spark.implicits._
     import graft.pipeline.Multimodal
     def bandRows(ids: DataFrame) = Multimodal.phashImages(
@@ -1261,7 +1278,8 @@ object StreamingPipelines {
       .select(col("media_id"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
           .as(Seq("k", "v")))
-    val in = bandRows(docStreamReplay(spark, dir).select(col("doc_id")))
+    val in = bandRows(
+      docStreamReplay(spark, dir, nChunks).select(col("doc_id")))
       .select(concat(col("k"), lit(":"), col("v")).as("band_val"),
         col("media_id").as("doc_id"))
       .as[StatefulFeatures.BandIn]
@@ -1296,11 +1314,12 @@ object StreamingPipelines {
     * Spark-side hash expression, sum broadcast weights (occurrences in
     * buckets outside the map are skipped, mirroring the batch query's
     * inner joins). Top-20 finale over the bounded sink; same oracle. */
-  def dsirGateStream(spark: SparkSession, dir: String): DataFrame = {
+  def dsirGateStream(spark: SparkSession, dir: String,
+      nChunks: Int = GateReplayChunks): DataFrame = {
     import spark.implicits._
     val w = spark.sparkContext.broadcast(
       graft.queries.CorpusPipeline.dsirWeights(spark, dir))
-    val in = docStreamReplay(spark, dir)
+    val in = docStreamReplay(spark, dir, nChunks)
       .select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 50 =!= 0)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
@@ -1575,7 +1594,8 @@ object StreamingPipelines {
     * trained on yesterday's corpus; here it is trained on the replayed
     * corpus itself so the batch oracle grades the stream verdicts
     * exactly. */
-  def lmScoreStream(spark: SparkSession, dir: String): DataFrame = {
+  def lmScoreStream(spark: SparkSession, dir: String,
+      nChunks: Int = GateReplayChunks): DataFrame = {
     import spark.implicits._
     val (_, uni, bi) = graft.queries.TextAnalysis.lmCountTables(spark, dir)
     val uniM: Map[String, Long] =
@@ -1587,7 +1607,7 @@ object StreamingPipelines {
     val bcB = spark.sparkContext.broadcast(biM)
     // bit length of a positive count == length(bin(n)) in both engines
     def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
-    val in = docStreamReplay(spark, dir)
+    val in = docStreamReplay(spark, dir, nChunks)
       .select(col("doc_id"), col("text")).as[(Long, String)]
     val out = in.map { case (docId, text) =>
       val toks = text.trim.split("\\s+")
@@ -1615,7 +1635,8 @@ object StreamingPipelines {
     * cut take the better bucket; the oracle re-derives the cuts and
     * re-buckets every doc by the same rule — TextAnalysis.ccnetGateSql).
     * Zero streaming state, zero stream-side shuffle. */
-  def ccnetGateStream(spark: SparkSession, dir: String): DataFrame = {
+  def ccnetGateStream(spark: SparkSession, dir: String,
+      nChunks: Int = GateReplayChunks): DataFrame = {
     import spark.implicits._
     val (_, uni, bi) = graft.queries.TextAnalysis.lmCountTables(spark, dir)
     val uniM: Map[String, Long] =
@@ -1643,7 +1664,7 @@ object StreamingPipelines {
     val bcB = spark.sparkContext.broadcast(biM)
     val bcC = spark.sparkContext.broadcast(cutsM)
     def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
-    val in = docStreamReplay(spark, dir)
+    val in = docStreamReplay(spark, dir, nChunks)
       .select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
     val out = in.map { case (docId, lang, text) =>
@@ -2325,6 +2346,24 @@ object StreamingPipelines {
     * chunks beat 8 on every member, 1.9–2.9× — e.g. markov 4.77→1.66,
     * trend 3.54→1.58, aligned append 3.82→2.40, scd2 2.95→1.15. */
   private[graft] val StatefulReplayChunks = 2
+
+  /** Replay cadence for the STATELESS doc-replay gates (exact + fuzzy
+    * decontamination, bloom, DSIR, LM-score, CCNet, winnowing): each doc's
+    * verdict is a pure function of the doc row and a batch-trained
+    * broadcast model — no state store, no watermark, no cross-row
+    * dependence — so the output multiset is chunk-count invariant by
+    * construction and multi-trigger replay only adds per-batch commit
+    * fixed cost plus (for the gates with a stream-static or broadcast
+    * training side) one re-execution of the static plan per extra batch.
+    * This is the in-tree precedent the corpus funnel's stateless pass
+    * has used since round 10 (`curationFunnelStream` runs its gate pass
+    * at nChunks = 1 for exactly this reason). Swept over {1, 2, 4}
+    * (PartsSweep `docgates` grid, median-of-3 warm at sf0.1, table in
+    * ARCHITECTURE.md). The STATEFUL band/doc consumers (minhash dedup,
+    * incremental dedup, phash dedup) are NOT on this pin — their
+    * keep-first/retraction state story needs ≥2 batches; they take the
+    * separate `bandstate` sweep. */
+  private[graft] val GateReplayChunks = 1
 
   def seasonalityStream(spark: SparkSession, dir: String,
                         nChunks: Int = MonitorReplayChunks): DataFrame = {

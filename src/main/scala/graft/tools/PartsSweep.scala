@@ -122,6 +122,41 @@ object PartsSweep {
       }
     }
 
+    // Round-14: replay-chunk sweep for the STATELESS doc-replay gates
+    // (broadcast-model verdict per doc — chunk-invariant by construction,
+    // the corpus funnel's own nChunks=1 stateless-pass precedent) and the
+    // stateful band/doc dedup consumers (keep-first / member-list state —
+    // ≥2 batches keep the cross-batch story exercised).
+    if (which == "docgates") {
+      val ms: Seq[(String, Int => DataFrame)] = Seq(
+        "decontaminate" -> (c => decontaminateStream(spark, dir, c)),
+        "decontamfuzzy" -> (c => decontaminateFuzzyStream(spark, dir, c)),
+        "dsirgate" -> (c => dsirGateStream(spark, dir, c)),
+        "ccnetgate" -> (c => ccnetGateStream(spark, dir, c)),
+        "lmscore" -> (c => lmScoreStream(spark, dir, c)))
+      val chunks = Seq(1, 2, 4)
+      for ((_, fn) <- ms; c <- chunks) fn(c).count() // warm + staging
+      for ((name, fn) <- ms; c <- chunks) {
+        val ts = (1 to 3).map(_ => timed(fn(c).count())).sorted
+        println(f"[psweep] gate:$name%-14s chunks=$c%d " +
+          f"median=${ts(1)}%7.2fs (min=${ts.head}%.2f max=${ts.last}%.2f)")
+      }
+    }
+
+    if (which == "bandstate") {
+      val ms: Seq[(String, Int => DataFrame)] = Seq(
+        "minhashdedup" -> (c => dedupMinhashStream(spark, dir, c)),
+        "incdedup" -> (c => dedupIncrementalStream(spark, dir, c)),
+        "phashdedup" -> (c => phashDedupStream(spark, dir, c)))
+      val chunks = Seq(2, 4)
+      for ((_, fn) <- ms; c <- chunks) fn(c).count() // warm + staging
+      for ((name, fn) <- ms; c <- chunks) {
+        val ts = (1 to 3).map(_ => timed(fn(c).count())).sorted
+        println(f"[psweep] band:$name%-14s chunks=$c%d " +
+          f"median=${ts(1)}%7.2fs (min=${ts.head}%.2f max=${ts.last}%.2f)")
+      }
+    }
+
     if (which == "ivgrid" || which == "ivleftgrid") {
       val fn: (Int, String) => DataFrame =
         if (which == "ivgrid") intervalJoinStream(spark, dir, _, _)
