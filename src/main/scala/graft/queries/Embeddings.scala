@@ -1779,7 +1779,13 @@ object Embeddings extends QueryModule {
       .orderBy(col("adc").asc, col("vec_id"))
     val rankExact = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("vec_id"))
+    // project to (query_id, vec_id, score) BEFORE each ranking window:
+    // the Exchange feeding a window otherwise carries the full pair row
+    // (embedding + qv + dtable ≈ 1.3 KB/row) when only 24 bytes rank
+    // (guide §2.3 "project before the exchange"; scores are computed
+    // below the project, so values and tie-breaks are unchanged)
     val adcScored = cand.withColumn("adc", round(adcCol, 6))
+      .select(col("query_id"), col("vec_id"), col("adc"))
       .withColumn("rn", row_number().over(rankAdc))
     val adcTop = adcScored.filter(col("rn") <= 10)
       .select(col("query_id"), col("vec_id"))
@@ -1788,10 +1794,12 @@ object Embeddings extends QueryModule {
     val adc50 = adcScored.filter(col("rn") <= 50)
       .select(col("query_id"), col("vec_id"))
     val brute = pairsAll.withColumn("d2", round(exactCol, 6))
+      .select(col("query_id"), col("vec_id"), col("d2"))
       .withColumn("rn", row_number().over(rankExact)).filter(col("rn") <= 10)
       .select(col("query_id"), col("vec_id"))
     val rerank = cand.join(adc50, Seq("query_id", "vec_id"))
       .withColumn("d2", round(exactCol, 6))
+      .select(col("query_id"), col("vec_id"), col("d2"))
       .withColumn("rn", row_number().over(rankExact)).filter(col("rn") <= 10)
       .select(col("query_id"), col("vec_id"))
     val hits = brute.join(adcTop, Seq("query_id", "vec_id"))

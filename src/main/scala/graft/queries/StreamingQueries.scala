@@ -118,7 +118,7 @@ object StreamingQueries extends QueryModule {
   /** W7 allowed-lateness survivor set, as a CTE chain shared by all three
     * family members (counts / stats / session): reproduce the disordered
     * replay's batch boundaries (arrival = ems + md5-derived delay; chunk =
-    * arrival-rank * 8 / total), compute the watermark each chunk's
+    * arrival-rank * LateReplayChunks / total), compute the watermark each chunk's
     * LATE-ROW FILTER ran under, and drop rows strictly below it. The
     * filter watermark is the PREVIOUS batch's (Spark's late-events/
     * eviction split since 3.4) — max event time of chunks <= c-2, minus
@@ -132,6 +132,9 @@ object StreamingQueries extends QueryModule {
   private def lateSurvivorCtes(extraCols: Seq[String]): String = {
     val sel = extraCols.map(c => s", $c").mkString
     val selC = extraCols.map(c => s", c.$c").mkString
+    // the chunk rule mirrors the REPLAY cadence — the constant must
+    // stay in lockstep with the Spark side (see LateReplayChunks doc)
+    val nc = graft.streaming.StreamingPipelines.LateReplayChunks
     s"""arr AS (
       |  SELECT event_id, user_id$sel, epoch_ms(ts) AS ems,
       |    epoch_ms(ts) + CASE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10
@@ -142,7 +145,7 @@ object StreamingQueries extends QueryModule {
       |    COUNT(*) OVER () AS total
       |  FROM arr
       |), chunked AS (
-      |  SELECT *, rn * 8 // total AS chunk FROM ranked
+      |  SELECT *, rn * $nc // total AS chunk FROM ranked
       |), cmax AS (
       |  SELECT chunk, MAX(ems) AS cm FROM chunked GROUP BY chunk
       |), wm AS (

@@ -258,9 +258,10 @@ object StreamingPipelines {
     * over the SURVIVORS — so both the correction math and the drop
     * boundary are checked exactly. */
   def anchoredLateUpdate(spark: SparkSession, dir: String,
+      nChunks: Int = LateReplayChunks,
       stateParts: String = LateUpdateParts): DataFrame = {
     import spark.implicits._
-    val in = lateReplayStream(spark, dir)
+    val in = lateReplayStream(spark, dir, nChunks)
       .withWatermark("ts", s"$LateBudgetMs milliseconds")
       .select(col("event_id"), col("user_id"), col("ems"), col("value"),
         col("ts"))
@@ -278,7 +279,7 @@ object StreamingPipelines {
     * retraction under the tight watermark, over the same disordered
     * replay — same survivor set, stats oracle over it. */
   def anchoredStatsLateUpdate(spark: SparkSession, dir: String,
-      nChunks: Int = 8,
+      nChunks: Int = LateReplayChunks,
       stateParts: String = LateUpdateParts): DataFrame = {
     import spark.implicits._
     val in = lateReplayStream(spark, dir, nChunks)
@@ -296,7 +297,7 @@ object StreamingPipelines {
     * under the tight watermark — a within-budget late event can MERGE
     * sessions whose rows were already output; beyond-budget events drop. */
   def sessionStepsLateUpdate(spark: SparkSession, dir: String,
-      nChunks: Int = 8,
+      nChunks: Int = LateReplayChunks,
       stateParts: String = StatePartitions): DataFrame = {
     import spark.implicits._
     val in = lateReplayStream(spark, dir, nChunks)
@@ -309,6 +310,19 @@ object StreamingPipelines {
     val sink = runToMemory(spark, out, "update", "latesessionupdate", stateParts)
     latestBy(sink, "rev", "event_id").drop("rev").orderBy(col("event_id"))
   }
+
+  /** Round-14 (guide §2.5 "input skew"): spread a replay micro-batch
+    * across the session's cores before heavy per-row stateless compute.
+    * A micro-batch reads ONE staged file = ONE input partition, so
+    * md5-chain / HOF / broadcast-model projections otherwise run
+    * single-core per batch (measured on the funnel's stateless gates:
+    * the same column set costs ~0.5 s batch-parallel vs ~4 s in-stream).
+    * Hash-partitions on a deterministic key column — safe under task
+    * retry, and semantics-free: downstream state ops reshuffle by their
+    * own key, stateless append sinks feed order-independent finales.
+    * Width = the session's core count, never a constant. */
+  private[graft] def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 
   private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -513,6 +527,26 @@ object StreamingPipelines {
     * measured FLAT-to-best at 8 and keep the global default — a pin is
     * only honest where the sweep actually moved. */
   private[graft] val LateUpdateParts = "4"
+
+  /** Replay cadence of the W7 allowed-lateness family. UNLIKE the other
+    * cadence pins, this one is SEMANTIC: the drop set depends on the
+    * chunk boundaries (the late-row filter's watermark is derived from
+    * prior chunks' max event time), so the oracle's survivor CTE mirrors
+    * this constant (`StreamingQueries.lateSurvivorCtes` reads it) and
+    * the two sides must move together. Both halves of the
+    * LateEventHandler contract stay NON-DEGENERATE at 4 (measured in
+    * DuckDB over the mirrored CTE): drops 39 and cross-batch admitted
+    * late rows 735 at sf0.01 (1 / 62 at sf0.001) vs 772 / 145 at 8 —
+    * fewer chunks move the balance from drops toward buffered-reprocess
+    * corrections (the watermark lags two LARGER chunks), but both code
+    * paths run at every SF; StreamingSpec asserts drops > 0 and the
+    * three members' survivor-set agreement. Round-14 sweep
+    * (PartsSweep `lategrid`, {4,8}, median-of-3 warm at sf0.1): 4 wins
+    * every member — counts 6.49 vs 9.85, stats 9.23 vs 10.49, session
+    * 6.70 vs 12.98 — the 8-chunk form pays 4 more per-batch state
+    * commits for no additional code path (every batch already crosses
+    * the late-filter, correction and eviction paths at 4). */
+  private[graft] val LateReplayChunks = 4
 
   def intervalJoinStream(spark: SparkSession, dir: String,
                          nChunks: Int = IntervalJoinChunks,
@@ -1824,12 +1858,12 @@ object StreamingPipelines {
     * dedup as keep-first state on the content hash (one bucket per
     * distinct text — `bucketFirstUpdate` reused with md5(text) as the
     * band), and MinHash near-dedup via the existing banded bucket
-    * state. Each stage is its own streaming query (Spark does not chain
-    * two flatMapGroupsWithState operators in one query — and a staged
-    * curation pipeline is also the production shape: stages
-    * checkpoint independently and restart independently); the survivor
-    * rollup is the SAME `funnelRollup` the batch funnel reports
-    * through, so the oracle is the batch funnel's SQL verbatim. */
+    * state. Round 14: ONE streaming query carries all five stages —
+    * the stateless verdicts ride the stateful stages' replay scan as
+    * namespaced rows through the shared state op (see the fusedIn
+    * comment below); the survivor rollup is the SAME `funnelRollup`
+    * the batch funnel reports through, so the oracle is the batch
+    * funnel's SQL verbatim. */
   def curationFunnelStream(spark: SparkSession, dir: String,
       stateParts: String = LateUpdateParts,
       stageTimes: scala.collection.mutable.Map[String, Double] = null)
@@ -1844,77 +1878,95 @@ object StreamingPipelines {
         val t0 = System.nanoTime(); val r = f
         stageTimes(name) = (System.nanoTime() - t0) / 1e9; r
       }
-    // the three STATELESS gates stack in ONE single-trigger pass (the
-    // column-appending cores; multi-trigger replay only exercises state
-    // semantics, which these gates have none of). Docs with <2 tokens
-    // drop here, matching the batch funnel's inner join against the
-    // repetition gate.
     val evalGrams: Set[Long] = staged("decontam_broadcast") {
       TextAnalysis.evalGramTable(spark, dir)
         .collect().map(_.getLong(0)).toSet
     }
     val bc = spark.sparkContext.broadcast(evalGrams)
-    val stateless = staged("stateless_gates") {
-      import spark.implicits._
-      runToMemory(spark,
-        TextAnalysis.withRepetitionCols(
-            TextAnalysis.withQualityCols(
-                docStreamReplay(spark, dir, nChunks = 1)
-                  .withColumn("toks", split(trim(col("text")), "\\s+"))
-                  .filter(size(col("toks")) >= 2))
-              .withColumnRenamed("keep", "q"))
-          .withColumnRenamed("keep", "r")
-          .withColumn("grams", TextAnalysis.gramCol)
-          .select(col("doc_id"), col("q"), col("r"), col("grams"))
-          .as[(Long, Boolean, Boolean, Seq[Long])]
-          .map { case (id, q, r, grams) =>
-            // eval docs (every 50th) carry no train verdict, like the
-            // batch gate's output; train docs probe the broadcast set
-            val dc0: Option[Boolean] =
-              if (id % 50 == 0) None
-              else Some(!grams.exists(bc.value.contains))
-            (id, q, r, dc0)
-          }.toDF("doc_id", "q", "r", "dc0"),
-        "append", "funnelqrd")
-    }
-    // the two stateful stages FUSE into one streaming query (round-10,
-    // verdict #4): exact dedup keys on 'x' + md5(text) and MinHash
-    // near-dedup on its 'b:h1:h2' LSH band values (never 'x'-prefixed —
-    // a sub-shingle doc's bands degrade to bare '0'..'3', so the prefix,
-    // not the ':', is the robust namespace tag), both living in ONE
-    // bucketFirstUpdate state space with disjoint key namespaces. One
-    // replay scan (2 chunks: cross-batch keep-first still genuinely
-    // exercised — the standalone stream_dedup_minhash keeps the full 4),
-    // one state op, one sink; the verdicts split on the namespace at
-    // read-back. Halves the stateful-query fixed costs (startup +
-    // per-micro-batch state commits) of the funnel's heaviest stages.
+    // ALL FIVE stages in ONE streaming query (round 14; the round-10
+    // fusion stopped at the two stateful stages). The stateless verdicts
+    // — quality, repetition, decontamination — are pure per-doc maps
+    // with no state, so they are chunk-invariant and can ride the SAME
+    // 2-chunk replay scan that feeds the stateful stages instead of
+    // paying a second streaming query's startup + sink + scan (~4 s
+    // in-suite, measured by FunnelProbe; the gate columns themselves
+    // cost ~0.5 s in batch, GateProbe). Each verdict travels as a row
+    // through the shared bucketFirstUpdate state space under its own
+    // namespace:
+    //  - 'x' + md5(text)          exact dedup (keep-first, round 10)
+    //  - '0'..'3'-prefixed bands  MinHash near-dedup (band values are
+    //                             '<b>:h1:h2', degrading to bare
+    //                             '0'..'3' on sub-shingle docs — the
+    //                             PREFIX is the robust namespace tag)
+    //  - 'q1'/'q0', 'r1'/'r0',    per-doc verdicts; constant band_val
+    //    'd1'/'d0'                per verdict = six singleton state
+    //                             buckets, and the per-arrival
+    //                             passthrough emission carries
+    //                             (band_val, doc_id) to the sink
+    // Emission rules preserve funnelRollup's join semantics exactly:
+    // q/r rows only for >=2-token docs (the rollup's inner join drops
+    // the rest — the old stateless pass's filter), d rows only for
+    // train docs (eval docs' NULL dc0 was filtered before the left
+    // join).
     val fusedIn = {
       import spark.implicits._
       import graft.queries.TextAnalysis._
-      docStreamReplay(spark, dir, nChunks = 2)
-        .select(col("doc_id"), col("text"))
-        .withColumn("toks", split(trim(col("text")), "\\s+"))
+      TextAnalysis.withRepetitionCols(
+          TextAnalysis.withQualityCols(
+              docStreamReplay(spark, dir, nChunks = 2)
+                .select(col("doc_id"), col("text"), col("n_chars"))
+                // a micro-batch reads ONE staged file = one input
+                // partition; without this exchange the per-doc gate
+                // columns (the O(tokens²) repetition fold, three md5
+                // chains) would run on a single core per batch. Hash
+                // on doc_id (deterministic under task retry), width =
+                // the session's core count, not a constant
+                .repartition(spark.sparkContext.defaultParallelism,
+                  col("doc_id"))
+                .withColumn("toks", split(trim(col("text")), "\\s+")))
+            .withColumnRenamed("keep", "q"))
+        .withColumnRenamed("keep", "r")
+        .withColumn("grams", TextAnalysis.gramCol)
         .withColumn("sh", expr(shingleExpr))
         .withColumn("si", expr(shingleHashExpr))
-        .select(col("doc_id"), explode(concat(
-          array(concat(lit("x"), md5(col("text").cast("binary")))),
-          // sub-shingle guard (fuzzySigRows / lshBandRows): a <3-token doc
-          // emits no bands at all (the oracle's || is NULL). Bands come
-          // from the single-reference fold (bandArrayExpr) — an mh column
-          // read 8 times inside this generator re-inlined the md5 chain
-          // per reference (round 12).
-          expr(s"if(size(sh) > 0, $bandArrayExpr, array())"))).as("band_val"))
-        .select(col("band_val"), col("doc_id"))
-        .as[StatefulFeatures.BandIn]
+        // every HOF column is referenced exactly once below, so each
+        // md5 chain still evaluates once per doc (the round-12
+        // re-inlining hazard needs multiple references); sub-shingle
+        // band guard unchanged
+        .select(col("doc_id"),
+          coalesce(col("q"), lit(false)).as("q"),
+          coalesce(col("r"), lit(false)).as("r"),
+          col("grams"),
+          concat(lit("x"), md5(col("text").cast("binary"))).as("xval"),
+          expr(s"if(size(sh) > 0, $bandArrayExpr, array())").as("bands"),
+          size(col("toks")).as("nt"))
+        .as[(Long, Boolean, Boolean, Seq[Long], String, Seq[String], Int)]
+        .flatMap { case (id, q, r, grams, xval, bands, nt) =>
+          val core = StatefulFeatures.BandIn(xval, id) +:
+            bands.map(StatefulFeatures.BandIn(_, id))
+          if (nt < 2) core
+          else {
+            // eval docs (every 50th) carry no train verdict, like the
+            // batch gate's output; train docs probe the broadcast set
+            val dc =
+              if (id % 50 == 0) Nil
+              else Seq(StatefulFeatures.BandIn(
+                if (!grams.exists(bc.value.contains)) "d1" else "d0", id))
+            core ++ Seq(
+              StatefulFeatures.BandIn(if (q) "q1" else "q0", id),
+              StatefulFeatures.BandIn(if (r) "r1" else "r0", id)) ++ dc
+          }
+        }
     }
     val fusedSink = staged("fused_state") {
       runToMemory(spark,
         StatefulFeatures.bucketFirstUpdate(fusedIn).toDF(), "update",
         "funnelem", stateParts)
     }
-    val e = fusedSink.filter(substring(col("band_val"), 1, 1) === "x")
+    val pfx = substring(col("band_val"), 1, 1)
+    val e = fusedSink.filter(pfx === "x")
       .select(col("doc_id"), (col("winner_id") === col("doc_id")).as("e"))
-    val m = fusedSink.filter(substring(col("band_val"), 1, 1) =!= "x")
+    val m = fusedSink.filter(!pfx.isin("x", "q", "r", "d"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_bands"),
         sum(when(col("winner_id") === col("doc_id"), 1L).otherwise(0L))
@@ -1922,11 +1974,13 @@ object StreamingPipelines {
       .select(col("doc_id"), (col("n_first") === col("n_bands")).as("m"))
     TextAnalysis.funnelRollup(spark,
       graft.core.Tables.documents(spark, dir),
-      stateless.select(col("doc_id"), col("q")),
-      stateless.select(col("doc_id"), col("r")),
+      fusedSink.filter(pfx === "q")
+        .select(col("doc_id"), (col("band_val") === "q1").as("q")),
+      fusedSink.filter(pfx === "r")
+        .select(col("doc_id"), (col("band_val") === "r1").as("r")),
       e, m,
-      stateless.filter(col("dc0").isNotNull)
-        .select(col("doc_id"), col("dc0")))
+      fusedSink.filter(pfx === "d")
+        .select(col("doc_id"), (col("band_val") === "d1").as("dc0")))
   }
 
   /** RETRACTION twin of [[dedupMinhashStream]] (round 7): the same

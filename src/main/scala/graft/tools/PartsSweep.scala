@@ -41,11 +41,12 @@ object PartsSweep {
       "ivleftjoin" -> ((p: String) => intervalLeftJoinStream(spark, dir, 8, p)),
       "aligned" -> ((p: String) => alignedWindowAgg(spark, dir, p)),
       "alignedappend" -> ((p: String) => alignedWindowAppend(spark, dir, p)),
-      "lateupdate" -> ((p: String) => anchoredLateUpdate(spark, dir, p)),
+      "lateupdate" ->
+        ((p: String) => anchoredLateUpdate(spark, dir, stateParts = p)),
       "latestatsupdate" ->
-        ((p: String) => anchoredStatsLateUpdate(spark, dir, 8, p)),
+        ((p: String) => anchoredStatsLateUpdate(spark, dir, stateParts = p)),
       "latesessionupdate" ->
-        ((p: String) => sessionStepsLateUpdate(spark, dir, 8, p)),
+        ((p: String) => sessionStepsLateUpdate(spark, dir, stateParts = p)),
       // round-8 verdict #7: the worst benched query — re-verify the r7
       // 4-partition pin still holds with the r8 suite shape around it
       "funnel" -> ((p: String) => curationFunnelStream(spark, dir, p)))
@@ -139,6 +140,26 @@ object PartsSweep {
       for ((name, fn) <- ms; c <- chunks) {
         val ts = (1 to 3).map(_ => timed(fn(c).count())).sorted
         println(f"[psweep] gate:$name%-14s chunks=$c%d " +
+          f"median=${ts(1)}%7.2fs (min=${ts.head}%.2f max=${ts.last}%.2f)")
+      }
+    }
+
+    // Round-14: replay-chunk sweep for the W7 allowed-lateness family.
+    // NOTE the chunk count is SEMANTIC here (the drop set depends on
+    // chunk boundaries) — this grid only measures cost; a pin change
+    // must move the oracle's lateSurvivorCtes in lockstep and re-prove
+    // exactness + non-degenerate drops/corrections (see LateReplayChunks
+    // doc).
+    if (which == "lategrid") {
+      val ms: Seq[(String, Int => DataFrame)] = Seq(
+        "latecounts" -> (c => anchoredLateUpdate(spark, dir, c)),
+        "latestats" -> (c => anchoredStatsLateUpdate(spark, dir, c)),
+        "latesession" -> (c => sessionStepsLateUpdate(spark, dir, c)))
+      val chunks = Seq(4, 8)
+      for ((_, fn) <- ms; c <- chunks) fn(c).count() // warm + staging
+      for ((name, fn) <- ms; c <- chunks) {
+        val ts = (1 to 3).map(_ => timed(fn(c).count())).sorted
+        println(f"[psweep] late:$name%-14s chunks=$c%d " +
           f"median=${ts(1)}%7.2fs (min=${ts.head}%.2f max=${ts.last}%.2f)")
       }
     }

@@ -910,12 +910,14 @@ object ScaleCheck {
         val (t, m) = streamFunnel(d, p); (n, p, t, m)
       }
       rows.foreach { case (n, p, t, m) =>
-        val sl = m.getOrElse("stateless_gates", 0.0)
+        // round 14: the stateless gates ride the fused query's replay
+        // scan (one streaming query for all five stages), so fused_state
+        // now carries the whole streamed cost
         val fs = m.getOrElse("fused_state", 0.0)
         val bcT = m.getOrElse("decontam_broadcast", 0.0)
         println(f"[scalecheck] stream_corpus_funnel n=$n%-9d parts=$p%-3s " +
-          f"total=$t%7.2fs stateless=$sl%6.2fs fused_state=$fs%6.2fs " +
-          f"bcast=$bcT%5.2fs finale=${t - sl - fs - bcT}%6.2fs")
+          f"total=$t%7.2fs fused_state=$fs%6.2fs " +
+          f"bcast=$bcT%5.2fs finale=${t - fs - bcT}%6.2fs")
       }
       println(f"[scalecheck] stream_corpus_funnel_ratio  " +
         f"10x/1x pinned=${rows(1)._3 / rows(0)._3}%5.2f " +
