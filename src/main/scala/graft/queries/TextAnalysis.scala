@@ -636,8 +636,9 @@ object TextAnalysis extends QueryModule {
     // over the id-ordered replay is chunk-invariant (owner = global min
     // poster) and 2 batches still exercise the cross-batch collision.
     val fh = winnowCols(
-        StreamingPipelines.docStreamReplay(spark, dir, nChunks = 2)
-          .select(col("doc_id"), col("text"))
+        StreamingPipelines.spread(
+            StreamingPipelines.docStreamReplay(spark, dir, nChunks = 2)
+              .select(col("doc_id"), col("text")), "doc_id")
           .withColumn("toks", split(trim(col("text")), "\\s+")))
       .select(col("doc_id"),
         explode(expr("array_distinct(transform(fps, f -> f div 1024))"))

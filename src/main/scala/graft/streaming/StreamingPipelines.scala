@@ -1060,8 +1060,8 @@ object StreamingPipelines {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val bc = spark.sparkContext.broadcast(evalGrams)
     val in = graft.queries.TextAnalysis.gramRows(
-        docStreamReplay(spark, dir, nChunks)
-          .select(col("doc_id"), col("text")))
+        spread(docStreamReplay(spark, dir, nChunks)
+          .select(col("doc_id"), col("text")), "doc_id"))
       .filter(col("doc_id") % 50 =!= 0)
       .as[(Long, Seq[Long])]
     val out = in.map { case (docId, grams) =>
@@ -1108,8 +1108,8 @@ object StreamingPipelines {
     val bcSj = spark.sparkContext.broadcast(evSj)
     val bcBands = spark.sparkContext.broadcast(evBands)
     val in = graft.queries.TextAnalysis.fuzzySigRows(
-        docStreamReplay(spark, dir, nChunks)
-          .select(col("doc_id"), col("text")))
+        spread(docStreamReplay(spark, dir, nChunks)
+          .select(col("doc_id"), col("text")), "doc_id"))
       .filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), col("sj"), col("bands"))
       .as[(Long, Seq[Long], Seq[String])]
@@ -1191,7 +1191,12 @@ object StreamingPipelines {
     val passSql = (0 until 3).map(i =>
       s"((shiftright(element_at(bw, cast(${posSql(i)} div 32 as int) + 1), " +
         s"cast(${posSql(i)} % 32 as int)) & 1) = 1)").mkString(" AND ")
-    val cand = eventStream(spark, dir)
+    // passSql references each position expression twice (word index +
+    // bit offset) = 6 md5 per row, on the single-partition micro-batch
+    // — spread before the probe (round 14)
+    val cand = spread(eventStream(spark, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("props")), "event_id")
       .withColumn("k", keyCol)
       .withColumn("bw", array(arr.toIndexedSeq.map(lit): _*))
       .filter(expr(passSql))
@@ -1353,8 +1358,8 @@ object StreamingPipelines {
     import spark.implicits._
     val w = spark.sparkContext.broadcast(
       graft.queries.CorpusPipeline.dsirWeights(spark, dir))
-    val in = docStreamReplay(spark, dir, nChunks)
-      .select(col("doc_id"), col("text"))
+    val in = spread(docStreamReplay(spark, dir, nChunks)
+        .select(col("doc_id"), col("text")), "doc_id")
       .filter(col("doc_id") % 50 =!= 0)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 2)
@@ -1641,8 +1646,8 @@ object StreamingPipelines {
     val bcB = spark.sparkContext.broadcast(biM)
     // bit length of a positive count == length(bin(n)) in both engines
     def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
-    val in = docStreamReplay(spark, dir, nChunks)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val in = spread(docStreamReplay(spark, dir, nChunks)
+      .select(col("doc_id"), col("text")), "doc_id").as[(Long, String)]
     val out = in.map { case (docId, text) =>
       val toks = text.trim.split("\\s+")
       val u = bcU.value; val b = bcB.value
@@ -1698,8 +1703,8 @@ object StreamingPipelines {
     val bcB = spark.sparkContext.broadcast(biM)
     val bcC = spark.sparkContext.broadcast(cutsM)
     def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
-    val in = docStreamReplay(spark, dir, nChunks)
-      .select(col("doc_id"), col("lang"), col("text"))
+    val in = spread(docStreamReplay(spark, dir, nChunks)
+      .select(col("doc_id"), col("lang"), col("text")), "doc_id")
       .as[(Long, String, String)]
     val out = in.map { case (docId, lang, text) =>
       val toks = text.trim.split("\\s+")

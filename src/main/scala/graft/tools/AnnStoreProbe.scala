@@ -33,6 +33,15 @@ object AnnStoreProbe {
       t("answer") {
         graft.queries.Embeddings.ivfadcAnswerFrom(spark, store).count()
       }
+      if (i == 1) {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(store.basePath)
+        val walk = java.nio.file.Files.walk(root)
+        val parts = try walk.iterator().asScala
+          .count(_.getFileName.toString.startsWith("part-"))
+        finally walk.close()
+        println(s"[annprobe] store part-files total=$parts")
+      }
       t("full_stream_update") {
         graft.SparkEntry.queries("stream_ivfadc_update")(spark, dir).count()
       }
